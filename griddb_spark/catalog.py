@@ -1,0 +1,125 @@
+"""Container catalog backed by parquet directories.
+
+GridDB's fundamental abstraction is the *container* — a schema-full table,
+either a COLLECTION or a TIME_SERIES (reference ``data_store_common.h:220-224``).
+Here a container is a named parquet dataset; the catalog maps names to paths
+and registers temp views so both the DataFrame API and ``spark.sql`` can
+reach every container. GridDB's meta tables (``#tables``, ``#columns`` —
+reference ``meta_type.h:712-731``) are served from Spark's own catalog.
+
+At 100 TB the physical layout is what matters: containers written through
+this catalog are partitioned (Hive-style) by a derived bucket column, the
+Spark equivalent of GridDB's table partitioning
+(``TABLE_PARTITION_TYPE_HASH/RANGE``, reference ``sql_parser.h:300-303``),
+so partition pruning replaces GridDB's sub-container selection.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Canonical driver testdata tables (TESTDATA.md).
+KNOWN_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any SF — at 100 TB these
+#: stay ~KB-MB (region=5 rows, nation=25 rows in TPC-H at every SF).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+@dataclass
+class ContainerCatalog:
+    """Maps container names → parquet paths; lazily registers temp views."""
+
+    spark: SparkSession
+    base_dir: str
+    _registered: set = field(default_factory=set)
+    _nano_cache: dict = field(default_factory=dict)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_dir, f"{name}.parquet")
+
+    def load(self, name: str) -> DataFrame:
+        """Read a container. Filters/projections push down to the scan.
+
+        Parquet ns-precision timestamps arrive as epoch-nanos LONG (session
+        sets ``spark.sql.legacy.parquet.nanosAsLong``); they are converted
+        here to µs TimestampType — truncation, matching DuckDB's ns→µs cast.
+        """
+        df = self.spark.read.parquet(self.path(name))
+        for col_name in self._nano_ts_columns(name):
+            df = df.withColumn(
+                col_name,
+                F.timestamp_micros(
+                    F.floor(F.col(col_name) / F.lit(1000)).cast("long")
+                ),
+            )
+        return df
+
+    def _nano_ts_columns(self, name: str) -> list[str]:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        if name not in self._nano_cache:
+            schema = pq.read_schema(self.path(name))
+            self._nano_cache[name] = [
+                f.name
+                for f in schema
+                if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+            ]
+        return self._nano_cache[name]
+
+    def table(self, name: str) -> DataFrame:
+        """Load and register as a temp view (idempotent)."""
+        df = self.load(name)
+        if name not in self._registered:
+            df.createOrReplaceTempView(name)
+            self._registered.add(name)
+        return df
+
+    def register_all(self, names: tuple[str, ...] = KNOWN_TABLES) -> None:
+        for name in names:
+            if os.path.exists(self.path(name)):
+                self.table(name)
+
+    def dim(self, name: str) -> DataFrame:
+        """A dimension table, broadcast-hinted when it is known-small."""
+        df = self.table(name)
+        return F.broadcast(df) if name in BROADCAST_TABLES else df
+
+    # -- meta tables (GridDB #tables / #columns, meta_store.cpp) ----------
+    def meta_tables(self) -> DataFrame:
+        rows = [
+            (n, "TIME_SERIES" if n == "events" else "COLLECTION", self.path(n))
+            for n in KNOWN_TABLES
+            if os.path.exists(self.path(n))
+        ]
+        return self.spark.createDataFrame(
+            rows, "table_name string, container_type string, location string"
+        )
+
+    def meta_columns(self, name: str) -> DataFrame:
+        df = self.load(name)
+        rows = [
+            (name, i, f.name, f.dataType.simpleString(), f.nullable)
+            for i, f in enumerate(df.schema.fields)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "table_name string, ordinal int, column_name string, "
+            "column_type string, nullable boolean",
+        )

@@ -1,0 +1,201 @@
+"""NoSQL container API veneer — GridDB's client surface over DataFrames.
+
+Mirrors the Java client (reference ``java_client/src/com/toshiba/mwcloud/gs/
+Container.java:437-898``, ``TimeSeries.java:136-617``, statement types
+``cluster_event_type.h:135-196``): ``put/get/remove`` by row key, multi-get,
+TQL ``query``, and the TimeSeries extras ``get(t, TimeOperator)``,
+``interpolate``, ``aggregate``, ``sample``.
+
+Semantics notes:
+- ``put`` is insert-or-update on the row key (GridDB putRow,
+  ``base_container.cpp``). Batch-scale implementation: union + last-write-
+  wins dedup by key (window on key, newest generation first). On a real
+  deployment the same operation is a Delta ``MERGE``; plain parquet is the
+  testbed here.
+- A TimeSeries container's row key is its timestamp column
+  (``data_store_common.h:220-224``).
+
+Point lookups (``get``) are filter queries — Spark serves them through
+partition pruning + predicate pushdown rather than a B-tree, which is the
+right trade at analytics scale (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from griddb_spark.operators import timeseries as ts_ops
+
+
+class Collection:
+    """A COLLECTION container (data_store_common.h:221)."""
+
+    container_type = "COLLECTION"
+
+    def __init__(self, name: str, df: DataFrame, row_key: str | None = None):
+        self.name = name
+        self._df = df
+        self.row_key = row_key
+        self._generation = 0
+
+    # -- data access -------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def to_df(self) -> DataFrame:
+        return self._df
+
+    def get(self, key) -> DataFrame:
+        self._require_key()
+        return self._df.filter(F.col(self.row_key) == F.lit(key))
+
+    def multi_get(self, keys: Iterable) -> DataFrame:
+        """multiGet with a key list (RowKeyPredicate distinct-keys form)."""
+        self._require_key()
+        return self._df.filter(F.col(self.row_key).isin(list(keys)))
+
+    def multi_get_range(self, start=None, end=None) -> DataFrame:
+        """multiGet with a RowKeyPredicate range."""
+        self._require_key()
+        out = self._df
+        if start is not None:
+            out = out.filter(F.col(self.row_key) >= F.lit(start))
+        if end is not None:
+            out = out.filter(F.col(self.row_key) <= F.lit(end))
+        return out
+
+    # -- mutation (insert-or-update by row key) ------------------------------
+    def put(self, rows: DataFrame | Sequence[dict]) -> "Collection":
+        new = self._as_df(rows)
+        if self.row_key is None:
+            self._df = self._df.unionByName(new)
+            return self
+        self._generation += 1
+        old = self._df.withColumn("__gen", F.lit(0))
+        incoming = new.withColumn("__gen", F.lit(self._generation))
+        w = Window.partitionBy(self.row_key).orderBy(F.col("__gen").desc())
+        self._df = (
+            old.unionByName(incoming)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__gen")
+        )
+        return self
+
+    def remove(self, key) -> "Collection":
+        self._require_key()
+        self._df = self._df.filter(F.col(self.row_key) != F.lit(key))
+        return self
+
+    # -- query ---------------------------------------------------------------
+    def query(self, tql: str) -> DataFrame:
+        """Run a TQL statement against this container."""
+        from griddb_spark.sql.tql import run_tql
+
+        return run_tql(self, tql)
+
+    # -- helpers --------------------------------------------------------------
+    def _as_df(self, rows) -> DataFrame:
+        if isinstance(rows, DataFrame):
+            return rows
+        spark = self._df.sparkSession
+        return spark.createDataFrame(list(rows), schema=self._df.schema)
+
+    def _require_key(self) -> None:
+        if self.row_key is None:
+            raise ValueError(f"container {self.name!r} has no row key")
+
+
+class TimeSeries(Collection):
+    """A TIME_SERIES container — mandatory TIMESTAMP row key
+    (data_store_common.h:223, time_series.cpp)."""
+
+    container_type = "TIME_SERIES"
+
+    def __init__(self, name: str, df: DataFrame, ts_col: str = "ts"):
+        super().__init__(name, df, row_key=ts_col)
+        self.ts_col = ts_col
+
+    def append(self, rows) -> "TimeSeries":
+        """TimeSeries.append — put with the timestamp as key."""
+        self.put(rows)
+        return self
+
+    def get_at(self, t, time_op: str = "PREVIOUS") -> DataFrame:
+        """get(t, TimeOperator) — TimeOperator.java:42-69."""
+        op = time_op.upper()
+        if op == "PREVIOUS":
+            return ts_ops.time_prev(self._df, t, self.ts_col)
+        if op == "PREVIOUS_ONLY":
+            return ts_ops.time_prev(self._df, t, self.ts_col, only=True)
+        if op == "NEXT":
+            return ts_ops.time_next(self._df, t, self.ts_col)
+        if op == "NEXT_ONLY":
+            return ts_ops.time_next(self._df, t, self.ts_col, only=True)
+        raise ValueError(f"unknown TimeOperator {time_op!r}")
+
+    def interpolate(self, t, column: str) -> DataFrame:
+        """interpolate(t, col) — TimeSeries.java, LINEAR interpolation."""
+        return ts_ops.time_interpolated(self._df, t, column, self.ts_col)
+
+    def aggregate(self, start, end, column: str, aggregation: str) -> DataFrame:
+        """aggregate(start, end, col, Aggregation) — Aggregation.java:72-198."""
+        return ts_ops.aggregate_time_range(
+            self._df, start, end, column, aggregation, self.ts_col)
+
+    def sample(self, start, end, interval: int, unit: str,
+               column: str | None = None) -> DataFrame:
+        """TQL TIME_SAMPLING / client sampling query."""
+        return ts_ops.time_sampling(
+            self._df, start, end, interval, unit, column, self.ts_col)
+
+    def query_range(self, start, end) -> DataFrame:
+        """query(start, end) — half-open [start, end) range per the client."""
+        out = self._df
+        if start is not None:
+            out = out.filter(F.col(self.ts_col) >= F.lit(start))
+        if end is not None:
+            out = out.filter(F.col(self.ts_col) < F.lit(end))
+        return out
+
+
+class GridStore:
+    """Factory + registry, the GridStore/StoreFactory analog."""
+
+    def __init__(self, spark: SparkSession, base_dir: str | None = None):
+        from griddb_spark.catalog import ContainerCatalog
+
+        self.spark = spark
+        self.catalog = ContainerCatalog(spark, base_dir) if base_dir else None
+        self._containers: dict[str, Collection] = {}
+
+    def put_container(self, name: str, df: DataFrame, *,
+                      container_type: str = "COLLECTION",
+                      row_key: str | None = None) -> Collection:
+        if container_type.upper() == "TIME_SERIES":
+            c: Collection = TimeSeries(name, df, ts_col=row_key or "ts")
+        else:
+            c = Collection(name, df, row_key=row_key)
+        self._containers[name] = c
+        return c
+
+    def get_container(self, name: str) -> Collection:
+        if name in self._containers:
+            return self._containers[name]
+        if self.catalog is None:
+            raise KeyError(name)
+        df = self.catalog.table(name)
+        c = (
+            TimeSeries(name, df, ts_col="ts")
+            if "ts" in df.columns
+            else Collection(name, df)
+        )
+        self._containers[name] = c
+        return c
+
+    def drop_container(self, name: str) -> None:
+        self._containers.pop(name, None)

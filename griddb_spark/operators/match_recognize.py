@@ -1,0 +1,435 @@
+"""MATCH_RECOGNIZE — SQL row-pattern matching over sorted partitions.
+
+GridDB added MATCH_RECOGNIZE in 5.9 (reference
+``docs/GridDB-5.9-CE-RELEASE_NOTES.md:88-139``, executed by
+``OP_WINDOW_MATCH`` / ``SQLSortOps::WindowMatch``, ``sql_operator_sort.h:94``,
+pattern nodes ``EXPR_PATTERN_*`` ``sql_type.h:79-91``). Supported per the
+reference: PARTITION BY, ORDER BY, MEASURES, ONE|ALL ROWS PER MATCH,
+AFTER MATCH SKIP PAST LAST ROW (the only skip mode), PATTERN with
+regex-like quantifiers, DEFINE with MATCH_NUMBER()/CLASSIFIER()/PREV()/
+NEXT()/FIRST()/LAST().
+
+Spark has no built-in row-pattern operator, so this is the designed slow
+path: a Thompson NFA compiled from the PATTERN, executed per partition by
+an Arrow-batched ``applyInPandas`` function. Parallelism comes from
+PARTITION BY (each series matched independently on its executor); rows
+within a partition are sorted once by the grouped-map machinery.
+
+DEFINE/MEASURES expressions are Python-syntax strings evaluated against
+row context via a small AST interpreter (no ``eval`` of raw strings):
+column names resolve to the current row; ``PREV(expr, n=1)`` / ``NEXT``
+shift the *physical* row; ``FIRST(expr)`` / ``LAST(expr)`` evaluate at the
+first/last row of the current match; ``CLASSIFIER()`` / ``MATCH_NUMBER()``
+as in the standard. SQL NULL semantics: comparisons with NULL are not
+satisfied.
+"""
+
+from __future__ import annotations
+
+import ast
+import operator
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# pattern compiler: "A B+ (C | D)* E?" → NFA with greedy epsilon ordering
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _NFA:
+    # transitions: state → list of (label, next_state); label None = epsilon.
+    # list order is the DFS preference order (greedy: consume before exit).
+    transitions: dict[int, list[tuple[str | None, int]]] = field(default_factory=dict)
+    start: int = 0
+    accept: int = 1
+    _next: int = 2
+
+    def new_state(self) -> int:
+        s = self._next
+        self._next += 1
+        self.transitions.setdefault(s, [])
+        return s
+
+    def add(self, frm: int, label: str | None, to: int, prefer: bool = False) -> None:
+        lst = self.transitions.setdefault(frm, [])
+        if prefer:
+            lst.insert(0, (label, to))
+        else:
+            lst.append((label, to))
+
+
+class _PatternParser:
+    """pattern := seq ('|' seq)* ; seq := factor+ ;
+    factor := (VAR | '(' pattern ')') ('+'|'*'|'?')?"""
+
+    def __init__(self, text: str):
+        self.tokens = self._tokenize(text)
+        self.pos = 0
+
+    @staticmethod
+    def _tokenize(text: str) -> list[str]:
+        out, cur = [], ""
+        for ch in text:
+            if ch.isalnum() or ch in "_$":
+                cur += ch
+            else:
+                if cur:
+                    out.append(cur)
+                    cur = ""
+                if ch in "()|+*?":
+                    out.append(ch)
+                elif ch.isspace():
+                    continue
+                else:
+                    raise ValueError(f"unsupported PATTERN character {ch!r}")
+        if cur:
+            out.append(cur)
+        return out
+
+    def peek(self) -> str | None:
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+
+    def take(self) -> str:
+        tok = self.tokens[self.pos]
+        self.pos += 1
+        return tok
+
+    def parse(self, nfa: _NFA, frm: int, to: int) -> None:
+        self._alt(nfa, frm, to)
+        if self.pos != len(self.tokens):
+            raise ValueError("trailing tokens in PATTERN")
+
+    def _alt(self, nfa: _NFA, frm: int, to: int) -> None:
+        self._seq(nfa, frm, to)
+        while self.peek() == "|":
+            self.take()
+            self._seq(nfa, frm, to)
+
+    def _seq(self, nfa: _NFA, frm: int, to: int) -> None:
+        cur = frm
+        factors = []
+        while self.peek() not in (None, "|", ")"):
+            factors.append(True)
+            nxt = nfa.new_state() if self.peek() is not None else to
+            self._factor(nfa, cur, nxt)
+            cur = nxt
+        if not factors:
+            raise ValueError("empty PATTERN sequence")
+        nfa.add(cur, None, to)
+
+    def _factor(self, nfa: _NFA, frm: int, to: int) -> None:
+        tok = self.take()
+        if tok == "(":
+            inner_from, inner_to = nfa.new_state(), nfa.new_state()
+            self._alt(nfa, inner_from, inner_to)
+            if self.take() != ")":
+                raise ValueError("unbalanced parens in PATTERN")
+        elif tok.isidentifier():
+            inner_from, inner_to = nfa.new_state(), nfa.new_state()
+            nfa.add(inner_from, tok, inner_to)
+        else:
+            raise ValueError(f"unexpected token {tok!r} in PATTERN")
+        quant = self.peek()
+        if quant in ("+", "*", "?"):
+            self.take()
+        else:
+            quant = None
+        if quant is None:
+            nfa.add(frm, None, inner_from)
+            nfa.add(inner_to, None, to)
+        elif quant == "?":
+            nfa.add(frm, None, inner_from, prefer=True)  # greedy: try first
+            nfa.add(frm, None, to)
+            nfa.add(inner_to, None, to)
+        elif quant == "+":
+            nfa.add(frm, None, inner_from)
+            nfa.add(inner_to, None, inner_from, prefer=True)  # greedy loop
+            nfa.add(inner_to, None, to)
+        elif quant == "*":
+            loop = nfa.new_state()
+            nfa.add(frm, None, loop)
+            nfa.add(loop, None, inner_from, prefer=True)  # greedy loop
+            nfa.add(loop, None, to)
+            nfa.add(inner_to, None, loop)
+
+
+def _compile_pattern(text: str) -> tuple[_NFA, list[str]]:
+    nfa = _NFA()
+    nfa.transitions.setdefault(0, [])
+    nfa.transitions.setdefault(1, [])
+    parser = _PatternParser(text)
+    parser.parse(nfa, nfa.start, nfa.accept)
+    variables = [t for t in parser.tokens if t.isidentifier()]
+    seen, ordered = set(), []
+    for v in variables:
+        if v not in seen:
+            seen.add(v)
+            ordered.append(v)
+    return nfa, ordered
+
+
+# --------------------------------------------------------------------------
+# expression interpreter (DEFINE / MEASURES)
+# --------------------------------------------------------------------------
+
+_BIN_OPS = {
+    ast.Add: operator.add, ast.Sub: operator.sub, ast.Mult: operator.mul,
+    ast.Div: operator.truediv, ast.Mod: operator.mod, ast.Pow: operator.pow,
+    ast.FloorDiv: operator.floordiv,
+}
+_CMP_OPS = {
+    ast.Eq: operator.eq, ast.NotEq: operator.ne, ast.Lt: operator.lt,
+    ast.LtE: operator.le, ast.Gt: operator.gt, ast.GtE: operator.ge,
+}
+
+
+class _Expr:
+    """Compiled DEFINE/MEASURES expression over a pandas partition."""
+
+    def __init__(self, text: str):
+        self.tree = ast.parse(text, mode="eval").body
+
+    def eval(self, ctx: "_MatchContext", i: int):
+        return self._ev(self.tree, ctx, i)
+
+    def _ev(self, node, ctx: "_MatchContext", i: int):
+        if isinstance(node, ast.Constant):
+            return node.value
+        if isinstance(node, ast.Name):
+            return ctx.col(node.id, i)
+        if isinstance(node, ast.UnaryOp):
+            v = self._ev(node.operand, ctx, i)
+            if isinstance(node.op, ast.USub):
+                return None if v is None else -v
+            if isinstance(node.op, ast.Not):
+                return not v
+            raise ValueError("unsupported unary op")
+        if isinstance(node, ast.BinOp):
+            a, b = self._ev(node.left, ctx, i), self._ev(node.right, ctx, i)
+            if a is None or b is None:
+                return None
+            return _BIN_OPS[type(node.op)](a, b)
+        if isinstance(node, ast.Compare):
+            left = self._ev(node.left, ctx, i)
+            for op, comp in zip(node.ops, node.comparators):
+                right = self._ev(comp, ctx, i)
+                if left is None or right is None:
+                    return False  # SQL: NULL comparison → not satisfied
+                if not _CMP_OPS[type(op)](left, right):
+                    return False
+                left = right
+            return True
+        if isinstance(node, ast.BoolOp):
+            if isinstance(node.op, ast.And):
+                return all(bool(self._ev(v, ctx, i)) for v in node.values)
+            return any(bool(self._ev(v, ctx, i)) for v in node.values)
+        if isinstance(node, ast.Call):
+            fname = node.func.id if isinstance(node.func, ast.Name) else None
+            if fname in ("PREV", "NEXT"):
+                n = self._ev(node.args[1], ctx, i) if len(node.args) > 1 else 1
+                j = i - n if fname == "PREV" else i + n
+                if j < 0 or j >= ctx.n_rows:
+                    return None
+                return self._ev(node.args[0], ctx, j)
+            if fname in ("FIRST", "LAST"):
+                if not ctx.match_rows:
+                    return None
+                j = ctx.match_rows[0] if fname == "FIRST" else ctx.match_rows[-1]
+                return self._ev(node.args[0], ctx, j)
+            if fname == "CLASSIFIER":
+                return ctx.classifier(i)
+            if fname == "MATCH_NUMBER":
+                return ctx.match_number
+            if fname == "ABS":
+                v = self._ev(node.args[0], ctx, i)
+                return None if v is None else abs(v)
+            raise ValueError(f"unsupported function {fname!r}")
+        raise ValueError(f"unsupported expression node {type(node).__name__}")
+
+    def base_column(self) -> str | None:
+        """The single column this expression navigates to, if trivially
+        inferable — used for output type inference."""
+        node = self.tree
+        while isinstance(node, ast.Call) and isinstance(node.func, ast.Name) \
+                and node.func.id in ("PREV", "NEXT", "FIRST", "LAST"):
+            node = node.args[0]
+        if isinstance(node, ast.Name):
+            return node.id
+        return None
+
+
+class _MatchContext:
+    def __init__(self, pdf, match_rows, labels, match_number):
+        self.pdf = pdf
+        self.n_rows = len(pdf)
+        self.match_rows = match_rows          # row indices in current match
+        self.labels = labels                  # row index → variable name
+        self.match_number = match_number
+        self._cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+
+    def col(self, name: str, i: int):
+        import pandas as pd
+
+        if name not in self._cols:
+            raise KeyError(f"unknown column {name!r}")
+        v = self._cols[name][i]
+        if v is None or (isinstance(v, float) and v != v):
+            return None
+        if pd and v is pd.NaT:
+            return None
+        return v
+
+    def classifier(self, i: int):
+        return self.labels.get(i)
+
+
+# --------------------------------------------------------------------------
+# the operator
+# --------------------------------------------------------------------------
+
+
+def match_recognize(
+    df: DataFrame,
+    pattern: str,
+    define: Mapping[str, str],
+    measures: Mapping[str, str] | None = None,
+    partition_by: Sequence[str] = (),
+    order_by: str = "ts",
+    all_rows: bool = False,
+    measure_types: Mapping[str, str] | None = None,
+    max_match_rows: int = 100_000,
+) -> DataFrame:
+    """Run MATCH_RECOGNIZE over ``df``.
+
+    ``define`` maps pattern variables to condition strings (Python operator
+    syntax: ``"value > PREV(value)"``); an undefined variable matches any
+    row (standard semantics). ``measures`` maps output names to expressions.
+    ``all_rows=False`` (ONE ROW PER MATCH) emits partition keys + measures +
+    match_no; ``all_rows=True`` additionally emits every matched input row
+    with classifier. AFTER MATCH SKIP PAST LAST ROW (the reference's only
+    mode). ``max_match_rows`` bounds a single match (the Spark-side analog
+    of the reference's CONF_PATTERN_MATCH_MEMORY_LIMIT).
+    """
+    import pandas as pd
+
+    nfa, variables = _compile_pattern(pattern)
+    for v in define:
+        if v not in variables:
+            raise ValueError(f"DEFINE variable {v!r} not in PATTERN")
+    compiled_define = {v: _Expr(c) for v, c in define.items()}
+    compiled_measures = {m: _Expr(c) for m, c in (measures or {}).items()}
+
+    # ---- output schema ----------------------------------------------------
+    in_schema = df.schema
+    type_of = {f.name: f.dataType for f in in_schema.fields}
+    fields: list[T.StructField] = []
+    if all_rows:
+        fields += [T.StructField(f.name, f.dataType, True) for f in in_schema.fields]
+        fields.append(T.StructField("classifier", T.StringType(), True))
+    else:
+        fields += [T.StructField(c, type_of[c], True) for c in partition_by]
+    for m, expr in compiled_measures.items():
+        if measure_types and m in measure_types:
+            dt = T._parse_datatype_string(measure_types[m])
+        else:
+            base = expr.base_column()
+            if base is not None and base in type_of:
+                dt = type_of[base]
+            elif "MATCH_NUMBER" in (measures or {}).get(m, ""):
+                dt = T.LongType()
+            elif "CLASSIFIER" in (measures or {}).get(m, ""):
+                dt = T.StringType()
+            else:
+                dt = T.DoubleType()
+        fields.append(T.StructField(m, dt, True))
+    fields.append(T.StructField("match_no", T.LongType(), True))
+    out_schema = T.StructType(fields)
+    out_names = [f.name for f in fields]
+
+    transitions = nfa.transitions
+    accept = nfa.accept
+
+    def _match_from(ctx: _MatchContext, start: int) -> list[tuple[int, str]] | None:
+        """Greedy backtracking DFS from ``start``; returns the matched
+        [(row, var), ...] or None. Transition order encodes greediness
+        (loop-continue before loop-exit), so the first accept found is the
+        greedy match. Epsilon cycles are cut per (state, row) along the
+        current path only — consuming transitions reset the guard."""
+        n = ctx.n_rows
+
+        def dfs(state: int, idx: int, path: list, eps_seen: frozenset):
+            if state == accept:
+                return path if path else None  # zero-length matches are skipped
+            for label, nxt in transitions.get(state, ()):
+                if label is None:
+                    key = (nxt, idx)
+                    if key in eps_seen:
+                        continue
+                    r = dfs(nxt, idx, path, eps_seen | {key})
+                    if r is not None:
+                        return r
+                else:
+                    if idx >= n or len(path) >= max_match_rows:
+                        continue
+                    cond = compiled_define.get(label)
+                    if cond is not None:
+                        # running semantics: current row is part of the match
+                        ctx.match_rows = [r for r, _ in path] + [idx]
+                        ctx.labels = dict(path)
+                        ctx.labels[idx] = label
+                        if not bool(cond.eval(ctx, idx)):
+                            continue
+                    r = dfs(nxt, idx + 1, path + [(idx, label)],
+                            frozenset(((nxt, idx + 1),)))
+                    if r is not None:
+                        return r
+            return None
+
+        return dfs(nfa.start, start, [], frozenset(((nfa.start, start),)))
+
+    def _process(pdf: pd.DataFrame) -> pd.DataFrame:
+        import sys
+
+        sys.setrecursionlimit(max(sys.getrecursionlimit(), 4 * max_match_rows + 1000))
+        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        ctx = _MatchContext(pdf, [], {}, 0)
+        out_rows = []
+        match_no = 0
+        i, n = 0, len(pdf)
+        while i < n:
+            ctx.match_rows, ctx.labels = [], {}
+            ctx.match_number = match_no + 1
+            path = _match_from(ctx, i)
+            if not path:
+                i += 1
+                continue
+            match_no += 1
+            rows = [r for r, _ in path]
+            labels = dict(path)
+            ctx.match_rows, ctx.labels, ctx.match_number = rows, labels, match_no
+            mvals = {m: e.eval(ctx, rows[-1]) for m, e in compiled_measures.items()}
+            if all_rows:
+                for r in rows:
+                    rec = {c: pdf.iloc[r][c] for c in pdf.columns}
+                    rec["classifier"] = labels[r]
+                    rec.update(mvals)
+                    rec["match_no"] = match_no
+                    out_rows.append(rec)
+            else:
+                rec = {c: pdf.iloc[rows[-1]][c] for c in partition_by}
+                rec.update(mvals)
+                rec["match_no"] = match_no
+                out_rows.append(rec)
+            i = rows[-1] + 1  # AFTER MATCH SKIP PAST LAST ROW
+        if not out_rows:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_names})
+        return pd.DataFrame(out_rows, columns=out_names)
+
+    grouped = df.groupBy(*partition_by) if partition_by else df.groupBy(F.lit(1).alias("__g"))
+    result = grouped.applyInPandas(_process, schema=out_schema)
+    return result

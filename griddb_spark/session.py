@@ -1,0 +1,62 @@
+"""SparkSession bootstrap tuned for the engine.
+
+GridDB's execution machinery (push-based task DAG, spill, work-memory
+governance — reference ``sql_job_manager.h``, ``sql_temp_store.h``) is
+entirely covered by Spark's scheduler + Tungsten; the only thing we own
+is the session configuration. Defaults are chosen for correctness-vs-
+DuckDB comparisons (UTC session TZ, ANSI off to keep SQLite-flavored
+semantics — reference grammar derives from SQLite, ``sql_internal_parser.cpp:26``)
+and for scale (AQE on, skew-join handling on, Arrow on).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "griddb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) the tuned SparkSession.
+
+    On a real cluster, ``master`` comes from spark-submit; locally we
+    default to ``local[N]`` with N = SPARK_GRAFT_CPUS (default 32).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # GridDB semantics are SQLite-flavored (no overflow errors,
+        # NULL-propagating arithmetic) — keep ANSI off and shim explicitly.
+        .config("spark.sql.ansi.enabled", "false")
+        # events.parquet carries ns timestamps; read as TIMESTAMP (µs),
+        # GridDB-style ns fidelity is handled via epoch-nanos LongType
+        # helpers in griddb_spark.functions.time.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # parquet TIMESTAMP(NANOS) (events.ts) is read as epoch-nanos LONG;
+        # ContainerCatalog.load converts to µs TimestampType (and DuckDB
+        # oracles CAST ns→µs the same way). GridDB NANO_TIMESTAMP fidelity
+        # stays available via the *_ns helpers.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    builder = builder.master(master or f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,77 @@
+"""Phase-0 vertical slice: catalog loads every driver table, the flagship
+GROUP BY RANGE query runs, container API round-trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import TABLES, assert_matches_oracle
+
+
+def test_catalog_loads_all_tables(catalog):
+    for t in TABLES:
+        df = catalog.table(t)
+        assert df.columns, t
+
+
+def test_flagship_group_by_range(catalog, duck):
+    """avg(value) per 1-minute bucket over events — the SURVEY §7 slice."""
+    from griddb_spark.operators import group_by_range
+
+    events = catalog.table("events")
+    bounds = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    start = bounds["lo"].replace(second=0, microsecond=0)
+    end = bounds["hi"]
+    out = group_by_range(
+        events, "ts", 1, "MINUTE",
+        {"avg_value": F.avg("value"), "n": F.count(F.lit(1))},
+        start=start, end=end,
+    )
+    assert_matches_oracle(
+        out, duck,
+        f"""
+        SELECT
+          make_timestamp(
+            {int(start.timestamp()*1000)}*1000
+            + (epoch_ms(CAST(ts AS TIMESTAMP)) - {int(start.timestamp()*1000)})
+              // 60000 * 60000000) AS ts,
+          avg(value) AS avg_value,
+          count(*) AS n
+        FROM events
+        WHERE epoch_ms(CAST(ts AS TIMESTAMP)) BETWEEN
+              {int(start.timestamp()*1000)} AND {int(end.timestamp()*1000)}
+        GROUP BY 1
+        """,
+    )
+
+
+def test_collection_put_get_remove(spark):
+    from griddb_spark.container import GridStore
+
+    store = GridStore(spark)
+    df = spark.createDataFrame(
+        [("alice", True, 10), ("bob", False, 20)], "name string, status boolean, count long"
+    )
+    col = store.put_container("person_col", df, row_key="name")
+    assert col.get("alice").count() == 1
+    col.put([{"name": "alice", "status": False, "count": 99}])
+    row = col.get("alice").collect()[0]
+    assert row["count"] == 99 and row["status"] is False
+    col.remove("bob")
+    assert col.df.count() == 1
+    assert col.multi_get(["alice", "bob"]).count() == 1
+
+
+def test_timeseries_api_roundtrip(catalog):
+    from griddb_spark.container import TimeSeries
+
+    events = catalog.table("events").filter(F.col("user_id") == 1)
+    ts = TimeSeries("ev1", events, ts_col="ts")
+    some = events.orderBy("ts").limit(3).collect()
+    t1 = some[1]["ts"]
+    got = ts.get_at(t1, "PREVIOUS").collect()
+    assert len(got) == 1 and got[0]["ts"] == t1
+    nxt = ts.get_at(t1, "NEXT_ONLY").collect()
+    assert len(nxt) == 1 and nxt[0]["ts"] > t1
