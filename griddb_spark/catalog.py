@@ -62,11 +62,11 @@ class ContainerCatalog:
         """
         df = self.spark.read.parquet(self.path(name))
         for col_name in self._nano_ts_columns(name):
+            # integer division — double division loses µs precision at
+            # epoch-nanos magnitude (1.7e18 > 2^53)
             df = df.withColumn(
                 col_name,
-                F.timestamp_micros(
-                    F.floor(F.col(col_name) / F.lit(1000)).cast("long")
-                ),
+                F.timestamp_micros(F.expr(f"`{col_name}` div 1000")),
             )
         return df
 

@@ -62,8 +62,11 @@ def make_timestamp(year, month, day, hour=0, minute=0, sec=0.0) -> Column:
 
 
 def timestamp_ns_to_ts(col: Column | str) -> Column:
-    """Epoch-nanos LONG → TIMESTAMP (truncating to µs, like parquet ns reads)."""
-    return F.timestamp_micros(F.floor(_c(col) / 1000).cast("long"))
+    """Epoch-nanos LONG → TIMESTAMP (truncating to µs, like parquet ns reads).
+    Integer division: double math is lossy at epoch-ns magnitude (>2^53)."""
+    c = _c(col)
+    micros = F.floor(c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    return F.timestamp_micros(micros)
 
 
 def ts_to_timestamp_ns(col: Column | str) -> Column:

@@ -103,7 +103,7 @@ def group_by_range(
         (F.lit(start_ms) + F.col("id") * every_ms).alias("__bucket")
     )
     if by:
-        scaffold = ranged.select(*by).distinct().join(F.broadcast(lattice))
+        scaffold = ranged.select(*by).distinct().crossJoin(F.broadcast(lattice))
     else:
         scaffold = lattice
     joined = scaffold.join(

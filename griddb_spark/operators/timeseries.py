@@ -203,7 +203,7 @@ def time_sampling(df: DataFrame, start, end, interval: int, unit: str,
         .select(F.timestamp_millis(F.lit(start_ms) + F.col("id") * step_ms).alias(ts_col))
     )
     if by:
-        grid = df.select(*by).distinct().join(F.broadcast(grid))
+        grid = df.select(*by).distinct().crossJoin(F.broadcast(grid))
     nb = _with_neighbors(df, grid, ts_col, by)
     p, n = F.col(_PREV), F.col(_NEXT)
     exact = p.isNotNull() & (p[ts_col] == F.col(ts_col))

@@ -515,3 +515,426 @@ def scalar_glob_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(glob("p_name", "*red*"), 1).otherwise(0).alias("glob_red"),
         F.when(F.col("p_type").like("STANDARD%"), 1).otherwise(0).alias("std"),
     )
+
+
+# ===========================================================================
+# 2.C time-series operators (TQL selections/aggregations + GROUP BY RANGE)
+# ===========================================================================
+
+#: DuckDB bucket-start expression (epoch ms lattice anchored at EV_START).
+def _duck_bucket(every_ms: int) -> str:
+    return (
+        f"make_timestamp(({EV_START_MS} + (epoch_ms(CAST(ts AS TIMESTAMP)) "
+        f"- {EV_START_MS}) // {every_ms} * {every_ms}) * 1000)"
+    )
+
+
+_DUCK_EV = (
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
+    "value, props FROM events"
+)
+
+
+@query(
+    "range_hour_none",
+    f"""
+    SELECT {_duck_bucket(3_600_000)} AS ts,
+           round(avg(value), 6) AS avg_value,
+           round(sum(value), 6) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           count(*) AS n
+    FROM events
+    WHERE epoch_ms(CAST(ts AS TIMESTAMP)) BETWEEN {EV_START_MS} AND {EV_END_MS}
+    GROUP BY 1
+    """,
+)
+def range_hour_none(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY RANGE EVERY(1, HOUR) FILL(NONE) — OP_GROUP_RANGE."""
+    from griddb_spark.operators import group_by_range
+
+    ev = cat(spark, sf_dir).load("events")
+    out = group_by_range(
+        ev, "ts", 1, "HOUR",
+        {
+            "avg_value_raw": F.avg("value"),
+            "sum_value_raw": F.sum("value"),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+            "n": F.count(F.lit(1)),
+        },
+        start=EV_START, end=EV_END,
+    )
+    return out.select(
+        "ts",
+        _r6(F.col("avg_value_raw")).alias("avg_value"),
+        _r6(F.col("sum_value_raw")).alias("sum_value"),
+        "min_value", "max_value", "n",
+    )
+
+
+def _duck_fill_base(every_ms: int) -> str:
+    """Scaffold + per-bucket agg CTEs shared by the FILL oracles."""
+    return f"""
+    WITH agg AS (
+      SELECT ({EV_START_MS} + (epoch_ms(CAST(ts AS TIMESTAMP)) - {EV_START_MS})
+              // {every_ms} * {every_ms}) AS b,
+             avg(value) AS av, count(*) AS n
+      FROM events
+      WHERE epoch_ms(CAST(ts AS TIMESTAMP)) BETWEEN {EV_START_MS} AND {EV_END_MS}
+      GROUP BY 1
+    ),
+    grid AS (
+      SELECT {EV_START_MS} + s.g * {every_ms} AS b
+      FROM generate_series(0, ({EV_END_MS} - {EV_START_MS}) // {every_ms}) s(g)
+    ),
+    joined AS (
+      SELECT grid.b, agg.av, agg.n, agg.b IS NOT NULL AS present
+      FROM grid LEFT JOIN agg ON grid.b = agg.b
+    )
+    """
+
+
+@query(
+    "range_15m_fill_null",
+    _duck_fill_base(900_000)
+    + """
+    SELECT make_timestamp(b * 1000) AS ts,
+           round(av, 6) AS avg_value,
+           n
+    FROM joined
+    """,
+)
+def range_15m_fill_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY RANGE EVERY(15, MINUTE) FILL(NULL)."""
+    from griddb_spark.operators import group_by_range
+
+    ev = cat(spark, sf_dir).load("events")
+    out = group_by_range(
+        ev, "ts", 15, "MINUTE",
+        {"av": F.avg("value"), "n": F.count(F.lit(1))},
+        start=EV_START, end=EV_END, fill="NULL",
+    )
+    return out.select("ts", _r6(F.col("av")).alias("avg_value"), "n")
+
+
+@query(
+    "range_15m_fill_prev",
+    _duck_fill_base(900_000)
+    + """
+    SELECT make_timestamp(b * 1000) AS ts,
+           round(last_value(av IGNORE NULLS) OVER
+             (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS avg_value,
+           last_value(n IGNORE NULLS) OVER
+             (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+    FROM joined
+    """,
+)
+def range_15m_fill_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY RANGE EVERY(15, MINUTE) FILL(PREVIOUS) — empty buckets copy
+    the previous non-empty bucket (NULL when none)."""
+    from griddb_spark.operators import group_by_range
+
+    ev = cat(spark, sf_dir).load("events")
+    out = group_by_range(
+        ev, "ts", 15, "MINUTE",
+        {"av": F.avg("value"), "n": F.count(F.lit(1))},
+        start=EV_START, end=EV_END, fill="PREVIOUS",
+    )
+    return out.select("ts", _r6(F.col("av")).alias("avg_value"), "n")
+
+
+@query(
+    "range_15m_fill_linear",
+    _duck_fill_base(900_000)
+    + """
+    , filled AS (
+      SELECT b, av, present,
+        last_value(av IGNORE NULLS) OVER past AS pv,
+        last_value(CASE WHEN present THEN b END IGNORE NULLS) OVER past AS pb,
+        first_value(av IGNORE NULLS) OVER fut AS nv,
+        first_value(CASE WHEN present THEN b END IGNORE NULLS) OVER fut AS nb
+      FROM joined
+      WINDOW past AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fut AS (ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT make_timestamp(b * 1000) AS ts,
+           round(CASE WHEN present THEN av
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   pv + (b - pb) * 1.0 / (nb - pb) * (nv - pv)
+                 END, 6) AS avg_value
+    FROM filled
+    """,
+)
+def range_15m_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY RANGE EVERY(15, MINUTE) FILL(LINEAR) — empty buckets
+    interpolate between neighbor non-empty buckets on the bucket key
+    (sql_operator_group.cpp:937-963); NULL at the edges."""
+    from griddb_spark.operators import group_by_range
+
+    ev = cat(spark, sf_dir).load("events")
+    out = group_by_range(
+        ev, "ts", 15, "MINUTE",
+        {"av": F.avg("value")},
+        start=EV_START, end=EV_END, fill="LINEAR",
+    )
+    return out.select("ts", _r6(F.col("av")).alias("avg_value"))
+
+
+@query(
+    "time_avg_per_user",
+    f"""
+    WITH e AS ({_DUCK_EV}),
+    w AS (
+      SELECT user_id, value,
+        epoch_ms(ts) AS t,
+        lag(epoch_ms(ts)) OVER win AS pt,
+        lead(epoch_ms(ts)) OVER win AS nt
+      FROM e
+      WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
+    ),
+    wt AS (
+      SELECT user_id, value,
+        (CASE WHEN nt IS NULL THEN t ELSE t + (nt - t) // 2 END
+         - CASE WHEN pt IS NULL THEN t ELSE pt + (t - pt) // 2 END) AS wgt
+      FROM w
+    )
+    SELECT user_id,
+           round(CASE WHEN sum(wgt) > 0
+                 THEN sum(value * wgt) / sum(wgt)
+                 ELSE avg(value) END, 6) AS time_avg
+    FROM wt GROUP BY user_id
+    """,
+)
+def time_avg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME_AVG(value) per series — midpoint-weighted time average
+    (aggregation_func.h:780-880)."""
+    from griddb_spark.operators import time_avg
+
+    ev = cat(spark, sf_dir).load("events")
+    out = time_avg(ev, "value", "ts", by=["user_id"])
+    return out.select("user_id", _r6(F.col("time_avg")).alias("time_avg"))
+
+
+T_MID = "2024-01-15 12:00:00"
+
+
+@query(
+    "time_next_per_user",
+    f"""
+    WITH e AS ({_DUCK_EV})
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM e WHERE ts >= TIMESTAMP '{T_MID}'
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1
+    """,
+)
+def time_next_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME_NEXT(*, t) per series (selection_func.h:126-300)."""
+    from griddb_spark.operators import time_next
+
+    ev = cat(spark, sf_dir).load("events")
+    return time_next(ev, T_MID, "ts", by=["user_id"])
+
+
+@query(
+    "time_prev_only_per_user",
+    f"""
+    WITH e AS ({_DUCK_EV})
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM e WHERE ts < TIMESTAMP '{T_MID}'
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1
+    """,
+)
+def time_prev_only_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME_PREV_ONLY(*, t) per series."""
+    from griddb_spark.operators import time_prev
+
+    ev = cat(spark, sf_dir).load("events")
+    return time_prev(ev, T_MID, "ts", only=True, by=["user_id"])
+
+
+@query(
+    "time_interpolated_per_user",
+    f"""
+    WITH e AS ({_DUCK_EV}),
+    p AS (
+      SELECT * FROM e WHERE ts <= TIMESTAMP '{T_MID}'
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1
+    ),
+    n AS (
+      SELECT * FROM e WHERE ts > TIMESTAMP '{T_MID}'
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1
+    )
+    SELECT p.event_id, TIMESTAMP '{T_MID}' AS ts, p.user_id, p.event_type,
+           round(CASE WHEN p.ts = TIMESTAMP '{T_MID}' THEN p.value
+                 ELSE p.value
+                      + (epoch_ms(TIMESTAMP '{T_MID}') - epoch_ms(p.ts))
+                        * 1.0 / (epoch_ms(n.ts) - epoch_ms(p.ts))
+                        * (n.value - p.value) END, 6) AS value,
+           p.props
+    FROM p LEFT JOIN n ON p.user_id = n.user_id
+    WHERE p.ts = TIMESTAMP '{T_MID}' OR n.user_id IS NOT NULL
+    """,
+)
+def time_interpolated_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME_INTERPOLATED(value, t) per series: previous row's image with ts=t
+    and value linearly interpolated (selection_func_impl.h:331-459)."""
+    from griddb_spark.operators import time_interpolated
+
+    ev = cat(spark, sf_dir).load("events")
+    out = time_interpolated(ev, T_MID, "value", "ts", by=["user_id"])
+    return out.select(
+        "event_id", "ts", "user_id", "event_type",
+        _r6(F.col("value")).alias("value"), "props",
+    )
+
+
+@query(
+    "time_sampling_user3",
+    f"""
+    WITH e AS ({_DUCK_EV}),
+    e3 AS (SELECT * FROM e WHERE user_id = 3),
+    grid AS (
+      SELECT make_timestamp(({EV_START_MS} + s.g * 21600000) * 1000) AS gts
+      FROM generate_series(0, ({EV_END_MS} - {EV_START_MS}) // 21600000) s(g)
+    ),
+    u AS (
+      SELECT ts, 0 AS is_grid, event_id, user_id, event_type, value, props FROM e3
+      UNION ALL
+      SELECT gts, 1, NULL, NULL, NULL, NULL, NULL FROM grid
+    ),
+    w AS (
+      SELECT ts, is_grid,
+        last_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS) OVER past AS p_ts,
+        last_value(CASE WHEN is_grid = 0 THEN event_id END IGNORE NULLS) OVER past AS p_event_id,
+        last_value(CASE WHEN is_grid = 0 THEN event_type END IGNORE NULLS) OVER past AS p_event_type,
+        last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER past AS p_value,
+        last_value(CASE WHEN is_grid = 0 THEN props END IGNORE NULLS) OVER past AS p_props,
+        first_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS) OVER fut AS n_ts,
+        first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER fut AS n_value
+      FROM u
+      WINDOW past AS (ORDER BY ts, is_grid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fut AS (ORDER BY ts, is_grid ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT p_event_id AS event_id, ts, 3 AS user_id, p_event_type AS event_type,
+           round(CASE WHEN p_ts = ts THEN p_value
+                 ELSE p_value + (epoch_ms(ts) - epoch_ms(p_ts)) * 1.0
+                      / (epoch_ms(n_ts) - epoch_ms(p_ts)) * (n_value - p_value)
+                 END, 6) AS value,
+           p_props AS props
+    FROM w
+    WHERE is_grid = 1
+      AND (p_ts = ts OR (p_ts IS NOT NULL AND n_ts IS NOT NULL))
+    """,
+)
+def time_sampling_user3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME_SAMPLING(value, start, end, 6, HOUR) on one series
+    (selection_func_impl.h:531-719)."""
+    from griddb_spark.operators import time_sampling
+
+    ev = cat(spark, sf_dir).load("events").filter(F.col("user_id") == 3)
+    out = time_sampling(ev, EV_START, EV_END, 6, "HOUR", col="value", ts_col="ts")
+    return out.select(
+        "event_id", "ts",
+        F.lit(3).alias("user_id"),
+        "event_type", _r6(F.col("value")).alias("value"), "props",
+    )
+
+
+@query(
+    "max_min_rows",
+    f"""
+    WITH e AS ({_DUCK_EV})
+    SELECT 'max' AS which, event_id, ts, user_id, value FROM e
+    WHERE value = (SELECT max(value) FROM e)
+    UNION ALL
+    SELECT 'min', event_id, ts, user_id, value FROM e
+    WHERE value = (SELECT min(value) FROM e)
+    """,
+)
+def max_min_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_ROWS/MIN_ROWS(value) — rows attaining the extreme
+    (selection_func.h:230)."""
+    from griddb_spark.operators import max_rows, min_rows
+
+    ev = cat(spark, sf_dir).load("events")
+    cols = ["event_id", "ts", "user_id", "value"]
+    mx = max_rows(ev, "value").select(F.lit("max").alias("which"), *cols)
+    mn = min_rows(ev, "value").select(F.lit("min").alias("which"), *cols)
+    return mx.unionByName(mn)
+
+
+@query(
+    "ts_weighted_avg_range",
+    f"""
+    WITH e AS (
+      SELECT * FROM ({_DUCK_EV})
+      WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                   AND TIMESTAMP '2024-01-20 00:00:00'
+    ),
+    w AS (
+      SELECT value, epoch_ms(ts) AS t,
+        lag(epoch_ms(ts)) OVER win AS pt,
+        lead(epoch_ms(ts)) OVER win AS nt
+      FROM e WINDOW win AS (ORDER BY epoch_ms(ts))
+    ),
+    wt AS (
+      SELECT value,
+        (CASE WHEN nt IS NULL THEN t ELSE t + (nt - t) // 2 END
+         - CASE WHEN pt IS NULL THEN t ELSE pt + (t - pt) // 2 END) AS wgt
+      FROM w
+    )
+    SELECT round(CASE WHEN sum(wgt) > 0 THEN sum(value * wgt) / sum(wgt)
+                 ELSE avg(value) END, 6) AS aggregation_result
+    FROM wt
+    """,
+)
+def ts_weighted_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NoSQL API aggregate(start, end, col, WEIGHTED_AVERAGE)
+    (Aggregation.java:72-198, TimeSeries.java:136-617)."""
+    from griddb_spark.operators import aggregate_time_range
+
+    ev = cat(spark, sf_dir).load("events")
+    out = aggregate_time_range(
+        ev, "2024-01-10 00:00:00", "2024-01-20 00:00:00", "value",
+        "WEIGHTED_AVERAGE", "ts",
+    )
+    return out.select(_r6(F.col("aggregation_result")).alias("aggregation_result"))
+
+
+@query(
+    "asof_join_users",
+    f"""
+    WITH e AS ({_DUCK_EV}),
+    l AS (SELECT event_id, ts, value FROM e WHERE user_id = 1),
+    r AS (SELECT ts, value FROM e WHERE user_id = 2),
+    u AS (
+      SELECT ts, 0 AS side, ts AS r_ts, value AS r_value,
+             NULL::BIGINT AS event_id, NULL::DOUBLE AS l_value FROM r
+      UNION ALL
+      SELECT ts, 1, NULL, NULL, event_id, value FROM l
+    ),
+    w AS (
+      SELECT ts, side, event_id, l_value,
+        last_value(r_ts IGNORE NULLS) OVER
+          (ORDER BY ts, side ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ts,
+        last_value(r_value IGNORE NULLS) OVER
+          (ORDER BY ts, side ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_value
+      FROM u
+    )
+    SELECT event_id, ts, l_value AS value, m_ts AS r_ts, m_value AS r_value
+    FROM w WHERE side = 1
+    """,
+)
+def asof_join_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each user-1 event gets the latest user-2 event
+    at or before it — the scale path behind TIME_PREV against another
+    container (beyond-reference, SURVEY §7 phase 5)."""
+    from griddb_spark.operators import asof_join
+
+    ev = cat(spark, sf_dir).load("events")
+    left = ev.filter(F.col("user_id") == 1).select("event_id", "ts", "value")
+    right = ev.filter(F.col("user_id") == 2).select("ts", "value")
+    out = asof_join(left, right, on="ts", direction="backward", right_prefix="r_")
+    return out.select("event_id", "ts", "value", "r_ts", "r_value")
