@@ -1,0 +1,239 @@
+"""GridDB NewSQL → Spark SQL translation front-end (SURVEY §7 phase 3).
+
+GridDB's SQL is SQL-92-flavored (parser generated from modified SQLite,
+``sql_internal_parser.cpp:26``); Catalyst accepts most of it verbatim. The
+rewrites here cover the GridDB-isms:
+
+- ``TIMESTAMP('...')`` literals → ``to_timestamp('...')``
+- ``x GLOB 'pat'`` → anchored ``rlike``
+- GridDB hints (``/*+ LEADING(...) ... */`` — ``sql_compiler.h:36-64``) →
+  stripped (Catalyst/AQE own these decisions; Spark's BROADCAST/MERGE
+  hints pass through untouched)
+- ``GROUP BY RANGE(key) EVERY(n, unit[, off]) [FILL(mode)]``
+  (``docs/GridDB-5.3-CE-RELEASE_NOTES.md:30-70``) → the
+  ``group_by_range`` operator, bounds taken from the WHERE range
+  condition exactly like the reference requires
+- ``MATCH_RECOGNIZE (...)`` (5.9) → the ``match_recognize`` operator
+
+Everything else goes to ``spark.sql`` against catalog-registered views.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from griddb_spark.catalog import ContainerCatalog
+from griddb_spark.functions.scalar import glob_to_regex
+from griddb_spark.operators import group_by_range, match_recognize
+
+_HINT_RE = re.compile(r"/\*\+[^*]*\*/", re.DOTALL)
+_TS_LIT_RE = re.compile(r"\bTIMESTAMP\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE)
+_GLOB_RE = re.compile(r"(\w+(?:\.\w+)?)\s+GLOB\s+'([^']*)'", re.IGNORECASE)
+
+_SPARK_HINTS = ("BROADCAST", "BROADCASTJOIN", "MAPJOIN", "MERGE",
+                "SHUFFLE_HASH", "SHUFFLE_REPLICATE_NL", "REPARTITION",
+                "COALESCE", "REBALANCE")
+
+
+def rewrite_sql(sql: str) -> str:
+    """Token-level GridDB SQL → Spark SQL rewrite (no structure change)."""
+    out = sql
+
+    def _hint(m: re.Match) -> str:
+        body = m.group(0)
+        return body if any(h in body.upper() for h in _SPARK_HINTS) else ""
+
+    out = _HINT_RE.sub(_hint, out)
+    out = _TS_LIT_RE.sub(
+        lambda m: "to_timestamp('%s')"
+        % m.group(1).replace("T", " ").replace("Z", ""),
+        out,
+    )
+    out = _GLOB_RE.sub(
+        lambda m: "%s RLIKE '%s'"
+        % (m.group(1), glob_to_regex(m.group(2)).replace("\\", "\\\\")),
+        out,
+    )
+    return out
+
+
+_RANGE_RE = re.compile(
+    r"GROUP\s+BY\s+RANGE\s*\(\s*(?P<key>\w+)\s*\)\s*"
+    r"EVERY\s*\(\s*(?P<n>\d+)\s*,\s*(?P<unit>\w+)\s*(?:,\s*(?P<off>-?\d+)\s*)?\)"
+    r"(?:\s*FILL\s*\(\s*(?P<fill>\w+)\s*\))?",
+    re.IGNORECASE,
+)
+
+_RANGE_QUERY_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<table>\w+)\s+"
+    r"WHERE\s+(?P<where>.*?)\s*(?P<range>GROUP\s+BY\s+RANGE.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_BETWEEN_RE = re.compile(
+    r"(?P<col>\w+)\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+(?P<hi>[^)\s].*?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _exec_group_by_range(
+    spark: SparkSession, catalog: ContainerCatalog, sql: str
+) -> DataFrame:
+    mq = _RANGE_QUERY_RE.match(sql)
+    if not mq:
+        raise ValueError(
+            "GROUP BY RANGE requires SELECT ... FROM t WHERE <range cond> "
+            "GROUP BY RANGE(...) (the reference requires the WHERE range "
+            "to bound the bucket grid)"
+        )
+    mr = _RANGE_RE.search(mq.group("range"))
+    assert mr is not None
+    key, n, unit = mr.group("key"), int(mr.group("n")), mr.group("unit")
+    offset = int(mr.group("off") or 0)
+    fill = (mr.group("fill") or "NONE").upper()
+
+    mb = _BETWEEN_RE.search(mq.group("where"))
+    if not mb or mb.group("col") != key:
+        raise ValueError("GROUP BY RANGE needs `key BETWEEN lo AND hi` in WHERE")
+    lo = _literal_ts(mb.group("lo"))
+    hi = _literal_ts(mb.group("hi"))
+
+    df = catalog.load(mq.group("table"))
+    extra_where = _BETWEEN_RE.sub("true", mq.group("where"))
+    if extra_where.strip() not in ("true", ""):
+        df = df.filter(F.expr(rewrite_sql(extra_where)))
+
+    aggs: dict[str, F.Column] = {}
+    for item in _split_select(mq.group("sel")):
+        item = item.strip()
+        if item == key or item == "*":
+            continue
+        alias_m = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)\s*$", item)
+        expr_sql, alias = (
+            (alias_m.group(1), alias_m.group(2))
+            if alias_m
+            else (item, re.sub(r"\W+", "_", item).strip("_").lower())
+        )
+        aggs[alias] = F.expr(rewrite_sql(expr_sql))
+    if not aggs:
+        raise ValueError("GROUP BY RANGE needs at least one aggregate in SELECT")
+    return group_by_range(
+        df, key, n, unit, aggs, start=lo, end=hi, offset=offset, fill=fill
+    )
+
+
+def _split_select(sel: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in sel:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _literal_ts(expr: str):
+    expr = expr.strip()
+    m = _TS_LIT_RE.match(expr)
+    if m:
+        return m.group(1).replace("T", " ").replace("Z", "")
+    m = re.match(r"(?i)^TIMESTAMP\s+'([^']+)'$", expr)
+    if m:
+        return m.group(1)
+    return expr.strip("'")
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE
+# ---------------------------------------------------------------------------
+
+_MR_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<table>\w+)\s+MATCH_RECOGNIZE\s*"
+    r"\((?P<body>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_MR_CLAUSES = re.compile(
+    r"(?:PARTITION\s+BY\s+(?P<part>.*?))?\s*"
+    r"(?:ORDER\s+BY\s+(?P<order>.*?))?\s*"
+    r"(?:MEASURES\s+(?P<measures>.*?))?\s*"
+    r"(?P<rows>ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH)?\s*"
+    r"(?:AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW)?\s*"
+    r"PATTERN\s*\(\s*(?P<pattern>[^)]*)\)\s*"
+    r"DEFINE\s+(?P<define>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _sql_cond_to_python(cond: str) -> str:
+    """SQL predicate syntax → the MATCH_RECOGNIZE evaluator's Python-AST
+    syntax (match_recognize.py _Expr)."""
+    out = cond
+    out = re.sub(r"<>", "!=", out)
+    out = re.sub(r"(?<![<>!=])=(?!=)", "==", out)
+    out = re.sub(r"\bAND\b", "and", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bOR\b", "or", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bNOT\b", "not", out, flags=re.IGNORECASE)
+    return out.strip()
+
+
+def _exec_match_recognize(
+    spark: SparkSession, catalog: ContainerCatalog, sql: str
+) -> DataFrame:
+    mq = _MR_RE.match(sql)
+    assert mq is not None
+    body = mq.group("body").strip()
+    mc = _MR_CLAUSES.search(body)
+    if not mc:
+        raise ValueError("cannot parse MATCH_RECOGNIZE clauses")
+    partition_by = [
+        c.strip() for c in (mc.group("part") or "").split(",") if c.strip()
+    ]
+    order_by = (mc.group("order") or "ts").split(",")[0].strip()
+    all_rows = bool(mc.group("rows")) and mc.group("rows").upper().startswith("ALL")
+
+    measures: dict[str, str] = {}
+    if mc.group("measures"):
+        for item in _split_select(mc.group("measures")):
+            am = re.match(r"(?is)^\s*(.*?)\s+AS\s+(\w+)\s*$", item)
+            if am:
+                measures[am.group(2)] = _sql_cond_to_python(am.group(1))
+
+    define: dict[str, str] = {}
+    for item in _split_select(mc.group("define")):
+        dm = re.match(r"(?is)^\s*(\w+)\s+AS\s+(.*)$", item.strip())
+        if dm:
+            define[dm.group(1)] = _sql_cond_to_python(dm.group(2))
+
+    df = catalog.load(mq.group("table"))
+    return match_recognize(
+        df,
+        pattern=mc.group("pattern"),
+        define=define,
+        measures=measures,
+        partition_by=partition_by,
+        order_by=order_by,
+        all_rows=all_rows,
+    )
+
+
+def griddb_sql(
+    spark: SparkSession, catalog: ContainerCatalog, sql: str
+) -> DataFrame:
+    """Run a GridDB SQL statement on Spark."""
+    if _RANGE_RE.search(sql):
+        return _exec_group_by_range(spark, catalog, sql)
+    if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
+        return _exec_match_recognize(spark, catalog, sql)
+    catalog.register_all()
+    return spark.sql(rewrite_sql(sql))

@@ -938,3 +938,102 @@ def asof_join_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = ev.filter(F.col("user_id") == 2).select("ts", "value")
     out = asof_join(left, right, on="ts", direction="backward", right_prefix="r_")
     return out.select("event_id", "ts", "value", "r_ts", "r_value")
+
+
+# ===========================================================================
+# query-language front-ends (TQL + GridDB SQL) driven end-to-end
+# ===========================================================================
+
+
+@query(
+    "tql_select_where_order_limit",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_acctbal >= 5000 ORDER BY c_custkey LIMIT 10 OFFSET 5
+    """,
+)
+def tql_select_where_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TQL end-to-end (guide sample TQLSelect.java:54 shape): parse → filter
+    pushdown → order/limit/offset."""
+    from griddb_spark.container import Collection
+
+    c = cat(spark, sf_dir)
+    col = Collection("customer", c.load("customer"), row_key="c_custkey")
+    return col.query(
+        "SELECT c_custkey, c_name, c_acctbal WHERE c_acctbal >= 5000 "
+        "ORDER BY c_custkey LIMIT 10 OFFSET 5"
+    )
+
+
+@query(
+    "tql_aggregation",
+    """
+    SELECT round(avg(s_acctbal), 6) AS aggregation_result
+    FROM supplier WHERE s_nationkey < 10
+    """,
+)
+def tql_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TQL aggregation (guide TQLAggregation.java shape): one scalar out."""
+    from griddb_spark.container import Collection
+
+    c = cat(spark, sf_dir)
+    col = Collection("supplier", c.load("supplier"))
+    out = col.query("SELECT AVG(s_acctbal) WHERE s_nationkey < 10")
+    return out.select(_r6(F.col("aggregation_result")).alias("aggregation_result"))
+
+
+@query(
+    "sql_frontend_group_by_range",
+    _duck_fill_base(3_600_000)
+    + """
+    SELECT make_timestamp(b * 1000) AS ts,
+           round(av, 6) AS av,
+           n
+    FROM joined
+    """,
+)
+def sql_frontend_group_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridDB SQL text → GROUP BY RANGE operator via the translation
+    front-end (sql/translate.py)."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    c = cat(spark, sf_dir)
+    out = griddb_sql(
+        spark, c,
+        "SELECT ts, avg(value) AS av, count(*) AS n FROM events "
+        f"WHERE ts BETWEEN TIMESTAMP('{EV_START.replace(' ', 'T')}Z') "
+        f"AND TIMESTAMP('{EV_END.replace(' ', 'T')}Z') "
+        "GROUP BY RANGE (ts) EVERY (1, HOUR) FILL (NULL)",
+    )
+    return out.select("ts", _r6(F.col("av")).alias("av"), "n")
+
+
+@query(
+    "match_recognize_spikes",
+    f"""
+    WITH e AS ({_DUCK_EV}),
+    w AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+      FROM e
+    )
+    SELECT user_id, ts AS spike_ts, value AS spike_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS match_no
+    FROM w WHERE pv IS NOT NULL AND value > pv * 2
+    """,
+)
+def match_recognize_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE (OP_WINDOW_MATCH, 5.9): single-variable pattern over
+    per-user partitions — spikes where value more than doubles. Single-row
+    matches make the NFA result SQL-checkable (no overlap ambiguity)."""
+    from griddb_spark.operators import match_recognize
+
+    ev = cat(spark, sf_dir).load("events")
+    return match_recognize(
+        ev,
+        pattern="SPIKE",
+        define={"SPIKE": "value > PREV(value) * 2"},
+        measures={"spike_ts": "LAST(ts)", "spike_value": "LAST(value)"},
+        partition_by=["user_id"],
+        order_by="ts",
+    )

@@ -1,0 +1,147 @@
+"""TQL + GridDB SQL translation front-ends, checked against equivalent
+direct DataFrame results / DuckDB."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from griddb_spark.container import Collection, TimeSeries
+from griddb_spark.sql.translate import griddb_sql, rewrite_sql
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def person(spark):
+    rows = [(f"name{i:03d}", i % 2 == 0, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "name string, status boolean, count long")
+    return Collection("person", df, row_key="name")
+
+
+@pytest.fixture(scope="module")
+def sensor(spark, catalog):
+    df = catalog.table("events").filter(F.col("user_id") == 1)
+    return TimeSeries("sensor", df, ts_col="ts")
+
+
+def test_tql_select_where_order_limit_offset(person):
+    # the reference guide sample: TQLSelect.java:54 + person_col fixture
+    out = person.query(
+        "SELECT * WHERE count >= 50 ORDER BY name LIMIT 10 OFFSET 5"
+    ).collect()
+    assert [r["name"] for r in out] == [f"name{i:03d}" for i in range(55, 65)]
+
+
+def test_tql_predicates(person):
+    got = person.query(
+        "SELECT * WHERE (count BETWEEN 10 AND 20 OR name LIKE 'name09%') "
+        "AND NOT status"
+    ).collect()
+    names = sorted(r["name"] for r in got)
+    expected = sorted(
+        f"name{i:03d}" for i in range(100)
+        if ((10 <= i <= 20 or str(i).zfill(3).startswith("09")) and i % 2 == 1)
+    )
+    assert names == expected
+
+
+def test_tql_aggregations(person):
+    assert person.query("SELECT COUNT(*)").collect()[0][0] == 100
+    assert person.query("SELECT SUM(count) WHERE count < 10").collect()[0][0] == 45
+    assert person.query("SELECT MAX(count)").collect()[0][0] == 99
+    got = person.query("SELECT AVG(count)").collect()[0][0]
+    assert abs(got - 49.5) < 1e-9
+
+
+def test_tql_projection(person):
+    out = person.query("SELECT name, count * 2 WHERE count = 3").collect()
+    assert out[0][1] == 6
+
+
+def test_tql_time_selections(spark):
+    rows = [
+        (_ts("2024-01-01 00:00:00"), 10.0),
+        (_ts("2024-01-01 00:00:10"), 20.0),
+        (_ts("2024-01-01 00:00:30"), 40.0),
+    ]
+    ts = TimeSeries("s", spark.createDataFrame(rows, "ts timestamp, v double"))
+    nxt = ts.query("SELECT TIME_NEXT(*, TIMESTAMP('2024-01-01T00:00:05Z'))")
+    assert nxt.collect()[0]["v"] == 20.0
+    interp = ts.query("SELECT TIME_INTERPOLATED(v, TIMESTAMP('2024-01-01T00:00:20Z'))")
+    assert interp.collect()[0]["v"] == 30.0
+    samp = ts.query(
+        "SELECT TIME_SAMPLING(v, TIMESTAMP('2024-01-01T00:00:00Z'), "
+        "TIMESTAMP('2024-01-01T00:00:30Z'), 10, SECOND)"
+    )
+    assert samp.count() == 4
+    tavg = ts.query("SELECT TIME_AVG(v)")
+    assert abs(tavg.collect()[0]["aggregation_result"] - (10 * 5 + 20 * 15 + 40 * 10) / 30) < 1e-9
+    mx = ts.query("SELECT MAX_ROWS(v)")
+    assert mx.collect()[0]["v"] == 40.0
+
+
+def test_rewrite_sql_tokens():
+    assert "to_timestamp('2024-01-01 00:00:00')" in rewrite_sql(
+        "SELECT * FROM t WHERE ts > TIMESTAMP('2024-01-01T00:00:00Z')"
+    )
+    assert "RLIKE" in rewrite_sql("SELECT * FROM t WHERE name GLOB 'ab*'")
+    # GridDB-specific hints stripped, Spark hints kept
+    assert "/*+" not in rewrite_sql("SELECT /*+ LEADING(a b) */ * FROM t")
+    assert "BROADCAST" in rewrite_sql("SELECT /*+ BROADCAST(n) */ * FROM t")
+
+
+def test_griddb_sql_passthrough(spark, catalog, duck):
+    from tests.conftest import assert_matches_oracle
+
+    df = griddb_sql(
+        spark, catalog,
+        "SELECT r_name, count(*) AS n FROM region "
+        "JOIN nation ON n_regionkey = r_regionkey GROUP BY r_name",
+    )
+    assert_matches_oracle(
+        df, duck,
+        "SELECT r_name, count(*) AS n FROM region "
+        "JOIN nation ON n_regionkey = r_regionkey GROUP BY r_name",
+    )
+
+
+def test_griddb_sql_group_by_range(spark, catalog):
+    df = griddb_sql(
+        spark, catalog,
+        "SELECT ts, avg(value) AS av, count(*) AS n FROM events "
+        "WHERE ts BETWEEN TIMESTAMP('2024-01-01T00:00:00Z') "
+        "AND TIMESTAMP('2024-01-02T00:00:00Z') "
+        "GROUP BY RANGE (ts) EVERY (1, HOUR) FILL (PREVIOUS)",
+    )
+    rows = df.orderBy("ts").collect()
+    assert len(rows) == 25  # inclusive range → 25 hourly buckets
+    assert df.columns == ["ts", "av", "n"]
+    # PREVIOUS fill: any empty bucket copies the previous non-empty value
+    seen_null = False
+    for i, r in enumerate(rows):
+        if r["n"] is None:
+            seen_null = True
+            assert i == 0  # only a leading empty bucket may be NULL
+
+
+def test_griddb_sql_match_recognize(spark, catalog):
+    df = griddb_sql(
+        spark, catalog,
+        """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(ts) AS start_time, LAST(ts) AS end_time
+          PATTERN (UP UP)
+          DEFINE UP AS value > PREV(value)
+        )
+        """,
+    )
+    rows = df.collect()
+    assert set(df.columns) == {"user_id", "start_time", "end_time", "match_no"}
+    assert len(rows) > 0
