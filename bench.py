@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline workload queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver-side collect overhead). One warmup action amortizes JVM/codegen
+startup out of the timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative of SURVEY §2: scan/agg, multi-way join, set ops, window
+# functions, GROUP BY RANGE fills, TQL time-series selections, as-of join,
+# MATCH_RECOGNIZE, and the SQL/TQL front-ends.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_inner_5way",
+    "join_semi_anti",
+    "agg_distinct",
+    "agg_stats",
+    "sort_topk",
+    "setops",
+    "window_funcs",
+    "range_15m_fill_linear",
+    "range_15m_fill_prev",
+    "time_sampling_user3",
+    "time_avg_per_user",
+    "asof_join_users",
+    "match_recognize_spikes",
+    "tql_select_where_order_limit",
+    "sql_frontend_group_by_range",
+]
+
+
+def _force(df) -> int:
+    """Fully execute the plan without shipping rows to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> int:
+    from griddb_spark import workload
+    from griddb_spark.session import get_spark
+
+    spark = get_spark("griddb_spark_bench")
+    workload.prepare(spark)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    names = [n for n in HEADLINE if n in workload.QUERIES]
+
+    # JVM + codegen + parquet-footer warmup (not measured).
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = workload.QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
