@@ -263,6 +263,75 @@ class _Expr:
         return None
 
 
+def _vectorize(node, pdf):
+    """Compile a DEFINE AST into a pandas Series over the whole partition.
+
+    Covers expressions of current-row columns, constants, arithmetic,
+    comparisons (SQL semantics: NULL → not satisfied), boolean ops, ABS,
+    and physical-offset PREV/NEXT (→ ``shift``). Raises ValueError for
+    match-dependent constructs (FIRST/LAST/CLASSIFIER/MATCH_NUMBER), which
+    fall back to the row-at-a-time interpreter.
+    """
+    import pandas as pd
+
+    if isinstance(node, ast.Constant):
+        return node.value
+    if isinstance(node, ast.Name):
+        if node.id not in pdf.columns:
+            raise KeyError(f"unknown column {node.id!r}")
+        return pdf[node.id]
+    if isinstance(node, ast.UnaryOp):
+        v = _vectorize(node.operand, pdf)
+        if isinstance(node.op, ast.USub):
+            return -v
+        if isinstance(node.op, ast.Not):
+            if isinstance(v, pd.Series):
+                return ~v.fillna(False).astype(bool)
+            return not v
+        raise ValueError("unsupported unary op")
+    if isinstance(node, ast.BinOp):
+        a, b = _vectorize(node.left, pdf), _vectorize(node.right, pdf)
+        return _BIN_OPS[type(node.op)](a, b)
+    if isinstance(node, ast.Compare):
+        left = _vectorize(node.left, pdf)
+        acc = None
+        for op, comp in zip(node.ops, node.comparators):
+            right = _vectorize(comp, pdf)
+            res = _CMP_OPS[type(op)](left, right)
+            # NULL comparison → not satisfied (pandas: NaN compares False
+            # already; object-dtype None needs the explicit mask)
+            for side in (left, right):
+                if isinstance(side, pd.Series):
+                    res = res & side.notna()
+            acc = res if acc is None else (acc & res)
+            left = right
+        return acc
+    if isinstance(node, ast.BoolOp):
+        vals = [_vectorize(v, pdf) for v in node.values]
+        out = vals[0]
+        for v in vals[1:]:
+            out = (out & v) if isinstance(node.op, ast.And) else (out | v)
+        return out
+    if isinstance(node, ast.Call):
+        fname = node.func.id if isinstance(node.func, ast.Name) else None
+        if fname in ("PREV", "NEXT"):
+            if len(node.args) > 1:
+                if not isinstance(node.args[1], ast.Constant):
+                    raise ValueError("PREV/NEXT offset must be constant")
+                n = node.args[1].value
+            else:
+                n = 1
+            inner = _vectorize(node.args[0], pdf)
+            if not isinstance(inner, pd.Series):
+                raise ValueError("PREV/NEXT of a constant")
+            return inner.shift(n if fname == "PREV" else -n)
+        if fname == "ABS":
+            v = _vectorize(node.args[0], pdf)
+            return v.abs() if isinstance(v, pd.Series) else abs(v)
+        raise ValueError(f"not vectorizable: {fname}")
+    raise ValueError(f"unsupported expression node {type(node).__name__}")
+
+
 class _MatchContext:
     def __init__(self, pdf, match_rows, labels, match_number):
         self.pdf = pdf
@@ -354,7 +423,9 @@ def match_recognize(
     transitions = nfa.transitions
     accept = nfa.accept
 
-    def _match_from(ctx: _MatchContext, start: int) -> list[tuple[int, str]] | None:
+    def _match_from(
+        ctx: _MatchContext, start: int, vec_conds: dict
+    ) -> list[tuple[int, str]] | None:
         """Greedy backtracking DFS from ``start``; returns the matched
         [(row, var), ...] or None. Transition order encodes greediness
         (loop-continue before loop-exit), so the first accept found is the
@@ -376,8 +447,11 @@ def match_recognize(
                 else:
                     if idx >= n or len(path) >= max_match_rows:
                         continue
-                    cond = compiled_define.get(label)
-                    if cond is not None:
+                    vec = vec_conds.get(label)
+                    if vec is not None:
+                        if not vec[idx]:
+                            continue
+                    elif (cond := compiled_define.get(label)) is not None:
                         # running semantics: current row is part of the match
                         ctx.match_rows = [r for r, _ in path] + [idx]
                         ctx.labels = dict(path)
@@ -398,13 +472,58 @@ def match_recognize(
         sys.setrecursionlimit(max(sys.getrecursionlimit(), 4 * max_match_rows + 1000))
         pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
         ctx = _MatchContext(pdf, [], {}, 0)
+        # Vectorize every match-independent DEFINE over the whole partition
+        # once (bool numpy arrays); the NFA then runs on array lookups.
+        vec_conds = {}
+        for v, expr in compiled_define.items():
+            try:
+                series = _vectorize(expr.tree, pdf)
+            except (ValueError, KeyError):
+                continue
+            if isinstance(series, pd.Series):
+                vec_conds[v] = series.fillna(False).astype(bool).to_numpy()
+            else:
+                import numpy as np
+
+                vec_conds[v] = np.full(len(pdf), bool(series))
+        # Start-row pruning: labels on the first consuming transitions
+        # (epsilon closure of start). If every one is vectorized, a row can
+        # only begin a match where one of their arrays is True.
+        first_labels: set[str] = set()
+        stack, seen_states = [nfa.start], {nfa.start}
+        while stack:
+            st = stack.pop()
+            for label, nxt in transitions.get(st, ()):
+                if label is None:
+                    if nxt not in seen_states:
+                        seen_states.add(nxt)
+                        stack.append(nxt)
+                else:
+                    first_labels.add(label)
+        start_mask = None
+        if first_labels and all(
+            v in vec_conds or v not in compiled_define for v in first_labels
+        ):
+            import numpy as np
+
+            start_mask = np.zeros(len(pdf), dtype=bool)
+            for v in first_labels:
+                if v in vec_conds:
+                    start_mask |= vec_conds[v]
+                else:  # undefined variable matches any row
+                    start_mask[:] = True
+                    break
+
         out_rows = []
         match_no = 0
         i, n = 0, len(pdf)
         while i < n:
+            if start_mask is not None and not start_mask[i]:
+                i += 1
+                continue
             ctx.match_rows, ctx.labels = [], {}
             ctx.match_number = match_no + 1
-            path = _match_from(ctx, i)
+            path = _match_from(ctx, i, vec_conds)
             if not path:
                 i += 1
                 continue
@@ -413,15 +532,17 @@ def match_recognize(
             labels = dict(path)
             ctx.match_rows, ctx.labels, ctx.match_number = rows, labels, match_no
             mvals = {m: e.eval(ctx, rows[-1]) for m, e in compiled_measures.items()}
+            cols = ctx._cols
             if all_rows:
                 for r in rows:
-                    rec = {c: pdf.iloc[r][c] for c in pdf.columns}
+                    rec = {c: cols[c][r] for c in pdf.columns}
                     rec["classifier"] = labels[r]
                     rec.update(mvals)
                     rec["match_no"] = match_no
                     out_rows.append(rec)
             else:
-                rec = {c: pdf.iloc[rows[-1]][c] for c in partition_by}
+                last = rows[-1]
+                rec = {c: cols[c][last] for c in partition_by}
                 rec.update(mvals)
                 rec["match_no"] = match_no
                 out_rows.append(rec)
