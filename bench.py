@@ -41,6 +41,11 @@ HEADLINE = [
     "match_recognize_spikes",
     "tql_select_where_order_limit",
     "sql_frontend_group_by_range",
+    "pipe_dedup_minhash",
+    "pipe_dedup_simhash",
+    "pipe_text_quality",
+    "pipe_knn_cosine",
+    "pipe_ann_ivf",
 ]
 
 

@@ -1,0 +1,37 @@
+"""LLM-training-data pipeline operators (beyond the reference surface).
+
+GridDB itself stops at SQL/TQL (reference has no text/vector ops — grammar
+keyword set ``sql_lexer_keyword.h`` contains nothing text-analytic); these
+modules add the operations a 100 TB training-data pipeline needs, built on
+the same container catalog:
+
+- :mod:`griddb_spark.pipeline.text` — tokenization, language ID, quality
+  scoring, document fingerprinting.
+- :mod:`griddb_spark.pipeline.dedup` — exact, MinHash+LSH, SimHash
+  deduplication.
+- :mod:`griddb_spark.pipeline.similarity` — cosine top-k (brute force) and
+  IVF cell-probed ANN over embedding columns.
+- :mod:`griddb_spark.pipeline.multimodal` — opaque-binary media columns
+  with typed metadata; decode stubs over ``mapInPandas``.
+
+Design rule: everything is expressed with JVM-side built-ins (higher-order
+array functions, ``md5``; no Python UDFs) so the hot path stays inside
+whole-stage codegen, and every deterministic operator has a DuckDB-oracle
+twin in ``griddb_spark.workload``.
+"""
+
+from griddb_spark.pipeline.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    with_simhash,
+)
+from griddb_spark.pipeline.similarity import ann_ivf, knn_bruteforce  # noqa: F401
+from griddb_spark.pipeline.text import (  # noqa: F401
+    bottom_k_fingerprint,
+    lang_id,
+    minhash_signature,
+    quality_stats,
+    tokens,
+    word_shingles,
+)

@@ -1,0 +1,235 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+Scale shapes (the point of each design):
+
+- ``exact_dedup``: one hash-groupBy — map-side partial agg, one shuffle on
+  the content hash, no data skew beyond true duplicates.
+- ``minhash_lsh_pairs``: shingle→signature per row (narrow), explode to
+  ``bands`` rows per doc carrying ONLY (id, band, band_key) — the shuffle
+  is id-sized, not document-sized; candidates from an equi self-join on
+  (band, band_key); exact-Jaccard verify joins the shingle sets back by id.
+  At 100 TB the band join is the only O(pairs) stage and it only sees
+  colliding buckets.
+- ``simhash_pairs``: 64-bit SimHash per doc; pigeonhole banding (4×16-bit
+  chunks ⇒ guaranteed recall for hamming ≤ 3) then exact hamming verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from griddb_spark.pipeline.text import minhash_signature, tokens, word_shingles
+
+_HEX = "0123456789abcdef"
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup by content hash: one surviving ``id`` per distinct text.
+
+    Returns (content_hash, survivor_id, n_dups). ``keep`` = 'min'|'max'.
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(agg.alias("survivor_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash+LSH, verified with exact Jaccard.
+
+    ``k`` signature elements in ``bands`` bands (rows = k/bands per band).
+    With r=2, P(candidate | J=t) per band is t², so 16 bands at t=0.8 give
+    miss probability (1-0.64)^16 ≈ 1e-7 — and the verify stage makes false
+    positives impossible, so the output equals brute-force Jaccard ≥ t on
+    any pair LSH surfaces.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    rows = k // bands
+    # single-file sources scan as ONE partition; signature hashing is the
+    # dominant cost (higher-order exprs run interpreted, outside codegen),
+    # so spread rows across cores first. Explicit numPartitions keeps AQE
+    # from coalescing the tiny-by-bytes/huge-by-compute shuffle back to 1.
+    para = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        .repartition(para, "__id")
+        .select("__id", word_shingles(text_col, shingle_n).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+    )
+    sig = sh.select("__id", minhash_signature(F.col("__sh"), k).alias("__sig"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col("__sig")[b * rows + r] for r in range(rows)])).alias(
+                "bkey"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        sig.select("__id", F.explode(F.array(*band_structs)).alias("__b"))
+        .select(
+            "__id", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey")
+        )
+        # shuffle boundary: (a) pre-distributes on the join keys, (b) stops
+        # Catalyst collapsing the full signature expression tree into BOTH
+        # self-join branches (which defeats codegen and recomputes minhash
+        # per branch) — the exchange is computed once and reused.
+        .repartition("band", "bkey")
+    )
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "bkey"], how="inner")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("__id").alias("doc_a"), F.col("__sh").alias("__sha"))
+    sh_b = sh.select(F.col("__id").alias("doc_b"), F.col("__sh").alias("__shb"))
+    jac = F.round(
+        F.size(F.array_intersect("__sha", "__shb")).cast("double")
+        / F.size(F.array_union("__sha", "__shb")),
+        6,
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _hexval(h: Column, pos: int) -> Column:
+    """Value 0-15 of 1-indexed hex digit ``pos`` (portable: instr lookup)."""
+    return F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1
+
+
+def with_simhash(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash per document as a 16-hex-char string.
+
+    Bit j of ``md5(token)`` votes ±1; simhash bit j is set iff the vote sum
+    is positive. Computed via explode + 64 conditional sums — one shuffle
+    on ``id_col``, all JVM-side.
+    """
+    para = df.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(para, id_col)  # spread hash work; see minhash note
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+        .withColumn("__h", F.md5("__tok"))
+    )
+    for d in range(16):
+        tok = tok.withColumn(f"__hv{d}", _hexval(F.col("__h"), d + 1))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.col(f"__hv{j // 4}").bitwiseAND(F.lit(1 << (3 - j % 4))) != 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"__b{j}")
+        for j in range(64)
+    ]
+    votes = tok.groupBy(id_col).agg(*bit_sums)
+    digit_chars = [
+        F.substring(
+            F.lit(_HEX),
+            sum(
+                [
+                    F.when(F.col(f"__b{4 * d + i}") > 0, 8 >> i).otherwise(0)
+                    for i in range(4)
+                ],
+                F.lit(1),
+            ),
+            1,
+        )
+        for d in range(16)
+    ]
+    return votes.select(F.col(id_col), F.concat(*digit_chars).alias(out_col))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidates by pigeonhole banding: the 64-bit key splits into ``chunks``
+    16-bit chunks; any pair within ``max_hamming`` ≤ chunks-1 shares at
+    least one identical chunk, so recall is guaranteed; exact hamming
+    (popcount over hex digits) verifies. Returns (doc_a, doc_b, hamming).
+    """
+    if max_hamming > chunks - 1:
+        raise ValueError("pigeonhole banding needs max_hamming <= chunks-1")
+    sim = with_simhash(df, id_col, text_col).select(
+        F.col(id_col).alias("__id"), F.col("simhash")
+    )
+    width = 16 // chunks
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.substring("simhash", c * width + 1, width).alias("ckey"),
+        )
+        for c in range(chunks)
+    ]
+    banded = (
+        sim.select("__id", "simhash", F.explode(F.array(*chunk_structs)).alias("__c"))
+        .select(
+            "__id", "simhash",
+            F.col("__c.chunk").alias("chunk"), F.col("__c.ckey").alias("ckey"),
+        )
+        # shuffle boundary for exchange reuse across the self-join branches
+        # (same rationale as minhash_lsh_pairs)
+        .repartition("chunk", "ckey")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    # popcount(0..15) lookup string: portable across engines
+    bc = "0112122312232334"
+    ham = sum(
+        [
+            F.ascii(
+                F.substring(
+                    F.lit(bc),
+                    _hexval(F.col("a.simhash"), p + 1).bitwiseXOR(
+                        _hexval(F.col("b.simhash"), p + 1)
+                    )
+                    + 1,
+                    1,
+                )
+            )
+            - 48
+            for p in range(16)
+        ],
+        F.lit(0),
+    )
+    return (
+        a.join(b, on=["chunk", "ckey"], how="inner")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``knn_bruteforce`` — exact cosine top-k: broadcast the (small) query set
+  against the corpus, one window per query for top-k. The right baseline,
+  and the right *plan* when |queries| is small: corpus-side work is a
+  single scan, no shuffle of the corpus.
+- ``ann_ivf`` — IVF-style cell-probed search: a coarse quantizer (centroid
+  per cell) assigns every corpus vector to its nearest cell; queries probe
+  only the ``nprobe`` nearest cells. At 100 TB the corpus is written
+  partitioned by ``__cell`` so a probe is a partition-pruned scan, not a
+  full pass.
+
+Dot products use ``zip_with`` + ``aggregate`` (JVM higher-order functions,
+double accumulation in element order — matching DuckDB's
+``list_dot_product`` for the oracle twin). No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, element order (portable accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (q_id, n_id, cos_sim, rank); excludes self-matches. Ties break
+    on neighbor id (deterministic). ``queries`` is broadcast — it must be
+    the small side.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv"))
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), round_to)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", sim.alias("cos_sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def centroids_by(
+    df: DataFrame, cell_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean vector per cell (the IVF coarse quantizer).
+
+    posexplode → (cell, pos) average → re-assemble in position order. One
+    shuffle on (cell, pos); dimension count is the fan-out, not row count.
+    """
+    pos = df.select(
+        F.col(cell_col).alias("__cell"), F.posexplode(F.col(vec_col))
+    )
+    by_pos = pos.groupBy("__cell", "pos").agg(F.avg("col").alias("v"))
+    return by_pos.groupBy("__cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("__centroid")
+    )
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cell_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF cell-probed approximate top-k.
+
+    The coarse quantizer is the per-``cell_col`` centroid set (e.g. a label
+    or a pre-clustered assignment). Every query scores only vectors whose
+    cell is among its ``nprobe`` closest centroids. Returns
+    (q_id, n_id, cos_sim, rank).
+    """
+    from pyspark.sql import Window
+
+    cents = centroids_by(corpus, cell_col, vec_col)
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv"))
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "q_id", "__qv", "__cell",
+        F.round(cosine(F.col("__qv"), F.col("__centroid")), round_to).alias("__cc"),
+    )
+    w_cell = Window.partitionBy("q_id").orderBy(
+        F.col("__cc").desc(), F.col("__cell").asc()
+    )
+    probes = (
+        qc.withColumn("__pr", F.row_number().over(w_cell))
+        .filter(F.col("__pr") <= nprobe)
+        .select("q_id", "__qv", "__cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(cell_col).alias("__cell"),
+    )
+    # probe join: corpus side stays partitioned by cell — at scale this is
+    # a partition-pruned read of nprobe cells per query
+    scored = (
+        c.join(F.broadcast(probes), "__cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,140 @@
+"""Text-analysis expressions: tokenize, language-ID, quality, fingerprints.
+
+All pure Column expressions (JVM-side, codegen-friendly). Each has an exact
+DuckDB-SQL twin in ``griddb_spark.workload`` — the expressions are written
+against the portable intersection of the two engines (md5, regex splits,
+higher-order array functions), so the differential gate pins semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: whitespace tokenizer shared by every operator (oracle: string_split_regex)
+_WS = r"\s+"
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single other glyph
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+#: stopword lexicon for quality scoring (deterministic, shared with oracles)
+STOPWORDS = ("the", "a", "an", "of", "and", "or", "is", "to", "in", "on")
+
+#: marker-token profiles for the n-gram/lexicon language heuristic,
+#: priority-ordered for deterministic tie-breaks.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "die", "und", "ist", "mit"),
+    "es": ("el", "los", "las", "es", "con"),
+    "fr": ("le", "les", "des", "est", "avec"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of a text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), _WS)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash unit). Documents shorter
+    than ``n`` words yield an empty set."""
+    w = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 32) -> Column:
+    """k-permutation MinHash signature.
+
+    Permutation ``i`` is the md5 keyed hash ``md5(shingle || ':i')``; the
+    signature element is its lexicographic minimum — hex strings compare
+    identically across engines, so no integer-hash portability trap.
+    """
+    def keyed(i: int):
+        # factory closure: a defaulted lambda arg would make pyspark treat
+        # this as a 2-arg (element, index) lambda
+        suffix = F.lit(f":{i}")
+        return lambda s: F.md5(F.concat(s, suffix))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, keyed(i))) for i in range(k)]
+    )
+
+
+def bottom_k_fingerprint(col: Column | str, n: int = 8, k: int = 5) -> Column:
+    """Document fingerprint: bottom-k sketch of rolling char ``n``-gram
+    hashes (order-insensitive, locality-robust — the batch analog of a
+    rolling/winnowing fingerprint). Returned as a comma-joined string."""
+    c = F.col(col) if isinstance(col, str) else col
+    pos = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    grams = F.transform(pos, lambda i: F.md5(F.substring(c, i, n)))
+    return F.array_join(F.slice(F.array_sort(F.array_distinct(grams)), 1, k), ",")
+
+
+def quality_stats(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature columns + composite score in [0, 1].
+
+    Features: char/whitespace-token/BPE-token counts, mean word length,
+    punctuation ratio, stopword ratio. Score = 0.4·length + 0.3·(1-punct)
+    + 0.3·min(5·stopword, 1) — a deterministic stand-in for a trained
+    quality classifier.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(w)
+    n_bpe = F.regexp_count(c, F.lit(BPE_RE))
+    mean_word_len = F.round(
+        F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tokens,
+        6,
+    )
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double") / n_chars, 6
+    )
+    stop_ratio = F.round(
+        F.size(F.filter(w, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens, 6
+    )
+    # binary-exact weights (0.25/0.5/0.25) and NO final rounding: the
+    # rounded component ratios are bit-identical across engines, so the
+    # weighted sum is too — a final round() would reintroduce engine-
+    # specific half-way behavior at .5e-6 boundaries
+    score = (
+        F.least(n_chars.cast("double") / 500.0, F.lit(1.0)) * 0.25
+        + (F.lit(1.0) - punct_ratio) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.25
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_bpe_tokens": n_bpe,
+        "mean_word_len": mean_word_len,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Lexicon language heuristic: count marker-token hits per language,
+    argmax with fixed priority order; 'und' when no marker hits."""
+    w = tokens(col)
+    def count_in(markers):
+        return F.size(F.filter(w, lambda t: t.isin(*markers)))
+
+    counts = {lang: count_in(markers) for lang, markers in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    expr = F.lit("und")
+    # build CASE from lowest priority upward so earlier langs win ties
+    for lang in reversed(langs):
+        later = [counts[o] for o in langs[langs.index(lang) + 1:]]
+        beats = (
+            counts[lang] >= F.greatest(*later) if len(later) > 1
+            else (counts[lang] >= later[0] if later else F.lit(True))
+        )
+        expr = F.when((counts[lang] > 0) & beats, F.lit(lang)).otherwise(expr)
+    return expr

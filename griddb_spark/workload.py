@@ -1037,3 +1037,302 @@ def match_recognize_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["user_id"],
         order_by="ts",
     )
+
+
+# ===========================================================================
+# pipeline operators — dedup / similarity / text analysis / multimodal
+# (beyond the reference surface; griddb_spark.pipeline)
+# ===========================================================================
+
+#: DuckDB shingle CTE shared by the text-dedup oracles (word 3-grams,
+#: mirroring pipeline.text.word_shingles)
+_DUCK_SHINGLES = """
+with t as (select doc_id, string_split_regex(trim(text), '\\s+') w from documents),
+shingle as (select doc_id,
+    list_distinct([array_to_string(w[i:i+2], ' ')
+                   for i in range(1, greatest(len(w)-2, 0)+1)]) sh
+  from t)
+"""
+
+
+@query(
+    "pipe_dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def pipe_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-groupBy, map-side combine, survivor = min id."""
+    from griddb_spark.pipeline import exact_dedup
+
+    docs = cat(spark, sf_dir).load("documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@query(
+    "pipe_dedup_minhash",
+    _DUCK_SHINGLES
+    + """,
+    j as (select a.doc_id doc_a, b.doc_id doc_b,
+                 round(len(list_intersect(a.sh, b.sh))::double
+                       / len(list_distinct(list_concat(a.sh, b.sh))), 6) jaccard
+          from shingle a join shingle b on a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+    """,
+)
+def pipe_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified. The oracle is
+    brute force — LSH (16 bands × 2 rows) recall at J≥0.8 is 1-(1-.64)^16
+    ≈ 1-1e-7 and verification removes all false positives, so the outputs
+    agree; a recall miss would surface as a row-count mismatch."""
+    from griddb_spark.pipeline import minhash_lsh_pairs
+
+    docs = cat(spark, sf_dir).load("documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+#: DuckDB simhash CTE (mirrors pipeline.dedup.with_simhash)
+_DUCK_SIMHASH = (
+    "with tok as (select doc_id, md5(unnest(string_split_regex(trim(text),"
+    " '\\s+'))) h from documents),\n"
+    "hv as (select doc_id, [instr('0123456789abcdef', substr(h, p, 1)) - 1"
+    " for p in range(1, 17)] hv from tok),\n"
+    "votes as (select doc_id, "
+    + ", ".join(
+        f"sum(case when (hv[{j // 4 + 1}] & {1 << (3 - j % 4)}) != 0"
+        f" then 1 else -1 end) > 0 b{j}"
+        for j in range(64)
+    )
+    + " from hv group by doc_id),\n"
+    "sim as (select doc_id, "
+    + " || ".join(
+        "substr('0123456789abcdef', ("
+        + "+".join(f"(case when b{4 * d + i} then {8 >> i} else 0 end)" for i in range(4))
+        + ")+1, 1)"
+        for d in range(16)
+    )
+    + " simhash from votes),\n"
+    "shv as (select doc_id, simhash, [instr('0123456789abcdef',"
+    " substr(simhash, p, 1)) - 1 for p in range(1, 17)] v from sim)\n"
+)
+
+
+@query(
+    "pipe_dedup_simhash",
+    _DUCK_SIMHASH
+    + """
+    SELECT a.doc_id doc_a, b.doc_id doc_b,
+           (SELECT sum(bit_count(xor(a.v[p]::bigint, b.v[p]::bigint)))
+            FROM range(1, 17) r(p))::int AS hamming
+    FROM shv a JOIN shv b ON a.doc_id < b.doc_id
+    WHERE (SELECT sum(bit_count(xor(a.v[p]::bigint, b.v[p]::bigint)))
+           FROM range(1, 17) r(p)) <= 3
+    """,
+)
+def pipe_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole chunk banding
+    (4×16-bit chunks ⇒ guaranteed recall at ≤3); oracle is brute force."""
+    from griddb_spark.pipeline import simhash_pairs
+
+    docs = cat(spark, sf_dir).load("documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@query(
+    "pipe_text_quality",
+    """
+    WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') w
+               FROM documents)
+    SELECT doc_id,
+      length(text) AS n_chars,
+      len(w) AS n_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+        AS n_bpe_tokens,
+      round(list_aggregate(list_transform(w, x -> length(x)), 'sum')::double
+            / len(w), 6) AS mean_word_len,
+      round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::double
+            / length(text), 6) AS punct_ratio,
+      round(len(list_filter(w, x -> x in ('the','a','an','of','and','or',
+            'is','to','in','on')))::double / len(w), 6) AS stop_ratio,
+      least(length(text)::double / 500.0, 1.0) * 0.25
+            + (1.0 - round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+              'g'))::double / length(text), 6)) * 0.5
+            + least(round(len(list_filter(w, x -> x in ('the','a','an','of',
+              'and','or','is','to','in','on')))::double / len(w), 6) * 5.0,
+              1.0) * 0.25 AS quality_score
+    FROM t
+    """,
+)
+def pipe_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/BPE-token/punct/stopword features + score."""
+    from griddb_spark.pipeline import quality_stats
+
+    docs = cat(spark, sf_dir).load("documents")
+    stats = quality_stats("text")
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in stats.items()]
+    )
+
+
+@query(
+    "pipe_lang_id",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') w
+               FROM documents),
+    m AS (SELECT doc_id, lang,
+      len(list_filter(w, x -> x in ('the','and','of','is','with'))) en_n,
+      len(list_filter(w, x -> x in ('der','die','und','ist','mit'))) de_n,
+      len(list_filter(w, x -> x in ('el','los','las','es','con'))) es_n,
+      len(list_filter(w, x -> x in ('le','les','des','est','avec'))) fr_n
+      FROM t)
+    SELECT doc_id, lang AS declared_lang,
+      CASE WHEN en_n > 0 AND en_n >= greatest(de_n, es_n, fr_n) THEN 'en'
+           WHEN de_n > 0 AND de_n >= greatest(es_n, fr_n) THEN 'de'
+           WHEN es_n > 0 AND es_n >= fr_n THEN 'es'
+           WHEN fr_n > 0 THEN 'fr'
+           ELSE 'und' END AS pred_lang
+    FROM m
+    """,
+)
+def pipe_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon/n-gram language-ID heuristic vs the declared lang column."""
+    from griddb_spark.pipeline import lang_id
+
+    docs = cat(spark, sf_dir).load("documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        lang_id("text").alias("pred_lang"),
+    )
+
+
+@query(
+    "pipe_fingerprint",
+    """
+    WITH g AS (SELECT doc_id,
+        list_distinct([md5(substr(text, i, 8))
+                       for i in range(1, greatest(length(text)-7, 1)+1)]) grams
+      FROM documents)
+    SELECT doc_id,
+           array_to_string(list_sort(grams)[1:5], ',') AS fingerprint
+    FROM g
+    """,
+)
+def pipe_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: bottom-k sketch of rolling char-8-gram hashes."""
+    from griddb_spark.pipeline import bottom_k_fingerprint
+
+    docs = cat(spark, sf_dir).load("documents")
+    return docs.select(
+        "doc_id", bottom_k_fingerprint("text", n=8, k=5).alias("fingerprint")
+    )
+
+
+@query(
+    "pipe_knn_cosine",
+    """
+    WITH q AS (SELECT vec_id q_id, embedding::double[] qv FROM embeddings
+               WHERE vec_id < 5),
+    c AS (SELECT vec_id n_id, embedding::double[] cv FROM embeddings),
+    s AS (SELECT q_id, n_id,
+            round(list_dot_product(qv, cv)
+                  / (sqrt(list_dot_product(qv, qv))
+                     * sqrt(list_dot_product(cv, cv))), 6) cos_sim
+          FROM q CROSS JOIN c WHERE q_id != n_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, n_id) rnk FROM s)
+    SELECT q_id, n_id, cos_sim, rnk AS rank FROM r WHERE rnk <= 3
+    """,
+)
+def pipe_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for 5 query vectors (broadcast queries)."""
+    from griddb_spark.pipeline import knn_bruteforce
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    return knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@query(
+    "pipe_ann_ivf",
+    """
+    WITH pos AS (SELECT label, generate_subscripts(embedding, 1) p,
+                        unnest(embedding)::double v FROM embeddings),
+    byp AS (SELECT label, p, avg(v) v FROM pos GROUP BY label, p),
+    cent AS (SELECT label, list(v ORDER BY p) centroid FROM byp GROUP BY label),
+    q AS (SELECT vec_id q_id, embedding::double[] qv FROM embeddings
+          WHERE vec_id < 5),
+    qc AS (SELECT q_id, qv, label,
+             round(list_dot_product(qv, centroid)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(centroid, centroid))), 6) cc
+           FROM q CROSS JOIN cent),
+    probes AS (SELECT q_id, qv, label FROM
+                 (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cc DESC, label) pr FROM qc)
+               WHERE pr <= 2),
+    s AS (SELECT p.q_id, e.vec_id n_id,
+            round(list_dot_product(p.qv, e.embedding::double[])
+                  / (sqrt(list_dot_product(p.qv, p.qv))
+                     * sqrt(list_dot_product(e.embedding::double[],
+                                             e.embedding::double[]))), 6) cos_sim
+          FROM probes p JOIN embeddings e ON e.label = p.label
+          WHERE p.q_id != e.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, n_id) rnk FROM s)
+    SELECT q_id, n_id, cos_sim, rnk AS rank FROM r WHERE rnk <= 3
+    """,
+)
+def pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probed ANN: label-cell centroids, nprobe=2, top-3 within
+    probed cells. At scale the corpus is partitioned by cell → probe =
+    partition-pruned scan."""
+    from griddb_spark.pipeline import ann_ivf
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    return ann_ivf(
+        emb, emb.filter(F.col("vec_id") < 5), cell_col="label", k=3, nprobe=2
+    )
+
+
+@query(
+    "pipe_multimodal_meta",
+    """
+    WITH b AS (SELECT doc_id, text, strlen(text) n,
+                 [ascii(substr(text, i, 1)) for i in range(1, length(text)+1)]
+                   bytes
+               FROM documents)
+    SELECT doc_id, 'fake/text' AS format, n AS n_bytes,
+      lower(hex(substr(text, 1, 4))) AS header_hex,
+      round(list_aggregate(bytes, 'sum')::double / n, 6) AS mean_byte,
+      round(coalesce(list_aggregate(bytes[1:(n//4)], 'avg'), 0.0), 6) AS f0,
+      round(coalesce(list_aggregate(bytes[(n//4)+1:(2*n//4)], 'avg'), 0.0), 6)
+        AS f1,
+      round(coalesce(list_aggregate(bytes[(2*n//4)+1:(3*n//4)], 'avg'), 0.0), 6)
+        AS f2,
+      round(coalesce(list_aggregate(bytes[(3*n//4)+1:n], 'avg'), 0.0), 6) AS f3
+    FROM b
+    """,
+)
+def pipe_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: pack text as opaque binary media +
+    typed metadata, then the decode/feature stub over mapInPandas (Arrow
+    batches). Codec itself is stubbed (fake=True) — the schema, batching
+    and partition parallelism are the real thing."""
+    from griddb_spark.pipeline.multimodal import decode_features, pack_binary
+
+    docs = cat(spark, sf_dir).load("documents")
+    packed = pack_binary(docs, "text")
+    feats = decode_features(packed, "media", "doc_id", fake=True)
+    return (
+        packed.select("doc_id", "media_meta.format", "media_meta.header_hex")
+        .join(feats, "doc_id")
+        .select(
+            "doc_id", "format", "n_bytes", "header_hex",
+            _r6(F.col("mean_byte")).alias("mean_byte"),
+            *[_r6(F.col("feat")[i]).alias(f"f{i}") for i in range(4)],
+        )
+    )
