@@ -1,0 +1,135 @@
+"""Streaming operators: windowed aggregation, keyed upsert, stream readers.
+
+Scale notes: event-time windows + watermark bound state size (only open
+windows are kept per key); the upsert sink is partition-wise idempotent
+(overwrite-by-key per micro-batch) so replays are safe; file-source streams
+use ``maxFilesPerTrigger`` to bound batch size at a 1000-executor scale.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from griddb_spark.operators.timeseries import UNIT_MS
+
+
+def read_container_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream a container directory (the ingest side of TimeSeries.append).
+
+    File-source streams need an explicit schema (no inference mid-stream).
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def group_by_range_stream(
+    stream: DataFrame,
+    key: str,
+    every: int,
+    unit: str,
+    aggs: Mapping[str, Column],
+    watermark: str = "1 minute",
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming GROUP BY RANGE EVERY(n, unit): event-time tumbling windows.
+
+    The batch operator's fixed lattice becomes ``window(key, interval)``;
+    the watermark bounds state and defines when a bucket is final (the
+    streaming replacement for FILL — late rows inside the watermark still
+    land in their bucket). Output column = bucket start under ``key``.
+    """
+    unit_ms = UNIT_MS[unit.upper()]
+    interval = f"{every * unit_ms} milliseconds"
+    agg_exprs = [expr.alias(name) for name, expr in aggs.items()]
+    return (
+        stream.withWatermark(key, watermark)
+        .groupBy(*by, F.window(F.col(key), interval).alias("__w"))
+        .agg(*agg_exprs)
+        .select(*by, F.col("__w.start").alias(key), *[F.col(n) for n in aggs])
+    )
+
+
+def upsert_by_key(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    target_dir: str,
+    checkpoint_dir: str,
+    ts_col: str | None = None,
+):
+    """Streaming NoSQL ``put`` semantics: insert-or-update by row key.
+
+    ``foreachBatch`` merge: union the micro-batch with the current target,
+    keep the newest row per key (by ``ts_col`` when given, else batch wins),
+    rewrite atomically. On a production lake this is Delta ``MERGE``; plain
+    parquet here keeps the environment dependency-free — the batch function
+    is the part that carries over.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.withColumn("__new", F.lit(1))
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            current = spark.read.parquet(target_dir).withColumn("__new", F.lit(0))
+            unioned = current.unionByName(batch)
+        else:
+            unioned = batch
+        order = (
+            [F.col(ts_col).desc(), F.col("__new").desc()]
+            if ts_col
+            else [F.col("__new").desc()]
+        )
+        w = Window.partitionBy(*keys).orderBy(*order)
+        merged = (
+            unioned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__new")
+        )
+        # stage-then-swap: a crash mid-write must not clobber the target
+        tmp = f"{target_dir}.tmp-{epoch_id}-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(target_dir)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def run_to_memory(
+    result: DataFrame, table_name: str, mode: str = "complete"
+) -> DataFrame:
+    """Run a (bounded) streaming query to completion into a memory sink and
+    return the result table — used to gate streaming ops through the same
+    DuckDB-oracle differential harness as batch operators."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(table_name)

@@ -1336,3 +1336,46 @@ def pipe_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[_r6(F.col("feat")[i]).alias(f"f{i}") for i in range(4)],
         )
     )
+
+
+# ===========================================================================
+# structured streaming — the continuous-ingest face (griddb_spark.streaming)
+# ===========================================================================
+
+
+@query(
+    "stream_group_by_range",
+    f"""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ts,
+           round(avg(value), 6) AS avg_value,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_group_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GROUP BY RANGE: file-source stream over the events
+    container → watermarked 1h event-time windows → memory sink run with
+    availableNow. Gate: identical to the batch/DuckDB hourly aggregation
+    (hour windows anchor at the epoch in both engines)."""
+    import uuid as _uuid
+
+    from griddb_spark.streaming import group_by_range_stream, run_to_memory
+
+    prepare(spark)
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        # file-source streams take a directory; the container dir holds
+        # other tables too, so filter to the events file(s)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = group_by_range_stream(
+        ev, "ts", 1, "HOUR",
+        {"avg_value": _r6(F.avg("value")), "n": F.count(F.lit(1))},
+        watermark="10 minutes",
+    )
+    return run_to_memory(out, f"gbr_{_uuid.uuid4().hex[:8]}", mode="complete")

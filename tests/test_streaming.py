@@ -1,0 +1,79 @@
+"""Structured Streaming: windowed aggregation parity with the batch
+operator, and foreachBatch keyed upsert (NoSQL put semantics)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_stream_group_by_range_matches_batch(spark, catalog, tmp_path):
+    from griddb_spark.operators import group_by_range
+    from griddb_spark.streaming import group_by_range_stream, run_to_memory
+    from griddb_spark import workload
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    ev_s = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = group_by_range_stream(
+        ev_s, "ts", 1, "HOUR",
+        {"avg_value": F.round(F.avg("value"), 6), "n": F.count(F.lit(1))},
+    )
+    streamed = {
+        r.ts: (r.avg_value, r.n)
+        for r in run_to_memory(out, "t_gbr_parity", mode="complete").collect()
+    }
+
+    ev_b = catalog.load("events")
+    batch = group_by_range(
+        ev_b, "ts", 1, "HOUR",
+        {"avg_value": F.round(F.avg("value"), 6), "n": F.count(F.lit(1))},
+        start=workload.EV_START, end=workload.EV_END,
+    )
+    batched = {r.ts: (r.avg_value, r.n) for r in batch.collect()}
+    assert streamed == batched
+
+
+def test_upsert_by_key_insert_or_update(spark, tmp_path):
+    from griddb_spark.streaming import upsert_by_key
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def put(batch_rows, fname):
+        spark.createDataFrame(
+            batch_rows, "k int, v string, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/{fname}")
+
+    import datetime as dt
+
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    put([(1, "a", t1), (2, "b", t1)], "batch1")
+
+    stream = (
+        spark.readStream.schema("k int, v string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    writer = upsert_by_key(stream, ["k"], target, ckpt, ts_col="ts")
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # second wave: update key 1 (newer ts), insert key 3
+    put([(1, "a2", t2), (3, "c", t2)], "batch2")
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
