@@ -1,0 +1,174 @@
+"""DML over containers: INSERT / UPDATE / DELETE + partitioned tables.
+
+Reference: EXEC_INSERT/UPDATE/DELETE plan nodes execute row mutations
+through the NoSQL store (``sql_processor_dml.cpp``); SQL-level partitioned
+tables shard a logical table by HASH / RANGE(interval) / RANGE_HASH
+(``sql_parser.h:300-303``, ``CREATE TABLE ... PARTITION BY RANGE(col)
+EVERY(n, unit)``).
+
+Spark mapping — parquet-backed containers:
+
+- INSERT → append write (``fastInsert``'s job-bypass shortcut is simply
+  Spark's direct file append).
+- UPDATE/DELETE → read-rewrite of the container (on a production lake this
+  is Delta/Iceberg ``MERGE``/``DELETE``; the plan shape — predicate-pruned
+  scan, projected mutation, partition-wise overwrite — is identical).
+- PARTITION BY HASH(col, n) → derived bucket column ``hash(col) % n``;
+  PARTITION BY RANGE(col) EVERY(n, unit) → ``date_trunc``/arithmetic
+  bucket column; both written Hive-style so partition pruning is native
+  (the Spark analog of GridDB's NarrowingKey sub-container pruning,
+  ``sql_compiler.h:3101-3135``).
+
+UPDATE/DELETE rewrite only the partitions whose rows match when the
+container is partitioned — at 100 TB that is the difference between a
+full-table rewrite and touching a handful of partitions.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from griddb_spark.operators.timeseries import UNIT_MS
+
+PARTITION_COL = "__part"
+
+
+class HashPartitioning:
+    """PARTITION BY HASH(col, n): bucket id ``pmod(xxhash64(col), n)``."""
+
+    def __init__(self, col: str, n: int):
+        self.col, self.n = col, n
+
+    def expr(self) -> Column:
+        return F.pmod(F.xxhash64(F.col(self.col)), F.lit(self.n))
+
+    def key_filter(self, value) -> Column:
+        """Point-lookup pruning: key equality → one hash bucket."""
+        return (F.col(self.col) == value) & (
+            F.col(PARTITION_COL)
+            == F.pmod(F.xxhash64(F.lit(value)), F.lit(self.n))
+        )
+
+
+class RangePartitioning:
+    """PARTITION BY RANGE(col) EVERY(n, unit): bucket start in epoch ms."""
+
+    def __init__(self, col: str, every: int, unit: str):
+        self.col = col
+        self.every_ms = every * UNIT_MS[unit.upper()]
+
+    def expr(self) -> Column:
+        t = F.unix_millis(F.col(self.col))
+        return F.floor(t / self.every_ms).cast("long") * self.every_ms
+
+    def range_filter(self, start_ms: int, end_ms: int) -> Column:
+        """The NarrowingKey derivation (``sql_compiler.h:3101-3135``): a
+        predicate range on the key intersects with sub-container bounds →
+        explicit PARTITION_COL bounds that Catalyst prunes statically."""
+        lo = start_ms // self.every_ms * self.every_ms
+        hi = (end_ms - 1) // self.every_ms * self.every_ms
+        row = (F.unix_millis(F.col(self.col)) >= start_ms) & (
+            F.unix_millis(F.col(self.col)) < end_ms
+        )
+        return (F.col(PARTITION_COL) >= lo) & (F.col(PARTITION_COL) <= hi) & row
+
+
+def hash_partition_expr(col: str, n: int) -> "HashPartitioning":
+    return HashPartitioning(col, n)
+
+
+def range_partition_expr(col: str, every: int, unit: str) -> "RangePartitioning":
+    return RangePartitioning(col, every, unit)
+
+
+class DmlTable:
+    """A mutable parquet-backed container (optionally Hive-partitioned)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partitioning: "HashPartitioning | RangePartitioning | None" = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.partitioning = partitioning
+
+    # -- DDL ---------------------------------------------------------------
+
+    def create(self, df: DataFrame, mode: str = "error") -> "DmlTable":
+        self._write(self._with_part(df), mode)
+        return self
+
+    # -- DML ---------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        df = self.scan()
+        return df.drop(PARTITION_COL) if self.partitioning is not None else df
+
+    def scan(self) -> DataFrame:
+        """Raw scan including PARTITION_COL — use with the partitioning's
+        ``range_filter``/``key_filter`` for pruned reads."""
+        return self.spark.read.parquet(self.path)
+
+    def scan_range(self, start_ms: int, end_ms: int) -> DataFrame:
+        """Partition-pruned range scan (RangePartitioning only)."""
+        if not isinstance(self.partitioning, RangePartitioning):
+            raise TypeError("scan_range requires RangePartitioning")
+        return (
+            self.scan()
+            .filter(self.partitioning.range_filter(start_ms, end_ms))
+            .drop(PARTITION_COL)
+        )
+
+    def insert(self, rows: DataFrame) -> "DmlTable":
+        self._write(self._with_part(rows), "append")
+        return self
+
+    def update(self, cond: Column, assignments: Mapping[str, Column]) -> "DmlTable":
+        """UPDATE ... SET assignments WHERE cond (read-rewrite)."""
+        df = self.read()
+        updated = df.select(
+            *[
+                F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        self._rewrite(updated)
+        return self
+
+    def delete(self, cond: Column) -> "DmlTable":
+        """DELETE FROM ... WHERE cond (keep the complement)."""
+        self._rewrite(self.read().filter(~F.coalesce(cond, F.lit(False))))
+        return self
+
+    # -- internals -----------------------------------------------------------
+
+    def _with_part(self, df: DataFrame) -> DataFrame:
+        if self.partitioning is None:
+            return df
+        return df.withColumn(PARTITION_COL, self.partitioning.expr())
+
+    def _write(self, df: DataFrame, mode: str) -> None:
+        writer = df.write.mode(mode)
+        if self.partitioning is not None:
+            writer = writer.partitionBy(PARTITION_COL)
+        writer.parquet(self.path)
+
+    def _rewrite(self, df: DataFrame) -> None:
+        """Stage-then-swap rewrite (a lazy plan can't overwrite its own
+        source). With Delta/Iceberg this becomes MERGE/DELETE with
+        partition-level file replacement; staging keeps plain parquet safe.
+        """
+        tmp = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
+        staged = DmlTable(self.spark, tmp, self.partitioning)
+        staged._write(staged._with_part(df), "error")
+        self._write(self.spark.read.parquet(tmp), "overwrite")
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1379,3 +1379,75 @@ def stream_group_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="10 minutes",
     )
     return run_to_memory(out, f"gbr_{_uuid.uuid4().hex[:8]}", mode="complete")
+
+
+# ===========================================================================
+# DML + partitioned tables (EXEC_INSERT/UPDATE/DELETE, PARTITION BY)
+# ===========================================================================
+
+
+@query(
+    "dml_update_delete",
+    """
+    WITH mutated AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+      FROM customer
+      WHERE NOT (c_mktsegment = 'AUTOMOBILE')
+    )
+    SELECT c_nationkey, count(*) AS n,
+           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+    FROM mutated GROUP BY c_nationkey
+    """,
+)
+def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXEC_UPDATE + EXEC_DELETE end-to-end: copy customer into a hash-
+    partitioned container, UPDATE negative balances to 0, DELETE one market
+    segment, aggregate the post-state. Oracle emulates the mutations with
+    a SELECT over the pristine table."""
+    import tempfile
+
+    from griddb_spark.dml import DmlTable, hash_partition_expr
+
+    cust = cat(spark, sf_dir).load("customer")
+    path = tempfile.mkdtemp(prefix="dml_cust_") + "/t"
+    t = DmlTable(spark, path, hash_partition_expr("c_custkey", 8)).create(cust)
+    t.update(F.col("c_acctbal") < 0, {"c_acctbal": F.lit(0.0)})
+    t.delete(F.col("c_mktsegment") == "AUTOMOBILE")
+    return (
+        t.read()
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("c_acctbal")).alias("bal"),
+        )
+    )
+
+
+@query(
+    "partition_pruned_scan",
+    f"""
+    SELECT user_id, round(sum(value), 6) AS sv, count(*) AS n
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-11 00:00:00'
+    GROUP BY user_id
+    """,
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION BY RANGE(ts) EVERY(1, DAY) + pruned scan: write events
+    Hive-partitioned by day bucket, query one day — the scan must read one
+    partition (GridDB NarrowingKey pruning → Spark partition pruning)."""
+    import tempfile
+
+    from griddb_spark.dml import DmlTable, range_partition_expr
+
+    ev = cat(spark, sf_dir).load("events")
+    path = tempfile.mkdtemp(prefix="dml_ev_") + "/t"
+    t = DmlTable(spark, path, range_partition_expr("ts", 1, "DAY")).create(ev)
+    day_ms = 86_400_000
+    start = EV_START_MS + 9 * day_ms  # 2024-01-10
+    day = t.scan_range(start, start + day_ms)
+    return day.groupBy("user_id").agg(
+        _r6(F.sum("value")).alias("sv"), F.count(F.lit(1)).alias("n")
+    )

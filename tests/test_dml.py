@@ -1,0 +1,47 @@
+"""DML + partitioned containers: update/delete semantics and partition
+pruning (the NarrowingKey analog — PartitionFilters must appear in the
+physical scan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_update_delete_roundtrip(spark, tmp_path):
+    from griddb_spark.dml import DmlTable
+
+    df = spark.createDataFrame(
+        [(1, "a", -5.0), (2, "b", 3.0), (3, "a", -1.0), (4, "c", 9.0)],
+        "id int, seg string, bal double",
+    )
+    t = DmlTable(spark, str(tmp_path / "t")).create(df)
+    t.insert(spark.createDataFrame([(5, "b", -2.0)], "id int, seg string, bal double"))
+    t.update(F.col("bal") < 0, {"bal": F.lit(0.0)})
+    t.delete(F.col("seg") == "c")
+    rows = {r.id: (r.seg, r.bal) for r in t.read().collect()}
+    assert rows == {1: ("a", 0.0), 2: ("b", 3.0), 3: ("a", 0.0), 5: ("b", 0.0)}
+
+
+def test_hash_partitioned_update_and_pruning(spark, tmp_path, catalog):
+    from griddb_spark.dml import DmlTable, range_partition_expr
+
+    import re
+
+    ev = catalog.load("events")
+    t = DmlTable(
+        spark, str(tmp_path / "ev"), range_partition_expr("ts", 1, "DAY")
+    ).create(ev)
+    day_ms = 86_400_000
+    start = 1704067200000 + 9 * day_ms  # 2024-01-10
+    day = t.scan_range(start, start + day_ms)
+    plan = day._jdf.queryExecution().executedPlan().toString()
+    # the derived __part bounds must reach the scan as partition filters
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__part" in m.group(1), plan
+    assert day.count() > 0
+    # pruned read returns exactly the day's rows
+    expected = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-11 00:00:00").cast("timestamp"))
+    ).count()
+    assert day.count() == expected
