@@ -74,7 +74,7 @@ def minhash_lsh_pairs(
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat(*[F.col("__sig")[b * rows + r] for r in range(rows)])).alias(
+            F.xxhash64(*[F.col("__sig")[b * rows + r] for r in range(rows)]).alias(
                 "bkey"
             ),
         )
