@@ -1451,3 +1451,51 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day.groupBy("user_id").agg(
         _r6(F.sum("value")).alias("sv"), F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "scalar_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6)
+             AS avg_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+    GROUP BY event_type
+    """,
+)
+def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction predicate +
+    aggregate (Spark get_json_object; beyond-reference convenience — GridDB
+    stores this as STRING and has no JSON functions)."""
+    ev = cat(spark, sf_dir).load("events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _r6(F.avg("k")).alias("avg_k"))
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding) AS arr_len,
+           round(embedding[1]::double, 6) AS first_elem,
+           round(embedding[64]::double, 6) AS last_elem
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridDB array column functions: ARRAY_LENGTH → size, ELEMENT →
+    element_at (function_array.h; 0-based in TQL, 1-based here/DuckDB)."""
+    emb = cat(spark, sf_dir).load("embeddings")
+    return emb.filter(F.col("vec_id") < 20).select(
+        "vec_id",
+        F.size("embedding").alias("arr_len"),
+        _r6(F.element_at("embedding", 1).cast("double")).alias("first_elem"),
+        _r6(F.element_at("embedding", 64).cast("double")).alias("last_elem"),
+    )
