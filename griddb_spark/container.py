@@ -58,6 +58,19 @@ class Collection:
         self._require_key()
         return self._df.filter(F.col(self.row_key).isin(list(keys)))
 
+    def fetch(self, df: DataFrame | None = None, limit: int | None = None,
+              partial: bool = False):
+        """ResultSet fetch (result_set.cpp partial-execution mode).
+
+        ``partial=True`` returns a row iterator (``toLocalIterator`` — the
+        suspended-cursor analog: partitions stream to the driver on demand
+        instead of one full collect); else a collected list.
+        """
+        d = df if df is not None else self._df
+        if limit is not None:
+            d = d.limit(limit)
+        return d.toLocalIterator() if partial else d.collect()
+
     def multi_get_range(self, start=None, end=None) -> DataFrame:
         """multiGet with a RowKeyPredicate range."""
         self._require_key()

@@ -5,6 +5,7 @@
   scale-path as-of join.
 - ``group_range``: SQL ``GROUP BY RANGE ... EVERY ... FILL(...)``.
 - ``match_recognize``: SQL ``MATCH_RECOGNIZE`` row-pattern matching.
+- ``skew``: salted join for pathologically hot keys.
 """
 
 from griddb_spark.operators.timeseries import (
@@ -20,9 +21,11 @@ from griddb_spark.operators.timeseries import (
 )
 from griddb_spark.operators.group_range import group_by_range
 from griddb_spark.operators.match_recognize import match_recognize
+from griddb_spark.operators.skew import salted_join
 
 __all__ = [
     "asof_join",
+    "salted_join",
     "aggregate_time_range",
     "group_by_range",
     "match_recognize",

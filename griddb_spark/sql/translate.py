@@ -227,10 +227,30 @@ def _exec_match_recognize(
     )
 
 
+_EXPLAIN_RE = re.compile(r"^\s*EXPLAIN(?P<analyze>\s+ANALYZE)?\s+", re.IGNORECASE)
+
+
 def griddb_sql(
     spark: SparkSession, catalog: ContainerCatalog, sql: str
 ) -> DataFrame:
-    """Run a GridDB SQL statement on Spark."""
+    """Run a GridDB SQL statement on Spark.
+
+    ``EXPLAIN <sql>`` returns the optimized logical plan as rows,
+    ``EXPLAIN ANALYZE <sql>`` the physical plan (GridDB serializes its task
+    plan the same way — ``SyntaxTree::EXPLAIN_PLAN/EXPLAIN_ANALYZE``,
+    ``sql_execution.cpp:3234-3241``).
+    """
+    me = _EXPLAIN_RE.match(sql)
+    if me:
+        inner = griddb_sql(spark, catalog, sql[me.end():])
+        qe = inner._jdf.queryExecution()
+        text = (
+            qe.executedPlan().toString()
+            if me.group("analyze")
+            else qe.optimizedPlan().toString()
+        )
+        rows = list(enumerate(text.splitlines()))
+        return spark.createDataFrame(rows, "id int, plan string")
     if _RANGE_RE.search(sql):
         return _exec_group_by_range(spark, catalog, sql)
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):

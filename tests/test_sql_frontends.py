@@ -145,3 +145,29 @@ def test_griddb_sql_match_recognize(spark, catalog):
     rows = df.collect()
     assert set(df.columns) == {"user_id", "start_time", "end_time", "match_no"}
     assert len(rows) > 0
+
+
+def test_griddb_sql_explain(spark, catalog):
+    from griddb_spark.sql.translate import griddb_sql
+
+    out = griddb_sql(
+        spark, catalog,
+        "EXPLAIN SELECT c_custkey FROM customer WHERE c_acctbal > 100",
+    )
+    text = "\n".join(r.plan for r in out.collect())
+    assert "Filter" in text and "c_acctbal" in text
+    out2 = griddb_sql(
+        spark, catalog,
+        "EXPLAIN ANALYZE SELECT c_custkey FROM customer WHERE c_acctbal > 100",
+    )
+    text2 = "\n".join(r.plan for r in out2.collect())
+    assert "PushedFilters" in text2
+
+
+def test_collection_partial_fetch(catalog):
+    from griddb_spark.container import Collection
+
+    col = Collection("customer", catalog.load("customer"), row_key="c_custkey")
+    it = col.fetch(limit=7, partial=True)
+    rows = list(it)
+    assert len(rows) == 7
