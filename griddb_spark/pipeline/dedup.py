@@ -182,7 +182,15 @@ def simhash_pairs(
     if max_hamming > chunks - 1:
         raise ValueError("pigeonhole banding needs max_hamming <= chunks-1")
     sim = with_simhash(df, id_col, text_col).select(
-        F.col(id_col).alias("__id"), F.col("simhash")
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        # digit values decoded ONCE per doc: the pair stage then runs pure
+        # integer xor/bit_count — simhash bits cluster on shared vocabulary,
+        # so candidate pairs are quadratic in bucket size and per-pair cost
+        # dominates at scale
+        F.array(
+            *[_hexval(F.col("simhash"), p + 1) for p in range(16)]
+        ).alias("__hv"),
     )
     width = 16 // chunks
     chunk_structs = [
@@ -193,9 +201,9 @@ def simhash_pairs(
         for c in range(chunks)
     ]
     banded = (
-        sim.select("__id", "simhash", F.explode(F.array(*chunk_structs)).alias("__c"))
+        sim.select("__id", "__hv", F.explode(F.array(*chunk_structs)).alias("__c"))
         .select(
-            "__id", "simhash",
+            "__id", "__hv",
             F.col("__c.chunk").alias("chunk"), F.col("__c.ckey").alias("ckey"),
         )
         # shuffle boundary for exchange reuse across the self-join branches
@@ -203,21 +211,11 @@ def simhash_pairs(
         .repartition("chunk", "ckey")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    # popcount(0..15) lookup string: portable across engines
-    bc = "0112122312232334"
     ham = sum(
         [
-            F.ascii(
-                F.substring(
-                    F.lit(bc),
-                    _hexval(F.col("a.simhash"), p + 1).bitwiseXOR(
-                        _hexval(F.col("b.simhash"), p + 1)
-                    )
-                    + 1,
-                    1,
-                )
+            F.bit_count(
+                F.col("a.__hv")[p].bitwiseXOR(F.col("b.__hv")[p]).cast("long")
             )
-            - 48
             for p in range(16)
         ],
         F.lit(0),
