@@ -77,3 +77,39 @@ def test_upsert_by_key_insert_or_update(spark, tmp_path):
     q.awaitTermination()
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got == {1: "a2", 2: "b", 3: "c"}
+
+
+def test_ema_anomaly_stateful_stream(spark, tmp_path):
+    from griddb_spark.streaming.stateful import ema_anomaly_stream
+
+    src = str(tmp_path / "ema_src")
+    os.makedirs(src)
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", base + dt.timedelta(minutes=i), 10.0 if i != 8 else 100.0)
+        for i in range(10)
+    ]
+    spark.createDataFrame(rows, "k string, ts timestamp, value double").coalesce(
+        1
+    ).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, value double")
+        .parquet(f"{src}/*")
+    )
+    out = ema_anomaly_stream(stream, ["k"], "value", "ts", min_history=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ema")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_ema").orderBy("ts").collect()
+    assert len(got) == 10
+    # only the 100.0 spike is anomalous, and state must have warmed up
+    anomalies = [r for r in got if r.is_anomaly]
+    assert len(anomalies) == 1 and anomalies[0].value == 100.0
