@@ -21,12 +21,18 @@ twin in ``griddb_spark.workload``.
 """
 
 from griddb_spark.pipeline.dedup import (  # noqa: F401
+    char_ngrams,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_pairs,
     with_simhash,
 )
-from griddb_spark.pipeline.similarity import ann_ivf, knn_bruteforce  # noqa: F401
+from griddb_spark.pipeline.similarity import (  # noqa: F401
+    ann_ivf,
+    cosine_pairs,
+    knn_bruteforce,
+)
 from griddb_spark.pipeline.text import (  # noqa: F401
     bottom_k_fingerprint,
     lang_id,

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from griddb_spark.pipeline.text import minhash_signature, tokens, word_shingles
 
@@ -230,4 +231,84 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 4) -> Column:
+    """Distinct character n-grams of a string (codegen-friendly, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(starts, lambda i: c.substr(i, F.lit(n))))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by exact character-n-gram Jaccard >= threshold.
+
+    Candidate generation uses **prefix filtering** (PPJoin-style): order each
+    document's n-grams by ascending global frequency and index only the first
+    ``floor((1-t)*|S|) + 1`` of them. Two sets with J >= t overlap in at
+    least ``t/(1+t)*(|A|+|B|)`` elements, so they MUST share an element
+    inside those prefixes — recall is exact, not probabilistic, while hot
+    shingles ("the ", " and") never fan out whole posting lists.
+
+    Scale shape: one groupBy for global n-gram counts (map-side combined),
+    one explode carrying only (id, gram) prefix rows, an equi self-join on
+    the gram, then a verify join back to (id -> gram set). The O(pairs)
+    stage only ever sees prefix collisions. Reference semantics: the same
+    shingle-overlap dedup GridDB users run client-side; cited as the
+    n-gram Jaccard requirement of the training-pipeline surface.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 6.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), char_ngrams(text_col, n).alias("__grams")
+    ).filter(F.size("__grams") > 0)
+    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+    base.persist()
+
+    freq = (
+        base.select(F.explode("__grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gf"))
+    )
+    # prefix length floor((1-t)*|S|)+1; rarest-first ordering via global freq
+    pref = (
+        base.select("__id", F.size("__grams").alias("sz"), F.explode("__grams").alias("gram"))
+        .join(freq, "gram")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("__id").orderBy(F.asc("gf"), F.asc("gram"))
+            ),
+        )
+        .filter(F.col("rk") <= F.floor((1 - threshold) * F.col("sz")) + 1)
+        .select("__id", "gram")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "gram")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"))
+        .distinct()
+    )
+    ga = base.select(F.col("__id").alias("ia"), F.col("__grams").alias("ga"))
+    gb = base.select(F.col("__id").alias("ib"), F.col("__grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(ga, "ia")
+        .join(gb, "ib")
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

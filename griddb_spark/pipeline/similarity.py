@@ -143,3 +143,77 @@ def ann_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    blocks: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """All pairs with cosine(a, b) >= threshold (embedding near-dup).
+
+    Exact (no LSH recall risk): block-partitioned all-pairs with a
+    vectorized NumPy kernel. Each vector is assigned a block by id hash;
+    the B*(B+1)/2 block pairs are processed independently by
+    ``applyInPandas`` — each task materializes only two blocks and runs one
+    f64 matrix multiply, so the O(n²) work distributes evenly across the
+    cluster and per-task memory is (2n/B)·dim doubles regardless of total
+    corpus size. Scale knob: ``blocks`` grows with sqrt(cluster cores).
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("__blk"),
+    )
+    pair_rows = [
+        (a, b) for a in range(blocks) for b in range(blocks) if a <= b
+    ]
+    bp = spark.createDataFrame(pair_rows, "pa int, pb int")
+    # each vector joins every block-pair involving its block: row carries
+    # (pair, side) so one groupBy key gathers exactly the two blocks needed
+    sides = v.join(
+        F.broadcast(bp), (F.col("__blk") == F.col("pa")) | (F.col("__blk") == F.col("pb"))
+    ).select(
+        "pa", "pb", "__id", "__v", (F.col("__blk") == F.col("pa")).alias("__is_a")
+    )
+
+    out_schema = "id_a long, id_b long, cos_sim double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        same = bool(pdf["pa"].iat[0] == pdf["pb"].iat[0])
+        a = pdf[pdf["__is_a"]] if not same else pdf
+        b = pdf[~pdf["__is_a"]] if not same else pdf
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ma = np.stack(a["__v"].to_numpy())
+        mb = np.stack(b["__v"].to_numpy())
+        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        sim = ma @ mb.T
+        ia, ib = np.nonzero(np.round(sim, round_to) >= threshold)
+        id_a = a["__id"].to_numpy()[ia]
+        id_b = b["__id"].to_numpy()[ib]
+        # normalize pair order (cross-block ids are not ordered by block);
+        # same-block pairs appear twice (x,y)+(y,x) and dedup via id_a<id_b
+        keep = id_a != id_b
+        lo = np.minimum(id_a[keep], id_b[keep])
+        hi = np.maximum(id_a[keep], id_b[keep])
+        cs = np.round(sim[ia, ib][keep], round_to)
+        if same:
+            first = lo == id_a[keep]
+            lo, hi, cs = lo[first], hi[first], cs[first]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cs})
+
+    return sides.groupBy("pa", "pb").applyInPandas(kernel, out_schema).select(
+        "id_a", "id_b", "cos_sim"
+    )

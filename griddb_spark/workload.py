@@ -1499,3 +1499,187 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.element_at("embedding", 1).cast("double")).alias("first_elem"),
         _r6(F.element_at("embedding", 64).cast("double")).alias("last_elem"),
     )
+
+
+@query(
+    "pipe_dedup_ngram",
+    """
+    WITH g AS (SELECT doc_id, list_distinct([substr(text, p, 4)
+                 FOR p IN range(1, greatest(length(text) - 3, 1) + 1)]) grams
+               FROM documents),
+    p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+            round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / (len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams))), 6) jaccard
+          FROM g a JOIN g b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.7
+    """,
+)
+def pipe_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard near-dup pairs via PPJoin-style prefix
+    filtering (exact recall, no probabilistic step); oracle is brute
+    force over all pairs."""
+    from griddb_spark.pipeline import ngram_jaccard_pairs
+
+    docs = cat(spark, sf_dir).load("documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7, n=4)
+
+
+@query(
+    "pipe_dedup_embed_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+)
+def pipe_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: exact block-partitioned all-pairs
+    with a NumPy matmul kernel per block pair (applyInPandas) — per-task
+    memory bounded by 2·(n/B)·dim regardless of corpus size."""
+    from griddb_spark.pipeline import cosine_pairs
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    return cosine_pairs(emb, "vec_id", "embedding", threshold=0.4, blocks=4)
+
+
+@query(
+    "meta_tables",
+    """
+    SELECT table_name, CAST(ordinal_position AS INT) AS ordinal, column_name
+    FROM information_schema.columns
+    WHERE table_name IN ('region', 'nation', 'customer', 'supplier', 'part',
+                         'orders', 'lineitem', 'events', 'documents',
+                         'embeddings')
+    """,
+)
+def meta_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridDB meta/system tables (#tables/#columns, meta_type.h:712-731,
+    meta_store.cpp): the container catalog served as queryable DataFrames."""
+    c = cat(spark, sf_dir)
+    metas = [
+        c.meta_columns(t.table_name).select(
+            "table_name", (F.col("ordinal") + 1).alias("ordinal"), "column_name"
+        )
+        for t in c.meta_tables().collect()
+    ]
+    out = metas[0]
+    for m in metas[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+@query(
+    "time_window_agg",
+    f"""
+    SELECT event_type, {_duck_bucket(1_800_000)} AS ts,
+           round(avg(value), 6) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type, 2
+    """,
+)
+def time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME_WINDOW_AGG / aggregateByTimeWindow (time_series.h:153,
+    selection_func.h:201): tumbling 30-min windows per series key, multiple
+    aggregates — one groupBy(window()) with map-side partial agg."""
+    ev = cat(spark, sf_dir).load("events")
+    w = F.window("ts", "30 minutes")
+    return (
+        ev.groupBy("event_type", w.alias("w"))
+        .agg(
+            _r6(F.avg("value")).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("ts"),
+            "avg_value", "min_value", "max_value", "n",
+        )
+    )
+
+
+@query(
+    "gis_mbr_join",
+    """
+    WITH pb AS (SELECT p_partkey, (p_size * 2)::DOUBLE xmin,
+                       (p_partkey % 23)::DOUBLE ymin,
+                       (p_size * 2 + 3)::DOUBLE xmax,
+                       (p_partkey % 23 + 3)::DOUBLE ymax
+                FROM part WHERE p_partkey < 200),
+         sb AS (SELECT s_suppkey, (s_suppkey % 40 * 2)::DOUBLE xmin,
+                       (s_suppkey % 17)::DOUBLE ymin,
+                       (s_suppkey % 40 * 2 + 2)::DOUBLE xmax,
+                       (s_suppkey % 17 + 2)::DOUBLE ymax
+                FROM supplier)
+    SELECT p.p_partkey, s.s_suppkey
+    FROM pb p JOIN sb s
+      ON p.xmin <= s.xmax AND s.xmin <= p.xmax
+     AND p.ymin <= s.ymax AND s.ymin <= p.ymax
+    """,
+)
+def gis_mbr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRY MBR-intersect join (ST_MAKERECT/ST_MBRINTERSECTS,
+    function_gis.h; R-tree rtree_map.cpp): WKT rectangles built from
+    columns, envelope extracted by st_mbr (pure codegen expressions), then
+    an interval-overlap join. The small side broadcasts."""
+    from griddb_spark.functions.gis import st_mbr, st_mbr_intersects
+
+    c = cat(spark, sf_dir)
+
+    def rect_wkt(x0, y0, x1, y1):
+        def pt(x, y):
+            return F.concat_ws(" ", x.cast("double").cast("string"),
+                               y.cast("double").cast("string"))
+        return F.concat(
+            F.lit("POLYGON(("),
+            F.concat_ws(", ", pt(x0, y0), pt(x1, y0), pt(x1, y1),
+                        pt(x0, y1), pt(x0, y0)),
+            F.lit("))"),
+        )
+
+    part = c.load("part").filter(F.col("p_partkey") < 200).select(
+        "p_partkey",
+        st_mbr(rect_wkt(
+            F.col("p_size") * 2, F.col("p_partkey") % 23,
+            F.col("p_size") * 2 + 3, F.col("p_partkey") % 23 + 3,
+        )).alias("mbr_p"),
+    )
+    supp = c.load("supplier").select(
+        "s_suppkey",
+        st_mbr(rect_wkt(
+            F.col("s_suppkey") % 40 * 2, F.col("s_suppkey") % 17,
+            F.col("s_suppkey") % 40 * 2 + 2, F.col("s_suppkey") % 17 + 2,
+        )).alias("mbr_s"),
+    )
+    return part.join(
+        F.broadcast(supp), st_mbr_intersects(F.col("mbr_p"), F.col("mbr_s"))
+    ).select("p_partkey", "s_suppkey")
+
+
+@query(
+    "nosql_multiget",
+    """
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 6) AS c_acctbal
+    FROM customer
+    WHERE c_custkey IN (3, 7, 11, 42) OR c_custkey BETWEEN 100 AND 110
+    """,
+)
+def nosql_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NoSQL multiGet with RowKeyPredicate (Container.java:437-898,
+    GET_MULTIPLE_CONTAINER_ROWS): key-list get unioned with a key-range
+    get — both push into the scan as IN/range filters."""
+    from griddb_spark.container import Collection
+
+    c = cat(spark, sf_dir)
+    col = Collection("customer", c.load("customer"), row_key="c_custkey")
+    got = col.multi_get([3, 7, 11, 42]).unionAll(col.multi_get_range(100, 110))
+    return got.select(
+        "c_custkey", "c_name", "c_nationkey", _r6(F.col("c_acctbal")).alias("c_acctbal")
+    )
