@@ -35,11 +35,21 @@ class Collection:
 
     container_type = "COLLECTION"
 
-    def __init__(self, name: str, df: DataFrame, row_key: str | None = None):
+    def __init__(self, name: str, df: DataFrame,
+                 row_key: str | Sequence[str] | None = None):
         self.name = name
         self._df = df
         self.row_key = row_key
         self._generation = 0
+
+    @property
+    def key_cols(self) -> list[str]:
+        """Row-key columns (composite keys allowed, message_schema.cpp)."""
+        if self.row_key is None:
+            return []
+        if isinstance(self.row_key, str):
+            return [self.row_key]
+        return list(self.row_key)
 
     # -- data access -------------------------------------------------------
     @property
@@ -51,12 +61,35 @@ class Collection:
 
     def get(self, key) -> DataFrame:
         self._require_key()
-        return self._df.filter(F.col(self.row_key) == F.lit(key))
+        return self._df.filter(self._key_eq(key))
 
     def multi_get(self, keys: Iterable) -> DataFrame:
-        """multiGet with a key list (RowKeyPredicate distinct-keys form)."""
+        """multiGet with a key list (RowKeyPredicate distinct-keys form).
+
+        Composite keys (CompositeKeyMultiGet.java sample) are passed as
+        tuples. Point lookups stay an IN / OR-of-ANDs filter that pushes
+        down into the parquet scan — never a driver-side loop.
+        """
         self._require_key()
-        return self._df.filter(F.col(self.row_key).isin(list(keys)))
+        cols = self.key_cols
+        if len(cols) == 1:
+            return self._df.filter(F.col(cols[0]).isin(list(keys)))
+        conds = [self._key_eq(k) for k in keys]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return self._df.filter(out)
+
+    def _key_eq(self, key):
+        cols = self.key_cols
+        if len(cols) == 1:
+            return F.col(cols[0]) == F.lit(key)
+        if len(key) != len(cols):
+            raise ValueError(f"composite key arity {len(key)} != {len(cols)}")
+        cond = F.col(cols[0]) == F.lit(key[0])
+        for c, v in zip(cols[1:], key[1:]):
+            cond = cond & (F.col(c) == F.lit(v))
+        return cond
 
     def fetch(self, df: DataFrame | None = None, limit: int | None = None,
               partial: bool = False):
@@ -74,11 +107,12 @@ class Collection:
     def multi_get_range(self, start=None, end=None) -> DataFrame:
         """multiGet with a RowKeyPredicate range."""
         self._require_key()
+        first = self.key_cols[0]
         out = self._df
         if start is not None:
-            out = out.filter(F.col(self.row_key) >= F.lit(start))
+            out = out.filter(F.col(first) >= F.lit(start))
         if end is not None:
-            out = out.filter(F.col(self.row_key) <= F.lit(end))
+            out = out.filter(F.col(first) <= F.lit(end))
         return out
 
     # -- mutation (insert-or-update by row key) ------------------------------
@@ -101,7 +135,7 @@ class Collection:
 
     def remove(self, key) -> "Collection":
         self._require_key()
-        self._df = self._df.filter(F.col(self.row_key) != F.lit(key))
+        self._df = self._df.filter(~self._key_eq(key))
         return self
 
     # -- query ---------------------------------------------------------------

@@ -1683,3 +1683,238 @@ def nosql_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         "c_custkey", "c_name", "c_nationkey", _r6(F.col("c_acctbal")).alias("c_acctbal")
     )
+
+
+@query(
+    "scalar_numeric_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(-l_quantity) AS abs_qty,
+           round(l_extendedprice, 1) AS px_round,
+           CAST(trunc(l_extendedprice) AS DOUBLE) AS px_trunc,
+           round(sqrt(l_extendedprice), 6) AS px_sqrt,
+           round(log(2, l_extendedprice + 1), 6) AS px_log2,
+           ceiling(l_discount * 100) AS disc_ceil,
+           floor(l_tax * 100) AS tax_floor,
+           255 AS hex_ff
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def scalar_numeric_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric scalar functions (sql_expression_numeric.h:45-86): ABS,
+    ROUND, TRUNC (toward zero), SQRT, LOG(base, x) — reference semantics
+    log(x)/log(base), query_function_numeric.h:221 — CEILING/FLOOR
+    (function_float.h), HEX_TO_DEC. All pure codegen expressions."""
+    from griddb_spark.functions.scalar import hex_to_dec
+
+    li = cat(spark, sf_dir).load("lineitem").filter(F.col("l_orderkey") < 200)
+    px = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(-F.col("l_quantity")).alias("abs_qty"),
+        F.round(px, 1).alias("px_round"),
+        px.cast("long").cast("double").alias("px_trunc"),
+        _r6(F.sqrt(px)).alias("px_sqrt"),
+        _r6(F.log(2.0, px + 1)).alias("px_log2"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_floor"),
+        hex_to_dec(F.lit("FF")).cast("int").alias("hex_ff"),
+    )
+
+
+@query(
+    "scalar_bitwise_ops",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey << 2 AS shl,
+           l_orderkey >> 1 AS shr,
+           l_orderkey & 255 AS band,
+           l_orderkey | 16 AS bor,
+           xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS bxor,
+           ~CAST(l_linenumber AS BIGINT) AS bnot,
+           l_orderkey % 7 AS rem7
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit operators << >> & | ~ and %, XOR (sql_type.h:201-227 binary op
+    set; TQL tql_token.h:39-67) as JVM-side Column ops."""
+    li = cat(spark, sf_dir).load("lineitem").filter(F.col("l_orderkey") < 100)
+    k, ln = F.col("l_orderkey"), F.col("l_linenumber").cast("long")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 1).alias("shr"),
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(16)).alias("bor"),
+        k.bitwiseXOR(ln).alias("bxor"),
+        F.bitwise_not(ln).alias("bnot"),
+        (k % 7).alias("rem7"),
+    )
+
+
+_SUBQUERY_FOLD_SQL = """
+    SELECT c.c_custkey, round(c.c_acctbal, 6) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 100000)
+      AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_orderstatus = 'F'
+                                AND o_totalprice < 2000)
+"""
+
+
+@query("subquery_fold", _SUBQUERY_FOLD_SQL)
+def subquery_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery decorrelation (AGG_FOLD_EXISTS/IN/NOT_IN, sql_type.h:131-135;
+    pushDownSubquery sql_compiler.h:2151): correlated scalar subquery +
+    EXISTS + NOT IN, all handed to Catalyst's native rewrite
+    (RewriteCorrelatedScalarSubquery / semi- and anti-join folding)."""
+    c = cat(spark, sf_dir)
+    c.register_all(("customer", "orders"))
+    return spark.sql(_SUBQUERY_FOLD_SQL)
+
+
+@query(
+    "ddl_create_view",
+    """
+    WITH nation_rev AS (
+      SELECT n_name, n_nationkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+             count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, n_nationkey)
+    SELECT n_name, revenue, n_orders FROM nation_rev
+    WHERE n_orders > 10
+    """,
+)
+def ddl_create_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL CREATE VIEW + #views meta (sql_parser.h:232-260 CommandType
+    CREATE_VIEW; meta_type.h #views): define a view over a join-agg, then
+    query through it — the view body inlines into the plan, so pushdown
+    and broadcast behave exactly as the unnested query."""
+    c = cat(spark, sf_dir)
+    c.register_all(("orders", "customer", "nation"))
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY VIEW nation_rev AS
+        SELECT n_name, n_nationkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, n_nationkey
+    """)
+    return spark.sql(
+        "SELECT n_name, revenue, n_orders FROM nation_rev WHERE n_orders > 10"
+    )
+
+
+@query(
+    "range_20m_offset",
+    f"""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    b AS (SELECT make_timestamp(({EV_START_MS + 600_000}
+             + (epoch_ms(ts) - {EV_START_MS + 600_000}) // 1200000 * 1200000)
+             * 1000) AS ts,
+                 value
+          FROM ev
+          WHERE epoch_ms(ts) >= {EV_START_MS + 600_000}
+            AND epoch_ms(ts) <= {EV_END_MS})
+    SELECT ts, round(avg(value), 6) AS avg_value, count(*) AS n
+    FROM b GROUP BY ts
+    """,
+)
+def range_20m_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY RANGE ... EVERY(20, MINUTE, 10) — the 3-arg EVERY offset
+    shifts the bucket lattice (sql_parser.h:742-782 CreateTableOption /
+    range-group offset, sql_operator_group.cpp:181-440)."""
+    from griddb_spark.operators.group_range import group_by_range
+
+    ev = cat(spark, sf_dir).load("events")
+    return group_by_range(
+        ev, "ts", 20, "MINUTE",
+        {"avg_value": _r6(F.avg("value")), "n": F.count(F.lit(1))},
+        EV_START, EV_END, offset=10, fill="NONE",
+    )
+
+
+@query(
+    "natural_join",
+    """
+    SELECT n.n_nationkey AS nationkey, n.n_name, n.n_regionkey AS regionkey,
+           r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL JOIN (JOIN_NATURAL_* variants, sql_type.h:232-243): shared
+    column name drives the equi-join; dims broadcast."""
+    c = cat(spark, sf_dir)
+    c.load("nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name",
+        F.col("n_regionkey").alias("regionkey"),
+    ).createOrReplaceTempView("v_nation")
+    c.load("region").select(
+        F.col("r_regionkey").alias("regionkey"), "r_name"
+    ).createOrReplaceTempView("v_region")
+    return spark.sql(
+        "SELECT nationkey, n_name, regionkey, r_name "
+        "FROM v_nation NATURAL JOIN v_region"
+    )
+
+
+@query(
+    "composite_key_multiget",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice, 6) AS l_extendedprice
+    FROM lineitem
+    WHERE (l_orderkey, l_linenumber) IN ((1, 1), (3, 2), (7, 1), (32, 3))
+    """,
+)
+def composite_key_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite row-key multiGet (CompositeKeyMultiGet.java sample;
+    composite keys btree_map.h:30-55): tuple-key point lookups folded into
+    one pushed-down OR-of-ANDs scan filter."""
+    from griddb_spark.container import Collection
+
+    c = cat(spark, sf_dir)
+    col = Collection("lineitem", c.load("lineitem"),
+                     row_key=["l_orderkey", "l_linenumber"])
+    got = col.multi_get([(1, 1), (3, 2), (7, 1), (32, 3)])
+    return got.select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        _r6(F.col("l_extendedprice")).alias("l_extendedprice"),
+    )
+
+
+@query(
+    "nano_ts_fidelity",
+    """
+    SELECT event_id,
+           epoch_us(ts) AS ts_us,
+           epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+           CAST(ts AS TIMESTAMP) AS ts_micro
+    FROM events WHERE event_id < 500
+    """,
+)
+def nano_ts_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NANO_TIMESTAMP handling (data_store_common.h:136-165 type 22, GridDB
+    5.3 release notes): ns-precision parquet timestamps read as epoch-nanos
+    LONG, projected to µs/ms with integer div (double loses µs at 2^53).
+    DuckDB's parquet reader truncates ns→µs, so the oracle checks the µs
+    projections; the full sub-µs round-trip is asserted against pyarrow in
+    tests/test_timeseries_ops.py::test_nano_ts_roundtrip."""
+    c = cat(spark, sf_dir)
+    prepare(spark)
+    raw = spark.read.parquet(c.path("events")).filter(F.col("event_id") < 500)
+    return raw.select(
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.expr("ts div 1000000").alias("ts_ms"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts_micro"),
+    )

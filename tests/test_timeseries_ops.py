@@ -217,3 +217,24 @@ def test_match_recognize_alternation_star(spark):
     ).collect()
     got = sorted((r["first_seq"], r["last_seq"]) for r in out)
     assert got == [(0, 3), (4, 5)]
+
+
+def test_nano_ts_roundtrip(spark):
+    """Sub-µs fidelity: nanosAsLong read preserves exactly the parquet ns
+    values (pyarrow as oracle — DuckDB truncates ns to µs in views)."""
+    import pyarrow.parquet as pq
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    tbl = pq.read_table(path, columns=["event_id", "ts"])
+    want = {
+        r["event_id"]: r["ts"].value  # pyarrow ns timestamp → epoch-nanos
+        for r in tbl.slice(0, 50).to_pylist()
+    }
+    got = {
+        r.event_id: r.ts
+        for r in spark.read.parquet(path)
+        .filter(F.col("event_id").isin(list(want)))
+        .collect()
+    }
+    assert got == want
+    assert any(v % 1000 != 0 for v in want.values()), "fixture has no sub-µs"
