@@ -70,6 +70,12 @@ def minhash_lsh_pairs(
         .repartition(para, "__id")
         .select("__id", word_shingles(text_col, shingle_n).alias("__sh"))
         .filter(F.size("__sh") > 0)
+        # the shingle table is read 3× (signature + both verify sides) and
+        # shingling/minhash are interpreted higher-order exprs — persist so
+        # each doc is shingled exactly once, and so AQE's join planning can
+        # never re-evaluate the expensive subtree inside a broadcast build
+        # (observed 3-10× wall-clock swings without this)
+        .persist()
     )
     sig = sh.select("__id", minhash_signature(F.col("__sh"), k).alias("__sig"))
     band_structs = [
@@ -86,11 +92,10 @@ def minhash_lsh_pairs(
         .select(
             "__id", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey")
         )
-        # shuffle boundary: (a) pre-distributes on the join keys, (b) stops
-        # Catalyst collapsing the full signature expression tree into BOTH
-        # self-join branches (which defeats codegen and recomputes minhash
-        # per branch) — the exchange is computed once and reused.
-        .repartition("band", "bkey")
+        # persisted, not just repartitioned: the self-join needs this twice,
+        # and cached (id, band, bkey) rows are tiny — k minhash evaluations
+        # per doc happen exactly once regardless of join strategy
+        .persist()
     )
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -192,7 +197,7 @@ def simhash_pairs(
         F.array(
             *[_hexval(F.col("simhash"), p + 1) for p in range(16)]
         ).alias("__hv"),
-    )
+    ).persist()  # read by both self-join branches; simhash runs once
     width = 16 // chunks
     chunk_structs = [
         F.struct(
@@ -201,15 +206,11 @@ def simhash_pairs(
         )
         for c in range(chunks)
     ]
-    banded = (
-        sim.select("__id", "__hv", F.explode(F.array(*chunk_structs)).alias("__c"))
-        .select(
-            "__id", "__hv",
-            F.col("__c.chunk").alias("chunk"), F.col("__c.ckey").alias("ckey"),
-        )
-        # shuffle boundary for exchange reuse across the self-join branches
-        # (same rationale as minhash_lsh_pairs)
-        .repartition("chunk", "ckey")
+    banded = sim.select(
+        "__id", "__hv", F.explode(F.array(*chunk_structs)).alias("__c")
+    ).select(
+        "__id", "__hv",
+        F.col("__c.chunk").alias("chunk"), F.col("__c.ckey").alias("ckey"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     ham = sum(
@@ -247,22 +248,29 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.7,
     n: int = 4,
+    small_vocab: int = 65536,
+    blocks: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by exact character-n-gram Jaccard >= threshold.
 
-    Candidate generation uses **prefix filtering** (PPJoin-style): order each
-    document's n-grams by ascending global frequency and index only the first
-    ``floor((1-t)*|S|) + 1`` of them. Two sets with J >= t overlap in at
-    least ``t/(1+t)*(|A|+|B|)`` elements, so they MUST share an element
-    inside those prefixes — recall is exact, not probabilistic, while hot
-    shingles ("the ", " and") never fan out whole posting lists.
+    Adaptive physical strategy, chosen from a measured corpus statistic
+    (one cheap distinct-count — the Catalyst-style stats-driven pick):
 
-    Scale shape: one groupBy for global n-gram counts (map-side combined),
-    one explode carrying only (id, gram) prefix rows, an equi self-join on
-    the gram, then a verify join back to (id -> gram set). The O(pairs)
-    stage only ever sees prefix collisions. Reference semantics: the same
-    shingle-overlap dedup GridDB users run client-side; cited as the
-    n-gram Jaccard requirement of the training-pipeline surface.
+    - **Large vocabulary** (real text): PPJoin-style *prefix filtering* —
+      order each document's n-grams by ascending global frequency and
+      index only the first ``floor((1-t)*|S|) + 1``. Two sets with J >= t
+      MUST share a prefix element, so recall is exact while hot shingles
+      ("the ", " and") never fan out whole posting lists. One groupBy for
+      gram counts, one equi self-join on prefix grams, then an exact
+      verify join — the O(pairs) stage only sees prefix collisions.
+
+    - **Small vocabulary** (template/log-structured text, ``<=
+      small_vocab`` distinct grams): prefix filtering degenerates (every
+      pair shares "rare" grams), so candidates ≈ all pairs and the verify
+      join becomes the bottleneck. Dispatch to the dictionary-encoded
+      bitmap all-pairs kernel (``_jaccard_bitmap``): Jaccard = popcount
+      math over ``vocab/64`` uint64 words, block-partitioned so per-task
+      memory is bounded by 2n/``blocks`` documents.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 6.
     """
@@ -277,6 +285,11 @@ def ngram_jaccard_pairs(
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("gf"))
     )
+    n_vocab = freq.count()
+    if n_vocab <= small_vocab:
+        from griddb_spark.pipeline._jaccard_bitmap import jaccard_allpairs_bitmap
+
+        return jaccard_allpairs_bitmap(base, freq, threshold, blocks, vocab=n_vocab)
     # prefix length floor((1-t)*|S|)+1; rarest-first ordering via global freq
     pref = (
         base.select("__id", F.size("__grams").alias("sz"), F.explode("__grams").alias("gram"))
@@ -289,6 +302,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("rk") <= F.floor((1 - threshold) * F.col("sz")) + 1)
         .select("__id", "gram")
+        .persist()  # both self-join branches read the prefix index
     )
     cand = (
         pref.alias("a")
