@@ -43,9 +43,13 @@ HEADLINE = [
     "sql_frontend_group_by_range",
     "pipe_dedup_minhash",
     "pipe_dedup_simhash",
+    "pipe_dedup_ngram",
+    "pipe_dedup_embed_cosine",
     "pipe_text_quality",
     "pipe_knn_cosine",
     "pipe_ann_ivf",
+    "time_window_agg",
+    "subquery_fold",
 ]
 
 

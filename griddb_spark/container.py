@@ -195,8 +195,18 @@ class TimeSeries(Collection):
             self._df, start, end, column, aggregation, self.ts_col)
 
     def sample(self, start, end, interval: int, unit: str,
-               column: str | None = None) -> DataFrame:
-        """TQL TIME_SAMPLING / client sampling query."""
+               column: str | None = None,
+               mode: str = "LINEAR_OR_PREVIOUS") -> DataFrame:
+        """TQL TIME_SAMPLING / client sampling query.
+
+        ``mode`` is the client InterpolationMode (InterpolationMode.java):
+        LINEAR_OR_PREVIOUS interpolates ``column`` linearly and takes the
+        previous row for other fields; EMPTY emits type-default empty
+        values at unmatched grid points (TimeSeries::sampleWithoutInterp).
+        """
+        if mode.upper() == "EMPTY":
+            return ts_ops.time_sampling_no_interp(
+                self._df, start, end, interval, unit, self.ts_col)
         return ts_ops.time_sampling(
             self._df, start, end, interval, unit, column, self.ts_col)
 

@@ -18,6 +18,7 @@ from griddb_spark.operators.timeseries import (
     time_next,
     time_prev,
     time_sampling,
+    time_sampling_no_interp,
 )
 from griddb_spark.operators.group_range import group_by_range
 from griddb_spark.operators.match_recognize import match_recognize
@@ -36,4 +37,5 @@ __all__ = [
     "time_next",
     "time_prev",
     "time_sampling",
+    "time_sampling_no_interp",
 ]

@@ -345,3 +345,76 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     out = [F.col("__l")[c].alias(c) for c in left.columns]
     out += [F.col("__m")[c].alias(f"{right_prefix}{c}") for c in right.columns]
     return joined.select(*out)
+
+
+def _empty_value(dtype: T.DataType):
+    """GridDB 'empty value' per column type (Value::init, value.h): the
+    type default — 0 for numerics, '' for strings, false for bool, epoch
+    for timestamps, NULL for anything else."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return F.lit(0).cast(dtype)
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return F.lit(0.0).cast(dtype)
+    if isinstance(dtype, T.StringType):
+        return F.lit("")
+    if isinstance(dtype, T.BooleanType):
+        return F.lit(False)
+    if isinstance(dtype, T.TimestampType):
+        return F.timestamp_millis(F.lit(0))
+    return F.lit(None).cast(dtype)
+
+
+def time_sampling_no_interp(df: DataFrame, start, end, interval: int,
+                            unit: str, ts_col: str = "ts",
+                            by: Sequence[str] = ()) -> DataFrame:
+    """SAMPLE without interpolation — ``TimeSeries::sampleWithoutInterp``
+    (time_series.cpp:3624-3830), client ``InterpolationMode.EMPTY``.
+
+    Grid points ``start + k*interval`` up to ``min(end, last row ts)``:
+    an exact-match row is emitted as-is; otherwise the grid point emits
+    ts=target and the *empty value* of every other column
+    (InterpolationMode.java: "an empty value defined in Container").
+    Points after the last data row are not emitted (reference loop ends
+    with the row scan).
+
+    Scale: grid is ``spark.range`` (parallel), resolved with one
+    broadcast-able per-group bound + one equi join on the grid timestamp —
+    no window over the full data needed for the EMPTY mode.
+    """
+    unit_ms = UNIT_MS[unit.upper()]
+    step_ms = interval * unit_ms
+    start_ms, end_ms = _to_ms(start), _to_ms(end)
+    if step_ms <= 0 or end_ms < start_ms:
+        raise ValueError("invalid sampling range/interval")
+    n_steps = (end_ms - start_ms) // step_ms + 1
+    grid = (
+        df.sparkSession.range(n_steps)
+        .select(F.timestamp_millis(F.lit(start_ms) + F.col("id") * step_ms)
+                .alias(ts_col))
+    )
+    ranged = df.filter(
+        (F.col(ts_col) >= F.timestamp_millis(F.lit(start_ms)))
+        & (F.col(ts_col) <= F.timestamp_millis(F.lit(end_ms)))
+    )
+    bounds = ranged.groupBy(*by).agg(F.max(ts_col).alias("__last"))
+    grid = (
+        grid.crossJoin(F.broadcast(bounds))
+        .filter(F.col(ts_col) <= F.col("__last"))
+        .drop("__last")
+    )
+    joined = grid.join(
+        ranged.withColumn("__present", F.lit(True)), on=[*by, ts_col], how="left"
+    )
+    out_cols = []
+    present = F.col("__present").isNotNull()
+    for c in df.columns:
+        if c == ts_col or c in by:
+            out_cols.append(F.col(c))
+        else:
+            dtype = df.schema[c].dataType
+            out_cols.append(
+                F.when(present, F.col(c))
+                .otherwise(_empty_value(dtype))
+                .alias(c)
+            )
+    return joined.select(*out_cols)

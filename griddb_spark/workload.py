@@ -1918,3 +1918,75 @@ def nano_ts_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts div 1000000").alias("ts_ms"),
         F.timestamp_micros(F.expr("ts div 1000")).alias("ts_micro"),
     )
+
+
+@query("stream_ema_anomaly")  # no oracle: custom stateful streaming op
+def stream_ema_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key stateful streaming anomaly detection
+    (applyInPandasWithState): one (count, EMA) state per user_id over the
+    events stream, flagging values > 2x the running level — the
+    Structured-Streaming replacement for GridDB's removed trigger/alert
+    path (docs/GridDB-5.0-CE-RELEASE_NOTES.md). Rows-only driver check;
+    the per-key recurrence is order-sensitive and not SQL-expressible."""
+    import uuid as _uuid
+
+    from griddb_spark.streaming import run_to_memory
+    from griddb_spark.streaming.stateful import ema_anomaly_stream
+
+    prepare(spark)
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    flagged = ema_anomaly_stream(
+        ev, ["user_id"], value_col="value", ts_col="ts",
+        alpha=0.2, threshold=2.0, min_history=5,
+    )
+    out = run_to_memory(
+        flagged, f"ema_{_uuid.uuid4().hex[:8]}", mode="append"
+    )
+    return (
+        out.filter(F.col("is_anomaly"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_anomalies"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "time_sampling_no_interp",
+    f"""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                       event_type, value
+                FROM events
+                WHERE user_id = 3
+                  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '{EV_START}'
+                  AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '{EV_END}'),
+    grid AS (SELECT make_timestamp(({EV_START_MS} + g * 21600000) * 1000) ts
+             FROM range(0, ({EV_END_MS} - {EV_START_MS}) // 21600000 + 1) r(g)),
+    bounded AS (SELECT g.ts FROM grid g WHERE g.ts <= (SELECT max(ts) FROM ev))
+    SELECT b.ts,
+           coalesce(e.event_id, 0) AS event_id,
+           coalesce(e.user_id, 0) AS user_id,
+           coalesce(e.event_type, '') AS event_type,
+           coalesce(e.value, 0.0) AS value
+    FROM bounded b LEFT JOIN ev e ON b.ts = e.ts
+    """,
+)
+def time_sampling_no_interp_user3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE without interpolation (TimeSeries::sampleWithoutInterp,
+    time_series.cpp:3624; InterpolationMode.EMPTY): 6h grid over user 3's
+    events — exact matches emit the row, gaps emit GridDB empty values
+    (type defaults), grid stops at the last data row."""
+    from griddb_spark.operators import time_sampling_no_interp
+
+    ev = (
+        cat(spark, sf_dir).load("events")
+        .filter(F.col("user_id") == 3)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    return time_sampling_no_interp(ev, EV_START, EV_END, 6, "HOUR", ts_col="ts")
