@@ -274,11 +274,17 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 6.
     """
-    base = df.select(
-        F.col(id_col).alias("__id"), char_ngrams(text_col, n).alias("__grams")
-    ).filter(F.size("__grams") > 0)
-    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
-    base.persist()
+    para = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        # repartition BEFORE shingling: a single-file source scans as one
+        # partition, and the n-gram transform is an interpreted
+        # higher-order expression — spread it across cores first
+        .repartition(para, "__id")
+        .select("__id", char_ngrams(text_col, n).alias("__grams"))
+        .filter(F.size("__grams") > 0)
+        .persist()
+    )
 
     freq = (
         base.select(F.explode("__grams").alias("gram"))

@@ -231,7 +231,8 @@ _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN(?P<analyze>\s+ANALYZE)?\s+", re.IGNORECAS
 
 
 def griddb_sql(
-    spark: SparkSession, catalog: ContainerCatalog, sql: str
+    spark: SparkSession, catalog: ContainerCatalog, sql: str,
+    params: list | None = None,
 ) -> DataFrame:
     """Run a GridDB SQL statement on Spark.
 
@@ -239,10 +240,14 @@ def griddb_sql(
     ``EXPLAIN ANALYZE <sql>`` the physical plan (GridDB serializes its task
     plan the same way — ``SyntaxTree::EXPLAIN_PLAN/EXPLAIN_ANALYZE``,
     ``sql_execution.cpp:3234-3241``).
+
+    ``params`` binds ``?`` placeholders positionally (GridDB prepared
+    statements — ``EXPR_PLACEHOLDER``, ``sql_type.h:42-92``); binding is
+    Catalyst-side (parameterized ``spark.sql``), not string splicing.
     """
     me = _EXPLAIN_RE.match(sql)
     if me:
-        inner = griddb_sql(spark, catalog, sql[me.end():])
+        inner = griddb_sql(spark, catalog, sql[me.end():], params=params)
         qe = inner._jdf.queryExecution()
         text = (
             qe.executedPlan().toString()
@@ -256,4 +261,6 @@ def griddb_sql(
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
         return _exec_match_recognize(spark, catalog, sql)
     catalog.register_all()
+    if params is not None:
+        return spark.sql(rewrite_sql(sql), args=params)
     return spark.sql(rewrite_sql(sql))

@@ -171,3 +171,25 @@ def test_collection_partial_fetch(catalog):
     it = col.fetch(limit=7, partial=True)
     rows = list(it)
     assert len(rows) == 7
+
+
+def test_prepared_statement_placeholders(spark, catalog):
+    """? placeholders bind positionally (EXPR_PLACEHOLDER, sql_type.h:42-92)
+    through parameterized spark.sql — no string splicing."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    out = griddb_sql(
+        spark, catalog,
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_nationkey = ? AND c_acctbal > ? ORDER BY c_custkey",
+        params=[3, 1000.0],
+    )
+    rows = out.collect()
+    ref = (
+        catalog.load("customer")
+        .filter((F.col("c_nationkey") == 3) & (F.col("c_acctbal") > 1000.0))
+        .orderBy("c_custkey")
+        .select("c_custkey", "c_name")
+        .collect()
+    )
+    assert rows == ref and len(rows) > 0
