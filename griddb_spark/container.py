@@ -256,3 +256,38 @@ class GridStore:
 
     def drop_container(self, name: str) -> None:
         self._containers.pop(name, None)
+
+    # -- export/import (the gs_export / gs_import CLI surface) --------------
+    def export_container(self, name: str, path: str, fmt: str = "parquet",
+                         mode: str = "overwrite") -> None:
+        """Write a container out as parquet/csv/json (GridDB ships CSV
+        export via the gs_export tool; Spark's writers cover all three).
+        CSV/JSON writers get an explicit header/schema so a re-import
+        round-trips losslessly."""
+        df = self.get_container(name).df
+        w = df.write.mode(mode)
+        if fmt == "csv":
+            w.option("header", True).option("timestampFormat",
+                                            "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            w.csv(path)
+        elif fmt == "json":
+            w.json(path)
+        else:
+            w.parquet(path)
+
+    def import_container(self, name: str, path: str, fmt: str = "parquet",
+                         schema=None, row_key: str | None = None) -> Collection:
+        """Read an exported container back (gs_import). ``schema`` pins
+        CSV/JSON column types — pass the original DataFrame schema for an
+        exact round-trip (CSV/JSON inference widens types otherwise)."""
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        if fmt == "csv":
+            df = r.option("header", True).option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").csv(path)
+        elif fmt == "json":
+            df = r.json(path)
+        else:
+            df = r.parquet(path)
+        return self.put_container(name, df, row_key=row_key)

@@ -75,3 +75,24 @@ def test_timeseries_api_roundtrip(catalog):
     assert len(got) == 1 and got[0]["ts"] == t1
     nxt = ts.get_at(t1, "NEXT_ONLY").collect()
     assert len(nxt) == 1 and nxt[0]["ts"] > t1
+
+
+def test_export_import_roundtrip(spark, catalog, tmp_path):
+    """gs_export/gs_import surface: container → csv/json → container is
+    lossless when re-imported with the original schema."""
+    from griddb_spark.container import GridStore
+
+    store = GridStore(spark)
+    nation = catalog.load("nation")
+    store.put_container("nation", nation, row_key="n_nationkey")
+    want = sorted(map(tuple, nation.collect()))
+
+    for fmt in ("csv", "json", "parquet"):
+        p = str(tmp_path / f"nation_{fmt}")
+        store.export_container("nation", p, fmt=fmt)
+        got = store.import_container(
+            f"nation_{fmt}", p, fmt=fmt, schema=nation.schema,
+            row_key="n_nationkey",
+        )
+        assert sorted(map(tuple, got.df.collect())) == want
+        assert got.df.schema == nation.schema
