@@ -240,17 +240,22 @@ def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            count(DISTINCT l_suppkey) AS n_supp,
            count(DISTINCT l_partkey) AS n_part,
-           sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS sum_dist_qty
+           sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS sum_dist_qty,
+           round(avg(DISTINCT l_quantity), 6) AS avg_dist_qty,
+           round(stddev_samp(DISTINCT l_quantity), 6) AS sd_dist_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP_GROUP_DISTINCT: DISTINCT aggregates (AGG_DISTINCT_*)."""
+    """OP_GROUP_DISTINCT(_MERGE): DISTINCT aggregates — the full
+    AGG_DISTINCT_* family (sql_type.h:116-128) incl. AVG/STDDEV forms."""
     li = cat(spark, sf_dir).load("lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct("l_partkey").alias("n_part"),
         F.sum_distinct(_dec("l_quantity")).alias("sum_dist_qty"),
+        _r6(F.expr("avg(DISTINCT l_quantity)")).alias("avg_dist_qty"),
+        _r6(F.expr("stddev_samp(DISTINCT l_quantity)")).alias("sd_dist_qty"),
     )
 
 
