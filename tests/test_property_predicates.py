@@ -28,6 +28,10 @@ _ATOMS = [
         "ts >= TIMESTAMP '2024-01-15 00:00:00'",
     ),
     ("value * 2 - 10 > user_id % 100", "value * 2 - 10 > user_id % 100"),
+    (
+        "(value > 50) XOR (user_id < 700)",
+        "(value > 50) <> (user_id < 700)",
+    ),
 ]
 
 
