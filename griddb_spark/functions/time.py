@@ -74,14 +74,19 @@ def ts_to_timestamp_ns(col: Column | str) -> Column:
     return (F.unix_micros(_c(col)) * 1000).cast("long")
 
 
-def timestamp_trunc(unit: str, col: Column | str) -> Column:
-    """TIMESTAMP_TRUNC(unit, ts) — truncate to unit boundary (UTC)."""
+def timestamp_trunc(unit: str, col: Column | str, tz: str | None = None) -> Column:
+    """TIMESTAMP_TRUNC(unit, ts[, timezone]) — truncate to unit boundary.
+
+    ``tz`` is GridDB's optional timezone argument (5.x time functions):
+    the boundary is computed in that zone, result stays an instant."""
     u = unit.upper()
-    if u in ("MILLISECOND", "MICROSECOND"):
-        return F.date_trunc(u.lower(), _c(col))
-    if u not in TIMESTAMP_UNITS:
+    if u not in TIMESTAMP_UNITS and u not in ("MILLISECOND", "MICROSECOND"):
         raise ValueError(f"unsupported TIMESTAMP_TRUNC unit {unit!r}")
-    return F.date_trunc(u.lower(), _c(col))
+    c = _c(col)
+    if tz:
+        local = F.from_utc_timestamp(c, tz)
+        return F.to_utc_timestamp(F.date_trunc(u.lower(), local), tz)
+    return F.date_trunc(u.lower(), c)
 
 
 def timestamp_add(unit: str, col: Column | str, amount) -> Column:
@@ -101,11 +106,14 @@ def timestamp_diff(unit: str, start: Column | str, end: Column | str) -> Column:
     return F.timestamp_diff(u, _c(start), _c(end))
 
 
-def extract_unit(unit: str, col: Column | str) -> Column:
-    """EXTRACT(unit, ts) — field extraction incl. GridDB's DAY_OF_WEEK
-    (0=Sunday) and DAY_OF_YEAR."""
+def extract_unit(unit: str, col: Column | str, tz: str | None = None) -> Column:
+    """EXTRACT(unit, ts[, timezone]) — field extraction incl. GridDB's
+    DAY_OF_WEEK (0=Sunday) and DAY_OF_YEAR; fields read in ``tz`` when
+    given (GridDB's optional timezone argument)."""
     u = unit.upper()
     c = _c(col)
+    if tz:
+        c = F.from_utc_timestamp(c, tz)
     if u == "DAY_OF_WEEK":
         return F.dayofweek(c) - 1  # Spark: 1=Sunday → GridDB: 0=Sunday
     if u == "DAY_OF_YEAR":
@@ -126,8 +134,9 @@ _STRFTIME_MAP = {
 }
 
 
-def strftime(fmt: str, col: Column | str) -> Column:
-    """STRFTIME(fmt, ts) — %-code formatting (sql_expression_time.h)."""
+def strftime(fmt: str, col: Column | str, tz: str | None = None) -> Column:
+    """STRFTIME(fmt, ts[, timezone]) — %-code formatting
+    (sql_expression_time.h); rendered in ``tz`` when given."""
     out, i = [], 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
@@ -148,6 +157,8 @@ def strftime(fmt: str, col: Column | str) -> Column:
             i += 1
     pattern = "".join(out)
     c = _c(col)
+    if tz:
+        c = F.from_utc_timestamp(c, tz)
     if "\u0001w\u0001" in pattern:
         parts = pattern.split("\u0001w\u0001")
         cols: list[Column] = []

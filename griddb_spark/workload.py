@@ -1995,3 +1995,33 @@ def time_sampling_no_interp_user3(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
     return time_sampling_no_interp(ev, EV_START, EV_END, 6, "HOUR", ts_col="ts")
+
+
+@query(
+    "scalar_time_tz",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('day', o_orderdate AT TIME ZONE 'UTC'
+                AT TIME ZONE 'Asia/Tokyo') AT TIME ZONE 'Asia/Tokyo'
+                AT TIME ZONE 'UTC' AS TIMESTAMP) AS day_jst,
+           EXTRACT(hour FROM o_orderdate AT TIME ZONE 'UTC'
+                AT TIME ZONE 'Asia/Tokyo')::INT AS hr_jst,
+           strftime(o_orderdate AT TIME ZONE 'UTC'
+                AT TIME ZONE 'America/New_York', '%Y-%m-%d %H') AS fmt_ny
+    FROM orders WHERE o_orderkey <= 100
+    """,
+)
+def scalar_time_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time functions with GridDB's optional timezone argument
+    (TIMESTAMP_TRUNC/EXTRACT/STRFTIME with tz, sql_expression_time.h:47-196,
+    5.x zone support): boundaries/fields computed in the given zone,
+    results stay UTC instants."""
+    from griddb_spark.functions.time import extract_unit, strftime, timestamp_trunc
+
+    o = cat(spark, sf_dir).load("orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        timestamp_trunc("DAY", F.col("o_orderdate"), tz="Asia/Tokyo").alias("day_jst"),
+        extract_unit("HOUR", F.col("o_orderdate"), tz="Asia/Tokyo").alias("hr_jst"),
+        strftime("%Y-%m-%d %H", F.col("o_orderdate"), tz="America/New_York").alias("fmt_ny"),
+    )

@@ -96,3 +96,27 @@ def test_export_import_roundtrip(spark, catalog, tmp_path):
         )
         assert sorted(map(tuple, got.df.collect())) == want
         assert got.df.schema == nation.schema
+
+
+def test_composite_key_put_remove(spark, catalog):
+    """Composite row keys (CompositeKeyMultiGet sample): put upserts by the
+    full key tuple; remove/get address one tuple."""
+    from griddb_spark.container import Collection
+
+    li = catalog.load("lineitem").limit(50)
+    col = Collection("lineitem", li, row_key=["l_orderkey", "l_linenumber"])
+    n0 = col.df.count()
+
+    first = li.orderBy("l_orderkey", "l_linenumber").first()
+    key = (first.l_orderkey, first.l_linenumber)
+    # upsert the same key: count unchanged, value updated
+    updated = li.filter(
+        (F.col("l_orderkey") == key[0]) & (F.col("l_linenumber") == key[1])
+    ).withColumn("l_quantity", F.lit(999.0))
+    col.put(updated)
+    assert col.df.count() == n0
+    assert col.get(key).first().l_quantity == 999.0
+
+    col.remove(key)
+    assert col.df.count() == n0 - 1
+    assert col.get(key).count() == 0
