@@ -123,3 +123,22 @@ class ContainerCatalog:
             "table_name string, ordinal int, column_name string, "
             "column_type string, nullable boolean",
         )
+
+    def meta_columns_all(self) -> DataFrame:
+        """#columns over every registered container — one DataFrame, no
+        per-table unions (metadata is driver-side by nature; the schema
+        comes from parquet footers, not a data scan)."""
+        rows = []
+        for name in KNOWN_TABLES:
+            if not os.path.exists(self.path(name)):
+                continue
+            df = self.load(name)
+            rows += [
+                (name, i, f.name, f.dataType.simpleString(), f.nullable)
+                for i, f in enumerate(df.schema.fields)
+            ]
+        return self.spark.createDataFrame(
+            rows,
+            "table_name string, ordinal int, column_name string, "
+            "column_type string, nullable boolean",
+        )

@@ -1565,16 +1565,9 @@ def meta_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GridDB meta/system tables (#tables/#columns, meta_type.h:712-731,
     meta_store.cpp): the container catalog served as queryable DataFrames."""
     c = cat(spark, sf_dir)
-    metas = [
-        c.meta_columns(t.table_name).select(
-            "table_name", (F.col("ordinal") + 1).alias("ordinal"), "column_name"
-        )
-        for t in c.meta_tables().collect()
-    ]
-    out = metas[0]
-    for m in metas[1:]:
-        out = out.unionAll(m)
-    return out
+    return c.meta_columns_all().select(
+        "table_name", (F.col("ordinal") + 1).alias("ordinal"), "column_name"
+    )
 
 
 @query(
@@ -2024,4 +2017,39 @@ def scalar_time_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
         timestamp_trunc("DAY", F.col("o_orderdate"), tz="Asia/Tokyo").alias("day_jst"),
         extract_unit("HOUR", F.col("o_orderdate"), tz="Asia/Tokyo").alias("hr_jst"),
         strftime("%Y-%m-%d %H", F.col("o_orderdate"), tz="America/New_York").alias("fmt_ny"),
+    )
+
+
+@query(
+    "scalar_string_funcs2",
+    """
+    SELECT c_custkey,
+           hex(substr(c_name, 1, 4)) AS hx,
+           chr(72) || chr(105) AS ch,
+           unicode(c_name) AS uc,
+           translate(c_name, '#0123', '-OIZE') AS tr,
+           printf('%s:%04d', c_mktsegment, c_custkey) AS pf,
+           '''' || replace(c_name, '''', '''''') || '''' AS quoted,
+           ltrim(c_name, 'Cust') AS lt,
+           rtrim(c_name, '0123456789#') AS rt
+    FROM customer WHERE c_custkey <= 100
+    """,
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery (sql_expression_string.h:45-176): HEX, CHAR,
+    UNICODE, TRANSLATE, PRINTF, QUOTE, charset LTRIM/RTRIM — all engine
+    shims over codegen built-ins."""
+    from griddb_spark.functions import scalar as S
+
+    c = cat(spark, sf_dir).load("customer").filter(F.col("c_custkey") <= 100)
+    return c.select(
+        "c_custkey",
+        S.hex_(F.substring("c_name", 1, 4)).alias("hx"),
+        S.char_(72, 105).alias("ch"),
+        S.unicode_("c_name").alias("uc"),
+        S.translate_("c_name", "#0123", "-OIZE").alias("tr"),
+        S.printf("%s:%04d", "c_mktsegment", "c_custkey").alias("pf"),
+        S.quote("c_name").alias("quoted"),
+        F.ltrim(F.col("c_name"), F.lit("Cust")).alias("lt"),
+        F.rtrim(F.col("c_name"), F.lit("0123456789#")).alias("rt"),
     )
