@@ -97,6 +97,11 @@ def minhash_lsh_pairs(
         # per doc happen exactly once regardless of join strategy
         .persist()
     )
+    # eager materialization: concurrent first-use of an unmaterialized cache
+    # makes every join branch compute the expensive subtree independently
+    # (observed 3x wall-clock swings); one count() populates both caches
+    # once (banded forces sh through the signature stage)
+    banded.count()
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -198,6 +203,7 @@ def simhash_pairs(
             *[_hexval(F.col("simhash"), p + 1) for p in range(16)]
         ).alias("__hv"),
     ).persist()  # read by both self-join branches; simhash runs once
+    sim.count()  # eager: see minhash_lsh_pairs on cache-population races
     width = 16 // chunks
     chunk_structs = [
         F.struct(
@@ -310,6 +316,7 @@ def ngram_jaccard_pairs(
         .select("__id", "gram")
         .persist()  # both self-join branches read the prefix index
     )
+    pref.count()  # eager: see minhash_lsh_pairs on cache-population races
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "gram")

@@ -30,6 +30,12 @@ def get_spark(
     default to ``local[N]`` with N = SPARK_GRAFT_CPUS (default 32).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # one BLAS/OMP thread per python worker: the pandas-UDF kernels (GEMM
+    # all-pairs, ANN scoring) run up to #cores workers concurrently — BLAS
+    # spawning its own threads on top oversubscribes the box and produces
+    # 2-3x wall-clock swings. Parallelism belongs to Spark, not BLAS.
+    for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
@@ -50,6 +56,17 @@ def get_spark(
         # oracles CAST ns→µs the same way). GridDB NANO_TIMESTAMP fidelity
         # stays available via the *_ns helpers.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # single-file parquet sources split per row-group: at testdata sizes
+        # (≈10 MB files) the 128m default serializes the scan on one core.
+        # 8m keeps all local cores busy; on a many-file 100 TB layout the
+        # default is right — override via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

@@ -1176,7 +1176,11 @@ def pipe_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/BPE-token/punct/stopword features + score."""
     from griddb_spark.pipeline import quality_stats
 
-    docs = cat(spark, sf_dir).load("documents")
+    # repartition before the interpreted higher-order feature exprs: a
+    # single-file source is one scan partition, which serializes (and on a
+    # cold JVM, runs the slow interpreted path) — spread across cores
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
     stats = quality_stats("text")
     return docs.select(
         "doc_id", *[c.alias(n) for n, c in stats.items()]
@@ -1207,7 +1211,8 @@ def pipe_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon/n-gram language-ID heuristic vs the declared lang column."""
     from griddb_spark.pipeline import lang_id
 
-    docs = cat(spark, sf_dir).load("documents")
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
     return docs.select(
         "doc_id",
         F.col("lang").alias("declared_lang"),
@@ -1231,7 +1236,8 @@ def pipe_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: bottom-k sketch of rolling char-8-gram hashes."""
     from griddb_spark.pipeline import bottom_k_fingerprint
 
-    docs = cat(spark, sf_dir).load("documents")
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
     return docs.select(
         "doc_id", bottom_k_fingerprint("text", n=8, k=5).alias("fingerprint")
     )
