@@ -54,6 +54,10 @@ def prepare(spark: SparkSession) -> None:
     # unix_millis & friends reject NTZ, and UTC session tz keeps collect()
     # values identical to DuckDB's naive-UTC timestamps.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # single-file parquet sources split per row-group; 8m keeps every core
+    # busy at testdata sizes (runtime-settable, so it also applies to the
+    # driver's vanilla session)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
 
 
 def cat(spark: SparkSession, sf_dir: str) -> ContainerCatalog:
