@@ -37,6 +37,14 @@ from griddb_spark.operators.timeseries import UNIT_MS
 
 PARTITION_COL = "__part"
 
+#: GridDB DDL type names (``data_store_common.h:136-165``) → Spark SQL types.
+GRIDDB_TYPES = {
+    "STRING": "string", "BOOL": "boolean", "BYTE": "tinyint",
+    "SHORT": "smallint", "INTEGER": "int", "LONG": "bigint",
+    "FLOAT": "float", "DOUBLE": "double", "TIMESTAMP": "timestamp",
+    "BLOB": "binary",
+}
+
 
 class HashPartitioning:
     """PARTITION BY HASH(col, n): bucket id ``pmod(xxhash64(col), n)``."""
@@ -105,6 +113,32 @@ class DmlTable:
         self._write(self._with_part(df), mode)
         return self
 
+    def alter_add_column(self, name: str, dtype: str) -> "DmlTable":
+        """``ALTER TABLE ADD COLUMN`` (``sql_parser.h:246-247``): append a
+        zero-row file carrying the widened schema; existing rows surface
+        NULL (GridDB adds nullable columns only). ``scan`` merges parquet
+        footers, so this is O(1) in data size at any scale — on Delta or
+        Iceberg the same operation is pure table metadata."""
+        dtype = GRIDDB_TYPES.get(dtype.upper(), dtype)
+        if self.partitioning is not None:
+            # partitionBy writes nothing for zero rows; rewrite instead
+            # (Delta/Iceberg would keep this metadata-only too)
+            self._rewrite(
+                self.read().withColumn(name, F.lit(None).cast(dtype))
+            )
+            return self
+        widened = self.scan().schema.add(name, dtype)
+        empty = self.spark.createDataFrame([], widened).coalesce(1)
+        self._write(empty, "append")
+        return self
+
+    def alter_rename_column(self, old: str, new: str) -> "DmlTable":
+        """``ALTER TABLE RENAME COLUMN`` — plain parquet stores names in
+        file footers, so a rename is a read-rewrite here (Delta/Iceberg do
+        it as metadata via field IDs; the semantics are identical)."""
+        self._rewrite(self.read().withColumnRenamed(old, new))
+        return self
+
     # -- DML ---------------------------------------------------------------
 
     def read(self) -> DataFrame:
@@ -113,8 +147,9 @@ class DmlTable:
 
     def scan(self) -> DataFrame:
         """Raw scan including PARTITION_COL — use with the partitioning's
-        ``range_filter``/``key_filter`` for pruned reads."""
-        return self.spark.read.parquet(self.path)
+        ``range_filter``/``key_filter`` for pruned reads. ``mergeSchema``
+        makes post-ALTER files (see ``alter_add_column``) visible."""
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def scan_range(self, start_ms: int, end_ms: int) -> DataFrame:
         """Partition-pruned range scan (RangePartitioning only)."""

@@ -1440,6 +1440,46 @@ def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ddl_alter_table",
+    """
+    WITH evolved AS (
+      SELECT s_suppkey, s_nationkey, s_acctbal AS balance,
+             CAST(NULL AS DOUBLE) AS rating
+      FROM supplier
+    )
+    SELECT s_nationkey, count(*) AS n, count(rating) AS n_rating,
+           sum(CAST(balance AS DECIMAL(18,2))) AS bal
+    FROM evolved GROUP BY s_nationkey
+    """,
+)
+def ddl_alter_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD/RENAME COLUMN (``sql_parser.h:246-247``): copy
+    supplier into a container, ADD COLUMN rating DOUBLE (zero-row
+    schema-evolution append — O(1) in data size), RENAME s_acctbal →
+    balance, then aggregate the evolved schema. Oracle emulates the DDL
+    with casts over the pristine table."""
+    import tempfile
+
+    from griddb_spark.dml import DmlTable
+
+    sup = cat(spark, sf_dir).load("supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    t = DmlTable(spark, tempfile.mkdtemp(prefix="ddl_sup_") + "/t").create(sup)
+    t.alter_add_column("rating", "DOUBLE")
+    t.alter_rename_column("s_acctbal", "balance")
+    return (
+        t.read()
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("rating").alias("n_rating"),
+            F.sum(_dec("balance")).alias("bal"),
+        )
+    )
+
+
+@query(
     "partition_pruned_scan",
     f"""
     SELECT user_id, round(sum(value), 6) AS sv, count(*) AS n

@@ -22,6 +22,34 @@ def test_update_delete_roundtrip(spark, tmp_path):
     assert rows == {1: ("a", 0.0), 2: ("b", 3.0), 3: ("a", 0.0), 5: ("b", 0.0)}
 
 
+def test_alter_add_rename_column(spark, tmp_path):
+    from griddb_spark.dml import DmlTable, hash_partition_expr
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, seg string"
+    )
+    t = DmlTable(spark, str(tmp_path / "t")).create(df)
+    t.alter_add_column("score", "DOUBLE")
+    assert dict(t.read().dtypes)["score"] == "double"
+    assert [r.score for r in t.read().collect()] == [None, None]
+    # new inserts carry the column; old rows stay NULL
+    t.insert(
+        spark.createDataFrame([(3, "c", 1.5)], "id int, seg string, score double")
+    )
+    rows = {r.id: r.score for r in t.read().collect()}
+    assert rows == {1: None, 2: None, 3: 1.5}
+    t.alter_rename_column("seg", "segment")
+    assert "segment" in t.read().columns and "seg" not in t.read().columns
+
+    # partitioned variant takes the rewrite path
+    p = DmlTable(
+        spark, str(tmp_path / "p"), hash_partition_expr("id", 4)
+    ).create(df)
+    p.alter_add_column("flag", "BOOL")
+    assert dict(p.read().dtypes)["flag"] == "boolean"
+    assert p.read().count() == 2
+
+
 def test_hash_partitioned_update_and_pruning(spark, tmp_path, catalog):
     from griddb_spark.dml import DmlTable, range_partition_expr
 
