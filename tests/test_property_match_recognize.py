@@ -1,0 +1,123 @@
+"""Property-style differential testing of MATCH_RECOGNIZE
+(``OP_WINDOW_MATCH``, ``sql_operator_sort.h:94``): randomized patterns over
+randomized event sequences, checked against Python's ``re`` engine as an
+independent oracle.
+
+The oracle trick: DEFINE conditions are restricted to mutually-exclusive
+value classes (A: v<25, B: 25<=v<50, C: 50<=v<75, D: v>=75, NULL → no
+class), so each row maps to exactly one class character and the partition
+becomes a string. MATCH_RECOGNIZE with AFTER MATCH SKIP PAST LAST ROW and
+greedy quantifiers is then exactly: repeatedly ``re.match`` at successive
+positions, emit [start, end), resume after the match — both engines are
+leftmost-greedy backtrackers, so (first_id, last_id) per match must agree
+exactly. Deterministic seed.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+
+SEED = 13
+N_CASES = 12
+N_PARTITIONS = 3
+ROWS_PER_PARTITION = 60
+
+#: mutually-exclusive classes: (var, define condition, regex char)
+_CLASSES = [
+    ("A", "value < 25", "a"),
+    ("B", "25 <= value < 50", "b"),
+    ("C", "50 <= value < 75", "c"),
+    ("D", "value >= 75", "d"),
+]
+_CHAR = {v: ch for v, _, ch in _CLASSES}
+
+
+def _classify(value) -> str:
+    if value is None:
+        return "x"  # NULL satisfies no DEFINE condition
+    for (_, _, ch), hi in zip(_CLASSES, (25, 50, 75, float("inf"))):
+        if value < hi:
+            return ch
+    raise AssertionError
+
+
+def _gen_pattern(rng: random.Random) -> str:
+    factors = []
+    n = rng.randint(2, 4)
+    for i in range(n):
+        if rng.random() < 0.3:
+            a, b = rng.sample("ABCD", 2)
+            atom = f"({a} | {b})"
+        else:
+            atom = rng.choice("ABCD")
+        # first factor must consume >=1 row so the pattern can't match empty
+        quant = rng.choice(["", "+"]) if i == 0 else rng.choice(["", "+", "*", "?"])
+        factors.append(atom + quant)
+    return " ".join(factors)
+
+
+def _to_regex(pattern: str) -> str:
+    out = pattern.replace(" ", "")
+    for v, ch in _CHAR.items():
+        out = out.replace(v, ch)
+    return out
+
+
+def _ref_matches(classes: str, rx: "re.Pattern") -> list[tuple[int, int]]:
+    """Leftmost matching with AFTER MATCH SKIP PAST LAST ROW."""
+    out, i = [], 0
+    while i < len(classes):
+        m = rx.match(classes, i)
+        if m and m.end() > m.start():
+            out.append((m.start(), m.end() - 1))
+            i = m.end()
+        else:
+            i += 1
+    return out
+
+
+def _gen_data(rng: random.Random):
+    rows = []
+    eid = 0
+    for k in range(N_PARTITIONS):
+        for _ in range(ROWS_PER_PARTITION):
+            v = None if rng.random() < 0.05 else round(rng.uniform(0, 100), 3)
+            rows.append((k, eid, v))
+            eid += 1
+    return rows
+
+
+@pytest.mark.parametrize("case", range(N_CASES))
+def test_random_pattern_matches_re_oracle(spark, case):
+    from griddb_spark.operators import match_recognize
+
+    rng = random.Random(SEED + case)
+    pattern = _gen_pattern(rng)
+    rows = _gen_data(rng)
+    df = spark.createDataFrame(rows, "k int, event_id long, value double")
+
+    got_df = match_recognize(
+        df,
+        pattern=pattern,
+        define={v: cond for v, cond, _ in _CLASSES if v in pattern},
+        measures={"first_id": "FIRST(event_id)", "last_id": "LAST(event_id)"},
+        partition_by=["k"],
+        order_by="event_id",
+    )
+    got: dict[int, list[tuple[int, int]]] = {k: [] for k in range(N_PARTITIONS)}
+    for r in got_df.orderBy("k", "match_no").collect():
+        got[r.k].append((r.first_id, r.last_id))
+
+    rx = re.compile(_to_regex(pattern))
+    for k in range(N_PARTITIONS):
+        part = [(eid, v) for kk, eid, v in rows if kk == k]
+        classes = "".join(_classify(v) for _, v in part)
+        want = [
+            (part[s][0], part[e][0]) for s, e in _ref_matches(classes, rx)
+        ]
+        assert got[k] == want, (
+            f"pattern {pattern!r} partition {k}: {got[k]} != {want}"
+        )
