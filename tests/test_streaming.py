@@ -41,6 +41,65 @@ def test_stream_group_by_range_matches_batch(spark, catalog, tmp_path):
     assert streamed == batched
 
 
+def test_watermark_late_data_semantics(spark, tmp_path):
+    """Event-time watermark behavior of the streaming GROUP BY RANGE:
+    a late row inside the watermark is merged into its (not yet final)
+    bucket; a row older than the watermark is dropped; finalized buckets
+    are emitted exactly once (append mode). This is the semantics GridDB's
+    periodic-aggregation pattern needs from the streaming face."""
+    import datetime as dt
+
+    from griddb_spark.streaming import group_by_range_stream
+
+    src = str(tmp_path / "wm_src")
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    os.makedirs(src)
+    base = dt.datetime(2024, 1, 1)
+
+    def wave(minutes, fname):
+        rows = [(base + dt.timedelta(minutes=m), 1.0) for m in minutes]
+        spark.createDataFrame(rows, "ts timestamp, value double").coalesce(
+            1
+        ).write.parquet(f"{src}/{fname}")
+
+    def run():
+        stream = spark.readStream.schema("ts timestamp, value double").parquet(
+            f"{src}/*"
+        )
+        agg = group_by_range_stream(
+            stream, "ts", 10, "MINUTE",
+            {"n": F.count(F.lit(1))}, watermark="30 minutes",
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # wave 1: three rows in bucket 00:00 + one at 00:30 → watermark 00:00
+    wave([0, 3, 5, 30], "b1")
+    run()
+    # wave 2: late row at 00:05 (>= watermark → merged into open bucket
+    # 00:00), row at 00:50 advances watermark to 00:20 → bucket 00:00
+    # finalized with the late row counted
+    wave([5, 50], "b2")
+    run()
+    # wave 3: too-late row at 00:02 (< watermark 00:20 → dropped), row at
+    # 01:30 advances watermark past every other bucket
+    wave([2, 90], "b3")
+    run()
+
+    got = {
+        r.ts.strftime("%H:%M"): r.n for r in spark.read.parquet(out).collect()
+    }
+    assert got == {"00:00": 4, "00:30": 1, "00:50": 1}
+
+
 def test_upsert_by_key_insert_or_update(spark, tmp_path):
     from griddb_spark.streaming import upsert_by_key
 
