@@ -551,6 +551,17 @@ def match_recognize(
             return pd.DataFrame({c: pd.Series(dtype="object") for c in out_names})
         return pd.DataFrame(out_rows, columns=out_names)
 
-    grouped = df.groupBy(*partition_by) if partition_by else df.groupBy(F.lit(1).alias("__g"))
+    if partition_by:
+        # Explicit hash repartition on the grouping keys: the NFA is the
+        # Python slow path, so it must fan out across every core — AQE
+        # would coalesce the small shuffle under its advisory size and
+        # starve the executors (explicit numPartitions is never coalesced,
+        # and hash partitioning on the keys satisfies the grouped-map
+        # distribution, so no second exchange is added).
+        para = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(para, *[F.col(c) for c in partition_by])
+        grouped = df.groupBy(*partition_by)
+    else:
+        grouped = df.groupBy(F.lit(1).alias("__g"))
     result = grouped.applyInPandas(_process, schema=out_schema)
     return result

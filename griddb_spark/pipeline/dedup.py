@@ -67,9 +67,13 @@ def minhash_lsh_pairs(
     para = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        # cheap equivalent of `size(shingles) > 0` (empty iff < n words or
+        # NULL), applied BEFORE the repartition: a post-shingle size filter
+        # gets predicate-pushed below the exchange, which re-evaluates the
+        # whole shingle expression inside the single-task scan stage
+        .filter(F.size(tokens(text_col)) >= shingle_n)
         .repartition(para, "__id")
         .select("__id", word_shingles(text_col, shingle_n).alias("__sh"))
-        .filter(F.size("__sh") > 0)
         # the shingle table is read 3× (signature + both verify sides) and
         # shingling/minhash are interpreted higher-order exprs — persist so
         # each doc is shingled exactly once, and so AQE's join planning can
@@ -146,18 +150,24 @@ def with_simhash(
         .repartition(para, id_col)  # spread hash work; see minhash note
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
         .withColumn("__h", F.md5("__tok"))
+        # decode the leading 16 hex digits as two 32-bit ints (conv) — one
+        # expression per 8 digits instead of instr+substring per digit
+        # keeps the per-token work and the codegen size ~3x smaller
+        .withColumn("__c0", F.conv(F.substring("__h", 1, 8), 16, 10).cast("long"))
+        .withColumn("__c1", F.conv(F.substring("__h", 9, 8), 16, 10).cast("long"))
     )
-    for d in range(16):
-        tok = tok.withColumn(f"__hv{d}", _hexval(F.col("__h"), d + 1))
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.col(f"__hv{j // 4}").bitwiseAND(F.lit(1 << (3 - j % 4))) != 0,
-                1,
-            ).otherwise(-1)
-        ).alias(f"__b{j}")
-        for j in range(64)
-    ]
+    bit_sums = []
+    for j in range(64):
+        d = j // 4
+        chunk = "__c0" if d < 8 else "__c1"
+        shift = (7 - d % 8) * 4 + (3 - j % 4)
+        bit_sums.append(
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(chunk), shift).bitwiseAND(F.lit(1)) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"__b{j}")
+        )
     votes = tok.groupBy(id_col).agg(*bit_sums)
     digit_chars = [
         F.substring(
@@ -283,12 +293,16 @@ def ngram_jaccard_pairs(
     para = df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        # grams are empty only for NULL text — filter that BEFORE the
+        # repartition (a post-hoc size filter would be predicate-pushed
+        # below the exchange and re-evaluate the n-gram transform inside
+        # the single-task scan stage)
+        .filter(F.col(text_col).isNotNull())
         # repartition BEFORE shingling: a single-file source scans as one
         # partition, and the n-gram transform is an interpreted
         # higher-order expression — spread it across cores first
         .repartition(para, "__id")
         .select("__id", char_ngrams(text_col, n).alias("__grams"))
-        .filter(F.size("__grams") > 0)
         .persist()
     )
 
