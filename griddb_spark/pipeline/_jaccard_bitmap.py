@@ -115,6 +115,14 @@ def jaccard_allpairs_bitmap(
             )
         return pd.concat(outs) if outs else empty
 
-    return sides.groupBy("pa", "pb").applyInPandas(
-        kernel, "doc_a long, doc_b long, jaccard double"
+    # explicit repartition on the block-pair key: the kernel shuffle is
+    # tiny in bytes but quadratic in compute, so AQE's size-based coalesce
+    # would collapse the B*(B+1)/2 tasks onto a few cores (2x key count
+    # keeps hash-collision doubling rare; explicit numPartitions is never
+    # coalesced)
+    n_pairs = blocks * (blocks + 1) // 2
+    return (
+        sides.repartition(2 * n_pairs, "pa", "pb")
+        .groupBy("pa", "pb")
+        .applyInPandas(kernel, "doc_a long, doc_b long, jaccard double")
     )

@@ -214,6 +214,12 @@ def cosine_pairs(
             lo, hi, cs = lo[first], hi[first], cs[first]
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cs})
 
-    return sides.groupBy("pa", "pb").applyInPandas(kernel, out_schema).select(
-        "id_a", "id_b", "cos_sim"
+    # explicit repartition so AQE's size-based coalesce can't collapse the
+    # compute-bound block-pair tasks (see _jaccard_bitmap note)
+    n_pairs = blocks * (blocks + 1) // 2
+    return (
+        sides.repartition(2 * n_pairs, "pa", "pb")
+        .groupBy("pa", "pb")
+        .applyInPandas(kernel, out_schema)
+        .select("id_a", "id_b", "cos_sim")
     )
