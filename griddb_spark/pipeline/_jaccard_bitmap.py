@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 
 def jaccard_allpairs_bitmap(
@@ -44,15 +43,29 @@ def jaccard_allpairs_bitmap(
     spark = base.sparkSession
     if vocab is None:
         vocab = freq.count()
-    gdict = freq.select(
-        "gram", (F.row_number().over(W.orderBy("gram")) - 1).alias("gid")
-    )
-    ids = (
-        base.select("__id", F.explode("__grams").alias("gram"))
-        .join(F.broadcast(gdict), "gram")
-        .groupBy("__id")
-        .agg(F.collect_list("gid").alias("__gids"))
-        .withColumn("__blk", F.pmod(F.xxhash64("__id"), F.lit(blocks)))
+    # vocabulary is small by dispatch precondition — ship the dictionary
+    # as a broadcast Python dict and encode gram→gid inside one Arrow
+    # batch map. The join-based alternative (explode + broadcast join +
+    # collect_list) shuffles corpus×grams rows and costs more than the
+    # GEMM itself at this vocab size.
+    gid_of = {
+        g: i
+        for i, g in enumerate(sorted(r.gram for r in freq.select("gram").collect()))
+    }
+    bc = spark.sparkContext.broadcast(gid_of)
+
+    def encode(batches):
+        d = bc.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__gids": pdf["__grams"].map(lambda arr: [d[g] for g in arr]),
+                }
+            )
+
+    ids = base.mapInPandas(encode, "__id long, __gids array<int>").withColumn(
+        "__blk", F.pmod(F.xxhash64("__id"), F.lit(blocks))
     )
     bp = spark.createDataFrame(
         [(a, b) for a in range(blocks) for b in range(blocks) if a <= b],

@@ -17,6 +17,7 @@ Scale shapes (the point of each design):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -79,7 +80,7 @@ def minhash_lsh_pairs(
         # each doc is shingled exactly once, and so AQE's join planning can
         # never re-evaluate the expensive subtree inside a broadcast build
         # (observed 3-10× wall-clock swings without this)
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sig = sh.select("__id", minhash_signature(F.col("__sh"), k).alias("__sig"))
     band_structs = [
@@ -99,7 +100,7 @@ def minhash_lsh_pairs(
         # persisted, not just repartitioned: the self-join needs this twice,
         # and cached (id, band, bkey) rows are tiny — k minhash evaluations
         # per doc happen exactly once regardless of join strategy
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # eager materialization: concurrent first-use of an unmaterialized cache
     # makes every join branch compute the expensive subtree independently
@@ -212,7 +213,7 @@ def simhash_pairs(
         F.array(
             *[_hexval(F.col("simhash"), p + 1) for p in range(16)]
         ).alias("__hv"),
-    ).persist()  # read by both self-join branches; simhash runs once
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # read by both self-join branches; simhash runs once
     sim.count()  # eager: see minhash_lsh_pairs on cache-population races
     width = 16 // chunks
     chunk_structs = [
@@ -303,13 +304,16 @@ def ngram_jaccard_pairs(
         # higher-order expression — spread it across cores first
         .repartition(para, "__id")
         .select("__id", char_ngrams(text_col, n).alias("__grams"))
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     freq = (
         base.select(F.explode("__grams").alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("gf"))
+        # read twice: the dispatch statistic below AND the dictionary /
+        # prefix ordering — persist so the gram explode+count runs once
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_vocab = freq.count()
     if n_vocab <= small_vocab:
@@ -328,7 +332,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("rk") <= F.floor((1 - threshold) * F.col("sz")) + 1)
         .select("__id", "gram")
-        .persist()  # both self-join branches read the prefix index
+        .persist(StorageLevel.MEMORY_AND_DISK)  # both self-join branches read the prefix index
     )
     pref.count()  # eager: see minhash_lsh_pairs on cache-population races
     cand = (
