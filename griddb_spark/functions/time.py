@@ -61,6 +61,38 @@ def make_timestamp(year, month, day, hour=0, minute=0, sec=0.0) -> Column:
     return F.make_timestamp(*args, F.lit("UTC"))
 
 
+def make_timestamp_by_date(year, month, day) -> Column:
+    """MAKE_TIMESTAMP_BY_DATE(y, m, d) — midnight UTC (5.5+ constructor
+    family, ``sql_expression_time.h:47-196``)."""
+    return make_timestamp(year, month, day)
+
+
+def timestamp_ms(col: Column | str) -> Column:
+    """TIMESTAMP_MS('...') — parse a ms-precision timestamp string."""
+    return F.to_timestamp(F.regexp_replace(_c(col), "T|Z", " "))
+
+
+def timestamp_us(col: Column | str) -> Column:
+    """TIMESTAMP_US('...') — parse a µs-precision timestamp string
+    (MICRO_TIMESTAMP, 5.3+)."""
+    return F.to_timestamp(F.regexp_replace(_c(col), "T|Z", " "))
+
+
+def timestamp_ns(col: Column | str) -> Column:
+    """TIMESTAMP_NS('...') — parse to epoch-nanos LONG (NANO_TIMESTAMP
+    carrier; Spark timestamps cap at µs, so the ns digit survives only in
+    the long representation). Fractional digits are right-padded to 9."""
+    c = _c(col)
+    whole = F.to_timestamp(
+        F.regexp_replace(F.regexp_replace(c, r"\.\d+", ""), "T|Z", " ")
+    )
+    frac = F.rpad(F.coalesce(F.regexp_extract(c, r"\.(\d+)", 1), F.lit("")), 9, "0")
+    return (
+        F.unix_timestamp(whole).cast("long") * F.lit(1_000_000_000)
+        + frac.cast("long")
+    )
+
+
 def timestamp_ns_to_ts(col: Column | str) -> Column:
     """Epoch-nanos LONG → TIMESTAMP (truncating to µs, like parquet ns reads).
     Integer division: double math is lossy at epoch-ns magnitude (>2^53)."""

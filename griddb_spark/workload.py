@@ -469,6 +469,58 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_time_ctors",
+    """
+    WITH s AS (
+      SELECT o_orderkey,
+             '2024-01-0' || CAST((o_orderkey % 9) + 1 AS VARCHAR)
+               || ' 12:34:56.'
+               || lpad(CAST((o_orderkey % 999999999) + 1 AS VARCHAR), 9, '0')
+               AS s9,
+             '2024-01-0' || CAST((o_orderkey % 9) + 1 AS VARCHAR)
+               || ' 12:34:56.'
+               || lpad(CAST((o_orderkey % 999) + 1 AS VARCHAR), 3, '0') AS s3
+      FROM orders WHERE o_orderkey <= 200
+    )
+    SELECT o_orderkey,
+           -- DuckDB's VARCHAR->TIMESTAMP_NS cast truncates sub-us digits,
+           -- so assemble nanos from the whole-second part + fraction
+           epoch_us(CAST(substr(s9, 1, 19) AS TIMESTAMP)) * 1000
+             + CAST(substr(s9, 21, 9) AS BIGINT) AS ns,
+           CAST(s3 AS TIMESTAMP) AS ms_ts,
+           make_timestamp(2024, 3, CAST((o_orderkey % 28) + 1 AS BIGINT),
+                          0, 0, 0) AS byd
+    FROM s
+    """,
+)
+def scalar_time_ctors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp constructor/parser family (sql_expression_time.h:47-196):
+    TIMESTAMP_NS(str) → epoch-nanos LONG (ns fidelity beyond Spark's µs
+    cap), TIMESTAMP_MS(str), MAKE_TIMESTAMP_BY_DATE. Strings are derived
+    identically in both engines from integer keys."""
+    from griddb_spark.functions import time as gt
+
+    o = cat(spark, sf_dir).load("orders").filter(F.col("o_orderkey") <= 200)
+    key = F.col("o_orderkey")
+    s9 = F.concat(
+        F.lit("2024-01-0"), ((key % 9) + 1).cast("string"),
+        F.lit(" 12:34:56."),
+        F.lpad(((key % 999999999) + 1).cast("string"), 9, "0"),
+    )
+    s3 = F.concat(
+        F.lit("2024-01-0"), ((key % 9) + 1).cast("string"),
+        F.lit(" 12:34:56."),
+        F.lpad(((key % 999) + 1).cast("string"), 3, "0"),
+    )
+    return o.select(
+        "o_orderkey",
+        gt.timestamp_ns(s9).alias("ns"),
+        gt.timestamp_ms(s3).alias("ms_ts"),
+        gt.make_timestamp_by_date(2024, 3, ((key % 28) + 1)).alias("byd"),
+    )
+
+
+@query(
     "scalar_time_funcs",
     """
     SELECT o_orderkey,
