@@ -62,3 +62,48 @@ def test_asof_join_is_single_sort(spark):
     # the union-scaffold as-of join: one window, no nested-loop join
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_match_recognize_fans_out_all_cores(spark):
+    """The NFA is the Python slow path: its grouped-map stage must keep an
+    explicit-numPartitions repartition (REPARTITION_BY_NUM), which AQE
+    never coalesces — without it the tiny-by-bytes shuffle collapses onto
+    a few cores (observed 4x wall-clock on events at sf0.1)."""
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["match_recognize_spikes"](spark, SF_DIR))
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+
+
+def test_block_pair_kernels_fan_out(spark):
+    """GEMM block-pair kernels (cosine all-pairs) are compute-bound with
+    tiny shuffle bytes — the explicit repartition on (pa, pb) must survive
+    into the executed plan."""
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_dedup_embed_cosine"](spark, SF_DIR))
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_shingle_filter_stays_above_exchange(spark):
+    """minhash's pre-shingle filter must be a cheap source-column predicate
+    below the exchange; the shingle transform itself must NOT appear in
+    the scan-stage Filter (predicate pushdown would re-evaluate it on the
+    narrow pre-repartition side)."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.catalog import ContainerCatalog
+    from griddb_spark.pipeline import minhash_lsh_pairs
+
+    import re
+
+    docs = ContainerCatalog(spark, SF_DIR).load("documents")
+    plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8))
+    data_filters = re.findall(r"DataFilters: \[([^\]]*)\]", plan)
+    assert data_filters
+    # the expensive per-row shingle builder (slice+concat_ws loop) must not
+    # be evaluated in any scan-side filter — only the cheap token-count
+    # predicate may push down
+    for df_ in data_filters:
+        assert "concat_ws" not in df_ and "array_distinct" not in df_, df_
