@@ -229,6 +229,7 @@ class GridStore:
         self.spark = spark
         self.catalog = ContainerCatalog(spark, base_dir) if base_dir else None
         self._containers: dict[str, Collection] = {}
+        self._indexes: dict[tuple[str, str], str] = {}
 
     def put_container(self, name: str, df: DataFrame, *,
                       container_type: str = "COLLECTION",
@@ -256,6 +257,37 @@ class GridStore:
 
     def drop_container(self, name: str) -> None:
         self._containers.pop(name, None)
+        self._indexes = {
+            k: v for k, v in self._indexes.items() if k[0] != name
+        }
+
+    # -- index DDL (CREATE/DROP INDEX, sql_processor_ddl.cpp;
+    #    IndexType {TREE_RANGE, TREE_EQ}, sql_type.h:279-285) --------------
+    def create_index(
+        self, container: str, column: str, index_type: str = "TREE"
+    ) -> None:
+        """CREATE INDEX. On Spark an index is a scan-pruning property, not
+        a data structure: a TREE (range) index maps to partition pruning +
+        parquet min/max row-group skipping on the column; the metadata is
+        recorded here and served through ``index_info`` (the #index_info
+        meta table, ``meta_type.h:712-731``)."""
+        self._indexes[(container, column)] = index_type.upper()
+
+    def drop_index(self, container: str, column: str) -> None:
+        self._indexes.pop((container, column), None)
+
+    def index_info(self) -> DataFrame:
+        """#index_info meta table: declared indexes + the physical scan
+        property each maps to."""
+        rows = [
+            (c, col, t, "partition_pruning+parquet_minmax_skip")
+            for (c, col), t in sorted(self._indexes.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "container_name string, column_name string, index_type string, "
+            "physical_equivalent string",
+        )
 
     # -- export/import (the gs_export / gs_import CLI surface) --------------
     def export_container(self, name: str, path: str, fmt: str = "parquet",

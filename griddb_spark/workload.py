@@ -1492,6 +1492,28 @@ def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "meta_index_info",
+    """
+    SELECT * FROM (VALUES
+      ('customer', 'c_custkey', 'TREE', 'partition_pruning+parquet_minmax_skip'),
+      ('events', 'ts', 'TREE', 'partition_pruning+parquet_minmax_skip'))
+      AS t(container_name, column_name, index_type, physical_equivalent)
+    """,
+)
+def meta_index_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE INDEX DDL + #index_info meta table (sql_processor_ddl.cpp,
+    meta_type.h:712-731): declared indexes map to Spark scan-pruning
+    properties (partition pruning + parquet min/max skipping), recorded
+    as catalog metadata."""
+    from griddb_spark.container import GridStore
+
+    gs = GridStore(spark, sf_dir)
+    gs.create_index("events", "ts", "TREE")
+    gs.create_index("customer", "c_custkey", "TREE")
+    return gs.index_info()
+
+
+@query(
     "ddl_alter_table",
     """
     WITH evolved AS (
