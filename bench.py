@@ -76,10 +76,8 @@ def main() -> int:
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for wname in ("q1_pricing_summary", "match_recognize_spikes",
-                      "pipe_text_quality"):
-            if wname in workload.QUERIES:
-                _force(workload.QUERIES[wname](spark, warm_dir))
+        for wname in names:
+            _force(workload.QUERIES[wname](spark, warm_dir))
 
     timings: dict[str, float] = {}
     for name in names:
