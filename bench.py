@@ -21,36 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Representative of SURVEY §2: scan/agg, multi-way join, set ops, window
-# functions, GROUP BY RANGE fills, TQL time-series selections, as-of join,
-# MATCH_RECOGNIZE, and the SQL/TQL front-ends.
-HEADLINE = [
-    "q1_pricing_summary",
-    "join_inner_5way",
-    "join_semi_anti",
-    "agg_distinct",
-    "agg_stats",
-    "sort_topk",
-    "setops",
-    "window_funcs",
-    "range_15m_fill_linear",
-    "range_15m_fill_prev",
-    "time_sampling_user3",
-    "time_avg_per_user",
-    "asof_join_users",
-    "match_recognize_spikes",
-    "tql_select_where_order_limit",
-    "sql_frontend_group_by_range",
-    "pipe_dedup_minhash",
-    "pipe_dedup_simhash",
-    "pipe_dedup_ngram",
-    "pipe_dedup_embed_cosine",
-    "pipe_text_quality",
-    "pipe_knn_cosine",
-    "pipe_ann_ivf",
-    "time_window_agg",
-    "subquery_fold",
-]
+# The full registered workload (SURVEY §2 inventory + beyond-reference
+# pipeline ops): every queries() entry is timed, so the bench record is a
+# per-operator perf profile, not a sampled subset. HEADLINE = None means
+# "all"; set to a list of names to restrict.
+HEADLINE: list[str] | None = None
 
 
 def _force(df) -> int:
@@ -67,7 +42,11 @@ def main() -> int:
     workload.prepare(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    names = [n for n in HEADLINE if n in workload.QUERIES]
+    names = (
+        list(workload.QUERIES)
+        if HEADLINE is None
+        else [n for n in HEADLINE if n in workload.QUERIES]
+    )
 
     # Warmup (not measured): JVM + parquet footers, whole-stage-codegen
     # compile paths, and the Python/Arrow worker pool — run a tiny
