@@ -1430,16 +1430,21 @@ def stream_group_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from griddb_spark.streaming import group_by_range_stream, run_to_memory
 
     prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
+        spark.readStream.schema(schema)
         # file-source streams take a directory; the container dir holds
         # other tables too, so filter to the events file(s)
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # the driver testdata stores ts as parquet TIMESTAMP(NANOS), read as
+    # epoch-nanos LONG under nanosAsLong; other sources may already carry
+    # a plain µs timestamp — adapt to the scanned type
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = raw
     out = group_by_range_stream(
         ev, "ts", 1, "HOUR",
         {"avg_value": _r6(F.avg("value")), "n": F.count(F.lit(1))},
