@@ -128,7 +128,13 @@ class DmlTable:
             )
             return self
         widened = self.scan().schema.add(name, dtype)
-        empty = self.spark.createDataFrame([], widened).coalesce(1)
+        # build the zero-row frame JVM-side: createDataFrame([], schema)
+        # backs the write with an (empty) Python RDD, whose single task
+        # still pays full Python-worker startup (~3 s); range(0)+casts is
+        # a pure LocalRelation and writes in milliseconds
+        empty = self.spark.range(0).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in widened.fields]
+        ).coalesce(1)
         self._write(empty, "append")
         return self
 
