@@ -261,6 +261,35 @@ class GridStore:
             k: v for k, v in self._indexes.items() if k[0] != name
         }
 
+    # -- database DDL (CREATE/DROP DATABASE, sql_parser.h:239-240) ---------
+    def create_database(self, name: str) -> None:
+        """CREATE DATABASE (``sql_parser.h:239``) — a GridDB database is a
+        container namespace; the Spark-native equivalent is a catalog
+        database (namespace), so the DDL maps 1:1."""
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
+
+    def drop_database(self, name: str) -> None:
+        """DROP DATABASE (``sql_parser.h:240``)."""
+        self.spark.sql(f"DROP DATABASE IF EXISTS `{name}` CASCADE")
+
+    def databases(self) -> DataFrame:
+        """#databases meta table (``meta_store.cpp:1470``): columns
+        database_id (long), database_name (string)
+        (``meta_type.h`` DATABASE_DATABASE_ID/_NAME). GridDB's id is an
+        internal surrogate; the deterministic stand-in is a dense rank
+        over the name — stable across sessions for the same namespace
+        set."""
+        names = self.spark.sql("SHOW DATABASES").select(
+            F.col("namespace").alias("database_name")
+        )
+        return names.select(
+            F.row_number()
+            .over(Window.orderBy("database_name"))
+            .cast("long")
+            .alias("database_id"),
+            "database_name",
+        )
+
     # -- index DDL (CREATE/DROP INDEX, sql_processor_ddl.cpp;
     #    IndexType {TREE_RANGE, TREE_EQ}, sql_type.h:279-285) --------------
     def create_index(

@@ -1519,6 +1519,46 @@ def meta_index_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "meta_databases",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'default'), (CAST(2 AS BIGINT), 'gsdb_analytics'),
+      (CAST(3 AS BIGINT), 'gsdb_ml'))
+      AS t(database_id, database_name)
+    """,
+)
+def meta_databases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE/DROP DATABASE DDL (sql_parser.h:239-240) + #databases meta
+    table (meta_store.cpp:1470): GridDB databases are container
+    namespaces → Spark catalog databases. Creates two, round-trips a
+    third through DROP, lists the survivors. Ranks AFTER filtering so
+    unrelated warehouse namespaces can't shift the surrogate ids."""
+    from pyspark.sql import Window
+
+    from griddb_spark.container import GridStore
+
+    gs = GridStore(spark)
+    gs.create_database("gsdb_analytics")
+    gs.create_database("gsdb_ml")
+    gs.create_database("gsdb_tmp")
+    gs.drop_database("gsdb_tmp")
+    return (
+        gs.databases()
+        .filter(
+            (F.col("database_name") == "default")
+            | F.col("database_name").startswith("gsdb_")
+        )
+        .select(
+            F.row_number()
+            .over(Window.orderBy("database_name"))
+            .cast("long")
+            .alias("database_id"),
+            "database_name",
+        )
+    )
+
+
+@query(
     "ddl_alter_table",
     """
     WITH evolved AS (

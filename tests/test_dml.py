@@ -73,3 +73,19 @@ def test_hash_partitioned_update_and_pruning(spark, tmp_path, catalog):
         & (F.col("ts") < F.lit("2024-01-11 00:00:00").cast("timestamp"))
     ).count()
     assert day.count() == expected
+
+
+def test_database_ddl_roundtrip(spark):
+    """CREATE/DROP DATABASE (sql_parser.h:239-240) + #databases meta
+    table: namespaces appear/disappear, ids are a dense name rank."""
+    from griddb_spark.container import GridStore
+
+    gs = GridStore(spark)
+    gs.create_database("gsdb_t_a")
+    gs.create_database("gsdb_t_b")
+    names = {r.database_name for r in gs.databases().collect()}
+    assert {"default", "gsdb_t_a", "gsdb_t_b"} <= names
+    gs.drop_database("gsdb_t_b")
+    names = {r.database_name for r in gs.databases().collect()}
+    assert "gsdb_t_b" not in names and "gsdb_t_a" in names
+    gs.drop_database("gsdb_t_a")
