@@ -233,7 +233,7 @@ class GridStore:
 
     def put_container(self, name: str, df: DataFrame, *,
                       container_type: str = "COLLECTION",
-                      row_key: str | None = None) -> Collection:
+                      row_key: str | Sequence[str] | None = None) -> Collection:
         if container_type.upper() == "TIME_SERIES":
             c: Collection = TimeSeries(name, df, ts_col=row_key or "ts")
         else:
@@ -304,6 +304,23 @@ class GridStore:
 
     def drop_index(self, container: str, column: str) -> None:
         self._indexes.pop((container, column), None)
+
+    def primary_keys(self) -> DataFrame:
+        """#primary_keys meta table (``meta_store.cpp:1068-1073``):
+        (database_name, table_name, column_name, key_seq) — one row per
+        row-key column of each registered container; composite keys emit
+        one row per component with 1-based key_seq
+        (``meta_type.h`` COLUMN_KEY_SEQUENCE)."""
+        rows = [
+            ("public", name, col, seq)
+            for name, c in sorted(self._containers.items())
+            for seq, col in enumerate(c.key_cols, start=1)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "database_name string, table_name string, column_name string, "
+            "key_seq int",
+        )
 
     def index_info(self) -> DataFrame:
         """#index_info meta table: declared indexes + the physical scan

@@ -1519,6 +1519,31 @@ def meta_index_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "meta_primary_keys",
+    """
+    SELECT * FROM (VALUES
+      ('public', 'customer', 'c_custkey', 1),
+      ('public', 'lineitem', 'l_orderkey', 1),
+      ('public', 'lineitem', 'l_linenumber', 2))
+      AS t(database_name, table_name, column_name, key_seq)
+    """,
+)
+def meta_primary_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#primary_keys meta table (meta_store.cpp:1068-1073): row-key
+    declarations surface as (db, table, column, key_seq) rows; composite
+    keys (lineitem) emit one row per component."""
+    from griddb_spark.container import GridStore
+
+    c = cat(spark, sf_dir)
+    gs = GridStore(spark, sf_dir)
+    gs.put_container("customer", c.load("customer"), row_key="c_custkey")
+    gs.put_container(
+        "lineitem", c.load("lineitem"), row_key=["l_orderkey", "l_linenumber"]
+    )
+    return gs.primary_keys()
+
+
+@query(
     "meta_databases",
     """
     SELECT * FROM (VALUES
