@@ -26,6 +26,7 @@ full-table rewrite and touching a handful of partitions.
 
 from __future__ import annotations
 
+import os
 import shutil
 import uuid
 from collections.abc import Mapping
@@ -205,11 +206,16 @@ class DmlTable:
 
     def _rewrite(self, df: DataFrame) -> None:
         """Stage-then-swap rewrite (a lazy plan can't overwrite its own
-        source). With Delta/Iceberg this becomes MERGE/DELETE with
-        partition-level file replacement; staging keeps plain parquet safe.
+        source). The staged output is swapped in by directory rename —
+        writing the data once, not stage+rewrite twice. On an
+        object-store deployment rename isn't atomic/cheap; there this
+        whole method becomes Delta/Iceberg MERGE/DELETE with
+        partition-level file replacement.
         """
         tmp = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
         staged = DmlTable(self.spark, tmp, self.partitioning)
         staged._write(staged._with_part(df), "error")
-        self._write(self.spark.read.parquet(tmp), "overwrite")
-        shutil.rmtree(tmp, ignore_errors=True)
+        trash = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, trash)
+        os.rename(tmp, self.path)
+        shutil.rmtree(trash, ignore_errors=True)
