@@ -102,14 +102,20 @@ def upsert_by_key(
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__new")
         )
-        # stage-then-swap: a crash mid-write must not clobber the target
-        tmp = f"{target_dir}.tmp-{epoch_id}-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(target_dir)
+        # stage-then-swap: a crash mid-write must not clobber the target;
+        # the swap is a directory rename so the merged data is written
+        # once (Delta MERGE replaces this whole dance on a real lake)
         import shutil
 
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = f"{target_dir}.tmp-{epoch_id}-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_dir):
+            trash = f"{target_dir}.old-{uuid.uuid4().hex[:8]}"
+            os.rename(target_dir, trash)
+            os.rename(tmp, target_dir)
+            shutil.rmtree(trash, ignore_errors=True)
+        else:
+            os.rename(tmp, target_dir)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
