@@ -77,6 +77,98 @@ def _decode_image(buf: bytes, fake: bool):
     return mean, feat
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("r_mean", T.DoubleType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("f_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    out_bytes: int = 64,
+) -> DataFrame:
+    """Resize stage: deterministic stride-resample of the byte stream to
+    exactly ``out_bytes`` (STUB for decode+interpolate — codecs aren't in
+    this container). The Spark-side contract is the real thing: Arrow
+    batches in/out, bounded per-row output size, and the blob never
+    leaves the executor."""
+    import pandas as pd
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, means = [], []
+            for buf in pdf[media_col]:
+                b = bytes(buf)
+                n = len(b)
+                if n == 0:
+                    out.append(b"")
+                    means.append(0.0)
+                    continue
+                r = bytes(b[(i * n) // out_bytes] for i in range(out_bytes))
+                out.append(r)
+                means.append(sum(r) / len(r))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "resized": out, "r_mean": means}
+            )
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    frame_bytes: int = 32,
+    stride: int = 2,
+) -> DataFrame:
+    """Frame-sampling stage: the blob is treated as a raw buffer of
+    fixed-size frames (the video stand-in); emit every ``stride``-th
+    COMPLETE frame. Row-expanding ``mapInPandas`` — one input row yields
+    ``ceil(n_frames/stride)`` output rows, the shape a real video
+    frame-sampler has."""
+    import pandas as pd
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, means = [], [], [], []
+            for i, buf in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(buf)
+                for k in range(0, len(b) // frame_bytes, stride):
+                    fr = b[k * frame_bytes:(k + 1) * frame_bytes]
+                    ids.append(i)
+                    idxs.append(k)
+                    frames.append(fr)
+                    means.append(sum(fr) / len(fr))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": frames,
+                    "f_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        _frames, schema=FRAME_SCHEMA
+    )
+
+
 def decode_features(
     df: DataFrame,
     media_col: str = "media",

@@ -1405,6 +1405,67 @@ def pipe_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipe_multimodal_resize",
+    """
+    WITH b AS (SELECT doc_id, text, strlen(text) n FROM documents
+               WHERE strlen(text) > 0)
+    SELECT doc_id, CAST(64 AS INT) AS out_n,
+      round(list_aggregate(
+        [ascii(substr(text, ((i*n)//64)+1, 1)) for i in range(0, 64)],
+        'avg'), 6) AS r_mean
+    FROM b
+    """,
+)
+def pipe_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: stride-resample every blob to a fixed
+    64-byte buffer over Arrow-batched mapInPandas (codec stubbed; the
+    distributed plumbing is real). Oracle recomputes the stride indices
+    byte-for-byte in SQL."""
+    from griddb_spark.pipeline.multimodal import pack_binary, resize_media
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    packed = pack_binary(docs, "text").filter(F.octet_length("media") > 0)
+    rz = resize_media(packed, "media", "doc_id", out_bytes=64)
+    return rz.select(
+        "doc_id",
+        F.octet_length("resized").cast("int").alias("out_n"),
+        _r6(F.col("r_mean")).alias("r_mean"),
+    )
+
+
+@query(
+    "pipe_multimodal_frames",
+    """
+    WITH b AS (SELECT doc_id, text, strlen(text) n FROM documents
+               WHERE strlen(text) >= 32),
+    u AS (SELECT doc_id, text, n, unnest(range(0, n // 32)) AS fi FROM b)
+    SELECT doc_id, fi AS frame_idx,
+      round(list_aggregate(
+        [ascii(substr(text, fi*32 + j + 1, 1)) for j in range(0, 32)],
+        'avg'), 6) AS f_mean
+    FROM u WHERE fi % 2 = 0
+    """,
+)
+def pipe_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling stage: blob → every 2nd complete 32-byte
+    frame, one output row per frame (row-expanding mapInPandas — the
+    video frame-sampler shape). Oracle unnests the same frame grid in
+    SQL."""
+    from griddb_spark.pipeline.multimodal import frame_sample, pack_binary
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    packed = pack_binary(docs, "text")
+    fr = frame_sample(packed, "media", "doc_id", frame_bytes=32, stride=2)
+    return fr.select(
+        "doc_id", "frame_idx", _r6(F.col("f_mean")).alias("f_mean")
+    )
+
+
 # ===========================================================================
 # structured streaming — the continuous-ingest face (griddb_spark.streaming)
 # ===========================================================================

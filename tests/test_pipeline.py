@@ -120,3 +120,34 @@ def test_multimodal_decode_stub(spark, docs):
     assert all(len(r.feat) == 4 and r.n_bytes > 0 for r in rows)
     with pytest.raises(NotImplementedError):
         _decode_image(b"abc", fake=False)
+
+
+def test_multimodal_resize_stub(spark):
+    from griddb_spark.pipeline.multimodal import pack_binary, resize_media
+
+    df = spark.createDataFrame(
+        [(1, "a" * 10), (2, "b" * 200), (3, "c")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in resize_media(pack_binary(df, "text"), out_bytes=64).collect()
+    }
+    # every blob lands at exactly 64 bytes, shorter inputs repeat bytes
+    assert all(len(out[i].resized) == 64 for i in (1, 2, 3))
+    assert out[1].resized == b"a" * 64
+    assert out[1].r_mean == float(ord("a"))
+
+
+def test_multimodal_frame_sample_stub(spark):
+    from griddb_spark.pipeline.multimodal import frame_sample, pack_binary
+
+    df = spark.createDataFrame(
+        # 100 bytes -> frames 0,1,2 complete (32B), stride 2 -> idx 0 and 2;
+        # 10 bytes -> no complete frame -> no rows
+        [(1, "x" * 100), (2, "y" * 10)], ["doc_id", "text"]
+    )
+    rows = frame_sample(
+        pack_binary(df, "text"), frame_bytes=32, stride=2
+    ).collect()
+    assert {(r.doc_id, r.frame_idx) for r in rows} == {(1, 0), (1, 2)}
+    assert all(len(r.frame) == 32 and r.f_mean == float(ord("x")) for r in rows)
