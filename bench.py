@@ -47,6 +47,12 @@ def main() -> int:
         if HEADLINE is None
         else [n for n in HEADLINE if n in workload.QUERIES]
     )
+    # optional exclusions (scale probe: leave out intentionally-quadratic
+    # exact all-pairs kernels when probing data-volume scaling)
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s
+    }
+    names = [n for n in names if n not in skip]
 
     # Warmup (not measured): JVM + parquet footers, whole-stage-codegen
     # compile paths, and the Python/Arrow worker pool — run a tiny
