@@ -1,0 +1,109 @@
+"""Randomized DML differential tests: random INSERT/UPDATE/DELETE
+sequences applied to a DmlTable (plain and hash-partitioned) and to an
+independent pure-Python row-store reference, comparing the full final
+table state.
+
+Pins the EXEC_INSERT/UPDATE/DELETE semantics (sql_processor_dml.cpp):
+updates are whole-predicate snapshots (no read-your-own-writes within one
+statement), deletes keep the complement with NULL predicate rows
+retained, and partitioning must never change visible content.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from griddb_spark.dml import DmlTable, hash_partition_expr
+
+COLS = "id int, seg string, val double"
+SEGS = ["a", "b", "c", "d"]
+
+
+def _rand_rows(rng, n, next_id):
+    return [
+        (
+            next_id + i,
+            rng.choice(SEGS),
+            None if rng.random() < 0.1 else round(rng.uniform(-100, 100), 2),
+        )
+        for i in range(n)
+    ]
+
+
+def _pred(rng):
+    """A random predicate as (spark Column, python fn over row-dict)."""
+    kind = rng.randrange(4)
+    if kind == 0:
+        s = rng.choice(SEGS)
+        return F.col("seg") == s, lambda r: r["seg"] == s
+    if kind == 1:
+        x = round(rng.uniform(-50, 50), 2)
+        # NULL val -> NULL predicate (neither matched nor kept by UPDATE,
+        # retained by DELETE's complement)
+        return F.col("val") < x, lambda r: (
+            None if r["val"] is None else r["val"] < x
+        )
+    if kind == 2:
+        m = rng.randrange(2, 5)
+        return F.col("id") % m == 0, lambda r: r["id"] % m == 0
+    lo = rng.randrange(0, 40)
+    return F.col("id").between(lo, lo + 10), lambda r: lo <= r["id"] <= lo + 10
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_dml_sequence_vs_reference(spark, tmp_path, seed):
+    rng = random.Random(7000 + seed)
+    partitioned = rng.random() < 0.5
+    part = hash_partition_expr("seg", 4) if partitioned else None
+
+    init = _rand_rows(rng, rng.randint(5, 25), 0)
+    next_id = len(init)
+    t = DmlTable(spark, str(tmp_path / "t"), part).create(
+        spark.createDataFrame(init, COLS)
+    )
+    ref = [dict(zip(("id", "seg", "val"), r)) for r in init]
+
+    for _ in range(rng.randint(3, 7)):
+        op = rng.choice(["insert", "update", "delete"])
+        if op == "insert":
+            rows = _rand_rows(rng, rng.randint(1, 10), next_id)
+            next_id += len(rows)
+            t.insert(spark.createDataFrame(rows, COLS))
+            ref.extend(dict(zip(("id", "seg", "val"), r)) for r in rows)
+        elif op == "update":
+            cond, pf = _pred(rng)
+            delta = round(rng.uniform(-10, 10), 2)
+            seg_to = rng.choice(SEGS)
+            t.update(
+                cond,
+                {"val": F.col("val") + delta, "seg": F.lit(seg_to)},
+            )
+            for r in ref:
+                if pf(r):
+                    r["val"] = (
+                        None if r["val"] is None else round(r["val"] + delta, 10)
+                    )
+                    r["seg"] = seg_to
+        else:
+            cond, pf = _pred(rng)
+            t.delete(cond)
+            ref = [r for r in ref if not pf(r)]
+
+    got = sorted(
+        ((r.id, r.seg, r.val) for r in t.read().collect()),
+        key=lambda x: x[0],
+    )
+    want = sorted(
+        ((r["id"], r["seg"], r["val"]) for r in ref), key=lambda x: x[0]
+    )
+    assert len(got) == len(want), (seed, partitioned, len(got), len(want))
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1], (seed, partitioned, g, w)
+        if w[2] is None:
+            assert g[2] is None, (seed, partitioned, g, w)
+        else:
+            assert g[2] == pytest.approx(w[2], abs=1e-9), (
+                seed, partitioned, g, w)
