@@ -107,3 +107,20 @@ def test_shingle_filter_stays_above_exchange(spark):
     # predicate may push down
     for df_ in data_filters:
         assert "concat_ws" not in df_ and "array_distinct" not in df_, df_
+
+
+def test_multimodal_stages_fan_out_and_prune(spark):
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_multimodal_resize"](spark, SF_DIR))
+    # blobs decode in Python — the stage must fan out across cores, not
+    # run in the single-file scan partition
+    assert "MapInPandas" in plan
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan
+    # only the columns the stage needs reach the scan (text -> media),
+    # never the full documents row
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+    plan_f = _plan(workload.QUERIES["pipe_multimodal_frames"](spark, SF_DIR))
+    assert "MapInPandas" in plan_f
