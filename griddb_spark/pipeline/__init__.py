@@ -22,6 +22,7 @@ twin in ``griddb_spark.workload``.
 
 from griddb_spark.pipeline.dedup import (  # noqa: F401
     char_ngrams,
+    collapse_exact,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,

@@ -41,6 +41,33 @@ def exact_dedup(
     )
 
 
+def collapse_exact(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact-duplicate collapse: one representative row (min id) per
+    distinct text, annotated with ``cluster_size``.
+
+    The standard web-scale pre-stage for near-dup dedup: boilerplate /
+    mirror clusters otherwise produce LSH candidate-pair sets quadratic
+    in cluster size (measured 8.5x wall on the 10x scale probe, whose
+    replication builds 10-way exact clusters), while collapsed near-dup
+    work is bounded by the number of DISTINCT documents. One extra
+    hash-groupBy + semi-join, both map-side combinable.
+    """
+    withh = df.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__th")
+    )
+    clusters = withh.groupBy("__th").agg(
+        F.min(id_col).alias("__rep"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        withh.join(clusters, "__th")
+        .filter(F.col(id_col) == F.col("__rep"))
+        .select(F.col(id_col), F.col(text_col), F.col("cluster_size"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

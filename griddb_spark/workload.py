@@ -1406,6 +1406,63 @@ def pipe_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_dedup_minhash_collapsed",
+    """
+    WITH c AS (SELECT min(doc_id) AS rep, count(*) AS csize
+               FROM documents GROUP BY md5(text)),
+    r AS (SELECT d.doc_id, d.text, c.csize FROM documents d
+          JOIN c ON d.doc_id = c.rep),
+    t AS (SELECT doc_id, csize, string_split_regex(trim(text), '\\s+') w
+          FROM r),
+    shingle AS (SELECT doc_id, csize,
+        list_distinct([array_to_string(w[i:i+2], ' ')
+                       for i in range(1, greatest(len(w)-2, 0)+1)]) sh
+      FROM t),
+    j AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+                 round(len(list_intersect(a.sh, b.sh))::double
+                       / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                   AS jaccard,
+                 a.csize AS size_a, b.csize AS size_b
+          FROM shingle a JOIN shingle b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jaccard, size_a, size_b
+    FROM j WHERE jaccard >= 0.8
+    """,
+)
+def pipe_dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup with exact-duplicate pre-collapse (the web-scale
+    composition): collapse identical texts to one representative per
+    cluster, run MinHash-LSH on representatives only, carry cluster
+    sizes through. LSH candidate pairs are bounded by DISTINCT document
+    count — exact-duplicate clusters (boilerplate, mirrors, replicated
+    corpora) no longer induce quadratic candidate sets."""
+    from griddb_spark.pipeline import collapse_exact, minhash_lsh_pairs
+
+    docs = cat(spark, sf_dir).load("documents")
+    reps = collapse_exact(docs, "doc_id", "text")
+    pairs = minhash_lsh_pairs(reps, "doc_id", "text", threshold=0.8)
+    sz = reps.select(
+        F.col("doc_id"), F.col("cluster_size")
+    )
+    return (
+        pairs.join(
+            sz.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("cluster_size").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sz.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("cluster_size").alias("size_b"),
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "jaccard", "size_a", "size_b")
+    )
+
+
+@query(
     "pipe_multimodal_resize",
     """
     WITH b AS (SELECT doc_id, text, strlen(text) n FROM documents

@@ -151,3 +151,17 @@ def test_multimodal_frame_sample_stub(spark):
     ).collect()
     assert {(r.doc_id, r.frame_idx) for r in rows} == {(1, 0), (1, 2)}
     assert all(len(r.frame) == 32 and r.f_mean == float(ord("x")) for r in rows)
+
+
+def test_collapse_exact_clusters(spark):
+    from griddb_spark.pipeline import collapse_exact
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (5, "same text"),
+         (3, "other"), (4, "third one")],
+        ["doc_id", "text"],
+    )
+    reps = {r.doc_id: r.cluster_size
+            for r in collapse_exact(df, "doc_id", "text").collect()}
+    # min-id representative per distinct text, cluster sizes carried
+    assert reps == {1: 3, 3: 1, 4: 1}
