@@ -43,20 +43,33 @@ def group_by_range_stream(
     aggs: Mapping[str, Column],
     watermark: str = "1 minute",
     by: Sequence[str] = (),
+    slide: tuple[int, str] | None = None,
 ) -> DataFrame:
-    """Streaming GROUP BY RANGE EVERY(n, unit): event-time tumbling windows.
+    """Streaming GROUP BY RANGE EVERY(n, unit): event-time windows.
 
     The batch operator's fixed lattice becomes ``window(key, interval)``;
     the watermark bounds state and defines when a bucket is final (the
     streaming replacement for FILL — late rows inside the watermark still
     land in their bucket). Output column = bucket start under ``key``.
+
+    ``slide=(n, unit)`` makes the windows sliding (overlapping): every
+    event lands in duration/slide windows — the continuous face of a
+    moving aggregate. Both duration and slide anchor at the epoch.
     """
     unit_ms = UNIT_MS[unit.upper()]
     interval = f"{every * unit_ms} milliseconds"
     agg_exprs = [expr.alias(name) for name, expr in aggs.items()]
+    win = (
+        F.window(F.col(key), interval)
+        if slide is None
+        else F.window(
+            F.col(key), interval,
+            f"{slide[0] * UNIT_MS[slide[1].upper()]} milliseconds",
+        )
+    )
     return (
         stream.withWatermark(key, watermark)
-        .groupBy(*by, F.window(F.col(key), interval).alias("__w"))
+        .groupBy(*by, win.alias("__w"))
         .agg(*agg_exprs)
         .select(*by, F.col("__w.start").alias(key), *[F.col(n) for n in aggs])
     )

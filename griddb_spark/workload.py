@@ -1571,6 +1571,47 @@ def stream_group_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, f"gbr_{_uuid.uuid4().hex[:8]}", mode="complete")
 
 
+@query(
+    "stream_sliding_window",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) t, value FROM events),
+    x AS (SELECT t, value,
+                 time_bucket(INTERVAL 30 MINUTE, t)
+                   - k * (INTERVAL 30 MINUTE) AS ts
+          FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
+    SELECT ts, round(avg(value), 6) AS avg_value, count(*) AS n
+    FROM x GROUP BY ts
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING event-time windows (1h window / 30m slide): every
+    event contributes to duration/slide = 2 windows — the continuous face
+    of a moving aggregate. Oracle materializes the same epoch-anchored
+    window lattice by unnesting each event into its 2 windows."""
+    import uuid as _uuid
+
+    from griddb_spark.streaming import group_by_range_stream, run_to_memory
+
+    prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = raw
+    out = group_by_range_stream(
+        ev, "ts", 1, "HOUR",
+        {"avg_value": _r6(F.avg("value")), "n": F.count(F.lit(1))},
+        watermark="10 minutes",
+        slide=(30, "MINUTE"),
+    )
+    return run_to_memory(out, f"slw_{_uuid.uuid4().hex[:8]}", mode="complete")
+
+
 # ===========================================================================
 # DML + partitioned tables (EXEC_INSERT/UPDATE/DELETE, PARTITION BY)
 # ===========================================================================
