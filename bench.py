@@ -66,6 +66,11 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in names:
+        # each query stands alone: operators persist() intermediates for
+        # intra-query reuse, and leftover cache blocks from earlier
+        # queries otherwise cause eviction/recompute jitter (observed
+        # 0.8s -> 2.8s swings on the LSH ops late in the sequence)
+        spark.catalog.clearCache()
         fn = workload.QUERIES[name]
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))
