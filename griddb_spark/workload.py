@@ -4,9 +4,15 @@ SURVEY.md §2 as a (Spark query, DuckDB oracle SQL) pair.
 Conventions (driver contract, __spark_entry__.py):
 - each query fn takes (spark, sf_dir) and returns a DataFrame;
 - every computed column is aliased identically in Spark and oracle SQL;
-- money sums go through DECIMAL(18,2) so Spark and DuckDB agree exactly
-  (double accumulation order differs between engines);
-- unstable double aggregates (avg/stddev/percentile/time-weighted) are
+- money sums accumulate in DECIMAL(18,2) (exact, order-independent) but
+  the FINAL column is CAST(... AS DOUBLE): Spark's decimal(28,2) and
+  DuckDB's decimal(38,2) stringify differently on trailing zeros
+  ("953769.00" vs "953769.0" after the driver's normalization — the
+  round-1 hash mismatches), while the same exact decimal cast to double
+  is bit-identical in both engines;
+- averages over big groups are computed as exact-decimal-sum / count,
+  not avg(double), so accumulation order can't move the 6th decimal;
+- unstable double aggregates (stddev/percentile/time-weighted) are
   rounded to 6 decimals on both sides;
 - events.ts is ns in parquet: Spark reads epoch-nanos → µs timestamps
   (ContainerCatalog), oracles use CAST(ts AS TIMESTAMP) (same truncation).
@@ -69,6 +75,11 @@ def _dec(col, scale: int = 2):
     return (F.col(col) if isinstance(col, str) else col).cast(f"decimal(18,{scale})")
 
 
+def _dsum(col, scale: int = 2) -> F.Column:
+    """Exact decimal sum surfaced as a double (deterministic both engines)."""
+    return F.sum(_dec(col, scale)).cast("double")
+
+
 def _r6(col) -> F.Column:
     return F.round(col, 6)
 
@@ -82,13 +93,13 @@ def _r6(col) -> F.Column:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -102,12 +113,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).alias("sum_disc_price"),
-            _r6(F.avg("l_quantity")).alias("avg_qty"),
-            _r6(F.avg("l_extendedprice")).alias("avg_price"),
-            _r6(F.avg("l_discount")).alias("avg_disc"),
+            _dsum("l_quantity").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount", 4)).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -117,8 +128,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_inner_5way",
     """
     SELECT n_name,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -142,7 +153,7 @@ def join_inner_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
               nation.n_regionkey == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).alias("revenue"),
+            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -152,7 +163,7 @@ def join_inner_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_outer",
     """
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     """,
@@ -166,7 +177,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).alias("total_spend"),
+            _dsum("o_totalprice").alias("total_spend"),
         )
     )
 
@@ -244,9 +255,15 @@ def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            count(DISTINCT l_suppkey) AS n_supp,
            count(DISTINCT l_partkey) AS n_part,
-           sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS sum_dist_qty,
-           round(avg(DISTINCT l_quantity), 6) AS avg_dist_qty,
-           round(stddev_samp(DISTINCT l_quantity), 6) AS sd_dist_qty
+           CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dist_qty,
+           round(CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(DISTINCT l_quantity), 6) AS avg_dist_qty,
+           round(sqrt((CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))
+                                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       - CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         * CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         / count(DISTINCT l_quantity))
+                      / (count(DISTINCT l_quantity) - 1)), 6) AS sd_dist_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )

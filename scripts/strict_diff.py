@@ -1,0 +1,53 @@
+"""Strict (no-rounding) differential check: find exactly which values differ
+between the Spark query and DuckDB oracle, at full precision."""
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+import duckdb
+from pyspark.sql import SparkSession
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+NAMES = sys.argv[2].split(",") if len(sys.argv) > 2 else [
+    "q1_pricing_summary", "join_left_outer", "agg_distinct", "dml_update_delete"
+]
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from griddb_spark import workload
+
+con = duckdb.connect()
+for t in ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"):
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+
+def strict(v):
+    if v is None:
+        return "NULL"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return repr(v)
+
+
+for name in NAMES:
+    df = workload.QUERIES[name](spark, SF)
+    res = con.execute(workload.ORACLE[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    scols = df.columns
+    srows = df.collect()
+    order = sorted(scols)
+    si = [scols.index(c) for c in order]
+    di = [dcols.index(c) for c in order]
+    s = sorted(tuple(strict(r[i]) for i in si) for r in srows)
+    d = sorted(tuple(strict(r[i]) for i in di) for r in drows)
+    bad = [(a, b) for a, b in zip(s, d) if a != b]
+    print(f"=== {name}: {len(bad)} mismatched rows of {len(s)} (cols {order})")
+    for a, b in bad[:6]:
+        for c, x, y in zip(order, a, b):
+            if x != y:
+                print(f"    {c}: spark={x}  duck={y}")
