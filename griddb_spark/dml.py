@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from griddb_spark.operators.timeseries import UNIT_MS
 
 PARTITION_COL = "__part"
+SUBPART_COL = "__subpart"
 
 #: GridDB DDL type names (``data_store_common.h:136-165``) → Spark SQL types.
 GRIDDB_TYPES = {
@@ -56,11 +57,17 @@ class HashPartitioning:
     def expr(self) -> Column:
         return F.pmod(F.xxhash64(F.col(self.col)), F.lit(self.n))
 
-    def key_filter(self, value) -> Column:
-        """Point-lookup pruning: key equality → one hash bucket."""
-        return (F.col(self.col) == value) & (
-            F.col(PARTITION_COL)
-            == F.pmod(F.xxhash64(F.lit(value)), F.lit(self.n))
+    def key_filter(self, value, dtype: str | None = None) -> Column:
+        """Point-lookup pruning: key equality → one hash bucket.
+
+        ``dtype`` must be the stored column type when it differs from the
+        Python literal's natural Spark type — xxhash64 hashes int32 and
+        int64 representations of the same value differently, so an untyped
+        literal against a BIGINT column selects the wrong bucket.
+        """
+        lit = F.lit(value).cast(dtype) if dtype else F.lit(value)
+        return (F.col(self.col) == lit) & (
+            F.col(PARTITION_COL) == F.pmod(F.xxhash64(lit), F.lit(self.n))
         )
 
 
@@ -87,8 +94,61 @@ class RangePartitioning:
         return (F.col(PARTITION_COL) >= lo) & (F.col(PARTITION_COL) <= hi) & row
 
 
+class RangeHashPartitioning:
+    """PARTITION BY RANGE(ts) EVERY(n, unit) SUBPARTITION BY HASH(col, m)
+    (``TABLE_PARTITION_TYPE_RANGE_HASH``, ``sql_parser.h:300-303``) — the
+    composite scheme GridDB users give big time-series tables: interval
+    sharding for time-range pruning × hash sharding for key parallelism.
+
+    Spark layout: two-level Hive directory
+    ``__part=<range bucket ms>/__subpart=<hash bucket>``. A time-range
+    predicate prunes on ``__part`` alone; adding a key equality prunes to
+    a single ``(range, hash)`` leaf — the NarrowingKey intersection
+    (``sql_compiler.h:3101-3135``) in directory form. At 100 TB this also
+    bounds file sizes: each day × bucket directory compacts independently.
+    """
+
+    def __init__(self, range_col: str, every: int, unit: str,
+                 hash_col: str, n: int):
+        self._range = RangePartitioning(range_col, every, unit)
+        self._hash = HashPartitioning(hash_col, n)
+        self.col = range_col
+
+    def expr(self) -> Column:
+        return self._range.expr()
+
+    def sub_expr(self) -> Column:
+        return self._hash.expr()
+
+    def range_filter(self, start_ms: int, end_ms: int) -> Column:
+        """Time-range pruning on the range level only (all hash buckets)."""
+        return self._range.range_filter(start_ms, end_ms)
+
+    def key_range_filter(
+        self, start_ms: int, end_ms: int, key_value, dtype: str | None = None
+    ) -> Column:
+        """Range × key pruning: __part bounds ∩ one __subpart bucket.
+        ``dtype`` types the key literal (see ``HashPartitioning.key_filter``).
+        """
+        lit = F.lit(key_value).cast(dtype) if dtype else F.lit(key_value)
+        return (
+            self._range.range_filter(start_ms, end_ms)
+            & (F.col(self._hash.col) == lit)
+            & (
+                F.col(SUBPART_COL)
+                == F.pmod(F.xxhash64(lit), F.lit(self._hash.n))
+            )
+        )
+
+
 def hash_partition_expr(col: str, n: int) -> "HashPartitioning":
     return HashPartitioning(col, n)
+
+
+def range_hash_partition_expr(
+    range_col: str, every: int, unit: str, hash_col: str, n: int
+) -> "RangeHashPartitioning":
+    return RangeHashPartitioning(range_col, every, unit, hash_col, n)
 
 
 def range_partition_expr(col: str, every: int, unit: str) -> "RangePartitioning":
@@ -102,11 +162,21 @@ class DmlTable:
         self,
         spark: SparkSession,
         path: str,
-        partitioning: "HashPartitioning | RangePartitioning | None" = None,
+        partitioning: (
+            "HashPartitioning | RangePartitioning | RangeHashPartitioning | None"
+        ) = None,
     ):
         self.spark = spark
         self.path = path
         self.partitioning = partitioning
+
+    @property
+    def _part_cols(self) -> list[str]:
+        if self.partitioning is None:
+            return []
+        if isinstance(self.partitioning, RangeHashPartitioning):
+            return [PARTITION_COL, SUBPART_COL]
+        return [PARTITION_COL]
 
     # -- DDL ---------------------------------------------------------------
 
@@ -150,7 +220,7 @@ class DmlTable:
 
     def read(self) -> DataFrame:
         df = self.scan()
-        return df.drop(PARTITION_COL) if self.partitioning is not None else df
+        return df.drop(*self._part_cols) if self.partitioning is not None else df
 
     def scan(self) -> DataFrame:
         """Raw scan including PARTITION_COL — use with the partitioning's
@@ -159,14 +229,28 @@ class DmlTable:
         return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def scan_range(self, start_ms: int, end_ms: int) -> DataFrame:
-        """Partition-pruned range scan (RangePartitioning only)."""
-        if not isinstance(self.partitioning, RangePartitioning):
-            raise TypeError("scan_range requires RangePartitioning")
+        """Partition-pruned range scan (range-partitioned tables)."""
+        if not isinstance(
+            self.partitioning, (RangePartitioning, RangeHashPartitioning)
+        ):
+            raise TypeError("scan_range requires range partitioning")
         return (
             self.scan()
             .filter(self.partitioning.range_filter(start_ms, end_ms))
-            .drop(PARTITION_COL)
+            .drop(*self._part_cols)
         )
+
+    def scan_key_range(self, start_ms: int, end_ms: int, key_value) -> DataFrame:
+        """Composite pruning (RangeHashPartitioning): time-range bounds on
+        ``__part`` ∩ one hash bucket on ``__subpart`` — the scan touches
+        exactly (days in range) × 1 leaf directories."""
+        if not isinstance(self.partitioning, RangeHashPartitioning):
+            raise TypeError("scan_key_range requires RangeHashPartitioning")
+        scan = self.scan()
+        dtype = dict(scan.dtypes)[self.partitioning._hash.col]
+        return scan.filter(
+            self.partitioning.key_range_filter(start_ms, end_ms, key_value, dtype)
+        ).drop(*self._part_cols)
 
     def insert(self, rows: DataFrame) -> "DmlTable":
         self._write(self._with_part(rows), "append")
@@ -196,12 +280,15 @@ class DmlTable:
     def _with_part(self, df: DataFrame) -> DataFrame:
         if self.partitioning is None:
             return df
-        return df.withColumn(PARTITION_COL, self.partitioning.expr())
+        df = df.withColumn(PARTITION_COL, self.partitioning.expr())
+        if isinstance(self.partitioning, RangeHashPartitioning):
+            df = df.withColumn(SUBPART_COL, self.partitioning.sub_expr())
+        return df
 
     def _write(self, df: DataFrame, mode: str) -> None:
         writer = df.write.mode(mode)
         if self.partitioning is not None:
-            writer = writer.partitionBy(PARTITION_COL)
+            writer = writer.partitionBy(*self._part_cols)
         writer.parquet(self.path)
 
     def _rewrite(self, df: DataFrame) -> None:

@@ -68,6 +68,43 @@ def collapse_exact(
     )
 
 
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(__id, __sh: array<long>) — each doc's distinct word shingles as
+    64-bit hashes. The un-materialized stage behind ``minhash_lsh_pairs``
+    (exposed so plan tests can inspect filter/exchange placement).
+
+    Shingles are carried as hashes, not strings: ~5-10x smaller when
+    materialized (the round-2 variance cliff was the string-shingle cache
+    evicting under pressure and recomputing the interpreted transform),
+    cheaper k-permutation hashing, and an int-typed verify join.
+    |intersect|/|union| over hashed sets equals the string-set Jaccard
+    w.h.p. (collision odds per pair ~ |S|²/2⁶⁴) — the oracle gate pins
+    the values.
+    """
+    # single-file sources scan as ONE partition; signature hashing is the
+    # dominant cost (higher-order exprs run interpreted, outside codegen),
+    # so spread rows across cores first. Explicit numPartitions keeps AQE
+    # from coalescing the tiny-by-bytes/huge-by-compute shuffle back to 1.
+    para = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        # cheap equivalent of `size(shingles) > 0` (empty iff < n words or
+        # NULL), applied BEFORE the repartition: a post-shingle size filter
+        # gets predicate-pushed below the exchange, which re-evaluates the
+        # whole shingle expression inside the single-task scan stage
+        .filter(F.size(tokens(text_col)) >= shingle_n)
+        .repartition(para, "__id")
+        .select(
+            "__id",
+            F.transform(
+                word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+            ).alias("__sh"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -88,26 +125,16 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     rows = k // bands
-    # single-file sources scan as ONE partition; signature hashing is the
-    # dominant cost (higher-order exprs run interpreted, outside codegen),
-    # so spread rows across cores first. Explicit numPartitions keeps AQE
-    # from coalescing the tiny-by-bytes/huge-by-compute shuffle back to 1.
-    para = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col))
-        # cheap equivalent of `size(shingles) > 0` (empty iff < n words or
-        # NULL), applied BEFORE the repartition: a post-shingle size filter
-        # gets predicate-pushed below the exchange, which re-evaluates the
-        # whole shingle expression inside the single-task scan stage
-        .filter(F.size(tokens(text_col)) >= shingle_n)
-        .repartition(para, "__id")
-        .select("__id", word_shingles(text_col, shingle_n).alias("__sh"))
-        # the shingle table is read 3× (signature + both verify sides) and
-        # shingling/minhash are interpreted higher-order exprs — persist so
-        # each doc is shingled exactly once, and so AQE's join planning can
-        # never re-evaluate the expensive subtree inside a broadcast build
-        # (observed 3-10× wall-clock swings without this)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # the shingle table is read 3× (signature + both verify sides) and
+    # shingling/minhash are interpreted higher-order exprs. An eager
+    # localCheckpoint (NOT persist) truncates the lineage, so no join
+    # replan, cache eviction, or AQE re-optimization can EVER recompute
+    # the expensive subtree — measured 1.6s stable vs 1.4-17s jitter
+    # with MEMORY_AND_DISK persist at sf0.1. On a multi-executor
+    # cluster the trade is recompute-on-executor-loss → job retry,
+    # the right trade for a hot short-lived intermediate.
+    sh = hashed_shingles(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
     )
     sig = sh.select("__id", minhash_signature(F.col("__sh"), k).alias("__sig"))
     band_structs = [
@@ -124,16 +151,12 @@ def minhash_lsh_pairs(
         .select(
             "__id", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey")
         )
-        # persisted, not just repartitioned: the self-join needs this twice,
-        # and cached (id, band, bkey) rows are tiny — k minhash evaluations
-        # per doc happen exactly once regardless of join strategy
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # checkpointed, not just repartitioned: the self-join reads this
+        # twice, rows are tiny (id, band, bkey), and eager materialization
+        # runs the k minhash evaluations per doc exactly once regardless
+        # of join strategy (see the shingle-table note above)
+        .localCheckpoint(eager=True)
     )
-    # eager materialization: concurrent first-use of an unmaterialized cache
-    # makes every join branch compute the expensive subtree independently
-    # (observed 3x wall-clock swings); one count() populates both caches
-    # once (banded forces sh through the signature stage)
-    banded.count()
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -240,8 +263,9 @@ def simhash_pairs(
         F.array(
             *[_hexval(F.col("simhash"), p + 1) for p in range(16)]
         ).alias("__hv"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # read by both self-join branches; simhash runs once
-    sim.count()  # eager: see minhash_lsh_pairs on cache-population races
+    ).localCheckpoint(eager=True)  # read by both self-join branches; the
+    # 64-vote simhash aggregation runs exactly once (lineage truncated —
+    # see minhash_lsh_pairs on why checkpoint beats persist here)
     width = 16 // chunks
     chunk_structs = [
         F.struct(
@@ -331,7 +355,10 @@ def ngram_jaccard_pairs(
         # higher-order expression — spread it across cores first
         .repartition(para, "__id")
         .select("__id", char_ngrams(text_col, n).alias("__grams"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # eager checkpoint: read by the freq count, the prefix index AND
+        # both verify sides — lineage truncation stops any replan from
+        # re-running the n-gram transform (see minhash_lsh_pairs)
+        .localCheckpoint(eager=True)
     )
 
     freq = (
@@ -359,9 +386,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("rk") <= F.floor((1 - threshold) * F.col("sz")) + 1)
         .select("__id", "gram")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # both self-join branches read the prefix index
+        # both self-join branches read the prefix index; eager + truncated
+        .localCheckpoint(eager=True)
     )
-    pref.count()  # eager: see minhash_lsh_pairs on cache-population races
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "gram")

@@ -47,14 +47,16 @@ def get_spark(
         # GridDB semantics are SQLite-flavored (no overflow errors,
         # NULL-propagating arithmetic) — keep ANSI off and shim explicitly.
         .config("spark.sql.ansi.enabled", "false")
-        # events.parquet carries ns timestamps; read as TIMESTAMP (µs),
-        # GridDB-style ns fidelity is handled via epoch-nanos LongType
-        # helpers in griddb_spark.functions.time.
+        # parquet ms/µs timestamps must come up as TIMESTAMP (LTZ), not
+        # NTZ — unix_millis & friends reject NTZ, and UTC session tz keeps
+        # values identical to DuckDB's naive-UTC timestamps.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        # parquet TIMESTAMP(NANOS) (events.ts) is read as epoch-nanos LONG;
-        # ContainerCatalog.load converts to µs TimestampType (and DuckDB
-        # oracles CAST ns→µs the same way). GridDB NANO_TIMESTAMP fidelity
-        # stays available via the *_ns helpers.
+        # any parquet TIMESTAMP(NANOS) source reads as epoch-nanos LONG
+        # (GridDB NANO_TIMESTAMP fidelity — Spark tops out at µs natively);
+        # ContainerCatalog.load detects ns columns per-file and converts to
+        # µs TimestampType, matching DuckDB's ns→µs cast. The driver
+        # testdata is currently timestamp[us], so this is a no-op there,
+        # but ns sources keep full fidelity via the *_ns helpers.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # single-file parquet sources split per row-group: at testdata sizes
         # (≈10 MB files) the 128m default serializes the scan on one core.

@@ -14,8 +14,10 @@ Conventions (driver contract, __spark_entry__.py):
   not avg(double), so accumulation order can't move the 6th decimal;
 - unstable double aggregates (stddev/percentile/time-weighted) are
   rounded to 6 decimals on both sides;
-- events.ts is ns in parquet: Spark reads epoch-nanos → µs timestamps
-  (ContainerCatalog), oracles use CAST(ts AS TIMESTAMP) (same truncation).
+- events.ts is timestamp[us] in the driver parquet (was ns in earlier
+  rounds); ContainerCatalog detects the unit per-file — ns sources read as
+  epoch-nanos LONG (nanosAsLong) and convert by integer div, µs sources
+  pass through. Raw readers here guard on the scanned dtype the same way.
 """
 
 from __future__ import annotations
@@ -258,25 +260,37 @@ def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dist_qty,
            round(CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                  / count(DISTINCT l_quantity), 6) AS avg_dist_qty,
-           round(sqrt((CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))
-                                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                       - CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                         * CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                         / count(DISTINCT l_quantity))
-                      / (count(DISTINCT l_quantity) - 1)), 6) AS sd_dist_qty
+           CASE WHEN count(DISTINCT l_quantity) > 1 THEN
+             round(sqrt((CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))
+                                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         - CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                           * CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                           / count(DISTINCT l_quantity))
+                        / (count(DISTINCT l_quantity) - 1)), 6)
+           ELSE NULL END AS sd_dist_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP_GROUP_DISTINCT(_MERGE): DISTINCT aggregates — the full
-    AGG_DISTINCT_* family (sql_type.h:116-128) incl. AVG/STDDEV forms."""
+    AGG_DISTINCT_* family (sql_type.h:116-128) incl. AVG/STDDEV forms.
+    Mirrors the oracle term-for-term: exact decimal DISTINCT sums cast to
+    double, avg = exact-sum/count, stddev via the sum-of-squares identity
+    (q → q·q is injective here because l_quantity > 0) guarded to NULL for
+    single-distinct-value groups (matching stddev_samp semantics)."""
     li = cat(spark, sf_dir).load("lineitem")
+    q = _dec("l_quantity")
+    s = F.sum_distinct(q).cast("double")
+    sq = F.sum_distinct(q * q).cast("double")
+    cd = F.count_distinct(F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct("l_partkey").alias("n_part"),
-        F.sum_distinct(_dec("l_quantity")).alias("sum_dist_qty"),
-        _r6(F.expr("avg(DISTINCT l_quantity)")).alias("avg_dist_qty"),
-        _r6(F.expr("stddev_samp(DISTINCT l_quantity)")).alias("sd_dist_qty"),
+        s.alias("sum_dist_qty"),
+        _r6(s / cd).alias("avg_dist_qty"),
+        F.when(
+            cd > 1, _r6(F.sqrt((sq - s * s / cd) / (cd - 1)))
+        ).alias("sd_dist_qty"),
     )
 
 
@@ -1644,7 +1658,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE NOT (c_mktsegment = 'AUTOMOBILE')
     )
     SELECT c_nationkey, count(*) AS n,
-           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
     FROM mutated GROUP BY c_nationkey
     """,
 )
@@ -1667,7 +1681,7 @@ def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("c_acctbal")).alias("bal"),
+            _dsum("c_acctbal").alias("bal"),
         )
     )
 
@@ -1768,7 +1782,7 @@ def meta_databases(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM supplier
     )
     SELECT s_nationkey, count(*) AS n, count(rating) AS n_rating,
-           sum(CAST(balance AS DECIMAL(18,2))) AS bal
+           CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE) AS bal
     FROM evolved GROUP BY s_nationkey
     """,
 )
@@ -1794,7 +1808,7 @@ def ddl_alter_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count("rating").alias("n_rating"),
-            F.sum(_dec("balance")).alias("bal"),
+            _dsum("balance").alias("bal"),
         )
     )
 
@@ -1824,6 +1838,56 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = EV_START_MS + 9 * day_ms  # 2024-01-10
     day = t.scan_range(start, start + day_ms)
     return day.groupBy("user_id").agg(
+        _r6(F.sum("value")).alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query("sql_explain")  # no oracle: plan text is engine-specific by nature
+def sql_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN / EXPLAIN ANALYZE (SyntaxTree::EXPLAIN_PLAN/EXPLAIN_ANALYZE,
+    sql_execution.h:835-838, sql_execution.cpp:3234-3241): the SQL
+    front-end maps EXPLAIN → optimized logical plan rows and EXPLAIN
+    ANALYZE → executed physical plan rows (df.explain surface). Rows-only
+    driver check — plan text differs per engine by design."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    c = cat(spark, sf_dir)
+    return griddb_sql(
+        spark, c,
+        "EXPLAIN ANALYZE SELECT o_orderpriority, count(*) AS n "
+        "FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderpriority",
+    )
+
+
+@query(
+    "partition_pruned_scan_rh",
+    """
+    SELECT event_type, round(sum(value), 6) AS sv, count(*) AS n
+    FROM events
+    WHERE user_id = 3
+      AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-13 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def partition_pruned_scan_rh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE_HASH composite partitioning (TABLE_PARTITION_TYPE_RANGE_HASH,
+    sql_parser.h:300-303): events sharded RANGE(ts) EVERY(1, DAY) ×
+    HASH(user_id, 4), then a 3-day single-user query — the scan prunes to
+    3 range buckets × 1 hash bucket of the 30×4 leaf directories."""
+    import tempfile
+
+    from griddb_spark.dml import DmlTable, range_hash_partition_expr
+
+    ev = cat(spark, sf_dir).load("events")
+    path = tempfile.mkdtemp(prefix="dml_ev_rh_") + "/t"
+    t = DmlTable(
+        spark, path, range_hash_partition_expr("ts", 1, "DAY", "user_id", 4)
+    ).create(ev)
+    day_ms = 86_400_000
+    start = EV_START_MS + 9 * day_ms  # 2024-01-10
+    sel = t.scan_key_range(start, start + 3 * day_ms, 3)
+    return sel.groupBy("event_type").agg(
         _r6(F.sum("value")).alias("sv"), F.count(F.lit(1)).alias("n")
     )
 
@@ -2151,7 +2215,7 @@ def subquery_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH nation_rev AS (
       SELECT n_name, n_nationkey,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
              count(*) AS n_orders
       FROM orders JOIN customer ON o_custkey = c_custkey
                   JOIN nation ON c_nationkey = n_nationkey
@@ -2170,7 +2234,7 @@ def ddl_create_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("""
         CREATE OR REPLACE TEMPORARY VIEW nation_rev AS
         SELECT n_name, n_nationkey,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                count(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
                     JOIN nation ON c_nationkey = n_nationkey
@@ -2271,20 +2335,30 @@ def composite_key_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def nano_ts_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NANO_TIMESTAMP handling (data_store_common.h:136-165 type 22, GridDB
-    5.3 release notes): ns-precision parquet timestamps read as epoch-nanos
-    LONG, projected to µs/ms with integer div (double loses µs at 2^53).
-    DuckDB's parquet reader truncates ns→µs, so the oracle checks the µs
-    projections; the full sub-µs round-trip is asserted against pyarrow in
+    """MICRO/NANO_TIMESTAMP handling (data_store_common.h:136-165 types
+    21/22, GridDB 5.3 release notes). Dtype-adaptive like the streaming
+    readers: parquet TIMESTAMP(NANOS) sources arrive as epoch-nanos LONG
+    (session nanosAsLong) and are projected with integer div — double
+    division loses µs at epoch-nanos magnitude (1.7e18 > 2^53); µs/ms
+    sources arrive as TimestampType and project via unix_micros/millis.
+    The driver fixtures are currently timestamp[us]; the ns LONG path is
+    covered by a self-written ns fixture in
     tests/test_timeseries_ops.py::test_nano_ts_roundtrip."""
     c = cat(spark, sf_dir)
     prepare(spark)
     raw = spark.read.parquet(c.path("events")).filter(F.col("event_id") < 500)
+    if dict(raw.dtypes)["ts"] == "bigint":  # ns parquet under nanosAsLong
+        return raw.select(
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            F.expr("ts div 1000000").alias("ts_ms"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts_micro"),
+        )
     return raw.select(
         "event_id",
-        F.expr("ts div 1000").alias("ts_us"),
-        F.expr("ts div 1000000").alias("ts_ms"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts_micro"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("ts").alias("ts_micro"),
     )
 
 
@@ -2309,7 +2383,10 @@ def stream_ema_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes)["ts"] == "bigint":  # ns parquet under nanosAsLong
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = raw
     flagged = ema_anomaly_stream(
         ev, ["user_id"], value_col="value", ts_col="ts",
         alpha=0.2, threshold=2.0, min_history=5,

@@ -75,6 +75,39 @@ def test_hash_partitioned_update_and_pruning(spark, tmp_path, catalog):
     assert day.count() == expected
 
 
+def test_range_hash_partitioned_pruning(spark, tmp_path, catalog):
+    """RANGE_HASH composite: both __part (range bucket) and __subpart
+    (hash bucket) must reach the scan as PartitionFilters, and the pruned
+    read must equal the plain filtered read."""
+    import re
+
+    from griddb_spark.dml import DmlTable, range_hash_partition_expr
+
+    ev = catalog.load("events")
+    t = DmlTable(
+        spark, str(tmp_path / "ev_rh"),
+        range_hash_partition_expr("ts", 1, "DAY", "user_id", 4),
+    ).create(ev)
+    day_ms = 86_400_000
+    start = 1704067200000 + 9 * day_ms  # 2024-01-10
+    sel = t.scan_key_range(start, start + day_ms, 3)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__part" in m.group(1) and "__subpart" in m.group(1), plan
+    expected = ev.filter(
+        (F.col("user_id") == 3)
+        & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-11 00:00:00").cast("timestamp"))
+    ).count()
+    assert sel.count() == expected and expected > 0
+    # time-range-only scan (all hash buckets) also prunes and agrees
+    allb = t.scan_range(start, start + day_ms)
+    assert allb.count() == ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-11 00:00:00").cast("timestamp"))
+    ).count()
+
+
 def test_database_ddl_roundtrip(spark):
     """CREATE/DROP DATABASE (sql_parser.h:239-240) + #databases meta
     table: namespaces appear/disappear, ids are a dense name rank."""

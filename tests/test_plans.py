@@ -90,16 +90,18 @@ def test_shingle_filter_stays_above_exchange(spark):
     """minhash's pre-shingle filter must be a cheap source-column predicate
     below the exchange; the shingle transform itself must NOT appear in
     the scan-stage Filter (predicate pushdown would re-evaluate it on the
-    narrow pre-repartition side)."""
+    narrow pre-repartition side). Inspects the un-checkpointed shingle
+    stage — minhash_lsh_pairs materializes it eagerly, after which the
+    lineage (and so the plan) is truncated."""
     from pyspark.sql import functions as F
 
     from griddb_spark.catalog import ContainerCatalog
-    from griddb_spark.pipeline import minhash_lsh_pairs
+    from griddb_spark.pipeline.dedup import hashed_shingles
 
     import re
 
     docs = ContainerCatalog(spark, SF_DIR).load("documents")
-    plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8))
+    plan = _plan(hashed_shingles(docs, "doc_id", "text"))
     data_filters = re.findall(r"DataFilters: \[([^\]]*)\]", plan)
     assert data_filters
     # the expensive per-row shingle builder (slice+concat_ws loop) must not

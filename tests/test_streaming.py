@@ -21,7 +21,10 @@ def test_stream_group_by_range_matches_batch(spark, catalog, tmp_path):
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
-    ev_s = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes)["ts"] == "bigint":  # ns parquet under nanosAsLong
+        ev_s = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev_s = raw
     out = group_by_range_stream(
         ev_s, "ts", 1, "HOUR",
         {"avg_value": F.round(F.avg("value"), 6), "n": F.count(F.lit(1))},

@@ -219,22 +219,39 @@ def test_match_recognize_alternation_star(spark):
     assert got == [(0, 3), (4, 5)]
 
 
-def test_nano_ts_roundtrip(spark):
-    """Sub-µs fidelity: nanosAsLong read preserves exactly the parquet ns
-    values (pyarrow as oracle — DuckDB truncates ns to µs in views)."""
+def test_nano_ts_roundtrip(spark, tmp_path):
+    """Sub-µs fidelity on a self-written TIMESTAMP(NANOS) fixture: the
+    session's nanosAsLong read preserves exactly the parquet ns values as
+    epoch-nanos LONG (GridDB NANO_TIMESTAMP, data_store_common.h type 22;
+    driver testdata is timestamp[us], so ns fidelity is proven here), and
+    the catalog-style µs projection truncates identically to pyarrow."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = "/root/testdata/sf0.001/events.parquet"
-    tbl = pq.read_table(path, columns=["event_id", "ts"])
-    want = {
-        r["event_id"]: r["ts"].value  # pyarrow ns timestamp → epoch-nanos
-        for r in tbl.slice(0, 50).to_pylist()
-    }
-    got = {
-        r.event_id: r.ts
-        for r in spark.read.parquet(path)
-        .filter(F.col("event_id").isin(list(want)))
-        .collect()
-    }
+    base_ns = 1_704_067_200_000_000_000  # 2024-01-01 epoch-nanos
+    want = {i: base_ns + i * 1_000_000_007 + 123 for i in range(50)}
+    path = str(tmp_path / "ns_events.parquet")
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(list(want), type=pa.int64()),
+            "ts": pa.array(
+                list(want.values()), type=pa.timestamp("ns")
+            ),
+        }),
+        path,
+        use_deprecated_int96_timestamps=False,
+        coerce_timestamps=None,
+    )
+    df = spark.read.parquet(path)
+    assert dict(df.dtypes)["ts"] == "bigint", "nanosAsLong not in effect"
+    got = {r.event_id: r.ts for r in df.collect()}
     assert got == want
     assert any(v % 1000 != 0 for v in want.values()), "fixture has no sub-µs"
+    # µs projection (integer div, not double) truncates exactly
+    micro = {
+        r.event_id: r.us
+        for r in df.select(
+            "event_id", F.expr("ts div 1000").alias("us")
+        ).collect()
+    }
+    assert micro == {k: v // 1000 for k, v in want.items()}
