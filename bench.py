@@ -64,13 +64,19 @@ def main() -> int:
         for wname in names:
             _force(workload.QUERIES[wname](spark, warm_dir))
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in names:
-        # each query stands alone: operators persist() intermediates for
-        # intra-query reuse, and leftover cache blocks from earlier
-        # queries otherwise cause eviction/recompute jitter (observed
-        # 0.8s -> 2.8s swings on the LSH ops late in the sequence)
+        # each query stands alone: operators persist()/localCheckpoint()
+        # intermediates for intra-query reuse, and leftover blocks from
+        # earlier queries otherwise cause eviction/recompute jitter
+        # (observed 0.8s -> 2.8s swings on the LSH ops late in the
+        # sequence). clearCache drops cached plans; the gc.collect lets
+        # ContextCleaner reclaim checkpointed RDD blocks whose DataFrames
+        # went out of scope (clearCache does NOT touch those)
         spark.catalog.clearCache()
+        gc.collect()
         fn = workload.QUERIES[name]
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))

@@ -13,6 +13,8 @@ the same container catalog:
   IVF cell-probed ANN over embedding columns.
 - :mod:`griddb_spark.pipeline.multimodal` — opaque-binary media columns
   with typed metadata; decode stubs over ``mapInPandas``.
+- :mod:`griddb_spark.pipeline.sampling` — deterministic (content-hash)
+  uniform and stratified sampling for reproducible dataset builds.
 
 Design rule: everything is expressed with JVM-side built-ins (higher-order
 array functions, ``md5``; no Python UDFs) so the hot path stays inside
@@ -21,13 +23,20 @@ twin in ``griddb_spark.workload``.
 """
 
 from griddb_spark.pipeline.dedup import (  # noqa: F401
+    canonical_filter,
     char_ngrams,
     collapse_exact,
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
     with_simhash,
+)
+from griddb_spark.pipeline.sampling import (  # noqa: F401
+    deterministic_sample,
+    hash_bucket,
+    stratified_sample,
 )
 from griddb_spark.pipeline.similarity import (  # noqa: F401
     ann_ivf,

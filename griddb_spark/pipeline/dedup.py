@@ -303,6 +303,77 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph → dedup clusters.
+
+    Pregel-style min-label propagation: every node starts labeled with its
+    own id; each round, labels flow across edges and each node keeps the
+    minimum seen; fixpoint when no label changes. Near-dup clusters have
+    tiny diameter (duplicates of a common source), so rounds ≈ 2-4; each
+    round is ONE shuffle join + map-side-combinable min-groupBy, and every
+    iteration output is eagerly localCheckpoint-ed so the plan never grows
+    with iteration count (the classic iterative-algorithm lineage bomb).
+    The per-round driver-side convergence check reads a single scalar —
+    the standard GraphX/Pregel driver loop, not a data collect. For graphs
+    with genuinely long chains at 100 TB, swap the propagation loop for
+    alternating large-star/small-star rounds (O(log n) convergence) — the
+    join/groupBy shapes are identical.
+
+    Returns (doc_id, component) for every node appearing in ``pairs``,
+    component = min doc id reachable.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges["b"] == labels["id"]).select(
+            edges["a"].alias("id"), F.col("comp")
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+def canonical_filter(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end near-dup REMOVAL: keep one canonical document (the
+    component-min id) per dedup cluster, pass through every document that
+    is in no cluster. A broadcast-able anti-join against the (tiny
+    relative to the corpus) non-canonical member list — the corpus itself
+    is scanned once and never shuffled.
+    """
+    losers = components.filter(F.col("component") < F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def char_ngrams(col: Column | str, n: int = 4) -> Column:
     """Distinct character n-grams of a string (codegen-friendly, no UDF)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -1,0 +1,59 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent *per partition layout*: the same row can
+be kept on one cluster run and dropped on the next when file splits change,
+which breaks dataset reproducibility and incremental rebuilds. The
+operators here derive the keep/drop decision from a **content hash of the
+row key** — stable across partitionings, cluster sizes, and engines (the
+DuckDB oracles compute the identical md5-based decision), and trivially
+re-runnable on appended data without resampling history.
+
+Scale shape: pure JVM column expressions on a single scan — no shuffle at
+all for uniform sampling; stratified rates join against a broadcast-able
+per-stratum rate table only when rates are data-driven.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hash-space resolution: per-mille-of-per-cent (1/10000) rate granularity
+_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column | str) -> Column:
+    """Deterministic bucket 0-9999 from a row key: first 8 md5 hex digits
+    as an integer (portable — any engine with md5 + hex parsing agrees)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _BUCKETS
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided by the key's hash bucket — stable
+    under repartitioning, appends, and engine changes."""
+    return df.filter(hash_bucket(key_col) < int(rate * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, stratum_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate-
+    heavy domains, keep all rare high-quality strata). ``rates`` maps
+    stratum value → keep rate in [0, 1]; missing strata keep rate 0.
+
+    The rate lookup is a literal CASE expression (broadcast-free); the
+    decision is the same content-hash bucket as ``deterministic_sample``.
+    """
+    rate = F.lit(0.0)
+    for value, r in rates.items():
+        rate = F.when(F.col(stratum_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.filter(
+        hash_bucket(key_col) < (rate * _BUCKETS).cast("bigint")
+    )

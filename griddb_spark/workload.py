@@ -1185,6 +1185,103 @@ def pipe_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
 
 
+#: Near-dup pair graph + recursive transitive closure (DuckDB): the CTE
+#: chain behind the components/canonical oracles. `WITH` must become
+#: `WITH RECURSIVE` for the closure, hence the replace on the shared
+#: shingle CTE.
+_DUCK_COMPONENTS = _DUCK_SHINGLES.replace("with ", "WITH RECURSIVE ", 1) + """,
+    j as (select a.doc_id doc_a, b.doc_id doc_b
+          from shingle a join shingle b on a.doc_id < b.doc_id
+          where len(list_intersect(a.sh, b.sh))::double
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+    e as (select doc_a a, doc_b b from j union select doc_b, doc_a from j),
+    reach(src, dst) as (
+        select a, b from e
+        union
+        select r.src, e.b from reach r join e on r.dst = e.a
+    )
+"""
+
+
+@query(
+    "pipe_dedup_components",
+    _DUCK_COMPONENTS
+    + """
+    SELECT src AS doc_id, least(src, min(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def pipe_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the MinHash near-dup pair
+    graph (Pregel-style min-label propagation, one shuffle join + min
+    groupBy per round, lineage checkpointed per iteration). The oracle
+    computes the same components via brute-force pairs + a recursive
+    transitive closure."""
+    from griddb_spark.pipeline import connected_components, minhash_lsh_pairs
+
+    docs = cat(spark, sf_dir).load("documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    return connected_components(pairs)
+
+
+@query(
+    "pipe_dedup_canonical",
+    _DUCK_COMPONENTS
+    + """,
+    comp as (select src doc_id, least(src, min(dst)) component
+             from reach group by src)
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM comp c
+                      WHERE c.doc_id = d.doc_id AND c.component < d.doc_id)
+    """,
+)
+def pipe_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: pair graph → components → keep the
+    component-min document per cluster plus every unclustered document —
+    a single left-anti join of the corpus against the (small) loser list,
+    so the corpus is scanned once and never shuffled."""
+    from griddb_spark.pipeline import (
+        canonical_filter,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = cat(spark, sf_dir).load("documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    comps = connected_components(pairs)
+    return canonical_filter(docs, comps).select("doc_id")
+
+
+@query(
+    "pipe_sample_stratified",
+    """
+    SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents
+    WHERE ('0x'||substr(md5(cast(doc_id as varchar)),1,8))::bigint % 10000 <
+          CAST(10000 * (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                        WHEN 'es' THEN 0.25 ELSE 0 END) AS BIGINT)
+    GROUP BY lang
+    """,
+)
+def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (content-hash of the row key, not
+    seed-per-partition df.sample): keep 50% of 'en', all of 'de', 25% of
+    'es', drop the rest — bit-identical keep decisions across engines,
+    partitionings, and reruns (dataset reproducibility). Rates with exact
+    binary representations so both engines' rate*10000 agree exactly."""
+    from griddb_spark.pipeline import stratified_sample
+
+    docs = cat(spark, sf_dir).load("documents")
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 1.0, "es": 0.25}
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 #: DuckDB simhash CTE (mirrors pipeline.dedup.with_simhash)
 _DUCK_SIMHASH = (
     "with tok as (select doc_id, md5(unnest(string_split_regex(trim(text),"

@@ -43,11 +43,18 @@ for name in NAMES:
     order = sorted(scols)
     si = [scols.index(c) for c in order]
     di = [dcols.index(c) for c in order]
-    s = sorted(tuple(strict(r[i]) for i in si) for r in srows)
-    d = sorted(tuple(strict(r[i]) for i in di) for r in drows)
-    bad = [(a, b) for a, b in zip(s, d) if a != b]
-    print(f"=== {name}: {len(bad)} mismatched rows of {len(s)} (cols {order})")
-    for a, b in bad[:6]:
-        for c, x, y in zip(order, a, b):
-            if x != y:
-                print(f"    {c}: spark={x}  duck={y}")
+    # multiset diff, not positional zip of sorted lists: one differing value
+    # would shift sort order and cascade into spurious row mismatches, and
+    # zip silently truncates unequal row counts
+    from collections import Counter
+
+    s = Counter(tuple(strict(r[i]) for i in si) for r in srows)
+    d = Counter(tuple(strict(r[i]) for i in di) for r in drows)
+    n_s, n_d = sum(s.values()), sum(d.values())
+    only_s, only_d = s - d, d - s
+    n_bad = sum(only_s.values()) + sum(only_d.values())
+    count_note = "" if n_s == n_d else f"  ROW COUNTS DIFFER: spark={n_s} duck={n_d}"
+    print(f"=== {name}: {n_bad} mismatched rows of {n_s}{count_note} (cols {order})")
+    for label, side in (("spark-only", only_s), ("duck-only", only_d)):
+        for row in list(side.elements())[:6]:
+            print(f"    {label}: {dict(zip(order, row))}")

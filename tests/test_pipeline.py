@@ -165,3 +165,55 @@ def test_collapse_exact_clusters(spark):
             for r in collapse_exact(df, "doc_id", "text").collect()}
     # min-id representative per distinct text, cluster sizes carried
     assert reps == {1: 3, 3: 1, 4: 1}
+
+
+def test_connected_components_chains_and_singletons(spark):
+    from griddb_spark.pipeline import connected_components
+
+    # two chains (1-2-3-4 transitively, 10-11) — components = min id even
+    # for nodes connected only through intermediates
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.component
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_canonical_filter_keeps_reps_and_unclustered(spark):
+    from griddb_spark.pipeline import canonical_filter, connected_components
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(2, 5), (5, 6)], ["doc_a", "doc_b"])
+    comps = connected_components(pairs)
+    kept = {r.doc_id for r in canonical_filter(docs, comps).collect()}
+    # 5 and 6 collapse into 2; everything unclustered survives
+    assert kept == {1, 2, 3, 4, 7}
+
+
+def test_deterministic_sample_is_stable_and_partition_invariant(spark):
+    from griddb_spark.pipeline import deterministic_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    a = {r.id for r in deterministic_sample(df, "id", 0.3).collect()}
+    b = {r.id for r in
+         deterministic_sample(df.repartition(7), "id", 0.3).collect()}
+    assert a == b, "keep decision must not depend on partitioning"
+    assert 0.25 < len(a) / 2000 < 0.35
+    # monotone: raising the rate only adds rows (hash-bucket thresholding)
+    c = {r.id for r in deterministic_sample(df, "id", 0.6).collect()}
+    assert a <= c
+
+
+def test_stratified_sample_rates(spark):
+    from griddb_spark.pipeline import stratified_sample
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    kept = stratified_sample(df, "id", "grp", {"a": 1.0, "b": 0.2}).collect()
+    na = sum(1 for r in kept if r.grp == "a")
+    nb = sum(1 for r in kept if r.grp == "b")
+    assert na == 1000, "rate 1.0 keeps the whole stratum"
+    assert 0.13 < nb / 1000 < 0.27
