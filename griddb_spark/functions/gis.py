@@ -65,3 +65,84 @@ def st_mbr_intersects(a: Column, b: Column) -> Column:
         (a["xmin"] <= b["xmax"]) & (b["xmin"] <= a["xmax"])
         & (a["ymin"] <= b["ymax"]) & (b["ymin"] <= a["ymax"])
     )
+
+
+# -- 3D surface + SRID (full function_gis.h parity) -------------------------
+
+
+def st_geomfromtext(wkt: Column | str) -> Column:
+    """ST_GEOMFROMTEXT: WKT text → geometry struct (wkt, srid).
+
+    GridDB's WKT grammar accepts a trailing ``;<int>`` SRID
+    (``wkt.cpp:131-132``, ``gisarg ::= gisexpr SEMICOLON [MINUS] INTEGER``);
+    srid defaults to -1 when absent (``gis_geometry.cpp:349``).
+    """
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    srid_txt = F.regexp_extract(c, r";\s*(-?\d+)\s*$", 1)
+    return F.struct(
+        F.regexp_replace(c, r"\s*;\s*-?\d+\s*$", "").alias("wkt"),
+        F.when(srid_txt == "", F.lit(-1))
+        .otherwise(srid_txt.cast("int")).alias("srid"),
+    )
+
+
+def st_getsrid(geom: Column) -> Column:
+    """ST_GETSRID (function_gis.h:737-758): the geometry's SRID."""
+    return geom["srid"]
+
+
+def st_make_box(xmin, ymin, zmin, xmax, ymax, zmax) -> Column:
+    """ST_MAKEBOX (function_gis.h:151-326): axis-aligned 3D box.
+
+    The reference materializes a 6-face POLYHEDRALSURFACE whose R-tree
+    entry is exactly the (min, max) envelope — which is all downstream
+    MBR/QSF predicates consume, so the envelope struct IS the box here.
+    Accepts plain numbers or Columns; corners may be given unordered
+    (normalized with least/greatest like TrRect construction).
+    """
+    def lit(v):
+        return v if isinstance(v, Column) else F.lit(float(v))
+
+    x0, y0, z0, x1, y1, z1 = (lit(v).cast("double")
+                              for v in (xmin, ymin, zmin, xmax, ymax, zmax))
+    return F.struct(
+        F.least(x0, x1).alias("xmin"), F.least(y0, y1).alias("ymin"),
+        F.least(z0, z1).alias("zmin"), F.greatest(x0, x1).alias("xmax"),
+        F.greatest(y0, y1).alias("ymax"), F.greatest(z0, z1).alias("zmax"),
+    )
+
+
+def st_mbr_xyz(wkt: Column | str) -> Column:
+    """3D envelope (xmin..zmax) of a WKT geometry.
+
+    Third coordinate defaults to 0.0 for 2D geometries (a 2D shape sits in
+    the z=0 plane of the R-tree's 3D rect). Same pure higher-order
+    expression shape as :func:`st_mbr` — no UDF.
+    """
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    coord_text = F.regexp_replace(F.upper(c), r"[A-Z()]+", "")
+    pairs = F.filter(
+        F.split(F.trim(coord_text), r"\s*,\s*"), lambda p: p != ""
+    )
+    xs = F.transform(pairs, lambda p: F.split(F.trim(p), r"\s+")[0].cast("double"))
+    ys = F.transform(pairs, lambda p: F.split(F.trim(p), r"\s+")[1].cast("double"))
+    zs = F.transform(
+        pairs,
+        lambda p: F.coalesce(
+            F.split(F.trim(p), r"\s+")[2].cast("double"), F.lit(0.0)
+        ),
+    )
+    return F.struct(
+        F.array_min(xs).alias("xmin"), F.array_min(ys).alias("ymin"),
+        F.array_min(zs).alias("zmin"), F.array_max(xs).alias("xmax"),
+        F.array_max(ys).alias("ymax"), F.array_max(zs).alias("zmax"),
+    )
+
+
+def st_mbr_intersects_3d(a: Column, b: Column) -> Column:
+    """Closed-interval overlap of two 3D envelopes (TrRect semantics)."""
+    return (
+        (a["xmin"] <= b["xmax"]) & (b["xmin"] <= a["xmax"])
+        & (a["ymin"] <= b["ymax"]) & (b["ymin"] <= a["ymax"])
+        & (a["zmin"] <= b["zmax"]) & (b["zmin"] <= a["zmax"])
+    )

@@ -2193,6 +2193,50 @@ def gis_mbr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gis_qsf_probe",
+    """
+    SELECT s_suppkey
+    FROM (SELECT s_suppkey,
+                 (s_suppkey % 40 * 2)::DOUBLE xmin,
+                 (s_suppkey % 17)::DOUBLE ymin,
+                 (s_suppkey % 9)::DOUBLE zmin,
+                 (s_suppkey % 40 * 2 + 2)::DOUBLE xmax,
+                 (s_suppkey % 17 + 2)::DOUBLE ymax,
+                 (s_suppkey % 9 + 2)::DOUBLE zmax
+          FROM supplier)
+    WHERE sqrt( pow(greatest(xmin, least(xmax, 20.0)) - 20.0, 2)
+              + pow(greatest(ymin, least(ymax, 8.0)) - 8.0, 2)
+              + pow(greatest(zmin, least(zmax, 4.0)) - 4.0, 2)) < 7.3
+    """,
+)
+def gis_qsf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_MAKESPHERE + ST_QSFMBRINTERSECTS (function_gis.h:408,618;
+    TrPv3Test tr-cpp/TrPv3.cpp:433): per-supplier 3D boxes probed with a
+    constant quadratic-surface sphere. The Spark side runs the faithful
+    TrPv3 candidate-point kernel (corners / edge / face stationary points /
+    anchor); the oracle is the independent closed-form clamp-distance test,
+    equivalent for spheres on non-tangent data (integer box corners vs
+    R=7.3 can never tie). Two genuinely different algorithms must agree."""
+    from griddb_spark.functions.gis import st_make_box
+    from griddb_spark.functions.qsf import st_make_sphere, st_qsf_mbr_intersects
+
+    key = st_make_sphere(20.0, 8.0, 4.0, 7.3)
+    s = cat(spark, sf_dir).load("supplier")
+    k = F.col("s_suppkey")
+    boxes = s.select(
+        "s_suppkey",
+        st_make_box(
+            (k % 40 * 2).cast("double"), (k % 17).cast("double"),
+            (k % 9).cast("double"), (k % 40 * 2 + 2).cast("double"),
+            (k % 17 + 2).cast("double"), (k % 9 + 2).cast("double"),
+        ).alias("box"),
+    )
+    return boxes.filter(st_qsf_mbr_intersects(key, F.col("box"))).select(
+        "s_suppkey"
+    )
+
+
+@query(
     "nosql_multiget",
     """
     SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 6) AS c_acctbal
