@@ -15,6 +15,10 @@ the same container catalog:
   with typed metadata; decode stubs over ``mapInPandas``.
 - :mod:`griddb_spark.pipeline.sampling` — deterministic (content-hash)
   uniform and stratified sampling for reproducible dataset builds.
+- :mod:`griddb_spark.pipeline.decontaminate` — benchmark n-gram overlap
+  detection and corpus cleaning (broadcast benchmark gram set).
+- :mod:`griddb_spark.pipeline.packing` — token counting and doc-level
+  sequence packing into fixed token-budget training rows.
 
 Design rule: everything is expressed with JVM-side built-ins (higher-order
 array functions, ``md5``; no Python UDFs) so the hot path stays inside
@@ -22,6 +26,11 @@ whole-stage codegen, and every deterministic operator has a DuckDB-oracle
 twin in ``griddb_spark.workload``.
 """
 
+from griddb_spark.pipeline.decontaminate import (  # noqa: F401
+    benchmark_ngram_set,
+    contamination_report,
+    decontaminate,
+)
 from griddb_spark.pipeline.dedup import (  # noqa: F401
     canonical_filter,
     char_ngrams,

@@ -1,0 +1,103 @@
+"""Sequence packing: assemble documents into fixed token-budget training
+rows, plus corpus token accounting.
+
+Trainers consume fixed-length context windows; feeding one short document
+per window wastes most of the batch. The standard fix is *packing*:
+concatenate documents (with boundaries preserved) until a token budget is
+reached. This operator assigns every document a deterministic
+``(bucket, pack_id, pack_offset)`` using only scan + window arithmetic:
+
+- documents are spread across ``n_buckets`` writer buckets by a portable
+  content hash of the id (same md5 scheme as
+  :mod:`griddb_spark.pipeline.sampling` — reproducible across engines,
+  partitionings, and appends);
+- within a bucket, documents are ordered by id and laid out head-to-tail;
+  ``pack_id = floor(start_offset / budget)`` — the document-level
+  equivalent of "concatenate then chunk", so a pack can spill past the
+  budget by at most one document tail (exactly how block-packing
+  pipelines batch; no bin-packing NP-ness, no driver loop).
+
+Scale shape: ONE shuffle (window partitioned by bucket, keyed by id) no
+matter the corpus size; bucket count sets write parallelism, so 100 TB
+just means more buckets. Every expression is JVM-side; the whole layout is
+reproducible bit-for-bit — the DuckDB oracle computes the identical
+assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from griddb_spark.pipeline.sampling import hash_bucket
+from griddb_spark.pipeline.text import BPE_RE, tokens
+
+
+def token_count(col: Column | str, mode: str = "ws") -> Column:
+    """Token count of a text column: ``ws`` = whitespace words,
+    ``bpe`` = the BPE-ish pre-tokenizer (letter runs | digit runs |
+    single punctuation glyph) from :mod:`pipeline.text`."""
+    c = F.col(col) if isinstance(col, str) else col
+    if mode == "ws":
+        return F.size(tokens(c))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0))
+    raise ValueError(f"unknown token mode: {mode}")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_buckets: int = 8,
+    mode: str = "ws",
+) -> DataFrame:
+    """Deterministic doc-level packing plan.
+
+    Returns (id, n_tokens, bucket, pack_id, pack_offset) — enough for a
+    writer to materialize packs with document boundaries intact. Documents
+    longer than ``budget`` still get a slot (they start a pack and spill;
+    splitting oversized docs is the tokenizer's job upstream).
+    """
+    n = token_count(text_col, mode).alias("n_tokens")
+    bucketed = df.select(
+        F.col(id_col), n, (hash_bucket(id_col) % n_buckets).alias("bucket")
+    )
+    w = W.partitionBy("bucket").orderBy(id_col)
+    start = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return bucketed.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.floor(start / budget).cast("bigint").alias("pack_id"),
+        (start % budget).cast("bigint").alias("pack_offset"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    mode: str = "bpe",
+) -> DataFrame:
+    """Corpus token frequency table, top-k by count (ties broken by token
+    text — deterministic across engines): the seed statistics for
+    tokenizer/vocab induction. Explode → two-phase hash count (map-side
+    combine) → ordered top-k."""
+    tok = (
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0))
+        if mode == "bpe"
+        else F.explode(tokens(text_col))
+    )
+    return (
+        df.select(tok.alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )

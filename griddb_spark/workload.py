@@ -1282,6 +1282,90 @@ def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipe_decontaminate",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
+               FROM documents),
+    g AS (SELECT doc_id,
+            list_distinct([array_to_string(w[i:i+2], ' ')
+                           FOR i IN range(1, greatest(len(w)-2, 0)+1)]) sh
+          FROM t),
+    bg AS (SELECT DISTINCT unnest(sh) AS gram FROM g WHERE doc_id % 41 = 0),
+    cg AS (SELECT doc_id, unnest(sh) AS gram FROM g WHERE doc_id % 41 <> 0)
+    SELECT cg.doc_id, count(*) AS hits
+    FROM cg JOIN bg USING (gram)
+    GROUP BY cg.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipeline.decontaminate): training docs
+    sharing >= 2 distinct word 3-grams with the benchmark slice
+    (doc_id % 41 == 0 stands in for an eval suite; real pipelines use
+    longer grams on longer documents). Benchmark gram set is broadcast —
+    corpus grams never shuffle."""
+    from griddb_spark.pipeline import contamination_report
+
+    docs = cat(spark, sf_dir).load("documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    return contamination_report(corpus, bench, "doc_id", "text",
+                                n=3, min_hits=2)
+
+
+@query(
+    "pipe_pack_sequences",
+    """
+    WITH t AS (SELECT doc_id,
+            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+            ('0x'||substr(md5(cast(doc_id AS varchar)),1,8))::BIGINT
+              % 10000 % 8 AS bucket
+          FROM documents),
+    s AS (SELECT doc_id, n_tokens, bucket,
+            coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS strt
+          FROM t)
+    SELECT doc_id, n_tokens, bucket,
+           (strt // 256)::BIGINT AS pack_id,
+           (strt % 256)::BIGINT AS pack_offset
+    FROM s
+    """,
+)
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (pipeline.packing): documents laid
+    head-to-tail into 256-token packs inside 8 content-hash buckets —
+    doc-level 'concatenate then chunk'. One shuffle (window by bucket)
+    regardless of corpus size; bit-identical layout in both engines."""
+    from griddb_spark.pipeline.packing import pack_sequences
+
+    docs = cat(spark, sf_dir).load("documents")
+    return pack_sequences(docs, "doc_id", "text", budget=256, n_buckets=8)
+
+
+@query(
+    "pipe_vocab_topk",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 50
+    """,
+)
+def pipe_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency top-k (pipeline.packing.vocab_topk): the
+    seed statistics for tokenizer/vocab induction. Two-phase hash count
+    with map-side combine, deterministic tie-break on token text."""
+    from griddb_spark.pipeline.packing import vocab_topk
+
+    docs = cat(spark, sf_dir).load("documents")
+    return vocab_topk(docs, "text", k=50, mode="bpe")
+
+
 #: DuckDB simhash CTE (mirrors pipeline.dedup.with_simhash)
 _DUCK_SIMHASH = (
     "with tok as (select doc_id, md5(unnest(string_split_regex(trim(text),"

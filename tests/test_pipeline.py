@@ -217,3 +217,73 @@ def test_stratified_sample_rates(spark):
     nb = sum(1 for r in kept if r.grp == "b")
     assert na == 1000, "rate 1.0 keeps the whole stratum"
     assert 0.13 < nb / 1000 < 0.27
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from griddb_spark.pipeline import contamination_report, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a quick brown fox jumps over a fence"),  # 2 shared 3-grams
+            (2, "the quick brown fox runs"),              # 1 shared 3-gram
+            (3, "completely unrelated words here today"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r.doc_id: r.hits
+           for r in contamination_report(corpus, bench, n=3,
+                                         min_hits=1).collect()}
+    # doc 1: "quick brown fox" + "brown fox jumps" + "fox jumps over";
+    # doc 2: "the quick brown" + "quick brown fox"
+    assert rep[1] == 3 and rep[2] == 2 and 3 not in rep
+    clean = decontaminate(corpus, bench, n=3, min_hits=3)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+
+
+def test_pack_sequences_layout_is_head_to_tail(spark):
+    from griddb_spark.pipeline.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, budget=16, n_buckets=2).collect()
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert set(len(v) for v in by_bucket.values()) and len(out) == 12
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r.doc_id)
+        start = 0
+        for r in rows:
+            assert r.pack_id == start // 16
+            assert r.pack_offset == start % 16
+            start += r.n_tokens
+
+
+def test_pack_sequences_is_partition_invariant(spark):
+    from griddb_spark.pipeline.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (5 + i % 7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, pack_sequences(docs, budget=32).collect()))
+    b = sorted(map(tuple,
+                   pack_sequences(docs.repartition(13), budget=32).collect()))
+    assert a == b
+
+
+def test_vocab_topk_deterministic_tiebreak(spark):
+    from griddb_spark.pipeline.packing import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "b a c a b c"), (2, "a b c d!")],
+        "doc_id long, text string",
+    )
+    rows = vocab_topk(docs, "text", k=3, mode="bpe").collect()
+    assert [(r.token, r.n) for r in rows] == [("a", 3), ("b", 3), ("c", 3)]
