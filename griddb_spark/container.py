@@ -166,10 +166,30 @@ class TimeSeries(Collection):
     def __init__(self, name: str, df: DataFrame, ts_col: str = "ts"):
         super().__init__(name, df, row_key=ts_col)
         self.ts_col = ts_col
+        self.expiration = None
 
     def append(self, rows) -> "TimeSeries":
         """TimeSeries.append — put with the timestamp as key."""
         self.put(rows)
+        return self
+
+    def set_row_expiration(self, count: int, unit: str,
+                           division_count: int = 8,
+                           now_ms: int | None = None) -> "TimeSeries":
+        """TimeSeriesProperties.setRowExpiration(count, unit) +
+        setExpirationDivisionCount (TimeSeriesRowExpiration.java:55-57).
+
+        In-memory containers apply the visibility cutoff to the wrapped
+        DataFrame; parquet-backed containers (``dml.DmlTable`` with an
+        ``expiration``) additionally release wholly-expired range
+        partitions via ``vacuum_expired``. ``now_ms`` pins the clock for
+        deterministic tests/oracles.
+        """
+        from griddb_spark.dml import RowExpiration
+
+        exp = RowExpiration(count, unit, division_count, now_ms)
+        self.expiration = exp
+        self._df = self._df.filter(exp.visible(self.ts_col))
         return self
 
     def get_at(self, t, time_op: str = "PREVIOUS") -> DataFrame:

@@ -48,6 +48,48 @@ GRIDDB_TYPES = {
 }
 
 
+class RowExpiration:
+    """TimeSeries row expiration (``TimeSeriesProperties.setRowExpiration``
+    + ``setExpirationDivisionCount``, sample
+    ``sample/guide/ja/TimeSeriesRowExpiration.java:55-57``).
+
+    GridDB semantics, mapped 1:1: rows older than ``now - period`` are
+    *immediately invisible* to every read (row-exact cutoff), while the
+    storage itself is *released lazily* in division units — the period is
+    split into ``division_count`` release chunks so expiry never rewrites
+    data, it just unlinks whole sub-containers. The Spark analog is exact:
+    a visibility predicate on the timestamp (pushes into the parquet scan
+    and prunes range partitions) plus ``DmlTable.vacuum_expired`` dropping
+    wholly-expired Hive partition directories.
+
+    ``now_ms=None`` uses the wall clock; tests and oracles inject a fixed
+    ``now_ms`` for determinism.
+    """
+
+    def __init__(self, count: int, unit: str, division_count: int = 8,
+                 now_ms: int | None = None):
+        self.period_ms = count * UNIT_MS[unit.upper()]
+        self.division_count = division_count
+        self.division_ms = max(self.period_ms // division_count, 1)
+        self.now_ms = now_ms
+
+    def _now(self, now_ms: int | None = None) -> int:
+        import time
+
+        if now_ms is not None:
+            return now_ms
+        if self.now_ms is not None:
+            return self.now_ms
+        return int(time.time() * 1000)
+
+    def cutoff_ms(self, now_ms: int | None = None) -> int:
+        return self._now(now_ms) - self.period_ms
+
+    def visible(self, ts_col: str, now_ms: int | None = None) -> Column:
+        """Row-exact visibility: ts >= now - period."""
+        return F.unix_millis(F.col(ts_col)) >= self.cutoff_ms(now_ms)
+
+
 class HashPartitioning:
     """PARTITION BY HASH(col, n): bucket id ``pmod(xxhash64(col), n)``."""
 
@@ -165,10 +207,14 @@ class DmlTable:
         partitioning: (
             "HashPartitioning | RangePartitioning | RangeHashPartitioning | None"
         ) = None,
+        expiration: "RowExpiration | None" = None,
+        ts_col: str = "ts",
     ):
         self.spark = spark
         self.path = path
         self.partitioning = partitioning
+        self.expiration = expiration
+        self.ts_col = ts_col
 
     @property
     def _part_cols(self) -> list[str]:
@@ -225,8 +271,63 @@ class DmlTable:
     def scan(self) -> DataFrame:
         """Raw scan including PARTITION_COL — use with the partitioning's
         ``range_filter``/``key_filter`` for pruned reads. ``mergeSchema``
-        makes post-ALTER files (see ``alter_add_column``) visible."""
-        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        makes post-ALTER files (see ``alter_add_column``) visible.
+
+        With row expiration set, the visibility predicate is applied here
+        so *every* read path (read/scan_range/TQL) sees only live rows:
+        a row bound on the timestamp (parquet row-group skipping) plus,
+        on range-partitioned tables, a matching ``__part`` lower bound so
+        expired divisions are statically pruned, not read-and-filtered.
+        """
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        if self.expiration is not None:
+            df = df.filter(self.expiration.visible(self.ts_col))
+            if isinstance(
+                self.partitioning, (RangePartitioning, RangeHashPartitioning)
+            ):
+                every = (
+                    self.partitioning.every_ms
+                    if isinstance(self.partitioning, RangePartitioning)
+                    else self.partitioning._range.every_ms
+                )
+                cut = self.expiration.cutoff_ms()
+                df = df.filter(F.col(PARTITION_COL) >= cut // every * every)
+        return df
+
+    def vacuum_expired(self, now_ms: int | None = None) -> int:
+        """Physically release wholly-expired divisions (GridDB frees
+        expired data 'in division units' — here a division is one range
+        partition directory). Returns the number of dropped partitions.
+
+        Deletes ``__part=<start>`` directories whose *entire* interval
+        lies below the cutoff (``start + every <= now - period``); the
+        boundary division stays and its dead rows remain masked by the
+        scan-time visibility predicate until the division fully ages out.
+        """
+        if self.expiration is None:
+            raise ValueError("container has no row expiration")
+        if not isinstance(
+            self.partitioning, (RangePartitioning, RangeHashPartitioning)
+        ):
+            raise TypeError("vacuum_expired requires range partitioning")
+        every = (
+            self.partitioning.every_ms
+            if isinstance(self.partitioning, RangePartitioning)
+            else self.partitioning._range.every_ms
+        )
+        cutoff = self.expiration.cutoff_ms(now_ms)
+        dropped = 0
+        for entry in os.listdir(self.path):
+            if not entry.startswith(f"{PARTITION_COL}="):
+                continue
+            try:
+                start = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if start + every <= cutoff:
+                shutil.rmtree(os.path.join(self.path, entry))
+                dropped += 1
+        return dropped
 
     def scan_range(self, start_ms: int, end_ms: int) -> DataFrame:
         """Partition-pruned range scan (range-partitioned tables)."""

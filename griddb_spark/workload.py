@@ -2074,6 +2074,41 @@ def partition_pruned_scan_rh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_row_expiration",
+    """
+    SELECT event_type, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def ts_row_expiration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeSeries row expiration (TimeSeriesProperties.setRowExpiration,
+    TimeSeriesRowExpiration.java:55-57): events in a 2-day range-
+    partitioned container with a 10-day expiration pinned at now =
+    2024-01-31. vacuum_expired physically drops wholly-expired division
+    directories; the scan-time visibility predicate masks dead rows in
+    the boundary division — so the result is the row-exact cutoff."""
+    import tempfile
+
+    from griddb_spark.dml import DmlTable, RowExpiration, range_partition_expr
+
+    ev = cat(spark, sf_dir).load("events")
+    path = tempfile.mkdtemp(prefix="dml_ev_exp_") + "/t"
+    t = DmlTable(
+        spark, path, range_partition_expr("ts", 2, "DAY"),
+        expiration=RowExpiration(10, "DAY", division_count=5,
+                                 now_ms=EV_END_MS),
+    ).create(ev)
+    t.vacuum_expired()
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@query(
     "scalar_json_props",
     """
     SELECT event_type,

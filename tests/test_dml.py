@@ -122,3 +122,60 @@ def test_database_ddl_roundtrip(spark):
     names = {r.database_name for r in gs.databases().collect()}
     assert "gsdb_t_b" not in names and "gsdb_t_a" in names
     gs.drop_database("gsdb_t_a")
+
+
+def test_row_expiration_visibility_and_vacuum(spark, tmp_path):
+    import os
+
+    from griddb_spark.dml import (
+        DmlTable,
+        PARTITION_COL,
+        RowExpiration,
+        range_partition_expr,
+    )
+
+    day = 86_400_000
+    # 20 days of hourly rows starting 2024-01-01
+    base = 1_704_067_200_000
+    rows = [(i, base + i * 3_600_000) for i in range(20 * 24)]
+    df = spark.createDataFrame(rows, "id int, ms long").select(
+        "id", F.timestamp_millis(F.col("ms")).alias("ts")
+    )
+    now = base + 20 * day  # 2024-01-21
+    t = DmlTable(
+        spark, str(tmp_path / "t"), range_partition_expr("ts", 2, "DAY"),
+        expiration=RowExpiration(7, "DAY", division_count=7, now_ms=now),
+    ).create(df)
+
+    # visibility: row-exact cutoff at now - 7d, before any vacuum
+    cutoff = now - 7 * day
+    assert t.read().count() == sum(1 for _, ms in rows if ms >= cutoff)
+
+    dirs_before = [d for d in os.listdir(t.path)
+                   if d.startswith(f"{PARTITION_COL}=")]
+    dropped = t.vacuum_expired()
+    dirs_after = [d for d in os.listdir(t.path)
+                  if d.startswith(f"{PARTITION_COL}=")]
+    # divisions wholly below the cutoff are physically gone...
+    assert dropped > 0 and len(dirs_after) == len(dirs_before) - dropped
+    for d in dirs_after:
+        start = int(d.split("=", 1)[1])
+        assert start + 2 * day > cutoff
+    # ...and the boundary division still masks its dead rows
+    assert t.read().count() == sum(1 for _, ms in rows if ms >= cutoff)
+    assert t.read().agg(F.min(F.unix_millis("ts"))).first()[0] >= cutoff
+
+
+def test_timeseries_container_row_expiration(spark):
+    from griddb_spark.container import TimeSeries
+
+    base = 1_704_067_200_000
+    df = spark.createDataFrame(
+        [(base + i * 86_400_000, float(i)) for i in range(10)],
+        "ms long, v double",
+    ).select(F.timestamp_millis(F.col("ms")).alias("ts"), "v")
+    ts = TimeSeries("t", df).set_row_expiration(
+        3, "DAY", now_ms=base + 9 * 86_400_000
+    )
+    vals = sorted(r.v for r in ts.to_df().collect())
+    assert vals == [6.0, 7.0, 8.0, 9.0]
