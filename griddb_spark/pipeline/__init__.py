@@ -19,6 +19,8 @@ the same container catalog:
   detection and corpus cleaning (broadcast benchmark gram set).
 - :mod:`griddb_spark.pipeline.packing` — token counting and doc-level
   sequence packing into fixed token-budget training rows.
+- :mod:`griddb_spark.pipeline.quality` — Gopher-style repetition signals,
+  PII redaction, URL/domain statistics (pre-dedup corpus filters).
 
 Design rule: everything is expressed with JVM-side built-ins (higher-order
 array functions, ``md5``; no Python UDFs) so the hot path stays inside
@@ -47,10 +49,19 @@ from griddb_spark.pipeline.sampling import (  # noqa: F401
     hash_bucket,
     stratified_sample,
 )
+from griddb_spark.pipeline.quality import (  # noqa: F401
+    domain_of,
+    pii_scrub,
+    repetition_stats,
+    urls,
+    with_repetition_stats,
+)
 from griddb_spark.pipeline.similarity import (  # noqa: F401
     ann_ivf,
     cosine_pairs,
     knn_bruteforce,
+    l2_normalize,
+    quantize_int8,
 )
 from griddb_spark.pipeline.text import (  # noqa: F401
     bottom_k_fingerprint,

@@ -1,0 +1,137 @@
+"""Corpus-quality filters a training-data pipeline runs before dedup:
+repetition signals, PII redaction, URL/domain statistics.
+
+Everything is a pure Column expression (JVM-side, codegen-friendly) with an
+exact DuckDB twin in ``griddb_spark.workload`` — same portable-intersection
+discipline as ``pipeline.text`` (regex class syntax common to Java regex and
+RE2, higher-order list functions, explicit double casts).
+
+Repetition signals follow the published Gopher/MassiveText heuristics
+(duplicate-token fraction, most-common-unigram fraction, duplicate n-gram
+fraction): heavily repetitive documents are low-quality machine output and
+get filtered before they poison dedup statistics. All per-row expressions —
+no shuffle, no UDF; at 100 TB this is a single map stage fused into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from griddb_spark.pipeline.text import tokens
+
+#: portable regexes (identical semantics in Java regex and DuckDB's RE2)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PHONE_RE = "[+][0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?"
+IPV4_RE = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+URL_RE = "https?://[^ ]+"
+DOMAIN_RE = "https?://([^/ ]+)"
+
+
+def _bigrams(w: Column) -> Column:
+    """Adjacent word bigrams of a token array (empty below 2 tokens)."""
+    idx = F.sequence(F.lit(1), F.size(w) - 1)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1))
+    )
+    return F.when(F.size(w) >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _top_freq(items: Column) -> Column:
+    """Count of the most frequent element (0 on empty).
+
+    Sort, then one fold tracking the longest equal-run — O(n log n) per row
+    and a single pass through the interpreted higher-order evaluator. (The
+    obvious distinct×filter nested scan is O(d·n) interpreted sub-exprs and
+    measured ~60× slower on 60-token documents.)
+    """
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(items), acc0, step, lambda acc: acc["best"])
+
+
+def repetition_stats(w: Column, b: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals over PRE-PROJECTED token/bigram
+    array columns (see :func:`with_repetition_stats`).
+
+    - ``dup_word_ratio``   — 1 − distinct/total tokens
+    - ``top_word_ratio``   — most-common-token count / total tokens
+    - ``dup_bigram_ratio`` — 1 − distinct/total adjacent bigrams
+    - ``top_bigram_ratio`` — most-common-bigram count / total bigrams
+    All rounded to 6 decimals (exact rational inputs → identical across
+    engines).
+    """
+    n_w = F.size(w).cast("double")
+    n_b = F.size(b).cast("double")
+    return {
+        "dup_word_ratio": F.round(1.0 - F.size(F.array_distinct(w)) / n_w, 6),
+        "top_word_ratio": F.round(_top_freq(w) / n_w, 6),
+        "dup_bigram_ratio": F.when(
+            F.size(b) > 0, F.round(1.0 - F.size(F.array_distinct(b)) / n_b, 6)
+        ).otherwise(F.lit(0.0)),
+        "top_bigram_ratio": F.when(
+            F.size(b) > 0, F.round(_top_freq(b) / n_b, 6)
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def with_repetition_stats(
+    df, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)
+):
+    """``keep`` + the four repetition signals for every document.
+
+    The token and bigram arrays are materialized through separate
+    projections on purpose: multi-referenced non-trivial aliases survive
+    Catalyst's CollapseProject, so each array is computed ONCE per row.
+    Inlining them into a single select re-evaluates the tokenizer per stat
+    (measured 14.6s → 1.3s on 5k docs at sf0.1). Still one fused map stage
+    — no shuffle, no UDF.
+    """
+    base = df.select(*keep, tokens(F.col(text_col)).alias("__w")).select(
+        *keep, "__w", _bigrams(F.col("__w")).alias("__b")
+    )
+    stats = repetition_stats(F.col("__w"), F.col("__b"))
+    return base.select(*keep, *[c.alias(n) for n, c in stats.items()])
+
+
+def pii_scrub(col: Column | str) -> dict[str, Column]:
+    """Redact emails / international phone numbers / IPv4 addresses and
+    count each redaction class.
+
+    Emails are scrubbed first so a phone-looking local part can't double
+    count; counts are taken on the ORIGINAL text. Returns ``scrubbed`` plus
+    ``n_emails`` / ``n_phones`` / ``n_ips``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scrubbed = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+    scrubbed = F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
+    return {
+        "scrubbed": scrubbed,
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
+        "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
+        "n_ips": F.regexp_count(c, F.lit(IPV4_RE)),
+    }
+
+
+def urls(col: Column | str) -> Column:
+    """All http(s) URLs in a text column (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(URL_RE), 0)
+
+
+def domain_of(url: Column) -> Column:
+    """Hostname of a single URL string ('' when not a URL)."""
+    return F.regexp_extract(url, DOMAIN_RE, 1)

@@ -38,6 +38,40 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2_normalize(a: Column, round_to: int | None = None) -> Column:
+    """Unit-L2 vector as array<double> (zero vectors pass through as-is).
+
+    Done once at ingest it turns every later cosine into a plain dot
+    product. ``round_to`` is optional — cross-engine-exact comparisons
+    should scale to integers instead (see the workload twin): round() on
+    doubles is the one op whose half-way convention differs per engine.
+    """
+    n = norm(a)
+    unit = F.when(
+        n > 0.0, F.transform(a, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(a, lambda x: x.cast("double")))
+    if round_to is not None:
+        unit = F.transform(unit, lambda x: F.round(x, round_to))
+    return unit
+
+
+def quantize_int8(a: Column) -> dict[str, Column]:
+    """Symmetric int8 scalar quantization: scale = 127 / max|x| per vector.
+
+    ``floor(x·scale + 0.5)`` instead of round() — identical half-way
+    behavior in every engine (Spark HALF_UP vs DuckDB half-even would
+    otherwise flip lanes). Returns the int8 code array and the (rounded)
+    de-quantization scale. 4× smaller vectors; at 100 TB this is the
+    difference between an in-memory and a spilling ANN probe stage.
+    """
+    amax = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0.0, 127.0 / amax).otherwise(F.lit(0.0))
+    q = F.transform(
+        a, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int")
+    )
+    return {"q": q, "scale": F.round(scale, 6)}
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2760,3 +2760,232 @@ def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ltrim(F.col("c_name"), F.lit("Cust")).alias("lt"),
         F.rtrim(F.col("c_name"), F.lit("0123456789#")).alias("rt"),
     )
+
+
+# ===========================================================================
+# pipeline: corpus-quality filters, PII, URLs, embedding preprocessing,
+# sessionization (training-data operators beyond the reference surface)
+# ===========================================================================
+
+
+@query(
+    "pipe_quality_repetition",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
+               FROM documents),
+    b AS (SELECT doc_id, w,
+            CASE WHEN len(w) >= 2
+                 THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                 ELSE [] END AS bg
+          FROM t)
+    SELECT doc_id,
+      round(1.0 - len(list_distinct(w))::double / len(w), 6) AS dup_word_ratio,
+      round(list_max(list_transform(list_distinct(w),
+              t -> len(list_filter(w, x -> x = t))))::double / len(w), 6)
+        AS top_word_ratio,
+      CASE WHEN len(bg) > 0
+           THEN round(1.0 - len(list_distinct(bg))::double / len(bg), 6)
+           ELSE 0.0 END AS dup_bigram_ratio,
+      CASE WHEN len(bg) > 0
+           THEN round(list_max(list_transform(list_distinct(bg),
+                  t -> len(list_filter(bg, x -> x = t))))::double / len(bg), 6)
+           ELSE 0.0 END AS top_bigram_ratio
+    FROM b
+    """,
+)
+def pipe_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition signals (duplicate-token, top-unigram,
+    duplicate/top-bigram fractions) — the pre-dedup low-quality filter.
+    Pure per-row expressions: fuses into the scan, no shuffle."""
+    from griddb_spark.pipeline import with_repetition_stats
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    return with_repetition_stats(docs, "text", keep=("doc_id",))
+
+
+#: deterministic synthetic-PII augmentation shared by the Spark and DuckDB
+#: sides of pipe_pii_scrub (driver corpora contain no real PII)
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@mail.example.org or +1-555-' || "
+    "lpad(doc_id::varchar, 4, '0') || ' ip 10.0.' || (doc_id % 256)::varchar "
+    "|| '.7'"
+)
+
+
+@query(
+    "pipe_pii_scrub",
+    f"""
+    WITH t AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(aug,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        '[+][0-9]{{1,3}}-[0-9]{{3}}-[0-9]{{3,4}}(-[0-9]{{3,4}})?', '<PHONE>', 'g'),
+        '([0-9]{{1,3}}[.]){{3}}[0-9]{{1,3}}', '<IP>', 'g') AS scrubbed,
+      len(regexp_extract_all(aug,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS n_emails,
+      len(regexp_extract_all(aug,
+        '[+][0-9]{{1,3}}-[0-9]{{3}}-[0-9]{{3,4}}(-[0-9]{{3,4}})?')) AS n_phones,
+      len(regexp_extract_all(aug,
+        '([0-9]{{1,3}}[.]){{3}}[0-9]{{1,3}}')) AS n_ips
+    FROM t
+    """,
+)
+def pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / intl phone numbers / IPv4) with per-class
+    counts. The corpus carries no PII, so both engines append the same
+    deterministic synthetic contact line before scrubbing."""
+    from griddb_spark.pipeline import pii_scrub
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    aug = docs.withColumn(
+        "aug",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@mail.example.org or +1-555-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ),
+    )
+    cols = pii_scrub("aug")
+    return aug.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@query(
+    "pipe_url_domains",
+    """
+    WITH t AS (SELECT doc_id,
+        'see https://' || source || '.example.com/d/' || doc_id ||
+        ' and http://cdn.' || source || '.net/x' AS aug
+      FROM documents),
+    u AS (SELECT doc_id, unnest(regexp_extract_all(aug, 'https?://[^ ]+')) AS url
+          FROM t)
+    SELECT regexp_extract(url, 'https?://([^/ ]+)', 1) AS domain,
+           count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+    FROM u GROUP BY domain
+    """,
+)
+def pipe_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain stats (the crawl-pipeline domain filter
+    input). Both engines augment the corpus with the same deterministic
+    URLs; extraction/parse is all regex built-ins."""
+    from griddb_spark.pipeline import domain_of, urls
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    aug = docs.withColumn(
+        "aug",
+        F.concat(
+            F.lit("see https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id"), F.lit(" and http://cdn."), F.col("source"),
+            F.lit(".net/x"),
+        ),
+    )
+    u = aug.select("doc_id", F.explode(urls("aug")).alias("url"))
+    return u.groupBy(domain_of(F.col("url")).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@query(
+    "pipe_embed_normalize",
+    """
+    WITH t AS (SELECT vec_id, embedding::double[] AS ev FROM embeddings),
+    n AS (SELECT vec_id, ev, sqrt(list_dot_product(ev, ev)) AS nrm,
+                 list_max(list_transform(ev, x -> abs(x))) AS amax
+          FROM t)
+    SELECT vec_id,
+      list_transform(ev, x -> CAST(floor(x / nrm * 1000000 + 0.5) AS BIGINT))
+        AS unit_q6,
+      list_transform(ev, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS INT))
+        AS q_int8,
+      round(127.0 / amax, 6) AS q_scale
+    FROM n
+    """,
+)
+def pipe_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding preprocessing: unit-L2 normalization (emitted as exact
+    micro-scaled ints — floor-based, bit-deterministic across engines) and
+    symmetric int8 scalar quantization with its de-quant scale. The ingest
+    stage that makes every later cosine a dot product and shrinks the ANN
+    working set 4x."""
+    from griddb_spark.pipeline import l2_normalize, quantize_int8
+
+    emb = cat(spark, sf_dir).load("embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id")
+    unit = l2_normalize(F.col("embedding"))
+    qz = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.transform(
+            unit, lambda x: F.floor(x * 1_000_000 + 0.5).cast("long")
+        ).alias("unit_q6"),
+        qz["q"].alias("q_int8"),
+        qz["scale"].alias("q_scale"),
+    )
+
+
+#: shared gaps-and-islands oracle for both sessionization faces (12h gap →
+#: ~3.3k sessions over sf0.01 events; session_end = last event + gap,
+#: matching Spark's session_window convention)
+_SESSION_ORACLE = """
+    WITH e AS (SELECT user_id, ts, value,
+          CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts)) > 43200000000
+               THEN 1 ELSE 0 END AS nw
+          FROM events),
+    s AS (SELECT user_id, ts, value,
+            sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) + 1 AS sid
+          FROM e)
+    SELECT user_id, {sid} min(ts) AS session_start,
+           max(ts) + INTERVAL 720 MINUTE AS session_end,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM s GROUP BY user_id, sid
+"""
+
+
+@query("sessionize_events", _SESSION_ORACLE.format(sid="sid AS session_id,"))
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (12h gap): gaps-and-islands via one
+    window pass per key, then one groupBy — two narrow shuffles total."""
+    from griddb_spark.operators.sessionize import sessionize
+
+    ev = cat(spark, sf_dir).load("events")
+    return sessionize(
+        ev, key="user_id", ts="ts", gap_minutes=720,
+        aggs={"sum_value": _r6(F.sum("value"))},
+    )
+
+
+@query("stream_sessionize", _SESSION_ORACLE.format(sid=""))
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: the same 12h-gap sessions computed by
+    ``F.session_window`` state (complete mode so the tail sessions flush in
+    a bounded availableNow run). Oracle = the batch gaps-and-islands twin
+    minus the per-key session ordinal (streams identify sessions by start
+    time)."""
+    import uuid as _uuid
+
+    from griddb_spark.operators.sessionize import sessionize_stream
+    from griddb_spark.streaming import run_to_memory
+
+    prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = raw
+    out = sessionize_stream(
+        ev, key="user_id", ts="ts", gap_minutes=720,
+        aggs={"sum_value": _r6(F.sum("value"))},
+    )
+    return run_to_memory(out, f"sess_{_uuid.uuid4().hex[:8]}", mode="complete")
