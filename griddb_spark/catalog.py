@@ -49,6 +49,19 @@ class ContainerCatalog:
     base_dir: str
     _registered: set = field(default_factory=set)
     _nano_cache: dict = field(default_factory=dict)
+    #: optional access control (security.AccessControl, user, database name):
+    #: when set, every load() checks READ on the database — GridDB's
+    #: database-level GRANT scheme (sql_parser.h:251-256)
+    acl: object | None = None
+    acl_user: str | None = None
+    db_name: str = "public"
+
+    def with_access(self, acl, user: str) -> "ContainerCatalog":
+        """A view of this catalog that authorizes every read as ``user``."""
+        c = ContainerCatalog(self.spark, self.base_dir, acl=acl, acl_user=user,
+                             db_name=self.db_name)
+        c._nano_cache = self._nano_cache
+        return c
 
     def path(self, name: str) -> str:
         return os.path.join(self.base_dir, f"{name}.parquet")
@@ -60,6 +73,8 @@ class ContainerCatalog:
         sets ``spark.sql.legacy.parquet.nanosAsLong``); they are converted
         here to µs TimestampType — truncation, matching DuckDB's ns→µs cast.
         """
+        if self.acl is not None:
+            self.acl.authorize(self.acl_user, self.db_name, "READ")
         df = self.spark.read.parquet(self.path(name))
         for col_name in self._nano_ts_columns(name):
             # integer division — double division loses µs precision at
@@ -82,6 +97,48 @@ class ContainerCatalog:
                 if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
             ]
         return self._nano_cache[name]
+
+    # -- export / import (GridDB expimp tool formats; README.md:156) ------
+
+    def export_container(
+        self, name: str, out_dir: str, fmt: str = "csv"
+    ) -> str:
+        """Dump a container as CSV (the expimp interchange format) or JSON
+        lines. Timestamps serialize as ISO-8601 UTC; the distributed write
+        shape is one file per task (no driver collect)."""
+        df = self.load(name)
+        out = os.path.join(out_dir, f"{name}.{fmt}")
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", True).option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+            ).csv(out)
+        elif fmt == "json":
+            w.option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+            ).json(out)
+        else:
+            raise ValueError(f"unsupported export format: {fmt}")
+        return out
+
+    def import_container(
+        self, path: str, fmt: str = "csv", schema=None
+    ) -> DataFrame:
+        """Read an exported container back (schema-checked when given —
+        inference is a full extra pass at scale, so callers should pass
+        the schema for anything big)."""
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        if fmt == "csv":
+            return r.option("header", True).option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+            ).option("inferSchema", schema is None).csv(path)
+        if fmt == "json":
+            return r.option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+            ).json(path)
+        raise ValueError(f"unsupported import format: {fmt}")
 
     def table(self, name: str) -> DataFrame:
         """Load and register as a temp view (idempotent)."""

@@ -75,6 +75,26 @@ def group_by_range_stream(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication by key within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps first-arrival per key and
+    EVICTS key state once the watermark passes — bounded state, unlike a
+    plain ``dropDuplicates`` whose key set grows forever. The streaming
+    face of ``pipeline.dedup.exact_dedup`` (at-least-once ingest →
+    exactly-once rows), sized by the dup-arrival horizon, not stream
+    length.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def upsert_by_key(
     stream: DataFrame,
     key_cols: Sequence[str],

@@ -2989,3 +2989,93 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs={"sum_value": _r6(F.sum("value"))},
     )
     return run_to_memory(out, f"sess_{_uuid.uuid4().hex[:8]}", mode="complete")
+
+
+@query(
+    "stream_dedup",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sv
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): the events
+    stream unioned with itself — every row arrives twice, the at-least-once
+    ingest case — dedups back to exactly-once by event_id with
+    watermark-bounded state; per-type stats then match the single-copy
+    batch oracle."""
+    import uuid as _uuid
+
+    from griddb_spark.streaming import dedup_stream, run_to_memory
+
+    prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def rd():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events*.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(raw.dtypes)["ts"] == "bigint":
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw
+
+    doubled = rd().union(rd())
+    dd = dedup_stream(doubled, ["event_id"], "ts", watermark="1 hour")
+    tbl = run_to_memory(dd, f"dd_{_uuid.uuid4().hex[:8]}", mode="append")
+    return tbl.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), _r6(F.sum("value")).alias("sv")
+    )
+
+
+@query(
+    "meta_access_control",
+    """
+    SELECT * FROM (VALUES
+      ('admin',   'public',    'ALL',  TRUE,  TRUE),
+      ('analyst', 'public',    'READ', TRUE,  FALSE),
+      ('etl',     'public',    'ALL',  TRUE,  TRUE),
+      ('etl',     'warehouse', 'ALL',  TRUE,  TRUE))
+    AS t(user_name, db_name, privilege, can_read, can_write)
+    """,
+)
+def meta_access_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users/roles/GRANT-REVOKE (CMD_CREATE_USER..CMD_REVOKE,
+    sql_parser.h:251-256): a deterministic registry — admin with ALL,
+    analyst with READ, an etl role granted ALL on two databases — surfaced
+    through the #access meta table with effective read/write flags per
+    grant. Revoked grants (auditor) are absent, exactly like the
+    reference's DROP_PRIVILEGE."""
+    from griddb_spark.security import AccessControl, SecurityError
+
+    acl = (
+        AccessControl(spark)
+        .create_user("admin", "pw-a")
+        .create_user("analyst", "pw-b")
+        .create_user("auditor", "pw-c")
+        .create_role("etl")
+        .grant("ALL", "public", "admin")
+        .grant("READ", "public", "analyst")
+        .grant("READ", "public", "auditor")
+        .grant("ALL", "public", "etl")
+        .grant("ALL", "warehouse", "etl")
+        .revoke("READ", "public", "auditor")
+    )
+
+    def can(user, db, priv):
+        try:
+            acl.authorize(user, db, priv)
+            return True
+        except SecurityError:
+            return False
+
+    rows = [
+        (u, db, p, can(u, db, "READ"), can(u, db, "ALL"))
+        for (u, db, p) in sorted(acl._grants)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_name string, db_name string, privilege string, "
+        "can_read boolean, can_write boolean",
+    )

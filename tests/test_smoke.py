@@ -120,3 +120,17 @@ def test_composite_key_put_remove(spark, catalog):
     col.remove(key)
     assert col.df.count() == n0 - 1
     assert col.get(key).count() == 0
+
+
+def test_export_import_roundtrip_csv_json(catalog, tmp_path):
+    """expimp interchange (README.md:156): container → CSV/JSON → back,
+    value-identical including µs timestamps."""
+    src = catalog.load("events").orderBy("event_id").limit(50)
+    want = [tuple(r) for r in src.collect()]
+    for fmt in ("csv", "json"):
+        out = catalog.export_container("events", str(tmp_path / fmt), fmt=fmt)
+        back = catalog.import_container(out, fmt=fmt, schema=src.schema)
+        got = sorted(
+            (tuple(r) for r in back.orderBy("event_id").limit(50).collect())
+        )
+        assert got == sorted(want), f"{fmt} roundtrip mismatch"
