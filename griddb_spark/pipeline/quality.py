@@ -126,6 +126,35 @@ def pii_scrub(col: Column | str) -> dict[str, Column]:
     }
 
 
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM — the cheap stand-in for KenLM-style perplexity filtering.
+
+    Two-pass shape that survives 100 TB: (1) one shuffled count per token
+    (map-side combinable) builds the vocabulary; (2) tokens re-join the
+    vocabulary on the token key — Zipf keeps the vocab table orders of
+    magnitude smaller than the corpus, so AQE usually broadcasts it — and
+    a per-document average folds the result. No driver-side state.
+
+    Returns (id, n_tokens, avg_logprob, ppl); ppl derives from the rounded
+    avg so both engine twins stay bit-identical.
+    """
+    toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    avg_lp = F.round(F.avg(F.log(F.col("__c") / F.col("__n"))), 6)
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            avg_lp.alias("avg_logprob"),
+            F.round(F.exp(-avg_lp), 2).alias("ppl"),
+        )
+    )
+
+
 def urls(col: Column | str) -> Column:
     """All http(s) URLs in a text column (array<string>)."""
     c = F.col(col) if isinstance(col, str) else col

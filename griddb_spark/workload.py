@@ -3079,3 +3079,29 @@ def meta_access_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_name string, db_name string, privilege string, "
         "can_read boolean, can_write boolean",
     )
+
+
+@query(
+    "pipe_lm_score",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) tok
+               FROM documents),
+    v AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT count(*) AS n FROM t)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(c::double / n)), 6) AS avg_logprob,
+           round(exp(-round(avg(ln(c::double / n)), 6)), 2) AS ppl
+    FROM t JOIN v USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def pipe_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (mean token log-probability + perplexity
+    proxy): the corpus builds its own vocabulary in one combinable count
+    pass, then tokens re-join it — the KenLM-filter shape without the
+    external model."""
+    from griddb_spark.pipeline.quality import unigram_logprob
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    return unigram_logprob(docs, "text", "doc_id")

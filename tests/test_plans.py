@@ -126,3 +126,35 @@ def test_multimodal_stages_fan_out_and_prune(spark):
 
     plan_f = _plan(workload.QUERIES["pipe_multimodal_frames"](spark, SF_DIR))
     assert "MapInPandas" in plan_f
+
+
+def test_repetition_stats_scan_fused_no_shuffle(spark):
+    """Repetition signals are per-row expressions: the plan must be a
+    pruned scan + projections — zero aggregation exchanges beyond the
+    explicit spread repartition."""
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_quality_repetition"](spark, SF_DIR))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "source" not in read_schema
+    assert "HashAggregate" not in plan  # no agg — pure map stage
+    assert plan.count("Exchange") <= 1  # only the explicit core-spread
+
+
+def test_sessionize_two_narrow_shuffles(spark):
+    """Gaps-and-islands sessionization: one hash exchange on the key
+    reused by both the window sort and the final groupBy — AQE/planner
+    must not add a second wide exchange."""
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["sessionize_events"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_normalize_scan_prunes_to_used_columns(spark):
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_embed_normalize"](spark, SF_DIR))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "embedding" in read_schema and "label" not in read_schema

@@ -167,3 +167,18 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, got.select(cols).collect())) == sorted(
         map(tuple, want.select(cols).collect())
     )
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus tokens: a,a,a,b → P(a)=3/4, P(b)=1/4
+    from griddb_spark.pipeline.quality import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert rows[1].n_tokens == 2 and rows[2].n_tokens == 2
+    assert abs(rows[1].avg_logprob - math.log(0.75)) < 1e-6
+    want2 = (math.log(0.75) + math.log(0.25)) / 2
+    assert abs(rows[2].avg_logprob - want2) < 1e-6
+    assert abs(rows[2].ppl - round(math.exp(-round(want2, 6)), 2)) < 1e-9
