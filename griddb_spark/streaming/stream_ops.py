@@ -95,6 +95,35 @@ def dedup_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_minutes: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` within ±``tolerance_minutes``.
+
+    Both sides carry a watermark and the join condition carries the time
+    bound — together they let Spark EVICT join state older than
+    watermark+tolerance instead of buffering both streams forever (the
+    stream-stream join state-cleanup contract). Inner matches emit as soon
+    as both rows have arrived. Column names must already be disjoint
+    (rename before calling).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    tol = F.expr(f"INTERVAL {tolerance_minutes} MINUTES")
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) >= F.col(left_ts) - tol)
+        & (F.col(right_ts) <= F.col(left_ts) + tol)
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
 def upsert_by_key(
     stream: DataFrame,
     key_cols: Sequence[str],
@@ -158,17 +187,37 @@ def upsert_by_key(
 
 
 def run_to_memory(
-    result: DataFrame, table_name: str, mode: str = "complete"
+    result: DataFrame,
+    table_name: str,
+    mode: str = "complete",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run a (bounded) streaming query to completion into a memory sink and
     return the result table — used to gate streaming ops through the same
-    DuckDB-oracle differential harness as batch operators."""
-    q = (
-        result.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return result.sparkSession.table(table_name)
+    DuckDB-oracle differential harness as batch operators.
+
+    ``shuffle_partitions`` overrides the state-partition count for THIS
+    query (read once at stream start, restored after): stateful operators
+    create one state store per shuffle partition per operator — a
+    stream-stream join keeps 4 — so state-store setup, not data volume,
+    dominates small/bounded runs (measured 8s → 2s on the interval join by
+    dropping 32 → 8). At production throughput size it to the stream rate.
+    """
+    spark = result.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if shuffle_partitions is not None:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set(key, prev)
+    return spark.table(table_name)

@@ -1780,7 +1780,8 @@ def stream_group_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"avg_value": _r6(F.avg("value")), "n": F.count(F.lit(1))},
         watermark="10 minutes",
     )
-    return run_to_memory(out, f"gbr_{_uuid.uuid4().hex[:8]}", mode="complete")
+    return run_to_memory(out, f"gbr_{_uuid.uuid4().hex[:8]}", mode="complete",
+                         shuffle_partitions=8)
 
 
 @query(
@@ -1821,7 +1822,8 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="10 minutes",
         slide=(30, "MINUTE"),
     )
-    return run_to_memory(out, f"slw_{_uuid.uuid4().hex[:8]}", mode="complete")
+    return run_to_memory(out, f"slw_{_uuid.uuid4().hex[:8]}", mode="complete",
+                         shuffle_partitions=8)
 
 
 # ===========================================================================
@@ -2652,7 +2654,8 @@ def stream_ema_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.2, threshold=2.0, min_history=5,
     )
     out = run_to_memory(
-        flagged, f"ema_{_uuid.uuid4().hex[:8]}", mode="append"
+        flagged, f"ema_{_uuid.uuid4().hex[:8]}", mode="append",
+        shuffle_partitions=8,
     )
     return (
         out.filter(F.col("is_anomaly"))
@@ -2988,7 +2991,8 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key="user_id", ts="ts", gap_minutes=720,
         aggs={"sum_value": _r6(F.sum("value"))},
     )
-    return run_to_memory(out, f"sess_{_uuid.uuid4().hex[:8]}", mode="complete")
+    return run_to_memory(out, f"sess_{_uuid.uuid4().hex[:8]}", mode="complete",
+                         shuffle_partitions=8)
 
 
 @query(
@@ -3023,7 +3027,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doubled = rd().union(rd())
     dd = dedup_stream(doubled, ["event_id"], "ts", watermark="1 hour")
-    tbl = run_to_memory(dd, f"dd_{_uuid.uuid4().hex[:8]}", mode="append")
+    tbl = run_to_memory(dd, f"dd_{_uuid.uuid4().hex[:8]}", mode="append",
+                        shuffle_partitions=8)
     return tbl.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), _r6(F.sum("value")).alias("sv")
     )
@@ -3105,3 +3110,62 @@ def pipe_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cat(spark, sf_dir).load("documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id")
     return unigram_logprob(docs, "text", "doc_id")
+
+
+@query(
+    "stream_interval_join",
+    """
+    WITH c AS (SELECT user_id, event_id AS c_id, ts AS c_ts, value AS c_value
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c_id, c_ts, round(c_value, 6) AS c_value, p_id, p_ts
+    FROM c JOIN p ON c.user_id = p_user
+    WHERE p_ts BETWEEN c_ts - INTERVAL 30 MINUTE
+                   AND c_ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to purchases by the same
+    user within ±30 minutes — the attribution-window pattern. Watermarks on
+    both sides plus the range condition bound the join state; inner matches
+    emit immediately, so a bounded availableNow run is exact against the
+    batch oracle."""
+    import uuid as _uuid
+
+    from griddb_spark.streaming import interval_join_stream, run_to_memory
+
+    prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def rd():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events*.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(raw.dtypes)["ts"] == "bigint":
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw
+
+    clicks = rd().filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+        _r6(F.col("value")).alias("c_value"),
+    )
+    purchases = rd().filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = interval_join_stream(
+        clicks, purchases, "user_id", "c_ts", "p_ts",
+        tolerance_minutes=30, watermark="1 hour",
+    )
+    # 4 state stores per partition on a stream-stream join: size the state
+    # partition count to the (bounded) run, not the batch default
+    return run_to_memory(
+        joined, f"sij_{_uuid.uuid4().hex[:8]}", mode="append",
+        shuffle_partitions=8,
+    )

@@ -175,3 +175,41 @@ def test_ema_anomaly_stateful_stream(spark, tmp_path):
     # only the 100.0 spike is anomalous, and state must have warmed up
     anomalies = [r for r in got if r.is_anomaly]
     assert len(anomalies) == 1 and anomalies[0].value == 100.0
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join emits exactly the batch join result."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from griddb_spark.streaming import interval_join_stream, run_to_memory
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+    left = [(1, ts(0), "l0"), (1, ts(40), "l1"), (2, ts(10), "l2")]
+    right = [(1, ts(5), "r0"), (1, ts(90), "r1"), (3, ts(10), "r2")]
+    ldf = spark.createDataFrame(left, "user_id long, lts timestamp, ltag string")
+    rdf = spark.createDataFrame(right, "user_id long, rts timestamp, rtag string")
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf.write.parquet(lp)
+    rdf.write.parquet(rp)
+
+    ls = spark.readStream.schema(ldf.schema).parquet(lp)
+    rs = spark.readStream.schema(rdf.schema).parquet(rp)
+    got = run_to_memory(
+        interval_join_stream(ls, rs, "user_id", "lts", "rts", 10),
+        "sij_ut", mode="append", shuffle_partitions=4,
+    )
+    # only (l0, r0) is within ±10 min on a shared user
+    rows = [(r.user_id, r.ltag, r.rtag) for r in got.collect()]
+    assert rows == [(1, "l0", "r0")]
+    tol = F.expr("INTERVAL 10 MINUTES")
+    want = ldf.join(
+        rdf,
+        (ldf.user_id == rdf.user_id)
+        & (F.col("rts") >= F.col("lts") - tol)
+        & (F.col("rts") <= F.col("lts") + tol),
+    ).drop(rdf.user_id)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
