@@ -101,3 +101,41 @@ def vocab_topk(
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows (the
+    embedding/retrieval chunking step: stride = size − overlap).
+
+    Chunks start at 1, 1+stride, 1+2·stride, … until the document is
+    covered; the final chunk may be short. Pure per-row expressions
+    (sequence + posexplode + slice) — a map-side stage that fuses into the
+    scan, no shuffle, no UDF. Returns
+    (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    stride = size - overlap
+    base = df.select(id_col, tokens(F.col(text_col)).alias("__w"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(F.col("__w")) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    exploded = base.select(
+        id_col, "__w", F.posexplode(starts).alias("chunk_id", "__start")
+    )
+    chunk = F.slice(F.col("__w"), F.col("__start"), size)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.col("__start").alias("chunk_start"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -57,3 +57,34 @@ def stratified_sample(
     return df.filter(
         hash_bucket(key_col) < (rate * _BUCKETS).cast("bigint")
     )
+
+
+def mix_to_token_budget(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    token_col: Column | str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Dataset mixing: downsample each stratum (source/domain) toward a
+    per-stratum token budget — keep rate = min(1, budget / stratum_tokens),
+    decided by the same content-hash bucket as ``deterministic_sample``.
+
+    The rates are DATA-DRIVEN (one combinable sum per stratum, broadcast
+    back), so the mix recipe follows the corpus as it grows; the keep
+    decision stays per-row deterministic, so appending data never
+    resamples history. Oversized strata shrink toward the budget,
+    undersized strata pass through whole.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    totals = df.groupBy(stratum_col).agg(F.sum(tok).alias("__tot"))
+    rates = totals.select(
+        stratum_col,
+        F.least(F.lit(1.0), F.lit(float(budget_tokens)) / F.col("__tot"))
+        .alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(hash_bucket(key_col) < F.floor(F.col("__rate") * _BUCKETS))
+        .drop("__rate")
+    )

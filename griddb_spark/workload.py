@@ -3169,3 +3169,62 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined, f"sij_{_uuid.uuid4().hex[:8]}", mode="append",
         shuffle_partitions=8,
     )
+
+
+@query(
+    "pipe_chunk_documents",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
+               FROM documents),
+    e AS (SELECT doc_id, w,
+            unnest(generate_series(1, greatest(len(w) - 8, 1), 16)) AS s
+          FROM t)
+    SELECT doc_id, ((s - 1) // 16)::INT AS chunk_id, s::INT AS chunk_start,
+           (least(s + 23, len(w)) - s + 1)::INT AS n_chunk_tokens,
+           array_to_string(w[s:least(s + 23, len(w))], ' ') AS chunk_text
+    FROM e
+    """,
+)
+def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (24-token windows, 8-token
+    overlap) — the embedding/retrieval chunk stage. Pure sequence/slice
+    expressions fused into the scan; row count grows by the chunk factor,
+    bytes stay bounded by overlap/size."""
+    from griddb_spark.pipeline.packing import chunk_documents
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    return chunk_documents(docs, "doc_id", "text", size=24, overlap=8)
+
+
+@query(
+    "pipe_mix_budget",
+    """
+    WITH t AS (SELECT doc_id, source,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+               FROM documents),
+    tot AS (SELECT source, sum(n_tokens) AS tot FROM t GROUP BY source),
+    r AS (SELECT source, least(1.0, 1000.0 / tot) AS rate FROM tot)
+    SELECT t.source, count(*) AS n_docs, sum(n_tokens) AS kept_tokens
+    FROM t JOIN r USING (source)
+    WHERE ('0x'||substr(md5(cast(doc_id AS varchar)),1,8))::BIGINT % 10000
+          < floor(rate * 10000)
+    GROUP BY t.source
+    """,
+)
+def pipe_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing to a per-source token budget: data-driven keep rates
+    (one combinable sum per source, broadcast back) + the content-hash
+    keep decision — downsamples oversized sources toward 1000 tokens,
+    passes undersized ones through, never resamples history on append."""
+    from griddb_spark.pipeline.packing import token_count
+    from griddb_spark.pipeline.sampling import mix_to_token_budget
+
+    docs = cat(spark, sf_dir).load("documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    kept = mix_to_token_budget(docs, "doc_id", "source", "n_tokens", 1000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )

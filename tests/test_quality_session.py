@@ -182,3 +182,49 @@ def test_unigram_logprob_hand_computed(spark):
     want2 = (math.log(0.75) + math.log(0.25)) / 2
     assert abs(rows[2].avg_logprob - want2) < 1e-6
     assert abs(rows[2].ppl - round(math.exp(-round(want2, 6)), 2)) < 1e-9
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from griddb_spark.pipeline.packing import chunk_documents
+
+    # 10 tokens, size=5, overlap=2 → starts 1,4,7 (stride 3)
+    text = " ".join(f"t{i}" for i in range(1, 11))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_id, r.chunk_start, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(df, size=5, overlap=2).collect()
+    )
+    assert [r[:3] for r in rows] == [(0, 1, 5), (1, 4, 5), (2, 7, 4)]
+    assert rows[0][3] == "t1 t2 t3 t4 t5"
+    assert rows[2][3] == "t7 t8 t9 t10"  # short tail covers the document
+    # every token appears in some chunk
+    covered = set(" ".join(r[3] for r in rows).split())
+    assert covered == set(text.split())
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from griddb_spark.pipeline.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    rows = chunk_documents(df, size=5, overlap=2).collect()
+    assert len(rows) == 1 and rows[0].chunk_text == "a b"
+
+
+def test_mix_to_token_budget_rates(spark):
+    from griddb_spark.pipeline.sampling import mix_to_token_budget
+
+    # source A: 10 docs x 100 tokens = 1000; source B: 2 docs x 50 = 100
+    rows = [(i, "A", 100) for i in range(10)] + [(100 + i, "B", 50) for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    kept = mix_to_token_budget(df, "doc_id", "source", "n_tokens", 500)
+    by_src = {
+        r.source: r.cnt
+        for r in kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_src.get("B") == 2          # under budget: all kept
+    assert 0 < by_src.get("A", 0) < 10   # over budget: downsampled (~half)
+    # determinism: same decision under a different partitioning
+    again = mix_to_token_budget(
+        df.repartition(7), "doc_id", "source", "n_tokens", 500
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, kept.collect()))
