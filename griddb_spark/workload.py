@@ -2125,7 +2125,10 @@ def ts_row_expiration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props column: JSON path extraction predicate +
     aggregate (Spark get_json_object; beyond-reference convenience — GridDB
-    stores this as STRING and has no JSON functions)."""
+    stores this as STRING and has no JSON functions). The parse runs in the
+    scan stage on purpose: row-group splits parallelize it at scale, while
+    a zero-column repartition would add round-robin's determinism sort of
+    the full rows (measured 36s vs 3.5s at 10x)."""
     ev = cat(spark, sf_dir).load("events")
     k = F.get_json_object("props", "$.k").cast("int")
     return (
@@ -2914,21 +2917,14 @@ def pipe_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-scaled ints — floor-based, bit-deterministic across engines) and
     symmetric int8 scalar quantization with its de-quant scale. The ingest
     stage that makes every later cosine a dot product and shrinks the ANN
-    working set 4x."""
-    from griddb_spark.pipeline import l2_normalize, quantize_int8
+    working set 4x. Norm/amax are pre-projected once per row (see
+    with_unit_and_int8) — inlining them into the element lambdas is
+    O(dim²) interpreted work."""
+    from griddb_spark.pipeline.similarity import with_unit_and_int8
 
     emb = cat(spark, sf_dir).load("embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id")
-    unit = l2_normalize(F.col("embedding"))
-    qz = quantize_int8(F.col("embedding"))
-    return emb.select(
-        "vec_id",
-        F.transform(
-            unit, lambda x: F.floor(x * 1_000_000 + 0.5).cast("long")
-        ).alias("unit_q6"),
-        qz["q"].alias("q_int8"),
-        qz["scale"].alias("q_scale"),
-    )
+    return with_unit_and_int8(emb, "embedding", keep=("vec_id",))
 
 
 #: shared gaps-and-islands oracle for both sessionization faces (12h gap →

@@ -88,7 +88,12 @@ def replicate(k: int, dst: str) -> None:
                 cols.append(a)
             parts.append(pa.table(cols, schema=t.schema))
         out = pa.concat_tables(parts)
-        pq.write_table(out, f"{dst}/{name}.parquet")
+        # small row groups: parquet scans split on ROW-GROUP boundaries, so
+        # pyarrow's 1M-row default would give the 10x events table a single
+        # row group = a single scan task — every scan-bound query would
+        # serialize and the probe would misreport linear ops as superlinear
+        # (measured: q1 7.9x, events queries ~6x, purely from this)
+        pq.write_table(out, f"{dst}/{name}.parquet", row_group_size=50_000)
         print(f"  {name}: {t.num_rows} -> {out.num_rows} rows", file=sys.stderr)
 
 
