@@ -139,3 +139,33 @@ def chunk_documents(
         F.size(chunk).alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the scoring step
+    of one BPE tokenizer-training iteration (count pairs, merge the top
+    one, repeat). Words explode to their length-2 substrings JVM-side; one
+    combinable groupBy carries only (pair, count); ``top_k`` with a total
+    deterministic order (count desc, pair asc). Iterating the merge loop
+    re-runs this over the re-segmented corpus — each iteration stays one
+    combinable aggregation at any corpus size.
+    """
+    w = F.explode(tokens(F.col(text_col))).alias("__w")
+    words = df.select(w).filter(F.length("__w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__w") - 1),
+                lambda i: F.col("__w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )
+    return ranked

@@ -155,6 +155,27 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def quality_threshold_flag(
+    df, score_col: str, stratum_col: str, fraction: float = 0.25
+):
+    """Flag rows below their stratum's exact ``fraction`` quantile of
+    ``score_col`` — "drop the bottom quartile per domain", the standard
+    per-source quality cut (a global threshold would wipe out whole
+    domains whose score distributions sit lower).
+
+    One window pass per stratum (exact percentile — at extreme stratum
+    sizes swap in approx_percentile, same plan shape). Appends
+    ``__threshold`` and boolean ``below``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col)
+    thr = F.percentile(F.col(score_col), F.lit(fraction)).over(w)
+    return df.withColumn("__threshold", thr).withColumn(
+        "below", F.col(score_col) < F.col("__threshold")
+    )
+
+
 def urls(col: Column | str) -> Column:
     """All http(s) URLs in a text column (array<string>)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -3224,3 +3224,69 @@ def pipe_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("kept_tokens"),
     )
+
+
+@query(
+    "pipe_bpe_pairs",
+    """
+    WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS wd
+               FROM documents),
+    p AS (SELECT unnest([substr(wd, i, 2) for i in range(1, length(wd))]) AS pair
+          FROM w WHERE length(wd) >= 2)
+    SELECT pair, count(*) AS n FROM p
+    GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+)
+def pipe_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training scoring step: corpus-wide adjacent
+    character-pair counts, top 20 under a total deterministic order — one
+    combinable aggregation per merge iteration at any corpus size."""
+    from griddb_spark.pipeline.packing import bpe_pair_counts
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    return bpe_pair_counts(docs, "text", top_k=20)
+
+
+@query(
+    "pipe_quality_threshold",
+    """
+    WITH t AS (SELECT doc_id, source, text,
+                 string_split_regex(trim(text), '\\s+') w
+               FROM documents),
+    q AS (SELECT doc_id, source,
+            least(length(text)::double / 500.0, 1.0) * 0.25
+            + (1.0 - round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+              'g'))::double / length(text), 6)) * 0.5
+            + least(round(len(list_filter(w, x -> x in ('the','a','an','of',
+              'and','or','is','to','in','on')))::double / len(w), 6) * 5.0,
+              1.0) * 0.25 AS score
+          FROM t),
+    f AS (SELECT source, score,
+            quantile_cont(score, 0.25) OVER (PARTITION BY source) AS thr
+          FROM q)
+    SELECT source, count(*) AS n_docs,
+           sum(CASE WHEN score < thr THEN 1 ELSE 0 END) AS n_dropped,
+           round(min(thr), 6) AS p25_threshold
+    FROM f GROUP BY source
+    """,
+)
+def pipe_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality cut: drop the bottom quartile of the composite
+    quality score WITHIN each source (a global threshold would wipe out
+    whole domains). Exact per-stratum percentile via one window pass;
+    reports per-source doc counts, drops, and the p25 threshold."""
+    from griddb_spark.pipeline import quality_stats
+    from griddb_spark.pipeline.quality import quality_threshold_flag
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    scored = docs.select(
+        "doc_id", "source", quality_stats("text")["quality_score"].alias("score")
+    )
+    flagged = quality_threshold_flag(scored, "score", "source", 0.25)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("below").cast("long")).alias("n_dropped"),
+        _r6(F.min("__threshold")).alias("p25_threshold"),
+    )

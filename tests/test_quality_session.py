@@ -228,3 +228,24 @@ def test_mix_to_token_budget_rates(spark):
         df.repartition(7), "doc_id", "source", "n_tokens", 500
     )
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, kept.collect()))
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from griddb_spark.pipeline.packing import bpe_pair_counts
+
+    # words: "abab" → ab,ba,ab ; "ab" → ab ; "x" skipped (length 1)
+    df = spark.createDataFrame([("abab ab x",)], "text string")
+    rows = [(r.pair, r.n) for r in bpe_pair_counts(df, "text", top_k=10).collect()]
+    assert rows[0] == ("ab", 3) and ("ba", 1) in rows
+    assert all(len(p) == 2 for p, _ in rows)
+
+
+def test_quality_threshold_flags_bottom_quartile(spark):
+    from griddb_spark.pipeline.quality import quality_threshold_flag
+
+    rows = [(i, "A", float(i)) for i in range(1, 9)]  # scores 1..8
+    df = spark.createDataFrame(rows, "id long, src string, score double")
+    out = {r.id: r for r in quality_threshold_flag(df, "score", "src", 0.25).collect()}
+    # exact p25 of 1..8 = 2.75 → ids 1,2 below
+    assert {i for i, r in out.items() if r.below} == {1, 2}
+    assert abs(out[1]["__threshold"] - 2.75) < 1e-9
