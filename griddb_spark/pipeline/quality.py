@@ -141,11 +141,13 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
     """
     toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
-    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    # corpus token total = Σ vocab counts: derived from the SMALL vocab
+    # table, not a second scan+tokenize of the corpus
+    total = vocab.agg(F.sum("__c").alias("__n"))
+    rates = vocab.crossJoin(F.broadcast(total))
     avg_lp = F.round(F.avg(F.log(F.col("__c") / F.col("__n"))), 6)
     return (
-        toks.join(vocab, "tok")
-        .crossJoin(F.broadcast(total))
+        toks.join(rates, "tok")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -88,3 +88,32 @@ def mix_to_token_budget(
         .filter(hash_bucket(key_col) < F.floor(F.col("__rate") * _BUCKETS))
         .drop("__rate")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int = 16,
+    max_records_per_file: int | None = None,
+) -> DataFrame:
+    """Write the final training set as ``n_shards`` deterministic shards.
+
+    Shard = content-hash bucket mod ``n_shards`` — the same portable md5
+    scheme as sampling, so a row lands in the same shard on every engine,
+    partitioning, and rerun (downstream loaders can resume/diff shards).
+    One hash shuffle clusters rows by shard; the Hive-partitioned write
+    gives one file per shard (plus ``maxRecordsPerFile`` splitting when
+    set — bounded file sizes at any scale, no coalesce(1) anywhere).
+    Returns the (shard, n_rows) manifest read back from disk.
+    """
+    spark = df.sparkSession
+    sharded = df.withColumn("__shard", hash_bucket(key_col) % n_shards)
+    w = sharded.repartition(F.col("__shard")).write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.partitionBy("__shard").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("__shard").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

@@ -3290,3 +3290,28 @@ def pipe_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("below").cast("long")).alias("n_dropped"),
         _r6(F.min("__threshold")).alias("p25_threshold"),
     )
+
+
+@query(
+    "pipe_write_shards",
+    """
+    SELECT (('0x'||substr(md5(cast(doc_id AS varchar)),1,8))::BIGINT
+            % 10000) % 8 AS shard,
+           count(*) AS n_rows
+    FROM documents GROUP BY shard
+    """,
+)
+def pipe_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final shard writer: the corpus lands in 8 content-hash shards (one
+    clustered shuffle, one file per shard, maxRecordsPerFile-bounded) and
+    the returned manifest — re-read from disk, so the write itself is
+    verified — matches the oracle's per-shard counts."""
+    import tempfile
+
+    from griddb_spark.pipeline.sampling import write_training_shards
+
+    docs = cat(spark, sf_dir).load("documents")
+    out = tempfile.mkdtemp(prefix="shards_") + "/docs"
+    return write_training_shards(
+        docs, out, "doc_id", n_shards=8, max_records_per_file=100_000
+    )

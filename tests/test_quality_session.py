@@ -249,3 +249,26 @@ def test_quality_threshold_flags_bottom_quartile(spark):
     # exact p25 of 1..8 = 2.75 → ids 1,2 below
     assert {i for i, r in out.items() if r.below} == {1, 2}
     assert abs(out[1]["__threshold"] - 2.75) < 1e-9
+
+
+def test_write_training_shards_deterministic_and_bounded(spark, tmp_path):
+    import glob
+
+    from griddb_spark.pipeline.sampling import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    p1 = str(tmp_path / "a")
+    m1 = {r.shard: r.n_rows for r in
+          write_training_shards(df, p1, "doc_id", n_shards=4).collect()}
+    assert sum(m1.values()) == 200 and set(m1) <= set(range(4))
+    # same assignment under a different input partitioning
+    p2 = str(tmp_path / "b")
+    m2 = {r.shard: r.n_rows for r in
+          write_training_shards(df.repartition(13), p2, "doc_id", n_shards=4).collect()}
+    assert m1 == m2
+    # one file per shard (clustered write, no task x shard explosion)
+    for s in m1:
+        files = glob.glob(f"{p1}/__shard={s}/*.parquet")
+        assert len(files) == 1, (s, files)
