@@ -105,6 +105,107 @@ def hashed_shingles(
     )
 
 
+def lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable MinHash-LSH index of a corpus: ``(banded, shingles)``
+    where ``banded`` = (__id, band, bkey) and ``shingles`` = (__id, __sh).
+
+    At 100 TB this is what you WRITE once (partitioned by band/bkey) and
+    keep between ingest batches — ``incremental_minhash_pairs`` probes it
+    with each new batch, so per-batch dedup cost tracks the batch, not the
+    historical corpus.
+
+    The shingle table is read multiple times (signature + verify sides)
+    and shingling/minhash are interpreted higher-order exprs: an eager
+    localCheckpoint (NOT persist) truncates the lineage, so no join
+    replan, cache eviction, or AQE re-optimization can EVER recompute the
+    expensive subtree — measured 1.6s stable vs 1.4-17s jitter with
+    MEMORY_AND_DISK persist at sf0.1. On a multi-executor cluster the
+    trade is recompute-on-executor-loss → job retry, the right trade for
+    a hot short-lived intermediate (the durable variant is the parquet
+    write above).
+    """
+    rows = k // bands
+    sh = hashed_shingles(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
+    sig = sh.select("__id", minhash_signature(F.col("__sh"), k).alias("__sig"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("__sig")[b * rows + r] for r in range(rows)]).alias(
+                "bkey"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        sig.select("__id", F.explode(F.array(*band_structs)).alias("__b"))
+        .select(
+            "__id", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey")
+        )
+        # checkpointed, not just repartitioned: consumers read this twice
+        # and rows are tiny (id, band, bkey) — eager materialization runs
+        # the k minhash evaluations per doc exactly once regardless of
+        # join strategy
+        .localCheckpoint(eager=True)
+    )
+    return banded, sh
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    index_banded: DataFrame,
+    index_shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental ingest dedup: near-dup pairs between a NEW batch and an
+    existing corpus's LSH index (from :func:`lsh_index`).
+
+    The new batch is signed and banded, probes the historical band table
+    on (band, bkey) — a key-partitioned join touching only colliding
+    buckets — and candidates are exact-Jaccard verified. Work scales with
+    the batch, never with the historical corpus; the index grows by a
+    union of the batch's own band/shingle tables afterward.
+
+    Returns (new_id, old_id, jaccard).
+    """
+    nb, nsh = lsh_index(new_df, id_col, text_col, k, bands, shingle_n)
+    cand = (
+        nb.alias("n")
+        .join(index_banded.alias("o"), on=["band", "bkey"], how="inner")
+        .select(F.col("n.__id").alias("new_id"), F.col("o.__id").alias("old_id"))
+        .distinct()
+    )
+    sh_n = nsh.select(F.col("__id").alias("new_id"), F.col("__sh").alias("__sha"))
+    sh_o = index_shingles.select(
+        F.col("__id").alias("old_id"), F.col("__sh").alias("__shb")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("__sha", "__shb")).cast("double")
+        / F.size(F.array_union("__sha", "__shb")),
+        6,
+    )
+    return (
+        cand.join(sh_n, "new_id")
+        .join(sh_o, "old_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -124,39 +225,7 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    rows = k // bands
-    # the shingle table is read 3× (signature + both verify sides) and
-    # shingling/minhash are interpreted higher-order exprs. An eager
-    # localCheckpoint (NOT persist) truncates the lineage, so no join
-    # replan, cache eviction, or AQE re-optimization can EVER recompute
-    # the expensive subtree — measured 1.6s stable vs 1.4-17s jitter
-    # with MEMORY_AND_DISK persist at sf0.1. On a multi-executor
-    # cluster the trade is recompute-on-executor-loss → job retry,
-    # the right trade for a hot short-lived intermediate.
-    sh = hashed_shingles(df, id_col, text_col, shingle_n).localCheckpoint(
-        eager=True
-    )
-    sig = sh.select("__id", minhash_signature(F.col("__sh"), k).alias("__sig"))
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("__sig")[b * rows + r] for r in range(rows)]).alias(
-                "bkey"
-            ),
-        )
-        for b in range(bands)
-    ]
-    banded = (
-        sig.select("__id", F.explode(F.array(*band_structs)).alias("__b"))
-        .select(
-            "__id", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey")
-        )
-        # checkpointed, not just repartitioned: the self-join reads this
-        # twice, rows are tiny (id, band, bkey), and eager materialization
-        # runs the k minhash evaluations per doc exactly once regardless
-        # of join strategy (see the shingle-table note above)
-        .localCheckpoint(eager=True)
-    )
+    banded, sh = lsh_index(df, id_col, text_col, k, bands, shingle_n)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

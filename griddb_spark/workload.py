@@ -3315,3 +3315,31 @@ def pipe_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return write_training_shards(
         docs, out, "doc_id", n_shards=8, max_records_per_file=100_000
     )
+
+
+@query(
+    "pipe_dedup_incremental",
+    _DUCK_SHINGLES
+    + """,
+    j as (select n.doc_id new_id, o.doc_id old_id,
+                 round(len(list_intersect(n.sh, o.sh))::double
+                       / len(list_distinct(list_concat(n.sh, o.sh))), 6) jaccard
+          from shingle n join shingle o
+            on n.doc_id % 5 = 0 and o.doc_id % 5 != 0)
+    SELECT new_id, old_id, jaccard FROM j WHERE jaccard >= 0.8
+    """,
+)
+def pipe_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the corpus (doc_id % 5 != 0) is indexed
+    once (banded MinHash signatures — the persisted artifact between
+    batches); the new batch (doc_id % 5 == 0) probes only colliding
+    (band, bkey) buckets and exact-verifies. Per-batch cost tracks the
+    batch, not history; oracle = brute-force cross-slice Jaccard."""
+    from griddb_spark.pipeline.dedup import incremental_minhash_pairs, lsh_index
+
+    docs = cat(spark, sf_dir).load("documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    banded, sh = lsh_index(old, "doc_id", "text")
+    return incremental_minhash_pairs(new, banded, sh, "doc_id", "text",
+                                     threshold=0.8)

@@ -287,3 +287,29 @@ def test_vocab_topk_deterministic_tiebreak(spark):
     )
     rows = vocab_topk(docs, "text", k=3, mode="bpe").collect()
     assert [(r.token, r.n) for r in rows] == [("a", 3), ("b", 3), ("c", 3)]
+
+
+def test_incremental_minhash_finds_cross_batch_dup(spark, docs):
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline.dedup import incremental_minhash_pairs, lsh_index
+
+    base = docs.select("doc_id", "text").limit(40)
+    # the "new batch": doc 0 lightly edited, plus an unrelated new doc
+    new = base.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    banded, sh = lsh_index(base, "doc_id", "text")
+    out = incremental_minhash_pairs(new, banded, sh, "doc_id", "text",
+                                    threshold=0.8)
+    pairs = {(r.new_id, r.old_id) for r in out.collect()}
+    assert (500000, 0) in pairs
+    # a batch with no near-dups probes to an empty result
+    fresh = spark.createDataFrame(
+        [(900000, "completely unrelated words nowhere in corpus xyzzy")],
+        "doc_id long, text string",
+    )
+    assert incremental_minhash_pairs(
+        fresh, banded, sh, "doc_id", "text", threshold=0.8
+    ).count() == 0
