@@ -13,10 +13,10 @@ count times its corpus frequency. All gram construction is JVM-side
 higher-order expressions shared with the dedup operators
 (``pipeline/text.word_shingles``); no Python in the hot path.
 
-At real scale, swap the raw-string broadcast join for an xxhash64 gram-key
-join (same plan, 8-byte keys, ~1e-12 collision odds at eval-set sizes);
-the string join is kept here because the DuckDB oracle must be
-bit-identical.
+Grams are carried as xxhash64 keys on both sides (8-byte join keys, no
+gram-string shuffle; collision odds per corpus ~ |grams|²/2⁶⁴ ≈ 1e-12 at
+eval-set sizes — and the DuckDB oracle gate would surface one as a hits
+mismatch, so the risk is monitored, not assumed).
 """
 
 from __future__ import annotations
@@ -27,12 +27,17 @@ from pyspark.sql import functions as F
 from griddb_spark.pipeline.text import word_shingles
 
 
+def _gram_hashes(df: DataFrame, text_col: str, n: int):
+    return F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
+
+
 def benchmark_ngram_set(bench: DataFrame, text_col: str = "text",
                         n: int = 5) -> DataFrame:
-    """Distinct word n-grams of the benchmark set — one `gram` column."""
+    """Distinct word n-gram hashes of the benchmark set — one `gram`
+    column (xxhash64 keys)."""
     return (
         bench.select(
-            F.explode(word_shingles(text_col, n)).alias("gram")
+            F.explode(_gram_hashes(bench, text_col, n)).alias("gram")
         ).distinct()
     )
 
@@ -46,9 +51,16 @@ def contamination_report(corpus: DataFrame, bench: DataFrame,
     benchmark gram set (each side deduplicated, so a gram repeated in the
     document counts once).
     """
-    grams = corpus.select(
+    # spread before the (interpreted, CPU-bound) shingle transform: a
+    # single-file corpus scans as one task otherwise — same rule as
+    # dedup.hashed_shingles
+    para = corpus.sparkSession.sparkContext.defaultParallelism
+    spread = corpus.select(F.col(id_col), F.col(text_col)).repartition(
+        para, id_col
+    )
+    grams = spread.select(
         F.col(id_col),
-        F.explode(word_shingles(text_col, n)).alias("gram"),
+        F.explode(_gram_hashes(spread, text_col, n)).alias("gram"),
     )
     matched = grams.join(F.broadcast(benchmark_ngram_set(bench, text_col, n)),
                          "gram")
