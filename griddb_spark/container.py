@@ -355,6 +355,41 @@ class GridStore:
             "physical_equivalent string",
         )
 
+    # -- batch query / batch mutation (GridStore.fetchAll / multiPut,
+    #    GET_MULTIPLE_CONTAINER_ROWS / PUT_MULTIPLE_CONTAINER_ROWS,
+    #    cluster_event_type.h:135-196; SampleFetchAll / SampleMultiPut) ----
+    def fetch_all(self, queries: Sequence[tuple[str, str]],
+                  tag_col: str | None = None) -> list[DataFrame]:
+        """GridStore.fetchAll(List<Query>) — execute several TQL queries,
+        possibly over different containers, as one batch.
+
+        The reference client ships all statements in a single request and
+        the server fans them out per partition owner; the Spark analog is
+        one job whose stages share the session's scheduler (each returned
+        plan is lazy — a caller that unions or writes them gets a single
+        DAG, so common scans dedupe via ReuseExchange rather than
+        re-reading per query). ``tag_col`` adds a literal column naming the
+        source container on each result, the usual prelude to a union.
+        """
+        out = []
+        for name, tql in queries:
+            df = self.get_container(name).query(tql)
+            if tag_col is not None:
+                df = df.select(F.lit(name).alias(tag_col), "*")
+            out.append(df)
+        return out
+
+    def multi_put(self, rows_by_container: dict[str, "DataFrame | Sequence[dict]"]
+                  ) -> "GridStore":
+        """GridStore.multiPut — batch insert-or-update across containers
+        (PUT_MULTIPLE_CONTAINER_ROWS). Each container applies its own
+        row-key upsert semantics (``Collection.put``); containers without
+        a key append. One call, N lazy upsert plans — nothing executes
+        until each container's DataFrame is consumed."""
+        for name, rows in rows_by_container.items():
+            self.get_container(name).put(rows)
+        return self
+
     # -- export/import (the gs_export / gs_import CLI surface) --------------
     def export_container(self, name: str, path: str, fmt: str = "parquet",
                          mode: str = "overwrite") -> None:

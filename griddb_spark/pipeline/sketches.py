@@ -1,0 +1,160 @@
+"""Bounded-state sketches for corpus profiling at 100 TB.
+
+At training-pipeline scale the common profiling questions — "how many
+distinct users/documents per slice?", "where is the p95 of this score?" —
+cannot be answered by exact DISTINCT or exact percentile without a shuffle
+whose width tracks the *cardinality of the data*. The sketch forms here cap
+the shuffle at a fixed register/bucket budget per group, are mergeable
+(map-side partial aggregation does most of the work), and stay pure JVM
+column expressions.
+
+Two deliberate design choices:
+
+1. **Deterministic hashing.** The distinct sketch hashes with a Knuth
+   multiplicative hash (``key * 2654435761 mod 2^32``) instead of Spark's
+   ``xxhash64`` so the identical arithmetic can be written in any ANSI SQL
+   engine — the DuckDB oracle replays the exact same register math and the
+   result hash-matches bit-for-bit. Estimator quality for the tested
+   integer keys is equivalent.
+2. **Linear counting rather than HyperLogLog registers.** Linear counting
+   (Whang et al. 1990 — the same estimator HLL itself switches to in its
+   small-range regime) needs only "how many registers were hit", which is
+   expressible as two cascaded GROUP BYs in both engines; HLL's
+   leading-zero rho needs bit tricks that are not portable SQL. With
+   m registers the standard error is ~sqrt(m)/n-ish for n ≲ m·ln m; the
+   module exposes m so callers size it to the cardinality regime, and the
+   estimator reports saturation (all registers hit) as NULL rather than
+   ±inf.
+
+Reference tie-in: GridDB has no sketch surface (its DISTINCT aggregation is
+exact, ``OP_GROUP_DISTINCT``, sql_operator_group.h:71-73); these are
+beyond-reference operators in the same family as the dedup/similarity
+pipeline ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth's multiplicative constant (golden-ratio scaled to 2^32).
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def _int_hash(col) -> F.Column:
+    """Deterministic 32-bit multiplicative hash of an integer column.
+
+    ``(key * 2654435761) mod 2^32`` in BIGINT arithmetic — exact in any
+    engine with 64-bit integers (key is first masked to 32 bits so the
+    product stays below 2^63).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.pmod(c.cast("bigint"), F.lit(_M32)) * F.lit(_KNUTH),
+                  F.lit(_M32))
+
+
+def linear_counting_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    m: int = 4096,
+) -> DataFrame:
+    """Distinct-count sketch: per group, hash keys into ``m`` registers and
+    estimate cardinality from the register hit-rate.
+
+    Shape at scale: stage 1 dedups ``(group, register)`` — a shuffle whose
+    width is bounded by ``m`` rows per group *regardless of key
+    cardinality* (map-side partial dedup collapses most traffic before the
+    exchange); stage 2 is a tiny count per group. Compare exact
+    ``COUNT(DISTINCT key)``, whose shuffle carries every distinct key.
+
+    Returns ``group_cols + (n_registers, est_distinct)`` where
+    ``est_distinct = -m * ln(1 - n_registers/m)`` rounded to 6 decimals,
+    NULL when the sketch saturated (every register hit).
+    """
+    g = list(group_cols)
+    reg = F.pmod(_int_hash(key_col), F.lit(m)).alias("__reg")
+    hits = (
+        df.select(*g, reg)
+        .groupBy(*g, "__reg")
+        .agg(F.lit(1).alias("__one"))
+        .groupBy(*g)
+        .agg(F.count(F.lit(1)).alias("n_registers"))
+    )
+    frac = F.col("n_registers").cast("double") / F.lit(float(m))
+    est = F.when(
+        F.col("n_registers") < m,
+        F.round(-F.lit(float(m)) * F.log(F.lit(1.0) - frac), 6),
+    )
+    return hits.select(*g, "n_registers", est.alias("est_distinct"))
+
+
+def histogram_quantile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float],
+    lo: float,
+    hi: float,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Quantile sketch: fixed-width histogram over ``[lo, hi)`` with
+    ``n_buckets`` buckets; a quantile estimate is the upper edge of the
+    first bucket whose cumulative count reaches ``q * n``.
+
+    This is the portable-SQL member of the t-digest/KLL family: per-group
+    state is capped at ``n_buckets`` counts, partial counts merge by
+    addition (map-side combine does the heavy lifting), and the final
+    per-group cumulative walk is a window over ≤ ``n_buckets`` rows.
+    Estimate error is bounded by one bucket width; out-of-range values
+    clamp into the edge buckets.
+
+    Pick ``(hi - lo) / n_buckets`` as a power of two when possible: bucket
+    assignment is then exact halving in IEEE arithmetic, bit-identical in
+    every engine.
+
+    Returns ``group_cols + (n_rows, q_<label> ...)`` with one column per
+    requested quantile (label = quantile with the dot stripped, e.g.
+    ``q_50``, ``q_95`` for 0.50/0.95), rounded to 6 decimals.
+    """
+    g = list(group_cols)
+    w = (hi - lo) / float(n_buckets)
+    v = F.col(value_col).cast("double")
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(w)).cast("int")),
+    ).alias("__bucket")
+
+    counts = df.select(*g, bucket).groupBy(*g, "__bucket").agg(
+        F.count(F.lit(1)).alias("__n"))
+
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy(*g).orderBy("__bucket")
+    tot = Window.partitionBy(*g)
+    cum = counts.select(
+        *g,
+        "__bucket",
+        F.sum("__n").over(pw).alias("__cum"),
+        F.sum("__n").over(tot).alias("__tot"),
+    )
+    aggs = [F.max("__tot").alias("n_rows")]
+    for q in quantiles:
+        label = f"q_{str(q).split('.')[1]}"
+        edge = F.lit(lo) + (F.col("__bucket") + F.lit(1)).cast("double") * F.lit(w)
+        aggs.append(
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("__cum").cast("double")
+                        >= F.lit(q) * F.col("__tot").cast("double"),
+                        edge,
+                    )
+                ),
+                6,
+            ).alias(label)
+        )
+    return cum.groupBy(*g).agg(*aggs)

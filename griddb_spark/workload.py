@@ -3343,3 +3343,178 @@ def pipe_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded, sh = lsh_index(old, "doc_id", "text")
     return incremental_minhash_pairs(new, banded, sh, "doc_id", "text",
                                      threshold=0.8)
+
+
+@query(
+    "nosql_fetch_all",
+    """
+    SELECT * FROM (
+      SELECT 'customer' AS src, c_custkey AS id, c_name AS name
+      FROM customer WHERE c_nationkey = 3 AND c_acctbal > 1000.0
+      ORDER BY c_custkey LIMIT 25)
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'supplier' AS src, s_suppkey AS id, s_name AS name
+      FROM supplier WHERE s_nationkey = 3
+      ORDER BY s_suppkey LIMIT 25)
+    """,
+)
+def nosql_fetch_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridStore.fetchAll (SampleFetchAll.java; GET_MULTIPLE_CONTAINER_ROWS,
+    cluster_event_type.h:135-196): one batch of TQL statements over two
+    containers, results tagged and unioned. Both member queries stay lazy
+    until the union executes, so the batch is one Spark job — the analog of
+    the reference shipping all statements in a single client request."""
+    from griddb_spark.container import GridStore
+
+    store = GridStore(spark, sf_dir)
+    cust, supp = store.fetch_all(
+        [
+            (
+                "customer",
+                "SELECT c_custkey, c_name WHERE c_nationkey = 3 "
+                "AND c_acctbal > 1000.0 ORDER BY c_custkey LIMIT 25",
+            ),
+            (
+                "supplier",
+                "SELECT s_suppkey, s_name WHERE s_nationkey = 3 "
+                "ORDER BY s_suppkey LIMIT 25",
+            ),
+        ],
+        tag_col="src",
+    )
+    return cust.toDF("src", "id", "name").unionAll(
+        supp.toDF("src", "id", "name"))
+
+
+@query(
+    "nosql_multiput",
+    """
+    SELECT 'customer' AS src, c_custkey AS id,
+           round(CASE WHEN c_custkey <= 4 THEN c_acctbal + 1000.25
+                      ELSE c_acctbal END, 6) AS bal
+    FROM customer WHERE c_custkey <= 6
+    UNION ALL
+    SELECT 'supplier' AS src, s_suppkey AS id, round(s_acctbal, 6) AS bal
+    FROM supplier WHERE s_suppkey <= 2
+    UNION ALL
+    SELECT 'supplier' AS src, 99991 AS id, 123.5 AS bal
+    """,
+)
+def nosql_multiput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridStore.multiPut (SampleMultiPut.java; PUT_MULTIPLE_CONTAINER_ROWS):
+    one batch mutates two keyed containers — an acctbal update on customers
+    1-4 (insert-or-update hits existing keys) and a brand-new supplier row
+    (insert path). The upsert is the batch-scale last-write-wins window
+    over the key (container.py put); the oracle simulates it with CASE +
+    UNION over the base tables."""
+    from griddb_spark.container import GridStore
+
+    c = cat(spark, sf_dir)
+    store = GridStore(spark, sf_dir)
+    cust = store.put_container("customer", c.load("customer"),
+                               row_key="c_custkey")
+    supp = store.put_container("supplier", c.load("supplier"),
+                               row_key="s_suppkey")
+    updated = (
+        cust.df.filter(F.col("c_custkey") <= 4)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.25))
+    )
+    new_supplier = (
+        supp.df.filter(F.col("s_suppkey") == 1)
+        .withColumn("s_suppkey", F.lit(99991).cast("long"))
+        .withColumn("s_acctbal", F.lit(123.5))
+    )
+    store.multi_put({"customer": updated, "supplier": new_supplier})
+    a = (
+        store.get_container("customer").df
+        .filter(F.col("c_custkey") <= 6)
+        .select(
+            F.lit("customer").alias("src"),
+            F.col("c_custkey").alias("id"),
+            _r6(F.col("c_acctbal")).alias("bal"),
+        )
+    )
+    b = (
+        store.get_container("supplier").df
+        .filter((F.col("s_suppkey") <= 2) | (F.col("s_suppkey") == 99991))
+        .select(
+            F.lit("supplier").alias("src"),
+            F.col("s_suppkey").alias("id"),
+            _r6(F.col("s_acctbal")).alias("bal"),
+        )
+    )
+    return a.unionAll(b)
+
+
+@query(
+    "pipe_sketch_distinct",
+    """
+    WITH reg AS (
+      SELECT event_type,
+             ((user_id % 4294967296) * 2654435761) % 4294967296 % 4096 AS r
+      FROM events),
+    hits AS (
+      SELECT event_type, count(DISTINCT r) AS n_registers
+      FROM reg GROUP BY event_type)
+    SELECT h.event_type, h.n_registers,
+           CASE WHEN h.n_registers < 4096
+                THEN round(-4096.0 * ln(1 - h.n_registers / 4096.0), 6)
+           END AS est_distinct,
+           e.n_exact
+    FROM hits h
+    JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY event_type) e
+      ON h.event_type = e.event_type
+    """,
+)
+def pipe_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count sketch (linear counting, pipeline/sketches.py): per
+    event_type, users hash into 4096 registers; the estimate comes from the
+    register hit-rate. The shuffle is bounded by 4096 rows per group no
+    matter the user cardinality — the 100 TB shape for profiling distincts.
+    The exact count rides along (its own agg, broadcast-joined) so the
+    result exhibits estimate-vs-truth; the oracle replays the identical
+    register arithmetic (deterministic Knuth hash, portable SQL)."""
+    from griddb_spark.pipeline.sketches import linear_counting_distinct
+
+    ev = cat(spark, sf_dir).load("events")
+    sk = linear_counting_distinct(ev, ["event_type"], "user_id", m=4096)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return sk.join(F.broadcast(exact), "event_type")
+
+
+@query(
+    "pipe_sketch_quantile",
+    """
+    WITH b AS (
+      SELECT event_type,
+             least(255, greatest(0, CAST(floor(value / 2.0) AS INT))) AS bucket
+      FROM events),
+    c AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+    cum AS (SELECT event_type, bucket,
+                   CAST(sum(n) OVER (PARTITION BY event_type
+                                     ORDER BY bucket) AS BIGINT) AS cum,
+                   CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+            FROM c)
+    SELECT event_type, max(tot) AS n_rows,
+           round(min(CASE WHEN cum >= 0.5 * tot
+                          THEN (bucket + 1) * 2.0 END), 6) AS q_5,
+           round(min(CASE WHEN cum >= 0.95 * tot
+                          THEN (bucket + 1) * 2.0 END), 6) AS q_95
+    FROM cum GROUP BY event_type
+    """,
+)
+def pipe_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (fixed-width histogram, pipeline/sketches.py): the
+    portable-SQL member of the t-digest/KLL family — per-group state capped
+    at 256 bucket counts, partials merge by addition, estimate error ≤ one
+    bucket width. Bucket width 2.0 (a power of two) makes bucket assignment
+    exact halving — bit-identical across engines."""
+    from griddb_spark.pipeline.sketches import histogram_quantile
+
+    ev = cat(spark, sf_dir).load("events")
+    return histogram_quantile(
+        ev, ["event_type"], "value", [0.5, 0.95],
+        lo=0.0, hi=512.0, n_buckets=256)
