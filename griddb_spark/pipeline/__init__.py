@@ -21,6 +21,9 @@ the same container catalog:
   sequence packing into fixed token-budget training rows.
 - :mod:`griddb_spark.pipeline.quality` — Gopher-style repetition signals,
   PII redaction, URL/domain statistics (pre-dedup corpus filters).
+- :mod:`griddb_spark.pipeline.sketches` — bounded-state profiling sketches
+  (linear-counting distinct, histogram quantiles) whose shuffle width is
+  capped by the register/bucket budget, not data cardinality.
 
 Design rule: everything is expressed with JVM-side built-ins (higher-order
 array functions, ``md5``; no Python UDFs) so the hot path stays inside
@@ -34,6 +37,7 @@ from griddb_spark.pipeline.decontaminate import (  # noqa: F401
     decontaminate,
 )
 from griddb_spark.pipeline.dedup import (  # noqa: F401
+    canonical_best,
     canonical_filter,
     char_ngrams,
     collapse_exact,
@@ -61,7 +65,12 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     cosine_pairs,
     knn_bruteforce,
     l2_normalize,
+    linear_probe_score,
     quantize_int8,
+)
+from griddb_spark.pipeline.sketches import (  # noqa: F401
+    histogram_quantile,
+    linear_counting_distinct,
 )
 from griddb_spark.pipeline.text import (  # noqa: F401
     bottom_k_fingerprint,

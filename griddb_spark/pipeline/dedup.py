@@ -443,6 +443,42 @@ def canonical_filter(
     return docs.join(losers, id_col, "left_anti")
 
 
+def canonical_best(
+    docs: DataFrame,
+    components: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware near-dup removal: keep the HIGHEST-``quality_col``
+    member of each dedup cluster (ties break to the smaller id) instead of
+    ``canonical_filter``'s min-id convention — at corpus scale you want to
+    keep the longest/cleanest duplicate, not an arbitrary one.
+
+    Shape: the cluster membership table joins the corpus only to fetch the
+    quality signal for *clustered* docs (components ∝ duplicate count ≪
+    corpus), the per-cluster argmax is a window over those few rows, and
+    the corpus itself is scanned once and anti-joined against the
+    broadcast-able loser list — identical scale posture to
+    ``canonical_filter``.
+    """
+    from pyspark.sql import Window
+
+    comp = components.select(F.col("doc_id").alias("__m_id"), "component")
+    members = comp.join(
+        docs.select(F.col(id_col).alias("__m_id"), F.col(quality_col)),
+        "__m_id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col("__m_id")
+    )
+    losers = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("__m_id").alias(id_col))
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def char_ngrams(col: Column | str, n: int = 4) -> Column:
     """Distinct character n-grams of a string (codegen-friendly, no UDF)."""
     c = F.col(col) if isinstance(col, str) else col

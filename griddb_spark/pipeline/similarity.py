@@ -111,6 +111,36 @@ def quantize_int8(a: Column) -> dict[str, Column]:
     return {"q": q, "scale": F.round(scale, 6)}
 
 
+def linear_probe_score(
+    df: DataFrame,
+    vec_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+    score_col: str = "score",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Model-based quality filtering: score every row with a linear probe
+    (logistic head) over its embedding — ``sigmoid(w·x + b)``.
+
+    This is the inference half of the standard fastText/linear-classifier
+    corpus filter (quality, toxicity, domain): train offline, then score
+    100 TB with a broadcast weight vector and zero Python. The weights
+    land in the plan as an array literal, the dot product is the same
+    ``zip_with``+``aggregate`` left-fold as ``dot`` (element-order
+    accumulation — portable across engines), and the whole thing is one
+    narrow projection: no shuffle, no UDF, scales with the scan.
+
+    For a multi-class head, call once per class column or pass the weight
+    matrix flattened and argmax the resulting score columns.
+    """
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    z = dot(F.col(vec_col), w) + F.lit(float(bias))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return df.withColumn(score_col, score)
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,

@@ -3518,3 +3518,62 @@ def pipe_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantile(
         ev, ["event_type"], "value", [0.5, 0.95],
         lo=0.0, hi=512.0, n_buckets=256)
+
+
+@query(
+    "pipe_dedup_canonical_best",
+    _DUCK_COMPONENTS
+    + """,
+    comp as (select src doc_id, least(src, min(dst)) component
+             from reach group by src),
+    members as (select c.doc_id, c.component, d.n_chars
+                from comp c join documents d using (doc_id)),
+    ranked as (select doc_id,
+                      row_number() OVER (PARTITION BY component
+                                         ORDER BY n_chars DESC, doc_id) rn
+               from members)
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM ranked r
+                      WHERE r.doc_id = d.doc_id AND r.rn > 1)
+    """,
+)
+def pipe_dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup removal (canonical_best, pipeline/dedup.py):
+    within each dedup cluster keep the member with the most characters
+    (ties → smaller id) instead of the arbitrary min-id — the real-world
+    policy is "keep the cleanest duplicate". Cluster argmax is a window
+    over the (tiny) membership table; the corpus is one scan + broadcast
+    anti-join."""
+    from griddb_spark.pipeline import minhash_lsh_pairs
+    from griddb_spark.pipeline.dedup import canonical_best, connected_components
+
+    docs = cat(spark, sf_dir).load("documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    comp = connected_components(pairs)
+    return canonical_best(docs, comp, "n_chars").select("doc_id")
+
+
+@query(
+    "pipe_classifier_score",
+    """
+    SELECT vec_id, label,
+           round(1.0 / (1.0 + exp(-(list_sum(
+             [CAST(embedding[i] AS DOUBLE) * ((((i * 37) % 21) - 10) / 10.0)
+              for i in generate_series(1, 64)]) + 0.1))), 6) AS score
+    FROM embeddings
+    """,
+)
+def pipe_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus filtering: linear-probe (logistic head) inference
+    over the embedding column (linear_probe_score, pipeline/similarity.py).
+    The weight vector is a broadcast array literal, the dot product an
+    element-order left fold — one narrow no-shuffle projection that scales
+    with the scan; the oracle replays the identical arithmetic with a SQL
+    list comprehension. Weights here are a fixed deterministic ramp (the
+    stand-in for offline-trained coefficients)."""
+    from griddb_spark.pipeline.similarity import linear_probe_score
+
+    weights = [((i * 37) % 21 - 10) / 10.0 for i in range(1, 65)]
+    emb = cat(spark, sf_dir).load("embeddings")
+    return linear_probe_score(emb, "embedding", weights, bias=0.1).select(
+        "vec_id", "label", "score")

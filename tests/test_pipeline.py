@@ -313,3 +313,40 @@ def test_incremental_minhash_finds_cross_batch_dup(spark, docs):
     assert incremental_minhash_pairs(
         fresh, banded, sh, "doc_id", "text", threshold=0.8
     ).count() == 0
+
+
+def test_canonical_best_keeps_highest_quality_member(spark):
+    from griddb_spark.pipeline.dedup import canonical_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (9, 99)],
+        "doc_id long, n_chars long",
+    )
+    # one cluster {1,2,3}: 2 and 3 tie on quality -> keep 2 (smaller id);
+    # 4 clusters with itself only never appears in components; 9 unclustered
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, component long")
+    kept = sorted(r.doc_id for r in canonical_best(docs, comp, "n_chars").collect())
+    assert kept == [2, 4, 9]
+
+
+def test_linear_probe_score_matches_numpy(spark, emb):
+    import math
+
+    from griddb_spark.pipeline.similarity import linear_probe_score
+
+    w = [((i * 37) % 21 - 10) / 10.0 for i in range(1, 65)]
+    out = linear_probe_score(emb, "embedding", w, bias=0.1).select(
+        "vec_id", "embedding", "score").limit(20).collect()
+    for r in out:
+        z = sum(float(x) * wi for x, wi in zip(r.embedding, w)) + 0.1
+        assert abs(r.score - 1.0 / (1.0 + math.exp(-z))) < 1e-6
+
+
+def test_linear_probe_plan_has_no_shuffle(spark, emb):
+    from griddb_spark.pipeline.similarity import linear_probe_score
+
+    w = [0.1] * 64
+    plan = (linear_probe_score(emb, "embedding", w)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
