@@ -377,6 +377,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    small_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph → dedup clusters.
 
@@ -402,9 +403,61 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("a").alias("id")).distinct().select(
-        "id", F.col("id").alias("comp")
-    ).localCheckpoint(eager=True)
+
+    # Stats-dispatched strategy (same pattern as the small-vocab Jaccard
+    # bitmap): a near-dup pair graph is tiny relative to the corpus — its
+    # size tracks the duplicate count, not the document count — so below
+    # ``small_edges`` (≤ ~32 MB collected) a driver-side union-find beats
+    # the per-round job overhead of the distributed loop by ~10×. The
+    # bounded collect is by-contract; above the bound the Pregel loop below
+    # is the scale path.
+    n_edges = edges.count()
+    if n_edges <= small_edges:
+        spark = pairs.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.filter(F.col("a") < F.col("b")).collect():
+            a, b = row.a, row.b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min label → component = min reachable
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(x, find(x)) for x in parent]
+        schema = edges.select(
+            F.col("a").alias("doc_id"), F.col("a").alias("component")
+        ).schema
+        return spark.createDataFrame(out, schema)
+
+    # fold the first propagation round into initialization: label = min of
+    # self and direct neighbors. Most near-dup clusters are 2-node (a doc
+    # and its duplicate), so this alone is the fixpoint and the loop exits
+    # after one verification round.
+    labels = (
+        edges.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("__mb"))
+        .select("id", F.least(F.col("id"), F.col("__mb")).alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+
+    # min-label propagation only ever decreases labels, so the label total
+    # is strictly monotone until the fixpoint — convergence is one scalar
+    # aggregate over the (checkpointed) labels, no join needed. Decimal
+    # accumulator: an int64 sum of billions of wide ids could overflow.
+    def _total(lb: DataFrame):
+        return lb.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_total = _total(labels)
     for _ in range(max_iter):
         nbr = edges.join(labels, edges["b"] == labels["id"]).select(
             edges["a"].alias("id"), F.col("comp")
@@ -415,16 +468,11 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        total = _total(new)
         labels = new
-        if changed == 0:
+        if total == prev_total:
             break
+        prev_total = total
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
