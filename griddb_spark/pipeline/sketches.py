@@ -56,6 +56,22 @@ def _int_hash(col) -> F.Column:
                   F.lit(_M32))
 
 
+def register_col(col, m: int) -> F.Column:
+    """The sketch register an integer key hashes into (0..m-1) — shared by
+    the batch and streaming linear-counting forms so their results merge."""
+    return F.pmod(_int_hash(col), F.lit(m))
+
+
+def lc_estimate(n_registers, m: int) -> F.Column:
+    """Linear-counting estimate from a register hit-count column: NULL at
+    saturation, else ``-m * ln(1 - hits/m)`` rounded to 6 decimals."""
+    hits = F.col(n_registers) if isinstance(n_registers, str) else n_registers
+    frac = hits.cast("double") / F.lit(float(m))
+    return F.when(
+        hits < m, F.round(-F.lit(float(m)) * F.log(F.lit(1.0) - frac), 6)
+    )
+
+
 def linear_counting_distinct(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -76,7 +92,7 @@ def linear_counting_distinct(
     NULL when the sketch saturated (every register hit).
     """
     g = list(group_cols)
-    reg = F.pmod(_int_hash(key_col), F.lit(m)).alias("__reg")
+    reg = register_col(key_col, m).alias("__reg")
     hits = (
         df.select(*g, reg)
         .groupBy(*g, "__reg")
@@ -84,12 +100,9 @@ def linear_counting_distinct(
         .groupBy(*g)
         .agg(F.count(F.lit(1)).alias("n_registers"))
     )
-    frac = F.col("n_registers").cast("double") / F.lit(float(m))
-    est = F.when(
-        F.col("n_registers") < m,
-        F.round(-F.lit(float(m)) * F.log(F.lit(1.0) - frac), 6),
+    return hits.select(
+        *g, "n_registers", lc_estimate("n_registers", m).alias("est_distinct")
     )
-    return hits.select(*g, "n_registers", est.alias("est_distinct"))
 
 
 def histogram_quantile(

@@ -95,6 +95,43 @@ def dedup_stream(
     )
 
 
+def distinct_sketch_stream(
+    stream: DataFrame,
+    key: str,
+    id_col: str,
+    every: int,
+    unit: str,
+    m: int = 1024,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming windowed cardinality profiling: linear-counting distinct
+    sketch (pipeline/sketches.py) over event-time windows.
+
+    Per-window state is the SET OF HIT REGISTERS (``collect_set`` of the
+    deterministic register hash), so the state store holds at most ``m``
+    small integers per open window no matter how many distinct keys flow
+    through — the streaming analog of the batch sketch's bounded shuffle.
+    The watermark retires windows; the estimate uses the shared
+    ``lc_estimate`` so streaming and batch results are comparable (and
+    mergeable: register sets union).
+    """
+    from griddb_spark.pipeline.sketches import lc_estimate, register_col
+
+    unit_ms = UNIT_MS[unit.upper()]
+    win = F.window(F.col(key), f"{every * unit_ms} milliseconds")
+    hits = (
+        stream.withWatermark(key, watermark)
+        .groupBy(win.alias("__w"))
+        .agg(F.size(F.collect_set(register_col(F.col(id_col), m)))
+             .alias("n_registers"))
+    )
+    return hits.select(
+        F.col("__w.start").alias(key),
+        "n_registers",
+        lc_estimate("n_registers", m).alias("est_distinct"),
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

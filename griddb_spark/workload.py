@@ -3577,3 +3577,46 @@ def pipe_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = cat(spark, sf_dir).load("embeddings")
     return linear_probe_score(emb, "embedding", weights, bias=0.1).select(
         "vec_id", "label", "score")
+
+
+@query(
+    "stream_distinct_sketch",
+    """
+    WITH reg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ts,
+             ((user_id % 4294967296) * 2654435761) % 4294967296 % 1024 AS r
+      FROM events),
+    hits AS (SELECT ts, count(DISTINCT r) AS n_registers FROM reg GROUP BY ts)
+    SELECT ts, n_registers,
+           CASE WHEN n_registers < 1024
+                THEN round(-1024.0 * ln(1 - n_registers / 1024.0), 6)
+           END AS est_distinct
+    FROM hits
+    """,
+)
+def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed cardinality profiling: per-hour distinct-user
+    sketch over the events stream (distinct_sketch_stream). State per open
+    window is the ≤1024-register hit set — bounded regardless of user
+    cardinality, watermark-retired; the oracle replays the identical
+    register math over the batch table (hour windows anchor at the epoch
+    in both engines)."""
+    import uuid as _uuid
+
+    from griddb_spark.streaming import distinct_sketch_stream, run_to_memory
+
+    prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = raw
+    out = distinct_sketch_stream(ev, "ts", "user_id", 1, "HOUR", m=1024,
+                                 watermark="10 minutes")
+    return run_to_memory(out, f"lds_{_uuid.uuid4().hex[:8]}", mode="complete",
+                         shuffle_partitions=8)

@@ -25,6 +25,10 @@ for t in ("region","nation","customer","supplier","part","orders","lineitem","ev
 sys.path.insert(0, "/root/repo")
 from tests.conftest import assert_matches_oracle
 qs, os_ = E.queries(), E.oracle_sql()
+only = os.environ.get("SPARK_GRAFT_ONLY")
+if only:
+    keep = {k.strip() for k in only.split(",") if k.strip()}
+    qs = {k: v for k, v in qs.items() if k in keep}
 print(f"{len(qs)} queries, {len(os_)} oracles")
 fails=[]
 for name, fn in qs.items():

@@ -213,3 +213,36 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         & (F.col("rts") <= F.col("lts") + tol),
     ).drop(rdf.user_id)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_distinct_sketch_stream_matches_batch_sketch(spark, catalog):
+    from griddb_spark.pipeline.sketches import linear_counting_distinct
+    from griddb_spark.streaming import distinct_sketch_stream, run_to_memory
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev_s = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev_s = raw
+    out = distinct_sketch_stream(ev_s, "ts", "user_id", 1, "HOUR", m=256)
+    streamed = {
+        r.ts: (r.n_registers, r.est_distinct)
+        for r in run_to_memory(out, "t_lds_parity", mode="complete").collect()
+    }
+
+    ev_b = catalog.load("events").withColumn(
+        "ts", F.date_trunc("hour", F.col("ts"))
+    )
+    batch = {
+        r.ts: (r.n_registers, r.est_distinct)
+        for r in linear_counting_distinct(ev_b, ["ts"], "user_id", m=256)
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
