@@ -1167,10 +1167,14 @@ def pipe_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_dedup_minhash",
     _DUCK_SHINGLES
     + """,
-    j as (select a.doc_id doc_a, b.doc_id doc_b,
+    ex as (select doc_id, unnest(sh) g from shingle),
+    cand as (select distinct x.doc_id doc_a, y.doc_id doc_b
+             from ex x join ex y on x.g = y.g and x.doc_id < y.doc_id),
+    j as (select doc_a, doc_b,
                  round(len(list_intersect(a.sh, b.sh))::double
                        / len(list_distinct(list_concat(a.sh, b.sh))), 6) jaccard
-          from shingle a join shingle b on a.doc_id < b.doc_id)
+          from cand join shingle a on a.doc_id = doc_a
+                    join shingle b on b.doc_id = doc_b)
     SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
     """,
 )
@@ -1188,10 +1192,17 @@ def pipe_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Near-dup pair graph + recursive transitive closure (DuckDB): the CTE
 #: chain behind the components/canonical oracles. `WITH` must become
 #: `WITH RECURSIVE` for the closure, hence the replace on the shared
-#: shingle CTE.
+#: shingle CTE. The `cand` blocking step is exact, not approximate: any
+#: pair with Jaccard >= 0.8 > 0 shares at least one shingle, so
+#: restricting the Jaccard test to shingle-sharing pairs loses nothing
+#: (measured 27 s -> 4 s per oracle run at sf0.01).
 _DUCK_COMPONENTS = _DUCK_SHINGLES.replace("with ", "WITH RECURSIVE ", 1) + """,
-    j as (select a.doc_id doc_a, b.doc_id doc_b
-          from shingle a join shingle b on a.doc_id < b.doc_id
+    ex as (select doc_id, unnest(sh) g from shingle),
+    cand as (select distinct x.doc_id doc_a, y.doc_id doc_b
+             from ex x join ex y on x.g = y.g and x.doc_id < y.doc_id),
+    j as (select doc_a, doc_b
+          from cand join shingle a on a.doc_id = doc_a
+                    join shingle b on b.doc_id = doc_b
           where len(list_intersect(a.sh, b.sh))::double
                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
     e as (select doc_a a, doc_b b from j union select doc_b, doc_a from j),
@@ -1630,12 +1641,16 @@ def pipe_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         list_distinct([array_to_string(w[i:i+2], ' ')
                        for i in range(1, greatest(len(w)-2, 0)+1)]) sh
       FROM t),
-    j AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+    ex AS (SELECT doc_id, unnest(sh) g FROM shingle),
+    cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+             FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id),
+    j AS (SELECT doc_a, doc_b,
                  round(len(list_intersect(a.sh, b.sh))::double
                        / len(list_distinct(list_concat(a.sh, b.sh))), 6)
                    AS jaccard,
                  a.csize AS size_a, b.csize AS size_b
-          FROM shingle a JOIN shingle b ON a.doc_id < b.doc_id)
+          FROM cand JOIN shingle a ON a.doc_id = doc_a
+                    JOIN shingle b ON b.doc_id = doc_b)
     SELECT doc_a, doc_b, jaccard, size_a, size_b
     FROM j WHERE jaccard >= 0.8
     """,
@@ -2167,11 +2182,15 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (SELECT doc_id, list_distinct([substr(text, p, 4)
                  FOR p IN range(1, greatest(length(text) - 3, 1) + 1)]) grams
                FROM documents),
-    p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
-            round(len(list_intersect(a.grams, b.grams))::DOUBLE
-                  / (len(a.grams) + len(b.grams)
-                     - len(list_intersect(a.grams, b.grams))), 6) jaccard
-          FROM g a JOIN g b ON a.doc_id < b.doc_id)
+    n AS (SELECT doc_id, len(grams) n FROM g),
+    ex AS (SELECT doc_id, unnest(grams) t FROM g),
+    ov AS (SELECT x.doc_id doc_a, y.doc_id doc_b, count(*) c
+           FROM ex x JOIN ex y ON x.t = y.t AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+    p AS (SELECT doc_a, doc_b,
+            round(c::DOUBLE / (na.n + nb.n - c), 6) jaccard
+          FROM ov JOIN n na ON na.doc_id = doc_a
+                  JOIN n nb ON nb.doc_id = doc_b)
     SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.7
     """,
 )
