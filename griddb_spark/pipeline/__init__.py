@@ -33,6 +33,8 @@ twin in ``griddb_spark.workload``.
 
 from griddb_spark.pipeline.decontaminate import (  # noqa: F401
     benchmark_ngram_set,
+    bloom_bit_set,
+    bloom_contamination,
     contamination_report,
     decontaminate,
 )
@@ -46,6 +48,7 @@ from griddb_spark.pipeline.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    span_dedup,
     with_simhash,
 )
 from griddb_spark.pipeline.sampling import (  # noqa: F401
@@ -69,6 +72,8 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     quantize_int8,
 )
 from griddb_spark.pipeline.sketches import (  # noqa: F401
+    cms_build,
+    cms_estimate,
     histogram_quantile,
     linear_counting_distinct,
 )

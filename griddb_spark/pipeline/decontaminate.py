@@ -78,3 +78,93 @@ def decontaminate(corpus: DataFrame, bench: DataFrame,
     flagged = contamination_report(corpus, bench, id_col, text_col, n,
                                    min_hits).select(id_col)
     return corpus.join(flagged, id_col, "left_anti")
+
+
+#: Bloom hashing constants — shared with pipeline.sketches (Knuth / xxhash
+#: multiplicative primes, 31-bit key mask keeps products in BIGINT range).
+_KNUTH = 2654435761
+_KNUTH2 = 2246822519
+_M31 = 2147483648
+_M32 = 4294967296
+
+
+def _gram_key(gram) -> F.Column:
+    """Portable 32-bit integer key of a gram string: the first 8 hex chars
+    of its md5 — identical in any engine with md5 (DuckDB replays it as
+    ``('0x' || substr(md5(g),1,8))::BIGINT``)."""
+    g = F.col(gram) if isinstance(gram, str) else gram
+    return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+
+
+def _bloom_pos(key, j: int, m: int) -> F.Column:
+    """The ``j``-th of ``k`` bloom bit positions via Kirsch-Mitzenmacher
+    double hashing — see pipeline.sketches._double_hash_pos."""
+    k31 = F.pmod(key, F.lit(_M31))
+    h1 = F.pmod(k31 * F.lit(_KNUTH), F.lit(_M32))
+    h2 = F.pmod(k31 * F.lit(_KNUTH2), F.lit(_M32))
+    h2o = h2 - F.pmod(h2, F.lit(2)) + F.lit(1)
+    return F.pmod(h1 + F.lit(j) * h2o, F.lit(m))
+
+
+def bloom_bit_set(bench: DataFrame, text_col: str = "text", n: int = 5,
+                  m: int = 65536, k: int = 3) -> DataFrame:
+    """The set bits of an ``m``-bit / ``k``-hash bloom filter over the
+    benchmark's word n-grams — one ``pos`` column, at most ``m`` rows.
+
+    This is the fixed-size alternative to ``benchmark_ngram_set``: the
+    broadcast payload is bounded by ``m`` no matter how large the eval
+    suite grows, at the price of a tunable false-positive rate
+    (``(1 - e^{-kn/m})^k``). Grams are keyed by a portable md5-derived
+    integer so the DuckDB oracle can replay every bit position exactly.
+    """
+    grams = bench.select(
+        F.explode(word_shingles(text_col, n)).alias("__g")
+    ).select(_gram_key("__g").alias("__key")).distinct()
+    pos = F.explode(
+        F.array(*[_bloom_pos(F.col("__key"), j, m) for j in range(k)])
+    ).alias("pos")
+    return grams.select(pos).distinct()
+
+
+def bloom_contamination(corpus: DataFrame, bench: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 5, min_hits: int = 1,
+                        m: int = 65536, k: int = 3) -> DataFrame:
+    """Per-document contamination via a broadcast bloom filter:
+    ``(id, hits)`` where ``hits`` counts the document's distinct n-grams
+    that are bloom-positive against the benchmark set.
+
+    Same join shape as ``contamination_report`` but the broadcast side is
+    the ≤``m``-row bit set, not the gram set: at 100 TB with a large eval
+    suite the executor-resident state stays a fixed bitmap. A gram is
+    positive iff all ``k`` of its bit positions are set — the semi-join
+    keeps (gram, j) survivors and the count-distinct-j == k test closes
+    the AND. Includes bloom false positives by design; the oracle replays
+    the identical bit math so results still hash-match.
+    """
+    para = corpus.sparkSession.sparkContext.defaultParallelism
+    spread = corpus.select(F.col(id_col), F.col(text_col)).repartition(
+        para, id_col
+    )
+    grams = spread.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, n)).alias("__g"),
+    ).select(F.col(id_col), _gram_key("__g").alias("__key"))
+    probes = grams.select(
+        F.col(id_col), "__key",
+        F.posexplode(
+            F.array(*[_bloom_pos(F.col("__key"), j, m) for j in range(k)])
+        ).alias("j", "pos"),
+    )
+    hit = probes.join(F.broadcast(bloom_bit_set(bench, text_col, n, m, k)),
+                      "pos")
+    positive = (
+        hit.groupBy(id_col, "__key")
+        .agg(F.count_distinct("j").alias("__kj"))
+        .filter(F.col("__kj") == k)
+    )
+    return (
+        positive.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") >= min_hits)
+    )

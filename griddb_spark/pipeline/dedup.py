@@ -635,3 +635,63 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Exact duplicate-passage removal: global first-occurrence dedup of
+    non-overlapping ``k``-token spans (the tractable form of Lee et al.
+    2022's exact-substring dedup — passages repeated anywhere in the
+    corpus survive only at their first occurrence).
+
+    Each document is cut into consecutive ``k``-token spans (last span may
+    be shorter); a span's canonical occurrence is the lexicographically
+    first ``(doc_id, span_idx)`` that contains it. Every later occurrence
+    is dropped and the document re-assembled from its surviving spans.
+
+    Scale shape: one shuffle keyed by span content to rank occurrences
+    (at 100 TB you key by a 128-bit span hash — md5 here — so the
+    exchange carries fixed-width keys, not span text), one shuffle keyed
+    by document to reassemble. Both are plain hash exchanges whose width
+    tracks corpus token count — the honest lower bound for a *global*
+    passage dedup — with no driver-side state. Span construction is a
+    JVM higher-order projection over the token array; no Python.
+
+    Returns ``(id, clean_text, n_spans, n_removed)`` for every input
+    document (``clean_text = ''`` when all spans were removed).
+    """
+    toks = tokens(text_col)
+    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    sp = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(spans).alias("span_idx", "span"),
+    )
+    # rank by global first occurrence; the exchange key is the span hash
+    # (fixed width), the tie-break the natural corpus order
+    w = W.partitionBy(F.md5("span")).orderBy("__id", "span_idx")
+    ranked = sp.withColumn("__rn", F.row_number().over(w))
+    kept = F.when(F.col("__rn") == 1, F.struct("span_idx", "span"))
+    return (
+        ranked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__rn") > 1).cast("long")).alias("n_removed"),
+            F.array_sort(F.collect_list(kept)).alias("__kept"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["span"]), " "
+            ).alias("clean_text"),
+            "n_spans",
+            "n_removed",
+        )
+    )

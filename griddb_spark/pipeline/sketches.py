@@ -171,3 +171,89 @@ def histogram_quantile(
             ).alias(label)
         )
     return cum.groupBy(*g).agg(*aggs)
+
+
+#: Second multiplicative constant (xxhash prime 2) for double hashing.
+_KNUTH2 = 2246822519
+_M31 = 2147483648
+
+
+def _double_hash_pos(col, d: int, width: int) -> F.Column:
+    """Register position of ``col`` under the ``d``-th count-min hash.
+
+    Kirsch-Mitzenmacher double hashing: ``(h1 + d * h2) mod width`` with
+    two independent multiplicative hashes simulates d pairwise-independent
+    functions. The key is masked to 31 bits before each multiply so every
+    product stays below 2^63 — exact BIGINT arithmetic in any engine, so
+    the DuckDB oracle replays it bit-for-bit. ``h2`` is forced odd to stay
+    nonzero mod the (power-of-two) width.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    k31 = F.pmod(c.cast("bigint"), F.lit(_M31))
+    h1 = F.pmod(k31 * F.lit(_KNUTH), F.lit(_M32))
+    h2 = F.pmod(k31 * F.lit(_KNUTH2), F.lit(_M32))
+    h2o = h2 - F.pmod(h2, F.lit(2)) + F.lit(1)
+    return F.pmod(h1 + F.lit(d) * h2o, F.lit(width))
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-min sketch of a key column: ``depth x width`` counters.
+
+    Returns ``(d, pos, cnt)`` — at most ``depth * width`` rows no matter
+    the key cardinality. The explode fans each row into ``depth`` register
+    updates; the groupBy is map-side combinable, so the exchange carries
+    at most ``depth * width`` partial counters per task (the bounded-state
+    frequency analog of ``linear_counting_distinct``). Sketches over
+    disjoint data merge by adding counters.
+    """
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                _double_hash_pos(key_col, d, width).alias("pos"),
+            )
+            for d in range(depth)
+        ])
+    ).alias("__r")
+    return (
+        df.select(rows)
+        .groupBy(F.col("__r.d").alias("d"), F.col("__r.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point frequency estimates from a count-min sketch.
+
+    ``keys`` is the (small) query set; each key reads its ``depth``
+    registers and takes the min — the classic CMS upper-bound estimate
+    (overcounts on collisions, never undercounts). The sketch is tiny
+    (``depth * width`` rows) so the join broadcasts it; the query side
+    never shuffles. Registers no key hashed into are absent from the
+    sketch rows and read as 0.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _double_hash_pos(key_col, d, width).alias("pos"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("__p"),
+    ).select(key_col, F.col("__p.d").alias("d"), F.col("__p.pos").alias("pos"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "pos"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

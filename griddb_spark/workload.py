@@ -3639,3 +3639,124 @@ def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  watermark="10 minutes")
     return run_to_memory(out, f"lds_{_uuid.uuid4().hex[:8]}", mode="complete",
                          shuffle_partitions=8)
+
+
+@query(
+    "pipe_dedup_spans",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
+               FROM documents),
+    sp0 AS (SELECT doc_id,
+              [{'i': i - 1,
+                's': array_to_string(w[(i-1)*3+1 : (i-1)*3+3], ' ')}
+               FOR i IN range(1, greatest(ceil(len(w)/3.0)::int, 1) + 1)] spans
+            FROM t),
+    sp AS (SELECT doc_id, u.i AS span_idx, u.s AS span
+           FROM (SELECT doc_id, unnest(spans) u FROM sp0)),
+    rk AS (SELECT doc_id, span_idx, span,
+                  row_number() OVER (PARTITION BY span
+                                     ORDER BY doc_id, span_idx) rn
+           FROM sp)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                               ORDER BY span_idx), '') AS clean_text,
+           count(*) AS n_spans,
+           sum((rn > 1)::int)::BIGINT AS n_removed
+    FROM rk GROUP BY doc_id
+    """,
+)
+def pipe_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-passage removal (span_dedup, pipeline/dedup.py):
+    global first-occurrence dedup of non-overlapping 3-token spans — the
+    Lee-et-al-style exact-substring hygiene pass. Every later occurrence
+    of a repeated span is cut and documents are reassembled from their
+    surviving spans; the oracle replays the identical spanning + global
+    rank in SQL."""
+    from griddb_spark.pipeline import span_dedup
+
+    docs = cat(spark, sf_dir).load("documents")
+    return span_dedup(docs, "doc_id", "text", k=3)
+
+
+@query(
+    "pipe_sketch_cms",
+    """
+    WITH h AS (SELECT ((user_id % 2147483648) * 2654435761) % 4294967296 h1,
+                      ((user_id % 2147483648) * 2246822519) % 4294967296 h2
+               FROM events),
+    reg AS (SELECT r.range AS d,
+                   (h1 + r.range * (h2 - (h2 % 2) + 1)) % 512 AS pos,
+                   count(*) AS cnt
+            FROM h, range(0, 4) r GROUP BY 1, 2),
+    q AS (SELECT i.range AS user_id,
+                 ((i.range % 2147483648) * 2654435761) % 4294967296 h1,
+                 ((i.range % 2147483648) * 2246822519) % 4294967296 h2
+          FROM range(0, 20) i),
+    qp AS (SELECT user_id, r.range AS d,
+                  (h1 + r.range * (h2 - (h2 % 2) + 1)) % 512 AS pos
+           FROM q, range(0, 4) r)
+    SELECT user_id, min(coalesce(cnt, 0)) AS est_count
+    FROM qp LEFT JOIN reg USING (d, pos)
+    GROUP BY user_id
+    """,
+)
+def pipe_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation (cms_build / cms_estimate,
+    pipeline/sketches.py): a 4x512-counter sketch of event counts per user
+    answers point frequency queries for 20 probe users without an exact
+    per-key groupBy — the sketch exchange is capped at depth*width
+    counters regardless of user cardinality, and the probe side joins the
+    broadcast sketch. Deterministic Kirsch-Mitzenmacher double hashing so
+    the oracle replays the identical register arithmetic."""
+    from griddb_spark.pipeline import cms_build, cms_estimate
+
+    ev = cat(spark, sf_dir).load("events")
+    sketch = cms_build(ev, "user_id", depth=4, width=512)
+    keys = spark.range(0, 20).select(F.col("id").alias("user_id"))
+    return cms_estimate(sketch, keys, "user_id", depth=4, width=512)
+
+
+@query(
+    "pipe_decontam_bloom",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
+               FROM documents),
+    g AS (SELECT doc_id,
+            list_distinct([array_to_string(w[i:i+2], ' ')
+                           FOR i IN range(1, greatest(len(w)-2, 0)+1)]) sh
+          FROM t),
+    keyed AS (SELECT DISTINCT doc_id,
+                     ('0x' || substr(md5(unnest.g), 1, 8))::BIGINT gk
+              FROM (SELECT doc_id, unnest(sh) AS g FROM g) unnest),
+    hh AS (SELECT doc_id, gk,
+                  ((gk % 2147483648) * 2654435761) % 4294967296 h1,
+                  ((gk % 2147483648) * 2246822519) % 4294967296 h2
+           FROM keyed),
+    pos AS (SELECT doc_id, gk, r.range AS j,
+                   (h1 + r.range * (h2 - (h2 % 2) + 1)) % 4096 AS pos
+            FROM hh, range(0, 3) r),
+    bset AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 41 = 0),
+    hitg AS (SELECT doc_id, gk
+             FROM (SELECT DISTINCT doc_id, gk, j, pos
+                   FROM pos WHERE doc_id % 41 <> 0) c
+             JOIN bset USING (pos)
+             GROUP BY doc_id, gk HAVING count(DISTINCT j) = 3)
+    SELECT doc_id, count(*) AS hits
+    FROM hitg GROUP BY doc_id HAVING count(*) >= 2
+    """,
+)
+def pipe_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination (bloom_contamination,
+    pipeline/decontaminate.py): same contamination semantics as
+    pipe_decontaminate but the broadcast side is a fixed 4096-bit bloom
+    bit-set over the benchmark 3-grams, so executor-resident state stays
+    bounded however large the eval suite grows (false positives included
+    by design at this m; the oracle replays the identical md5-keyed
+    double-hash bit math, so both engines agree bit-for-bit)."""
+    from griddb_spark.pipeline import bloom_contamination
+
+    docs = cat(spark, sf_dir).load("documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    return bloom_contamination(corpus, bench, "doc_id", "text",
+                               n=3, min_hits=2, m=4096, k=3)

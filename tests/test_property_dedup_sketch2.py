@@ -1,0 +1,170 @@
+"""Randomized differential tests for span dedup, count-min estimation,
+and bloom-filter decontamination vs sequential pure-Python references."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+
+KNUTH = 2654435761
+KNUTH2 = 2246822519
+M31 = 2147483648
+M32 = 4294967296
+
+WORDS = ["a", "b", "c", "d", "e", "f", "g", "h"]
+
+
+def _cms_pos(key: int, d: int, width: int) -> int:
+    k31 = key % M31
+    h1 = (k31 * KNUTH) % M32
+    h2 = (k31 * KNUTH2) % M32
+    h2o = h2 - (h2 % 2) + 1
+    return (h1 + d * h2o) % width
+
+
+def _gram_key(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_span_dedup_matches_sequential_reference(spark, seed):
+    from griddb_spark.pipeline import span_dedup
+
+    rng = random.Random(1200 + seed)
+    k = rng.choice([2, 3, 4])
+    docs = []
+    for i in range(rng.randint(5, 40)):
+        n = rng.randint(1, 30)
+        docs.append((i, " ".join(rng.choice(WORDS) for _ in range(n))))
+    # force guaranteed repeats: clone a doc's text under a later id
+    if len(docs) >= 2:
+        docs.append((len(docs), docs[0][1]))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_spans, r.n_removed)
+        for r in span_dedup(df, "doc_id", "text", k=k).collect()
+    }
+
+    # sequential reference: global first-occurrence over (doc_id, span_idx)
+    seen: set[str] = set()
+    want = {}
+    for doc_id, text in sorted(docs):
+        toks = text.split()
+        spans = [
+            " ".join(toks[i : i + k]) for i in range(0, max(len(toks), 1), k)
+        ]
+        kept = []
+        removed = 0
+        for s in spans:
+            if s in seen:
+                removed += 1
+            else:
+                seen.add(s)
+                kept.append(s)
+        want[doc_id] = (" ".join(kept), len(spans), removed)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_cms_estimate_matches_reference_and_bounds(spark, seed):
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import cms_build, cms_estimate
+
+    rng = random.Random(1300 + seed)
+    depth, width = rng.choice([(2, 64), (4, 128), (4, 512)])
+    keys = [rng.randint(0, 50) for _ in range(rng.randint(50, 500))]
+    df = spark.createDataFrame([(x,) for x in keys], "k long")
+    probe = spark.createDataFrame([(x,) for x in range(0, 51)], "k long")
+    sketch = cms_build(df, "k", depth=depth, width=width)
+    got = {
+        r.k: r.est_count
+        for r in cms_estimate(sketch, probe, "k", depth, width).collect()
+    }
+
+    # reference sketch
+    counters: dict[tuple[int, int], int] = {}
+    for x in keys:
+        for d in range(depth):
+            p = (d, _cms_pos(x, d, width))
+            counters[p] = counters.get(p, 0) + 1
+    exact: dict[int, int] = {}
+    for x in keys:
+        exact[x] = exact.get(x, 0) + 1
+    for q in range(0, 51):
+        ref = min(
+            counters.get((d, _cms_pos(q, d, width)), 0) for d in range(depth)
+        )
+        assert got[q] == ref
+        # CMS never undercounts
+        assert got[q] >= exact.get(q, 0)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_bloom_contamination_superset_of_exact(spark, seed):
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import bloom_contamination, contamination_report
+
+    rng = random.Random(1400 + seed)
+    n = 2
+    m, k = rng.choice([(1 << 14, 3), (1 << 16, 4)])
+    docs = []
+    for i in range(rng.randint(10, 60)):
+        ln = rng.randint(n, 25)
+        docs.append((i, " ".join(rng.choice(WORDS) for _ in range(ln))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") % 5 == 0)
+    corpus = df.filter(F.col("doc_id") % 5 != 0)
+
+    exact = {
+        r.doc_id: r.hits
+        for r in contamination_report(
+            corpus, bench, "doc_id", "text", n=n, min_hits=1
+        ).collect()
+    }
+    bloom = {
+        r.doc_id: r.hits
+        for r in bloom_contamination(
+            corpus, bench, "doc_id", "text", n=n, min_hits=1, m=m, k=k
+        ).collect()
+    }
+    # bloom has no false negatives: every exactly-contaminated doc is
+    # flagged with at least its exact hit count
+    for doc_id, hits in exact.items():
+        assert doc_id in bloom
+        assert bloom[doc_id] >= hits
+
+    # pure-Python replay of the bloom bit math must agree exactly
+    def grams(text: str) -> set[str]:
+        t = text.split()
+        return {
+            " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
+        } if len(t) >= n else set()
+
+    def positions(gram: str):
+        key = _gram_key(gram)
+        return {_cms_pos(key, j, m) for j in range(k)}
+
+    bits: set[int] = set()
+    for doc_id, text in docs:
+        if doc_id % 5 == 0:
+            for g in grams(text):
+                bits |= positions(g)
+    want: dict[int, int] = {}
+    for doc_id, text in docs:
+        if doc_id % 5 == 0:
+            continue
+        hits = sum(
+            1
+            for key in {_gram_key(g) for g in grams(text)}
+            if all(
+                _cms_pos(key, j, m) in bits for j in range(k)
+            )
+        )
+        if hits >= 1:
+            want[doc_id] = hits
+    assert bloom == want
