@@ -66,6 +66,20 @@ def main() -> int:
 
     import gc
 
+    # Settle before timing: the warmup loop leaves the JVM heap full of
+    # short-lived allocations and the OS page cache cold for the measured
+    # scale factor — without this, whichever measured query first touches
+    # the big tables absorbs a multi-second major GC + cold read (observed
+    # as a 2-10 s spike that migrates between early queries run-to-run).
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
+    spark.catalog.clearCache()
+    gc.collect()
+    spark._jvm.System.gc()
+    time.sleep(1.0)
+
     timings: dict[str, float] = {}
     for name in names:
         # each query stands alone: operators persist()/localCheckpoint()
