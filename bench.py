@@ -53,6 +53,11 @@ def main() -> int:
         s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s
     }
     names = [n for n in names if n not in skip]
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s
+    }
+    if only:
+        names = [n for n in names if n in only]
 
     # Warmup (not measured): JVM + parquet footers, whole-stage-codegen
     # compile paths, and the Python/Arrow worker pool — run a tiny

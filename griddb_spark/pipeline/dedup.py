@@ -664,15 +664,21 @@ def span_dedup(
     Returns ``(id, clean_text, n_spans, n_removed)`` for every input
     document (``clean_text = ''`` when all spans were removed).
     """
-    toks = tokens(text_col)
+    # pre-project the token array: referenced once per span inside the
+    # transform lambda, an inline split() subtree would re-tokenize the
+    # whole document per span (the CollapseProject recompute hazard —
+    # multi-referenced non-trivial aliases survive as a real projection)
+    toked = docs.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
     spans = F.transform(
         F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
         lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
     )
-    sp = docs.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(spans).alias("span_idx", "span"),
+    sp = toked.select(
+        "__id", F.posexplode(spans).alias("span_idx", "span")
     )
     # rank by global first occurrence; the exchange key is the span hash
     # (fixed width), the tie-break the natural corpus order
