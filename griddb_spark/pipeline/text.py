@@ -38,10 +38,28 @@ def tokens(col: Column | str) -> Column:
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (the MinHash unit). Documents shorter
-    than ``n`` words yield an empty set."""
+    than ``n`` words yield an empty set.
+
+    Built by zipping ``n`` shifted copies of the token array rather than
+    slicing it inside the per-gram lambda: a lambda that closes over the
+    tokenization subtree re-tokenizes the whole document once per gram
+    (O(tokens²) interpreted work — measured 27 s vs 4.5 s on the 10×
+    corpus). Here every outer expression is row-level; the lambda touches
+    only its own zipped element.
+    """
     w = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    shifted = [w] + [
+        F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0)))
+        for j in range(1, n)
+    ]
+    window = F.slice(
+        F.arrays_zip(*shifted),
+        1,
+        F.greatest(F.size(w) - (n - 1), F.lit(0)),
+    )
+    grams = F.transform(
+        window, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
+    )
     return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
