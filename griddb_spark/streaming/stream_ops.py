@@ -132,6 +132,49 @@ def distinct_sketch_stream(
     )
 
 
+def freq_sketch_stream(
+    stream: DataFrame,
+    key: str,
+    id_col: str,
+    every: int,
+    unit: str,
+    depth: int = 4,
+    width: int = 512,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming windowed count-min sketch: per event-time window, the
+    ``depth x width`` register counts (pipeline/sketches.py hashing).
+
+    State per open window is capped at ``depth * width`` counters no
+    matter how many distinct keys flow through — the streaming frequency
+    analog of ``distinct_sketch_stream``'s bounded register set. Emits
+    ``(window_start, d, pos, cnt)`` — the mergeable sketch itself, which
+    downstream probes (``cms_estimate``) read batch-side; sketches from
+    separate streams/windows merge by adding counters.
+    """
+    from griddb_spark.pipeline.sketches import _double_hash_pos
+
+    unit_ms = UNIT_MS[unit.upper()]
+    win = F.window(F.col(key), f"{every * unit_ms} milliseconds")
+    probe = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                _double_hash_pos(id_col, d, width).alias("pos"),
+            )
+            for d in range(depth)
+        ])
+    ).alias("__r")
+    return (
+        stream.withWatermark(key, watermark)
+        .select(F.col(key), probe)
+        .groupBy(win.alias("__w"), F.col("__r.d").alias("d"),
+                 F.col("__r.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("__w.start").alias(key), "d", "pos", "cnt")
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

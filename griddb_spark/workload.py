@@ -3760,3 +3760,84 @@ def pipe_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 41 != 0)
     return bloom_contamination(corpus, bench, "doc_id", "text",
                                n=3, min_hits=2, m=4096, k=3)
+
+
+@query(
+    "stream_freq_sketch",
+    """
+    WITH e AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) ts,
+                      ((user_id % 2147483648) * 2654435761) % 4294967296 h1,
+                      ((user_id % 2147483648) * 2246822519) % 4294967296 h2
+               FROM events),
+    reg AS (SELECT ts, r.range AS d,
+                   (h1 + r.range * (h2 - (h2 % 2) + 1)) % 512 AS pos,
+                   count(*) AS cnt
+            FROM e, range(0, 4) r GROUP BY 1, 2, 3),
+    q AS (SELECT i.range AS user_id,
+                 ((i.range % 2147483648) * 2654435761) % 4294967296 h1,
+                 ((i.range % 2147483648) * 2246822519) % 4294967296 h2
+          FROM range(0, 20) i),
+    qp AS (SELECT user_id, r.range AS d,
+                  (h1 + r.range * (h2 - (h2 % 2) + 1)) % 512 AS pos
+           FROM q, range(0, 4) r),
+    grid AS (SELECT w.ts, qp.user_id, qp.d, qp.pos
+             FROM (SELECT DISTINCT ts FROM reg) w CROSS JOIN qp)
+    SELECT ts, user_id, min(coalesce(cnt, 0)) AS est_count
+    FROM grid LEFT JOIN reg USING (ts, d, pos)
+    GROUP BY ts, user_id
+    """,
+)
+def stream_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed frequency sketch: per-hour count-min registers
+    over the event stream (freq_sketch_stream) — state per open window is
+    the depth*width counter grid regardless of user cardinality — then
+    batch-side point probes for 20 users against the materialized sketch
+    (the cms_estimate read path). The oracle replays the identical
+    double-hash register arithmetic over the batch table."""
+    import uuid as _uuid
+
+    prepare(spark)
+    from griddb_spark.streaming import freq_sketch_stream, run_to_memory
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = raw
+    out = freq_sketch_stream(ev, "ts", "user_id", 1, "HOUR",
+                             depth=4, width=512, watermark="10 minutes")
+    regs = run_to_memory(out, f"cms_{_uuid.uuid4().hex[:8]}",
+                         mode="complete", shuffle_partitions=8)
+    probes = spark.range(0, 20).select(F.col("id").alias("user_id"))
+    from griddb_spark.pipeline.sketches import _double_hash_pos
+
+    qp = probes.select(
+        "user_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     _double_hash_pos("user_id", d, 512).alias("pos"))
+            for d in range(4)
+        ])).alias("__p"),
+    ).select("user_id", F.col("__p.d").alias("d"), F.col("__p.pos").alias("pos"))
+    # re-alias the sketch side: grid derives from regs, and a raw
+    # self-join of the memory-sink table trips conflicting references
+    sk = regs.select(
+        F.col("ts").alias("__sts"), F.col("d").alias("__sd"),
+        F.col("pos").alias("__spos"), "cnt",
+    )
+    grid = regs.select("ts").distinct().crossJoin(qp)
+    return (
+        grid.join(
+            F.broadcast(sk),
+            (F.col("ts") == F.col("__sts")) & (F.col("d") == F.col("__sd"))
+            & (F.col("pos") == F.col("__spos")),
+            "left",
+        )
+        .groupBy("ts", "user_id")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

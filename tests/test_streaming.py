@@ -246,3 +246,49 @@ def test_distinct_sketch_stream_matches_batch_sketch(spark, catalog):
         .collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_freq_sketch_stream_matches_batch_cms(spark, catalog):
+    from pyspark.sql import functions as F
+
+    from griddb_spark.streaming import freq_sketch_stream, run_to_memory
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev_s = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev_s = raw
+    out = freq_sketch_stream(ev_s, "ts", "user_id", 1, "HOUR",
+                             depth=2, width=128)
+    streamed = {
+        (r.ts, r.d, r.pos): r.cnt
+        for r in run_to_memory(out, "t_cms_parity", mode="complete").collect()
+    }
+
+    from griddb_spark.pipeline.sketches import _double_hash_pos
+
+    ev_b = catalog.load("events").withColumn(
+        "ts", F.date_trunc("hour", F.col("ts"))
+    )
+    probe = F.explode(
+        F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     _double_hash_pos("user_id", d, 128).alias("pos"))
+            for d in range(2)
+        ])
+    ).alias("__r")
+    batch = {
+        (r.ts, r.d, r.pos): r.cnt
+        for r in ev_b.select("ts", probe)
+        .groupBy("ts", F.col("__r.d").alias("d"), F.col("__r.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
