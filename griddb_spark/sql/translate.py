@@ -37,6 +37,16 @@ _SPARK_HINTS = ("BROADCAST", "BROADCASTJOIN", "MAPJOIN", "MERGE",
                 "SHUFFLE_HASH", "SHUFFLE_REPLICATE_NL", "REPARTITION",
                 "COALESCE", "REBALANCE")
 
+#: GridDB 5.8 time-unit frame boundary — ``RANGE BETWEEN (10, MINUTE)
+#: PRECEDING`` (GridDB-5.8-CE-RELEASE_NOTES.md FRAME-clause) → Spark's
+#: interval-literal range boundary over a timestamp ordering.
+_FRAME_UNIT_RE = re.compile(
+    r"\(\s*(\d+)\s*,\s*"
+    r"(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND|MILLISECOND)\s*\)"
+    r"\s+(PRECEDING|FOLLOWING)",
+    re.IGNORECASE,
+)
+
 
 def rewrite_sql(sql: str) -> str:
     """Token-level GridDB SQL → Spark SQL rewrite (no structure change)."""
@@ -55,6 +65,12 @@ def rewrite_sql(sql: str) -> str:
     out = _GLOB_RE.sub(
         lambda m: "%s RLIKE '%s'"
         % (m.group(1), glob_to_regex(m.group(2)).replace("\\", "\\\\")),
+        out,
+    )
+
+    out = _FRAME_UNIT_RE.sub(
+        lambda m: f"INTERVAL {m.group(1)} {m.group(2).upper()} "
+        f"{m.group(3).upper()}",
         out,
     )
     return out

@@ -3841,3 +3841,60 @@ def stream_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ts", "user_id")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+@query(
+    "window_range_frames",
+    """
+    WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us
+               FROM events WHERE user_id < 5)
+    SELECT user_id, ts,
+           round(avg(value) OVER w10, 6) AS mov_avg,
+           count(*) OVER w10 AS mov_n,
+           round(min(value) OVER w10, 6) AS mov_min,
+           round(max(value) OVER w10, 6) AS mov_max,
+           round(sum(value) OVER w10, 6) AS mov_sum,
+           round(coalesce(sum(value) OVER w10, 0.0), 6) AS mov_total,
+           CASE WHEN count(*) OVER w10 > 1 THEN
+             round(stddev_samp(value) OVER w10, 4) END AS mov_sd,
+           CASE WHEN count(*) OVER w10 > 1 THEN
+             round(var_samp(value) OVER w10, 4) END AS mov_var
+    FROM e
+    WINDOW w10 AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP_WINDOW_FRAME with RANGE frames (GridDB 5.8: FRAME-clause with
+    ``RANGE BETWEEN (10, MINUTE) PRECEDING AND CURRENT ROW`` for the
+    moving-average family AVG/COUNT/MAX/MIN/SUM/TOTAL/STDDEV/VAR —
+    GridDB-5.8-CE-RELEASE_NOTES.md). Spark's rangeBetween needs a numeric
+    ordering, so the time boundary becomes epoch-µs offsets — identical
+    semantics to the reference's (value, unit) boundary. STDDEV/VAR are
+    guarded to >1-row frames (engines disagree on n=1: NULL vs 0.0)."""
+    from pyspark.sql import Window
+
+    ev = (
+        cat(spark, sf_dir).load("events")
+        .filter(F.col("user_id") < 5)
+        .withColumn("us", F.unix_micros(F.col("ts")))
+    )
+    w10 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w10)
+    sd = F.when(n > 1, F.round(F.stddev_samp("value").over(w10), 4))
+    vr = F.when(n > 1, F.round(F.var_samp("value").over(w10), 4))
+    return ev.select(
+        "user_id", "ts",
+        _r6(F.avg("value").over(w10)).alias("mov_avg"),
+        n.alias("mov_n"),
+        _r6(F.min("value").over(w10)).alias("mov_min"),
+        _r6(F.max("value").over(w10)).alias("mov_max"),
+        _r6(F.sum("value").over(w10)).alias("mov_sum"),
+        _r6(F.coalesce(F.sum("value").over(w10), F.lit(0.0))).alias("mov_total"),
+        sd.alias("mov_sd"),
+        vr.alias("mov_var"),
+    )

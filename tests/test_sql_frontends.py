@@ -193,3 +193,37 @@ def test_prepared_statement_placeholders(spark, catalog):
         .collect()
     )
     assert rows == ref and len(rows) > 0
+
+
+def test_range_frame_unit_boundary_rewrite(spark, catalog):
+    """GridDB 5.8 FRAME-clause time-unit boundary: RANGE BETWEEN
+    (10, MINUTE) PRECEDING AND CURRENT ROW -> Spark interval range frame
+    over a timestamp ordering (GridDB-5.8-CE-RELEASE_NOTES.md)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from griddb_spark.sql.translate import rewrite_sql
+
+    sql = (
+        "SELECT user_id, ts, AVG(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts RANGE BETWEEN (10, MINUTE) PRECEDING AND CURRENT ROW)"
+        " AS mov FROM events WHERE user_id < 3"
+    )
+    rewritten = rewrite_sql(sql)
+    assert "INTERVAL 10 MINUTE PRECEDING" in rewritten
+
+    catalog.load("events").createOrReplaceTempView("events")
+    got = spark.sql(rewritten)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    want = (
+        catalog.load("events")
+        .filter(F.col("user_id") < 3)
+        .select("user_id", "ts", F.avg("value").over(w).alias("mov"))
+    )
+    a = sorted((r.user_id, r.ts, round(r.mov, 9)) for r in got.collect())
+    b = sorted((r.user_id, r.ts, round(r.mov, 9)) for r in want.collect())
+    assert a == b and len(a) > 0
