@@ -355,6 +355,94 @@ class GridStore:
             "physical_equivalent string",
         )
 
+    def statement_resources(self) -> DataFrame:
+        """#statement_resources meta table (5.7 SQL memory monitoring,
+        ``meta_store.cpp:779-798``, GridDB-5.7-CE-RELEASE_NOTES.md):
+        resource statistics for running statements.
+
+        Spark mapping: one row for the session itself plus one per active
+        job (a GridDB "statement" distributes as a job here). memory_use =
+        driver JVM heap in use; available_concurrency = scheduler slots;
+        data_store_access is not separable from executor metrics in local
+        mode and reports 0. Column set mirrors the reference order.
+        """
+        sc = self.spark.sparkContext
+        conf = sc.getConf()
+        host = conf.get("spark.driver.host", "127.0.0.1")
+        port = int(conf.get("spark.driver.port", "0"))
+        rt = self.spark._jvm.java.lang.Runtime.getRuntime()
+        mem = int(rt.totalMemory() - rt.freeMemory())
+        import datetime as _dt
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        start = _dt.datetime.fromtimestamp(sc.startTime / 1000.0)
+        para = sc.defaultParallelism
+        app = sc.appName
+        user = sc.sparkUser()
+        rows = [
+            (f"{sc.applicationId}:session", host, port, None, None, user,
+             app, "SESSION", start, now_ms - sc.startTime, mem, 0, 0, 0, 0,
+             para, None, None)
+        ]
+        st = sc.statusTracker()
+        for jid in st.getActiveJobsIds():
+            ji = st.getJobInfo(jid)
+            if ji is None:
+                continue
+            rows.append(
+                (f"{sc.applicationId}:job-{jid}", host, port, None, None,
+                 user, app, "QUERY", start, 0, mem, 0, 0, 0, 0, para, None,
+                 f"job {jid}: stages {list(ji.stageIds)}")
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "request_id string, node_address string, node_port int, "
+            "connection_address string, connection_port int, "
+            "user_name string, application_name string, "
+            "statement_type string, start_time timestamp, actual_time long, "
+            "memory_use long, sql_store_use long, data_store_access long, "
+            "network_transfer_size long, network_time long, "
+            "available_concurrency long, resource_restrictions string, "
+            "statement string",
+        )
+
+    def task_resources(self) -> DataFrame:
+        """#task_resources meta table (5.7, ``meta_store.cpp:800-816``):
+        per-distributed-task resource statistics — a GridDB task maps to a
+        Spark stage. Emits one row per active stage (idle sessions emit
+        zero rows, matching the reference's running-only semantics)."""
+        sc = self.spark.sparkContext
+        conf = sc.getConf()
+        host = conf.get("spark.driver.host", "127.0.0.1")
+        port = int(conf.get("spark.driver.port", "0"))
+        rt = self.spark._jvm.java.lang.Runtime.getRuntime()
+        mem = int(rt.totalMemory() - rt.freeMemory())
+        st = sc.statusTracker()
+        rows = []
+        for jid in st.getActiveJobsIds():
+            ji = st.getJobInfo(jid)
+            if ji is None:
+                continue
+            for ordinal, sid in enumerate(ji.stageIds):
+                si = st.getStageInfo(sid)
+                if si is None:
+                    continue
+                rows.append(
+                    (f"{sc.applicationId}:job-{jid}", jid, ordinal, host,
+                     port, si.name, 0, 0, mem, 0, 0, 0, 0,
+                     f"tasks {si.numActiveTasks}/{si.numTasks} "
+                     f"completed {si.numCompletedTasks}")
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "request_id string, job_ordinal long, task_ordinal int, "
+            "node_address string, node_port int, task_type string, "
+            "lead_time long, actual_time long, memory_use long, "
+            "sql_store_use long, data_store_access long, "
+            "network_transfer_size long, network_time long, plan string",
+        )
+
     # -- batch query / batch mutation (GridStore.fetchAll / multiPut,
     #    GET_MULTIPLE_CONTAINER_ROWS / PUT_MULTIPLE_CONTAINER_ROWS,
     #    cluster_event_type.h:135-196; SampleFetchAll / SampleMultiPut) ----
@@ -391,14 +479,33 @@ class GridStore:
         return self
 
     # -- export/import (the gs_export / gs_import CLI surface) --------------
+
+    #: GridDB storeCompressionMode (gs_node.json, 5.6:
+    #: GridDB-5.6-CE-RELEASE_NOTES.md "Compression algorithm enhancement")
+    #: → parquet codec. ZLIB maps to gzip (same DEFLATE stream); ZSTD is
+    #: native in parquet.
+    COMPRESSION_MODES = {
+        "NO_COMPRESSION": "uncompressed",
+        "COMPRESSION": "gzip",
+        "COMPRESSION_ZLIB": "gzip",
+        "COMPRESSION_ZSTD": "zstd",
+    }
+
     def export_container(self, name: str, path: str, fmt: str = "parquet",
-                         mode: str = "overwrite") -> None:
+                         mode: str = "overwrite",
+                         compression: str | None = None) -> None:
         """Write a container out as parquet/csv/json (GridDB ships CSV
         export via the gs_export tool; Spark's writers cover all three).
         CSV/JSON writers get an explicit header/schema so a re-import
-        round-trips losslessly."""
+        round-trips losslessly. ``compression`` takes a GridDB
+        storeCompressionMode name (``COMPRESSION_ZSTD`` etc.) or a raw
+        parquet codec."""
         df = self.get_container(name).df
         w = df.write.mode(mode)
+        if compression is not None:
+            codec = self.COMPRESSION_MODES.get(compression.upper(),
+                                               compression.lower())
+            w = w.option("compression", codec)
         if fmt == "csv":
             w.option("header", True).option("timestampFormat",
                                             "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")

@@ -3898,3 +3898,58 @@ def window_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sd.alias("mov_sd"),
         vr.alias("mov_var"),
     )
+
+
+@query("meta_statement_resources")  # no oracle: live resource stats
+def meta_statement_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#statement_resources / #task_resources meta tables (5.7 SQL memory
+    monitoring, meta_store.cpp:779-816): running-statement resource rows.
+    Emitted via GridStore; the session row is always present (schema and
+    the memory/concurrency fields are the checkable surface — values are
+    live by nature, so this is a rows-only gate entry). task_resources is
+    exercised by the unit test, which snapshots it inside a running job."""
+    from griddb_spark.container import GridStore
+
+    store = GridStore(spark, sf_dir)
+    return store.statement_resources()
+
+
+@query(
+    "pipe_dedup_embed_canonical",
+    """
+    WITH RECURSIVE j AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.4),
+    e AS (SELECT id_a a, id_b b FROM j UNION SELECT id_b, id_a FROM j),
+    reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+    ),
+    comp AS (SELECT src vec_id, least(src, min(dst)) component
+             FROM reach GROUP BY src)
+    SELECT v.vec_id FROM embeddings v
+    WHERE NOT EXISTS (SELECT 1 FROM comp c
+                      WHERE c.vec_id = v.vec_id AND c.component < v.vec_id)
+    """,
+)
+def pipe_dedup_embed_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space end-to-end dedup: exact cosine near-dup pairs →
+    connected components → keep the min-id member per cluster (the
+    semantic-dedup composition — cosine_pairs + connected_components +
+    canonical_filter all reused). At 100 TB the pair stage routes through
+    ann_ivf cell-probing instead of exact all-pairs; the downstream
+    component/canonical shapes are identical."""
+    from griddb_spark.pipeline import (
+        canonical_filter,
+        connected_components,
+        cosine_pairs,
+    )
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=0.4, blocks=4
+                         ).select("id_a", "id_b")
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    return canonical_filter(emb, comps, id_col="vec_id").select("vec_id")

@@ -4,6 +4,7 @@ sketches: correctness vs exact references plus estimator error bounds."""
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -149,3 +150,79 @@ class TestSketches:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.lower().count("hashaggregate") >= 2
+
+
+def test_statement_and_task_resources_meta(spark, catalog):
+    from griddb_spark.container import GridStore
+
+    store = GridStore(spark, "/root/testdata/sf0.001")
+    sr = store.statement_resources()
+    rows = sr.collect()
+    assert [f.name for f in sr.schema.fields] == [
+        "request_id", "node_address", "node_port", "connection_address",
+        "connection_port", "user_name", "application_name",
+        "statement_type", "start_time", "actual_time", "memory_use",
+        "sql_store_use", "data_store_access", "network_transfer_size",
+        "network_time", "available_concurrency", "resource_restrictions",
+        "statement",
+    ]
+    sess = [r for r in rows if r.statement_type == "SESSION"]
+    assert len(sess) == 1
+    assert sess[0].memory_use > 0 and sess[0].available_concurrency > 0
+    assert sess[0].request_id.startswith(spark.sparkContext.applicationId)
+
+    tr = store.task_resources()
+    assert [f.name for f in tr.schema.fields] == [
+        "request_id", "job_ordinal", "task_ordinal", "node_address",
+        "node_port", "task_type", "lead_time", "actual_time", "memory_use",
+        "sql_store_use", "data_store_access", "network_transfer_size",
+        "network_time", "plan",
+    ]
+    # idle session: no running distributed tasks
+    assert tr.count() == 0
+
+    # snapshot task_resources while a job is actually running
+    import threading
+
+    seen: list[int] = []
+
+    def snap():
+        for _ in range(200):
+            n = store.task_resources().count()
+            if n > 0:
+                seen.append(n)
+                return
+
+    t = threading.Thread(target=snap)
+    t.start()
+    # a job slow enough for the watcher to catch (cartesian-ish agg)
+    catalog.load("lineitem").crossJoin(
+        spark.range(400).select(F.col("id").alias("__x"))
+    ).agg(F.sum(F.expr("l_quantity * __x"))).collect()
+    t.join()
+    assert seen and seen[0] > 0
+
+
+def test_export_compression_modes(spark, tmp_path):
+    """storeCompressionMode (5.6) mapping: export honors the GridDB mode
+    names and the parquet footer records the codec."""
+    import pyarrow.parquet as pq
+
+    from griddb_spark.container import GridStore
+
+    store = GridStore(spark)
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    store.put_container("c_comp", df, row_key="id")
+
+    for mode, codec in (("COMPRESSION_ZSTD", "ZSTD"),
+                        ("COMPRESSION_ZLIB", "GZIP"),
+                        ("NO_COMPRESSION", "UNCOMPRESSED")):
+        out = str(tmp_path / mode.lower())
+        store.export_container("c_comp", out, compression=mode)
+        part = next(
+            p for p in os.listdir(out) if p.endswith(".parquet")
+        )
+        meta = pq.ParquetFile(f"{out}/{part}").metadata
+        assert meta.row_group(0).column(0).compression == codec
+        got = spark.read.parquet(out)
+        assert got.count() == 1000
