@@ -488,7 +488,10 @@ def canonical_filter(
     losers = components.filter(F.col("component") < F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return docs.join(losers, id_col, "left_anti")
+    # explicit hint: the loser list is small by contract but often arrives
+    # as a stats-less ExistingRDD (driver-side union-find path), which
+    # otherwise plans as a sort-merge join of the whole corpus
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
 
 
 def canonical_best(

@@ -169,3 +169,65 @@ def bpe_pair_counts(
         .limit(top_k)
     )
     return ranked
+
+
+def vocab_with_ids(
+    df: DataFrame, text_col: str = "text", k: int = 100, mode: str = "bpe"
+) -> DataFrame:
+    """``vocab_topk`` with deterministic contiguous ids (1..k, frequency
+    rank order, ties on token text) — the id table a tokenizer ships."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return vocab_topk(df, text_col, k, mode).select(
+        "token", F.row_number().over(w).cast("bigint").alias("token_id")
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "ws",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Tokenizer-apply (lookup stage): encode each document as its ordered
+    token-id sequence against a trained vocab, OOV → ``unk_id``.
+
+    Scale shape: the vocab is small by construction (top-k) and
+    **broadcast** — the corpus explodes to positional tokens, joins
+    map-side, and one doc-keyed shuffle reassembles the ordered id array.
+    Shuffle width tracks corpus token count, the floor for full-corpus
+    encoding; nothing is quadratic and no Python runs.
+
+    Returns ``(id, token_ids, n_tokens, n_unk)``.
+    """
+    tok_arr = (
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)
+        if mode == "bpe"
+        else tokens(text_col)
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(tok_arr).alias("__pos", "token")
+    )
+    joined = ex.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    )
+    tid = F.coalesce(F.col("token_id"), F.lit(unk_id).cast("bigint"))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), tid.alias("tid")))
+            ).alias("__enc"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("token_id").isNull().cast("long")).alias("n_unk"),
+        )
+        .select(
+            id_col,
+            F.transform(F.col("__enc"), lambda s: s["tid"]).alias("token_ids"),
+            "n_tokens",
+            "n_unk",
+        )
+    )

@@ -3953,3 +3953,50 @@ def pipe_dedup_embed_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ).select("id_a", "id_b")
     comps = connected_components(pairs, src="id_a", dst="id_b")
     return canonical_filter(emb, comps, id_col="vec_id").select("vec_id")
+
+
+@query(
+    "pipe_encode_tokens",
+    """
+    WITH tf AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) token
+                FROM documents),
+    vc AS (SELECT token, count(*) n FROM tf GROUP BY token
+           ORDER BY n DESC, token LIMIT 50),
+    v AS (SELECT token,
+                 row_number() OVER (ORDER BY n DESC, token) AS token_id
+          FROM vc),
+    t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
+          FROM documents),
+    pe AS (SELECT doc_id, u.i AS pos, u.t AS token
+           FROM (SELECT doc_id,
+                        unnest([{'i': i, 't': w[i]}
+                                FOR i IN range(1, len(w)+1)]) u
+                 FROM t)),
+    j AS (SELECT doc_id, pos, coalesce(v.token_id, 0) AS tid,
+                 (v.token_id IS NULL)::int AS unk
+          FROM pe LEFT JOIN v USING (token))
+    SELECT doc_id,
+           string_agg(tid, ',' ORDER BY pos) AS token_ids,
+           count(*) AS n_tokens, sum(unk)::BIGINT AS n_unk
+    FROM j GROUP BY doc_id
+    """,
+)
+def pipe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-apply: encode every document as its ordered token-id
+    sequence against the corpus top-50 vocab (vocab_with_ids +
+    encode_tokens, pipeline/packing.py), OOV → 0. Vocab broadcast, corpus
+    exploded once, one doc-keyed reassembly shuffle. token_ids emitted as
+    a comma-joined string so both engines stringify identically."""
+    from griddb_spark.pipeline.packing import encode_tokens, vocab_with_ids
+
+    docs = cat(spark, sf_dir).load("documents")
+    vocab = vocab_with_ids(docs, "text", k=50, mode="ws")
+    enc = encode_tokens(docs, vocab, "doc_id", "text", mode="ws")
+    return enc.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda x: x.cast("string")), ","
+        ).alias("token_ids"),
+        "n_tokens",
+        "n_unk",
+    )

@@ -158,3 +158,44 @@ def test_embed_normalize_scan_prunes_to_used_columns(spark):
     plan = _plan(workload.QUERIES["pipe_embed_normalize"](spark, SF_DIR))
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "embedding" in read_schema and "label" not in read_schema
+
+
+def test_cms_partial_aggregation_bounds_shuffle(spark):
+    """The count-min register aggregation must map-side combine: the
+    exchange then carries at most depth*width partial counters per task."""
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_sketch_cms"](spark, SF_DIR))
+    assert "partial_count" in plan
+    # the probe side reads the tiny sketch via broadcast, never a shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_contamination_broadcasts_bit_set(spark):
+    """The bloom bit-set (<= m rows) must broadcast; the corpus gram side
+    never shuffles for the membership test."""
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_decontam_bloom"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_no_cartesian_two_keyed_exchanges(spark):
+    """Global span dedup = rank exchange keyed by span hash + reassembly
+    exchange keyed by doc — and nothing quadratic."""
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_dedup_spans"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") >= 2
+
+
+def test_embed_canonical_anti_join_broadcasts_losers(spark):
+    """End-to-end embedding dedup: the corpus-side anti-join against the
+    (tiny) loser list must be a broadcast join, corpus scanned once."""
+    from griddb_spark import workload
+
+    plan = _plan(
+        workload.QUERIES["pipe_dedup_embed_canonical"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

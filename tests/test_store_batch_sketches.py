@@ -178,16 +178,16 @@ def test_statement_and_task_resources_meta(spark, catalog):
         "sql_store_use", "data_store_access", "network_transfer_size",
         "network_time", "plan",
     ]
-    # idle session: no running distributed tasks
-    assert tr.count() == 0
-
-    # snapshot task_resources while a job is actually running
+    # snapshot task_resources while a job is actually running (the shared
+    # test session is not guaranteed idle, so only the positive direction
+    # is asserted: a running job must become visible to the watcher)
     import threading
 
     seen: list[int] = []
+    done = threading.Event()
 
     def snap():
-        for _ in range(200):
+        while not done.is_set():
             n = store.task_resources().count()
             if n > 0:
                 seen.append(n)
@@ -195,11 +195,14 @@ def test_statement_and_task_resources_meta(spark, catalog):
 
     t = threading.Thread(target=snap)
     t.start()
-    # a job slow enough for the watcher to catch (cartesian-ish agg)
-    catalog.load("lineitem").crossJoin(
-        spark.range(400).select(F.col("id").alias("__x"))
-    ).agg(F.sum(F.expr("l_quantity * __x"))).collect()
-    t.join()
+    try:
+        # a job slow enough for the watcher to catch (cartesian-ish agg)
+        catalog.load("lineitem").crossJoin(
+            spark.range(2000).select(F.col("id").alias("__x"))
+        ).agg(F.sum(F.expr("l_quantity * __x"))).collect()
+    finally:
+        done.set()
+        t.join()
     assert seen and seen[0] > 0
 
 
