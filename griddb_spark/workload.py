@@ -4000,3 +4000,124 @@ def pipe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_unk",
     )
+
+
+@query(
+    "pipe_curation_report",
+    """
+    WITH RECURSIVE t AS (SELECT doc_id, source, text,
+                string_split_regex(trim(text), '\\s+') w
+               FROM documents WHERE doc_id % 41 <> 0),
+    lang AS (SELECT doc_id,
+      CASE WHEN en_n > 0 AND en_n >= greatest(de_n, es_n, fr_n) THEN 'en'
+           WHEN de_n > 0 AND de_n >= greatest(es_n, fr_n) THEN 'de'
+           WHEN es_n > 0 AND es_n >= fr_n THEN 'es'
+           WHEN fr_n > 0 THEN 'fr'
+           ELSE 'und' END AS lang
+      FROM (SELECT doc_id,
+        len(list_filter(w, x -> x in ('the','and','of','is','with'))) en_n,
+        len(list_filter(w, x -> x in ('der','die','und','ist','mit'))) de_n,
+        len(list_filter(w, x -> x in ('el','los','las','es','con'))) es_n,
+        len(list_filter(w, x -> x in ('le','les','des','est','avec'))) fr_n
+        FROM t)),
+    q AS (SELECT doc_id,
+            round(least(length(text)::double / 500.0, 1.0) * 0.25
+            + (1.0 - round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+              'g'))::double / length(text), 6)) * 0.5
+            + least(round(len(list_filter(w, x -> x in ('the','a','an','of',
+              'and','or','is','to','in','on')))::double / len(w), 6) * 5.0,
+              1.0) * 0.25, 6) AS quality
+          FROM t),
+    shingle AS (SELECT doc_id,
+        list_distinct([array_to_string(w[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(w)-2, 0)+1)]) sh
+      FROM t),
+    exg AS (SELECT doc_id, unnest(sh) g FROM shingle),
+    cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+             FROM exg x JOIN exg y ON x.g = y.g AND x.doc_id < y.doc_id),
+    j AS (SELECT doc_a, doc_b
+          FROM cand JOIN shingle a ON a.doc_id = doc_a
+                    JOIN shingle b ON b.doc_id = doc_b
+          WHERE len(list_intersect(a.sh, b.sh))::double
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+    e AS (SELECT doc_a a, doc_b b FROM j UNION SELECT doc_b, doc_a FROM j),
+    reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+    ),
+    comp AS (SELECT src doc_id, least(src, min(dst)) component
+             FROM reach GROUP BY src),
+    losers AS (SELECT doc_id FROM comp WHERE component < doc_id),
+    bt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
+           FROM documents WHERE doc_id % 41 = 0),
+    g3c AS (SELECT doc_id,
+        list_distinct([array_to_string(w[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(w)-2, 0)+1)]) sh3
+      FROM t),
+    g3b AS (SELECT doc_id,
+        list_distinct([array_to_string(w[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(w)-2, 0)+1)]) sh3
+      FROM bt),
+    bg AS (SELECT DISTINCT unnest(sh3) gram FROM g3b),
+    cg AS (SELECT doc_id, unnest(sh3) gram FROM g3c),
+    cont AS (SELECT cg.doc_id FROM cg JOIN bg USING (gram)
+             GROUP BY cg.doc_id HAVING count(*) >= 2)
+    SELECT t.doc_id, t.source, lang.lang, q.quality,
+           (t.doc_id IN (SELECT doc_id FROM losers))::int AS is_near_dup,
+           (t.doc_id IN (SELECT doc_id FROM cont))::int AS is_contaminated,
+           (t.doc_id NOT IN (SELECT doc_id FROM losers)
+            AND t.doc_id NOT IN (SELECT doc_id FROM cont)
+            AND q.quality >= 0.4)::int AS keep
+    FROM t JOIN lang USING (doc_id) JOIN q USING (doc_id)
+    """,
+)
+def pipe_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in one pass — the pipeline a user
+    actually runs: language-ID + composite quality score + near-dup loser
+    flag (MinHash-LSH → components → min-id canonical) + benchmark
+    contamination flag (3-gram overlap vs the doc_id%41 eval slice),
+    folded into a per-document keep/drop decision (keep = not near-dup,
+    not contaminated, quality >= 0.4). Every stage is an already-gated
+    operator; flags arrive as broadcast left joins against the (small)
+    loser/contaminated lists, so the corpus is scanned once."""
+    from griddb_spark.pipeline import (
+        connected_components,
+        contamination_report,
+        lang_id,
+        minhash_lsh_pairs,
+        quality_stats,
+    )
+
+    docs = cat(spark, sf_dir).load("documents")
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+
+    pairs = minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.8)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("component") < F.col("doc_id")).select(
+        "doc_id", F.lit(1).alias("__dup"))
+    cont = contamination_report(corpus, bench, "doc_id", "text",
+                                n=3, min_hits=2).select(
+        "doc_id", F.lit(1).alias("__cont"))
+
+    spread = corpus.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    base = spread.select(
+        "doc_id", "source",
+        lang_id("text").alias("lang"),
+        _r6(quality_stats("text")["quality_score"]).alias("quality"),
+    )
+    out = (
+        base.join(F.broadcast(losers), "doc_id", "left")
+        .join(F.broadcast(cont), "doc_id", "left")
+    )
+    dup = F.coalesce(F.col("__dup"), F.lit(0))
+    con = F.coalesce(F.col("__cont"), F.lit(0))
+    return out.select(
+        "doc_id", "source", "lang", "quality",
+        dup.cast("int").alias("is_near_dup"),
+        con.cast("int").alias("is_contaminated"),
+        ((dup == 0) & (con == 0) & (F.col("quality") >= 0.4))
+        .cast("int").alias("keep"),
+    )
