@@ -175,6 +175,45 @@ def freq_sketch_stream(
     )
 
 
+def quantile_sketch_stream(
+    stream: DataFrame,
+    key: str,
+    value_col: str,
+    every: int,
+    unit: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 256,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming windowed histogram-quantile sketch: per event-time
+    window, fixed-width bucket counts over ``[lo, hi)`` (the streaming
+    face of ``pipeline.sketches.histogram_quantile``).
+
+    State per open window is capped at ``n_buckets`` counters; quantile
+    estimates are a batch-side cumulative walk over the materialized
+    counts (same estimator, so streaming and batch results agree and
+    per-window sketches merge by adding counts). Emits
+    ``(window_start, bucket, cnt)``.
+    """
+    unit_ms = UNIT_MS[unit.upper()]
+    win = F.window(F.col(key), f"{every * unit_ms} milliseconds")
+    w = (hi - lo) / float(n_buckets)
+    v = F.col(value_col).cast("double")
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(w)).cast("int")),
+    ).alias("__bucket")
+    return (
+        stream.withWatermark(key, watermark)
+        .select(F.col(key), bucket)
+        .groupBy(win.alias("__w"), "__bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("__w.start").alias(key),
+                F.col("__bucket").alias("bucket"), "cnt")
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

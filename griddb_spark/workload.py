@@ -4121,3 +4121,72 @@ def pipe_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((dup == 0) & (con == 0) & (F.col("quality") >= 0.4))
         .cast("int").alias("keep"),
     )
+
+
+@query(
+    "stream_quantile_sketch",
+    """
+    WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) ts,
+                      least(255, greatest(0,
+                        floor(CAST(value AS DOUBLE) / 2.0)::int)) AS bucket
+               FROM events),
+    c AS (SELECT ts, bucket, count(*) cnt FROM b GROUP BY 1, 2),
+    cum AS (SELECT ts, bucket, cnt,
+                   sum(cnt) OVER (PARTITION BY ts ORDER BY bucket) AS cm,
+                   sum(cnt) OVER (PARTITION BY ts) AS tot
+            FROM c)
+    SELECT ts, max(tot)::BIGINT AS n_rows,
+           round(min(CASE WHEN cm >= 0.5 * tot
+                          THEN (bucket + 1) * 2.0 END), 6) AS q_50,
+           round(min(CASE WHEN cm >= 0.95 * tot
+                          THEN (bucket + 1) * 2.0 END), 6) AS q_95
+    FROM cum GROUP BY ts
+    """,
+)
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed quantile profiling: per-hour fixed-width
+    histogram sketch over event values (quantile_sketch_stream) — state
+    per open window is the ≤256-bucket count grid; the p50/p95 estimates
+    are the batch-side cumulative walk over the materialized counts (same
+    estimator as pipeline.sketches.histogram_quantile, so streaming and
+    batch agree; bucket width 2.0 is a power of two — bit-identical
+    bucketing in both engines)."""
+    import uuid as _uuid
+
+    prepare(spark)
+    from pyspark.sql import Window
+
+    from griddb_spark.streaming import quantile_sketch_stream, run_to_memory
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = raw
+    out = quantile_sketch_stream(ev, "ts", "value", 1, "HOUR",
+                                 lo=0.0, hi=512.0, n_buckets=256,
+                                 watermark="10 minutes")
+    regs = run_to_memory(out, f"hq_{_uuid.uuid4().hex[:8]}",
+                         mode="complete", shuffle_partitions=8)
+    pw = Window.partitionBy("ts").orderBy("bucket")
+    tw = Window.partitionBy("ts")
+    cum = regs.select(
+        "ts", "bucket", "cnt",
+        F.sum("cnt").over(pw).alias("cm"),
+        F.sum("cnt").over(tw).alias("tot"),
+    )
+    edge = (F.col("bucket") + 1).cast("double") * F.lit(2.0)
+    return cum.groupBy("ts").agg(
+        F.max("tot").alias("n_rows"),
+        F.round(F.min(F.when(
+            F.col("cm").cast("double") >= 0.5 * F.col("tot").cast("double"),
+            edge)), 6).alias("q_50"),
+        F.round(F.min(F.when(
+            F.col("cm").cast("double") >= 0.95 * F.col("tot").cast("double"),
+            edge)), 6).alias("q_95"),
+    )

@@ -292,3 +292,60 @@ def test_freq_sketch_stream_matches_batch_cms(spark, catalog):
         .collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_quantile_sketch_stream_matches_batch_histogram(spark, catalog):
+    from griddb_spark.pipeline.sketches import histogram_quantile
+    from griddb_spark.streaming import quantile_sketch_stream, run_to_memory
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev_s = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev_s = raw
+    out = quantile_sketch_stream(ev_s, "ts", "value", 1, "HOUR",
+                                 lo=0.0, hi=512.0, n_buckets=256)
+    regs = run_to_memory(out, "t_hq_parity", mode="complete")
+    streamed = {(r.ts, r.bucket): r.cnt for r in regs.collect()}
+
+    # streamed per-window counts must equal the batch sketch's bucket
+    # stage, and the estimator walk must equal histogram_quantile's output
+    ev_b = catalog.load("events").withColumn(
+        "ts", F.date_trunc("hour", F.col("ts"))
+    )
+    batch_q = {
+        r.ts: (r.n_rows, r.q_5, r.q_95)
+        for r in histogram_quantile(
+            ev_b, ["ts"], "value", [0.5, 0.95], lo=0.0, hi=512.0,
+            n_buckets=256,
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("ts").orderBy("bucket")
+    tw = Window.partitionBy("ts")
+    cum = regs.select(
+        "ts", "bucket",
+        F.sum("cnt").over(pw).alias("cm"), F.sum("cnt").over(tw).alias("tot"),
+    )
+    edge = (F.col("bucket") + 1).cast("double") * F.lit(2.0)
+    got = {
+        r.ts: (r.n_rows, r.q_50, r.q_95)
+        for r in cum.groupBy("ts").agg(
+            F.max("tot").alias("n_rows"),
+            F.round(F.min(F.when(F.col("cm").cast("double")
+                                 >= 0.5 * F.col("tot").cast("double"),
+                                 edge)), 6).alias("q_50"),
+            F.round(F.min(F.when(F.col("cm").cast("double")
+                                 >= 0.95 * F.col("tot").cast("double"),
+                                 edge)), 6).alias("q_95"),
+        ).collect()
+    }
+    assert got == batch_q and len(got) > 0 and len(streamed) > 0
