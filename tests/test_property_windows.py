@@ -3,9 +3,11 @@
 PARTITION BY / ORDER BY / ROWS-frame combinations over ``events``, the
 same SQL text run through Spark and DuckDB and compared row-for-row.
 
-GridDB's window surface (4.6+) is aggregates + ROW_NUMBER/LAG/LEAD with
-ROWS frames only (``sql_type.h:287-294`` — no RANGE frames), which is
-exactly the grammar generated here. ``event_id`` is unique, so the window
+GridDB's window surface is aggregates + ROW_NUMBER/LAG/LEAD with ROWS
+frames (``sql_type.h:287-294``), plus RANGE frames for the
+moving-aggregate family since 5.8 (GridDB-5.8-CE-RELEASE_NOTES.md) —
+exactly the grammar generated here (RANGE offsets over the integer order
+key; the time-unit boundary form is covered in test_sql_frontends). ``event_id`` is unique, so the window
 order is total and both engines see identical frames. Deterministic seed.
 """
 
@@ -16,7 +18,7 @@ import random
 import pytest
 
 SEED = 7
-N_CASES = 15
+N_CASES = 22
 
 #: (sql template, takes_frame) — {k} is a small random int
 _FUNCS = [
@@ -44,6 +46,9 @@ _FRAMES = [
     "ROWS BETWEEN {k} PRECEDING AND {k} FOLLOWING",
     "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
     "ROWS BETWEEN CURRENT ROW AND {k} FOLLOWING",
+    "RANGE BETWEEN {k} PRECEDING AND CURRENT ROW",
+    "RANGE BETWEEN {k} PRECEDING AND {k} FOLLOWING",
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
 ]
 
 
