@@ -39,6 +39,7 @@ from griddb_spark.pipeline.decontaminate import (  # noqa: F401
     decontaminate,
 )
 from griddb_spark.pipeline.dedup import (  # noqa: F401
+    boilerplate_spans,
     canonical_best,
     canonical_filter,
     char_ngrams,
@@ -47,6 +48,7 @@ from griddb_spark.pipeline.dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    remove_boilerplate,
     simhash_pairs,
     span_dedup,
     with_simhash,

@@ -704,3 +704,89 @@ def span_dedup(
             "n_removed",
         )
     )
+
+
+def boilerplate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 10,
+) -> DataFrame:
+    """Boilerplate detection by document frequency: the distinct
+    ``k``-token spans that occur in at least ``min_df`` DISTINCT documents
+    (headers, navigation chrome, license blurbs — the high-DF text that
+    survives exact dedup because the documents differ elsewhere).
+
+    Returns ``(span, df)``. Count is per-document-distinct (a span
+    repeated within one doc counts once), map-side combinable; output is
+    bounded by corpus vocabulary, not corpus size.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    return (
+        toked.select("__id", F.explode(F.array_distinct(spans)).alias("span"))
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 10,
+) -> DataFrame:
+    """Strip high-document-frequency spans from every document (the C4
+    boilerplate-removal shape at span granularity): spans flagged by
+    ``boilerplate_spans`` are cut everywhere and documents reassembled
+    from the survivors.
+
+    The flagged-span list is small (bounded by vocabulary at the
+    ``min_df`` cut) and **broadcast** — the corpus explodes once to
+    positional spans, left-anti-marks against the broadcast list, and one
+    doc-keyed shuffle reassembles. Returns
+    ``(id, clean_text, n_spans, n_removed)`` for every document.
+    """
+    bp = boilerplate_spans(docs, id_col, text_col, k, min_df).select("span")
+    toked = docs.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    sp = toked.select(
+        "__id", F.posexplode(spans).alias("span_idx", "span")
+    )
+    marked = sp.join(
+        F.broadcast(bp.withColumn("__bp", F.lit(1))), "span", "left"
+    )
+    kept = F.when(F.col("__bp").isNull(), F.struct("span_idx", "span"))
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("__bp").isNotNull().cast("long")).alias("n_removed"),
+            F.array_sort(F.collect_list(kept)).alias("__kept"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["span"]), " "
+            ).alias("clean_text"),
+            "n_spans",
+            "n_removed",
+        )
+    )

@@ -4190,3 +4190,77 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cm").cast("double") >= 0.95 * F.col("tot").cast("double"),
             edge)), 6).alias("q_95"),
     )
+
+
+@query(
+    "pipe_boilerplate_removal",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
+               FROM documents),
+    sp0 AS (SELECT doc_id,
+              [{'i': i - 1,
+                's': array_to_string(w[(i-1)*3+1 : (i-1)*3+3], ' ')}
+               FOR i IN range(1, greatest(ceil(len(w)/3.0)::int, 1) + 1)] spans
+            FROM t),
+    sp AS (SELECT doc_id, u.i AS span_idx, u.s AS span
+           FROM (SELECT doc_id, unnest(spans) u FROM sp0)),
+    bp AS (SELECT span FROM (SELECT DISTINCT span, doc_id FROM sp)
+           GROUP BY span HAVING count(*) >= 5)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN bp.span IS NULL THEN sp.span END,
+                               ' ' ORDER BY span_idx), '') AS clean_text,
+           count(*) AS n_spans,
+           sum((bp.span IS NOT NULL)::int)::BIGINT AS n_removed
+    FROM sp LEFT JOIN bp USING (span)
+    GROUP BY doc_id
+    """,
+)
+def pipe_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal by document frequency (remove_boilerplate,
+    pipeline/dedup.py): 3-token spans occurring in >= 5 distinct documents
+    (headers, chrome, license blurbs — the high-DF text exact dedup never
+    catches) are cut from every document. The flagged-span list is
+    vocabulary-bounded and broadcast; the corpus explodes once and one
+    doc-keyed shuffle reassembles."""
+    from griddb_spark.pipeline import remove_boilerplate
+
+    docs = cat(spark, sf_dir).load("documents")
+    return remove_boilerplate(docs, "doc_id", "text", k=3, min_df=5)
+
+
+@query(
+    "pipe_decontam_semantic",
+    """
+    WITH b AS (SELECT embedding::DOUBLE[] v FROM embeddings
+               WHERE vec_id % 41 = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+          WHERE vec_id % 41 <> 0),
+    m AS (SELECT c.vec_id,
+                 round(max(list_cosine_similarity(c.v, b.v)), 6) max_bench_sim
+          FROM c CROSS JOIN b GROUP BY c.vec_id)
+    SELECT vec_id, max_bench_sim FROM m WHERE max_bench_sim >= 0.35
+    """,
+)
+def pipe_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: flag corpus items whose embedding is too
+    close (cosine >= 0.35) to ANY benchmark embedding — the
+    paraphrase-robust complement to n-gram decontamination. The benchmark
+    side is small by nature and broadcast; the corpus is scanned once and
+    the per-item max folds map-side, so cost is corpus x |bench| dot
+    products with no shuffle of the corpus itself. At 100 TB you route
+    the corpus through ann_ivf cell-probing against the bench centroids
+    first; the exact pass here is the verifier."""
+    from griddb_spark.pipeline.similarity import cosine
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    bench = emb.filter(F.col("vec_id") % 41 == 0).select(
+        F.col("embedding").alias("__bv"))
+    corpus = emb.filter(F.col("vec_id") % 41 != 0).select(
+        "vec_id", F.col("embedding").alias("__cv"))
+    sim = cosine(F.col("__cv"), F.col("__bv"))
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .groupBy("vec_id")
+        .agg(F.round(F.max(sim), 6).alias("max_bench_sim"))
+        .filter(F.col("max_bench_sim") >= 0.35)
+    )

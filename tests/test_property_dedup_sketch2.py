@@ -168,3 +168,90 @@ def test_bloom_contamination_superset_of_exact(spark, seed):
         if hits >= 1:
             want[doc_id] = hits
     assert bloom == want
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_remove_boilerplate_matches_reference(spark, seed):
+    from griddb_spark.pipeline import boilerplate_spans, remove_boilerplate
+
+    rng = random.Random(1500 + seed)
+    k = rng.choice([2, 3])
+    min_df = rng.choice([2, 3])
+    chrome = " ".join(rng.choice(WORDS) for _ in range(k))  # planted chrome
+    docs = []
+    for i in range(rng.randint(8, 30)):
+        n = rng.randint(1, 20)
+        body = [rng.choice(WORDS) for _ in range(n)]
+        # plant the chrome span at a k-aligned offset in most docs
+        text = (chrome + " " + " ".join(body)) if i % 2 == 0 else " ".join(body)
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # reference
+    def spans_of(text):
+        t = text.split()
+        return [" ".join(t[i:i + k]) for i in range(0, max(len(t), 1), k)]
+
+    from collections import Counter
+    dfreq = Counter()
+    for _, text in docs:
+        for s in set(spans_of(text)):
+            dfreq[s] += 1
+    flagged = {s for s, c in dfreq.items() if c >= min_df}
+
+    got_bp = {r.span: r.df for r in
+              boilerplate_spans(df, "doc_id", "text", k, min_df).collect()}
+    assert got_bp == {s: dfreq[s] for s in flagged}
+
+    want = {}
+    for i, text in docs:
+        sp = spans_of(text)
+        keptl = [s for s in sp if s not in flagged]
+        want[i] = (" ".join(keptl), len(sp), len(sp) - len(keptl))
+    got = {
+        r.doc_id: (r.clean_text, r.n_spans, r.n_removed)
+        for r in remove_boilerplate(df, "doc_id", "text", k, min_df).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_semantic_decontam_max_sim_matches_reference(spark, seed):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline.similarity import cosine
+
+    rng = random.Random(1600 + seed)
+    dim = 8
+    vecs = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    bench = df.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("embedding").alias("__bv"))
+    corpus = df.filter(F.col("vec_id") % 5 != 0).select(
+        "vec_id", F.col("embedding").alias("__cv"))
+    got = {
+        r.vec_id: r.mx
+        for r in corpus.crossJoin(F.broadcast(bench))
+        .groupBy("vec_id")
+        .agg(F.round(F.max(cosine(F.col("__cv"), F.col("__bv"))), 6)
+             .alias("mx"))
+        .collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    bvs = [v for i, v in vecs if i % 5 == 0]
+    for i, v in vecs:
+        if i % 5 == 0:
+            continue
+        ref = round(max(cos(v, b) for b in bvs), 6)
+        assert abs(got[i] - ref) <= 1e-6
