@@ -56,7 +56,9 @@ from griddb_spark.pipeline.dedup import (  # noqa: F401
 from griddb_spark.pipeline.sampling import (  # noqa: F401
     deterministic_sample,
     hash_bucket,
+    snapshot_diff,
     stratified_sample,
+    train_split,
 )
 from griddb_spark.pipeline.quality import (  # noqa: F401
     domain_of,

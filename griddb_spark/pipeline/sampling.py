@@ -117,3 +117,63 @@ def write_training_shards(
     return back.groupBy(F.col("__shard").alias("shard")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+def train_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: "dict[str, float]",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in exactly
+    one named split by its content-hash bucket, reproducible across
+    engines, partitionings, and appends (the property random splits lack:
+    a re-run or a late-arriving shard never reshuffles membership).
+
+    ``fractions`` maps split name → fraction; fractions must sum to ≤ 1
+    (any remainder is labelled ``'rest'``). Boundaries are cumulative
+    bucket ranges in insertion order. Adds a ``split`` column.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    expr = F.lit("rest")
+    b = hash_bucket(key_col)
+    acc = 0.0
+    # build from the last range backward so earlier names win their range
+    bounds = []
+    for name, frac in fractions.items():
+        bounds.append((name, int(acc * _BUCKETS), int((acc + frac) * _BUCKETS)))
+        acc += frac
+    for name, lo, hi in reversed(bounds):
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Corpus snapshot diff: per key, ``added`` / ``removed`` /
+    ``changed`` (content hash differs) / ``unchanged`` between two
+    snapshots — the audit step between ingest batches.
+
+    One full-outer join on the key carrying only (key, content-hash) —
+    fixed-width shuffle regardless of document size; content never moves.
+    """
+    oh = old.select(
+        F.col(key_col).alias("__k"), F.md5(F.col(content_col)).alias("__oh")
+    )
+    nh = new.select(
+        F.col(key_col).alias("__k"), F.md5(F.col(content_col)).alias("__nh")
+    )
+    status = (
+        F.when(F.col("__oh").isNull(), "added")
+        .when(F.col("__nh").isNull(), "removed")
+        .when(F.col("__oh") != F.col("__nh"), "changed")
+        .otherwise("unchanged")
+    )
+    return oh.join(nh, "__k", "full_outer").select(
+        F.col("__k").alias(key_col), status.alias("status")
+    )

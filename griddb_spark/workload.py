@@ -4264,3 +4264,69 @@ def pipe_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.max(sim), 6).alias("max_bench_sim"))
         .filter(F.col("max_bench_sim") >= 0.35)
     )
+
+
+@query(
+    "pipe_train_split",
+    """
+    WITH b AS (SELECT doc_id, source,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 10000 AS bk
+               FROM documents),
+    s AS (SELECT doc_id, source,
+            CASE WHEN bk >= 0 AND bk < 9000 THEN 'train'
+                 WHEN bk >= 9000 AND bk < 9500 THEN 'val'
+                 WHEN bk >= 9500 AND bk < 10000 THEN 'test'
+                 ELSE 'rest' END AS split
+          FROM b)
+    SELECT source, split, count(*) AS n, min(doc_id) AS min_id
+    FROM s GROUP BY source, split
+    """,
+)
+def pipe_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (train_split,
+    pipeline/sampling.py): content-hash bucket membership — stable under
+    repartitioning, appends, and engine changes (a late shard never
+    reshuffles anyone). 90/5/5; reported per (source, split)."""
+    from griddb_spark.pipeline import train_split
+
+    docs = cat(spark, sf_dir).load("documents")
+    out = train_split(docs, "doc_id",
+                      {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+
+
+@query(
+    "pipe_snapshot_diff",
+    """
+    WITH oldv AS (SELECT doc_id, md5(text) h FROM documents
+                  WHERE doc_id % 7 <> 0),
+    newv AS (SELECT doc_id,
+               md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                        ELSE text END) h
+             FROM documents WHERE doc_id % 7 <> 1)
+    SELECT coalesce(oldv.doc_id, newv.doc_id) AS doc_id,
+           CASE WHEN oldv.h IS NULL THEN 'added'
+                WHEN newv.h IS NULL THEN 'removed'
+                WHEN oldv.h <> newv.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM oldv FULL OUTER JOIN newv USING (doc_id)
+    """,
+)
+def pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (snapshot_diff, pipeline/sampling.py):
+    added/removed/changed/unchanged between two ingest snapshots — a
+    full-outer join carrying only (key, content-hash), fixed-width
+    shuffle regardless of document size. Old = docs without doc_id%7==0;
+    new = docs without doc_id%7==1, with every doc_id%5==0 text edited."""
+    from griddb_spark.pipeline import snapshot_diff
+
+    docs = cat(spark, sf_dir).load("documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 1).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", "text")

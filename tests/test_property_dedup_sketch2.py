@@ -255,3 +255,43 @@ def test_semantic_decontam_max_sim_matches_reference(spark, seed):
             continue
         ref = round(max(cos(v, b) for b in bvs), 6)
         assert abs(got[i] - ref) <= 1e-6
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_train_split_deterministic_and_partitions(spark, seed):
+    import hashlib as _h
+
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import train_split
+
+    rng = random.Random(1700 + seed)
+    ids = rng.sample(range(100000), 200)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.doc_id: r.split
+           for r in train_split(df, "doc_id", fr).collect()}
+
+    def bucket(i):
+        return int(_h.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+
+    for i in ids:
+        b = bucket(i)
+        want = ("train" if b < 8000 else "val" if b < 9000
+                else "test" if b < 10000 else "rest")
+        assert got[i] == want
+    # stability under repartitioning
+    got2 = {r.doc_id: r.split
+            for r in train_split(df.repartition(7), "doc_id", fr).collect()}
+    assert got2 == got
+
+
+def test_snapshot_diff_statuses(spark):
+    from griddb_spark.pipeline import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, t string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "k long, t string")
+    got = {r.k: r.status for r in snapshot_diff(old, new, "k", "t").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
