@@ -4330,3 +4330,205 @@ def pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")),
     )
     return snapshot_diff(old, new, "doc_id", "text")
+
+
+# ===========================================================================
+# TPC-H flavor suite (beyond q1): realistic multi-join analytics over the
+# star schema — the shapes a reference SQL user runs daily. All money sums
+# follow the repo DECIMAL->DOUBLE convention.
+# ===========================================================================
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 flavor: 3-way selective join + grouped revenue + top-10.
+    Customer is the small filtered side (broadcast via AQE); the
+    orders-lineitem join shuffles on the order key."""
+    c = cat(spark, sf_dir)
+    cust = c.load("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cut = F.lit("1998-03-15").cast("timestamp")
+    orders = c.load("orders").filter(F.col("o_orderdate") < cut)
+    li = c.load("lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice")
+                  * _dec(F.lit(1) - F.col("l_discount")))
+            .cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name ORDER BY revenue DESC
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 flavor: 6-way join through the full snowflake
+    (customer-orders-lineitem-supplier-nation-region) with the
+    local-supplier equality (c_nationkey = s_nationkey). Dims broadcast;
+    only the orders-lineitem join shuffles at scale."""
+    c = cat(spark, sf_dir)
+    cust, orders, li = c.load("customer"), c.load("orders"), c.load("lineitem")
+    supp, nat, reg = c.load("supplier"), c.load("nation"), c.load("region")
+    orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_dec("l_extendedprice")
+                   * _dec(F.lit(1) - F.col("l_discount")))
+             .cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 10
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 flavor: pure scan-filter-aggregate — every predicate must
+    reach the parquet reader (PushedFilters) and the sum is one partial/
+    final pair with no shuffle beyond the final reduce."""
+    li = cat(spark, sf_dir).load("lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 10))
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 4))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 flavor: returned-item revenue ranking (4-way join +
+    grouped top-20)."""
+    c = cat(spark, sf_dir)
+    orders = c.load("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    li = c.load("lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.load("customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.load("nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dec("l_extendedprice")
+                   * _dec(F.lit(1) - F.col("l_discount")))
+             .cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_effect",
+    """
+    SELECT round(100.00 *
+             CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE),
+             6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 flavor: promotion revenue share — broadcast part join +
+    conditional aggregate ratio."""
+    c = cat(spark, sf_dir)
+    li = c.load("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+    disc = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(c.load("part")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(
+            F.lit(100.0) * F.sum(promo).cast("double")
+            / F.sum(disc).cast("double"), 6).alias("promo_revenue_pct"))
+    )

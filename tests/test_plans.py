@@ -199,3 +199,26 @@ def test_embed_canonical_anti_join_broadcasts_losers(spark):
     plan = _plan(
         workload.QUERIES["pipe_dedup_embed_canonical"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q6_predicates_reach_scan_no_join(spark):
+    """TPC-H Q6: every predicate pushed to the reader, no exchange except
+    the final single-row reduce."""
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["q6_forecast_revenue"](spark, SF_DIR))
+    # the full filter set reaches the scan as data filters (the plan
+    # string truncates the PushedFilters list, so assert on DataFilters)
+    assert "DataFilters: [isnotnull(l_shipdate" in plan
+    assert "(l_shipdate" in plan.split("DataFilters:")[1]
+    assert "Join" not in plan
+
+
+def test_q5_snowflake_broadcasts_all_dims(spark):
+    """TPC-H Q5: supplier/nation/region broadcast; only the fact-side
+    joins shuffle."""
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["q5_local_supplier"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
