@@ -73,6 +73,7 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     knn_bruteforce,
     l2_normalize,
     linear_probe_score,
+    max_sim_vs_bench,
     quantize_int8,
 )
 from griddb_spark.pipeline.sketches import (  # noqa: F401
