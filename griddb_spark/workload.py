@@ -4527,3 +4527,223 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * F.sum(promo).cast("double")
             / F.sum(disc).cast("double"), 6).alias("promo_revenue_pct"))
     )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 flavor: EXISTS correlated subquery (AGG_FOLD_EXISTS,
+    sql_type.h:131) folding to a left-semi join, grouped priority count."""
+    c = cat(spark, sf_dir)
+    orders = c.load("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = c.load("lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (semi.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           extract(year FROM l.l_shipdate)::BIGINT AS l_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE ((cn.n_name = 'FRANCE' AND sn.n_name = 'GERMANY')
+        OR (cn.n_name = 'GERMANY' AND sn.n_name = 'FRANCE'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY cust_nation, supp_nation, l_year
+    ORDER BY cust_nation, supp_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 flavor: bilateral trade volume — double nation dimension
+    (aliased twice), disjunctive nation-pair predicate, per-year grouped
+    revenue."""
+    c = cat(spark, sf_dir)
+    li = c.load("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    cn = c.load("nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = c.load("nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    j = (
+        c.load("customer").join(c.load("orders"),
+                                F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.load("supplier")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .filter(
+            ((F.col("cust_nation") == "FRANCE")
+             & (F.col("supp_nation") == "GERMANY"))
+            | ((F.col("cust_nation") == "GERMANY")
+               & (F.col("supp_nation") == "FRANCE")))
+    )
+    return (
+        j.groupBy("cust_nation", "supp_nation",
+                  F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.sum(_dec("l_extendedprice")
+                   * _dec(F.lit(1) - F.col("l_discount")))
+             .cast("double").alias("revenue"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 flavor: customer order-count distribution — left outer
+    join with a join-side filter (zero-order customers count as 0) and a
+    double aggregation."""
+    c = cat(spark, sf_dir)
+    orders = c.load("orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.load("customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@query(
+    "q18_large_volume",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 flavor: large-volume customers — IN over a grouped
+    HAVING subquery (folds to a semi join on the aggregated key set)."""
+    c = cat(spark, sf_dir)
+    li = c.load("lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(_dec("l_quantity")).alias("__sq"))
+           .filter(F.col("__sq") > 150)
+           .select("l_orderkey"))
+    return (
+        c.load("customer")
+        .join(c.load("orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.select("l_orderkey", "l_quantity"),
+              F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(big.select(big.l_orderkey.alias("__bk"))),
+              F.col("o_orderkey") == F.col("__bk"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(_dsum("l_quantity").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q22_global_sales",
+    """
+    WITH avg_bal AS (SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) a
+                     FROM customer WHERE c_acctbal > 0.0),
+    cust AS (SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+             FROM customer c, avg_bal
+             WHERE c.c_acctbal > avg_bal.a
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey))
+    SELECT c_nationkey % 5 AS cntry_grp, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM cust GROUP BY cntry_grp ORDER BY cntry_grp
+    """,
+)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 flavor: positive-balance-above-average customers with no
+    orders — scalar aggregate subquery (broadcast single row) + NOT
+    EXISTS anti-join, grouped by a country bucket."""
+    c = cat(spark, sf_dir)
+    cust = c.load("customer")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg(_dec("c_acctbal")).alias("__a")))
+    rich = (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("__a")))
+    no_orders = rich.join(
+        c.load("orders").select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return (
+        no_orders
+        .groupBy((F.col("c_nationkey") % 5).alias("cntry_grp"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"))
+        .orderBy("cntry_grp")
+    )
+
+
+@query(
+    "pipe_corpus_checksum",
+    """
+    SELECT source, count(*) AS n_docs,
+           sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT AS checksum
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def pipe_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset integrity fingerprint: per-source order-insensitive content
+    checksum (sum of md5-prefix integers) + row count — the cheap
+    transfer/copy verification every data pipeline runs after a move.
+    Commutative sum ⇒ map-side combinable, partitioning-independent,
+    portable arithmetic both engines."""
+    docs = cat(spark, sf_dir).load("documents")
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(h).alias("checksum"))
+            .orderBy("source"))
