@@ -103,7 +103,14 @@ def group_by_range(
         (F.lit(start_ms) + F.col("id") * every_ms).alias("__bucket")
     )
     if by:
-        scaffold = ranged.select(*by).distinct().crossJoin(F.broadcast(lattice))
+        # alias each key to itself: the Alias mints fresh attribute ids so
+        # the scaffold side never shares references with `grouped` (a raw
+        # self-derived join trips conflicting-reference resolution for
+        # sources that don't auto-dedup, e.g. memory-sink tables)
+        keys = ranged.select(
+            *[F.col(c).alias(c) for c in by]
+        ).distinct()
+        scaffold = keys.crossJoin(F.broadcast(lattice))
     else:
         scaffold = lattice
     joined = scaffold.join(

@@ -4747,3 +4747,73 @@ def pipe_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(h).alias("checksum"))
             .orderBy("source"))
+
+
+@query(
+    "stream_gbr_fill_prev",
+    """
+    WITH agg AS (
+      SELECT user_id,
+             (1704067200000 + (epoch_ms(CAST(ts AS TIMESTAMP)) - 1704067200000)
+              // 3600000 * 3600000) AS b,
+             round(avg(value), 6) AS av, count(*) AS n
+      FROM events
+      WHERE user_id < 5
+        AND epoch_ms(CAST(ts AS TIMESTAMP))
+              BETWEEN 1704067200000 AND 1706659200000
+      GROUP BY 1, 2),
+    users AS (SELECT DISTINCT user_id FROM agg),
+    grid AS (SELECT u.user_id, 1704067200000 + s.g * 3600000 AS b
+             FROM users u,
+                  generate_series(0, (1706659200000 - 1704067200000)
+                                     // 3600000) s(g)),
+    joined AS (SELECT grid.user_id, grid.b, agg.av, agg.n
+               FROM grid LEFT JOIN agg
+                 ON grid.user_id = agg.user_id AND grid.b = agg.b)
+    SELECT user_id, make_timestamp(b * 1000) AS ts,
+           last_value(av IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av,
+           last_value(n IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+    FROM joined
+    """,
+)
+def stream_gbr_fill_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GROUP BY RANGE with gap fill: the continuous face of
+    FILL(PREVIOUS). The stream maintains per-(user, hour-window) aggs
+    with bounded watermarked state; the fill scaffold runs batch-side
+    over the materialized buckets (group_by_range with first() pass-
+    through aggs — each streamed bucket is one row). Streaming emits
+    observed buckets; fill is a deterministic post-stage, so the composed
+    result equals the batch FILL(PREVIOUS) exactly."""
+    import uuid as _uuid
+
+    from griddb_spark.operators import group_by_range
+    from griddb_spark.streaming import group_by_range_stream, run_to_memory
+
+    prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = raw
+    out = group_by_range_stream(
+        ev.filter(F.col("user_id") < 5), "ts", 1, "HOUR",
+        {"av": _r6(F.avg("value")), "n": F.count(F.lit(1))},
+        watermark="10 minutes", by=["user_id"],
+    )
+    streamed = run_to_memory(out, f"gbf_{_uuid.uuid4().hex[:8]}",
+                             mode="complete", shuffle_partitions=8)
+    filled = group_by_range(
+        streamed, "ts", 1, "HOUR",
+        {"av": F.first("av"), "n": F.first("n")},
+        start=EV_START, end=EV_END, fill="PREVIOUS", by=["user_id"],
+    )
+    return filled.select("user_id", "ts", "av", "n")
