@@ -4817,3 +4817,84 @@ def stream_gbr_fill_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
         start=EV_START, end=EV_END, fill="PREVIOUS", by=["user_id"],
     )
     return filled.select("user_id", "ts", "av", "n")
+
+
+@query(
+    "join_salted_skew",
+    """
+    SELECT o.o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted equi-join (operators/skew.py): the fact side
+    spreads every key over 16 salt buckets, the filtered dim side
+    replicates 16x — result set identical to the plain join (the oracle IS
+    the plain join), with any pathologically hot key spread across salt
+    reducers. This is the explicit fallback when AQE's runtime skew split
+    can't see the skew (e.g. a pre-shuffled layout)."""
+    from griddb_spark.operators.skew import salted_join
+
+    c = cat(spark, sf_dir)
+    li = c.load("lineitem").select("l_orderkey", "l_extendedprice")
+    orders = c.load("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = salted_join(li, orders, on="l_orderkey", how="inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "stream_quality_at_ingest",
+    """
+    WITH t AS (SELECT doc_id, text,
+                 string_split_regex(trim(text), '\\s+') w
+               FROM documents)
+    SELECT doc_id,
+           round(least(length(text)::double / 500.0, 1.0) * 0.25
+           + (1.0 - round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+             'g'))::double / length(text), 6)) * 0.5
+           + least(round(len(list_filter(w, x -> x in ('the','a','an','of',
+             'and','or','is','to','in','on')))::double / len(w), 6) * 5.0,
+             1.0) * 0.25, 6) AS quality,
+           CASE WHEN len(list_filter(w, x -> x in ('the','and','of','is',
+             'with'))) > 0 THEN 'en' ELSE 'other' END AS lang_hint
+    FROM t
+    """,
+)
+def stream_quality_at_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation AT INGEST: the quality/language expressions run
+    unchanged on a document stream (stateless projection — no watermark,
+    no state; each arriving batch is scored in place, the shape of a
+    filter-on-write ingest pipeline). Oracle replays the batch score."""
+    import uuid as _uuid
+
+    from griddb_spark.pipeline import quality_stats
+    from griddb_spark.pipeline.text import tokens as _tokens
+    from griddb_spark.streaming import run_to_memory
+
+    prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
+    )
+    en = F.size(F.filter(_tokens(F.col("text")),
+                         lambda t: t.isin("the", "and", "of", "is", "with")))
+    out = raw.select(
+        "doc_id",
+        _r6(quality_stats("text")["quality_score"]).alias("quality"),
+        F.when(en > 0, F.lit("en")).otherwise(F.lit("other")).alias("lang_hint"),
+    )
+    return run_to_memory(out, f"qi_{_uuid.uuid4().hex[:8]}", mode="append",
+                         shuffle_partitions=8)
