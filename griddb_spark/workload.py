@@ -4002,9 +4002,9 @@ def pipe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipe_curation_report",
-    """
+#: Curation CTE chain (lang + quality + near-dup losers + contamination)
+#: shared by the report and the curated-shard-write oracles.
+_DUCK_CURATION_CTES = """
     WITH RECURSIVE t AS (SELECT doc_id, source, text,
                 string_split_regex(trim(text), '\\s+') w
                FROM documents WHERE doc_id % 41 <> 0),
@@ -4063,6 +4063,9 @@ def pipe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     cg AS (SELECT doc_id, unnest(sh3) gram FROM g3c),
     cont AS (SELECT cg.doc_id FROM cg JOIN bg USING (gram)
              GROUP BY cg.doc_id HAVING count(*) >= 2)
+"""
+
+_DUCK_CURATION_SELECT = """
     SELECT t.doc_id, t.source, lang.lang, q.quality,
            (t.doc_id IN (SELECT doc_id FROM losers))::int AS is_near_dup,
            (t.doc_id IN (SELECT doc_id FROM cont))::int AS is_contaminated,
@@ -4070,8 +4073,10 @@ def pipe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND t.doc_id NOT IN (SELECT doc_id FROM cont)
             AND q.quality >= 0.4)::int AS keep
     FROM t JOIN lang USING (doc_id) JOIN q USING (doc_id)
-    """,
-)
+"""
+
+
+@query("pipe_curation_report", _DUCK_CURATION_CTES + _DUCK_CURATION_SELECT)
 def pipe_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation in one pass — the pipeline a user
     actually runs: language-ID + composite quality score + near-dup loser
@@ -4898,3 +4903,35 @@ def stream_quality_at_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_to_memory(out, f"qi_{_uuid.uuid4().hex[:8]}", mode="append",
                          shuffle_partitions=8)
+
+
+@query(
+    "pipe_write_curated",
+    _DUCK_CURATION_CTES
+    + ", rep AS ("
+    + _DUCK_CURATION_SELECT
+    + """)
+    SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+            % 10000) % 4 AS shard,
+           count(*) AS n_rows
+    FROM rep WHERE keep = 1 GROUP BY shard
+    """,
+)
+def pipe_write_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pipeline, write included: curation keep-set (lang +
+    quality + near-dup + contamination) → deterministic content-hash
+    shards on disk → manifest re-read from the written files, so the
+    end-to-end result — including the write — is oracle-verified. This is
+    the 'curate and publish' job a training-data team ships."""
+    import tempfile
+
+    from griddb_spark.pipeline.sampling import write_training_shards
+
+    report = pipe_curation_report(spark, sf_dir)
+    keep = report.filter(F.col("keep") == 1).select("doc_id")
+    docs = cat(spark, sf_dir).load("documents")
+    kept = docs.join(F.broadcast(keep), "doc_id", "left_semi")
+    out = tempfile.mkdtemp(prefix="curated_") + "/docs"
+    return write_training_shards(
+        kept, out, "doc_id", n_shards=4, max_records_per_file=100_000
+    )
