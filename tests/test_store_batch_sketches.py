@@ -193,16 +193,24 @@ def test_statement_and_task_resources_meta(spark, catalog):
                 seen.append(n)
                 return
 
-    t = threading.Thread(target=snap)
-    t.start()
-    try:
-        # a job slow enough for the watcher to catch (cartesian-ish agg)
+    def run_job(scale):
         catalog.load("lineitem").crossJoin(
-            spark.range(2000).select(F.col("id").alias("__x"))
+            spark.range(scale).select(F.col("id").alias("__x"))
         ).agg(F.sum(F.expr("l_quantity * __x"))).collect()
-    finally:
-        done.set()
-        t.join()
+
+    # the watcher races the job under suite load — retry with a bigger
+    # job before declaring the snapshot path broken
+    for scale in (2000, 20000):
+        t = threading.Thread(target=snap)
+        t.start()
+        try:
+            run_job(scale)
+        finally:
+            done.set()
+            t.join()
+        if seen:
+            break
+        done.clear()
     assert seen and seen[0] > 0
 
 
