@@ -222,3 +222,14 @@ def test_q5_snowflake_broadcasts_all_dims(spark):
     plan = _plan(workload.QUERIES["q5_local_supplier"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_curation_report_broadcasts_flag_lists(spark):
+    """The curation report's loser/contaminated flags must arrive as
+    broadcast joins — the corpus is scanned once, never shuffled for the
+    flag lookups."""
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_curation_report"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
