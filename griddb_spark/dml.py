@@ -294,6 +294,59 @@ class DmlTable:
                 df = df.filter(F.col(PARTITION_COL) >= cut // every * every)
         return df
 
+    def table_partitions(self, name: str = "public") -> DataFrame:
+        """#table_partitions meta table (``meta_store.cpp:819-834``,
+        ref names :1222): one row per live physical partition of this
+        container — (database_name, container_name, partition_ordinal,
+        partition_name, boundary_value1, boundary_value2, status).
+
+        RANGE partitions report their interval bounds as epoch-ms strings
+        (GridDB surfaces boundary values as strings); HASH buckets report
+        the bucket number; RANGE_HASH emits one row per (range, hash)
+        leaf. Ordinals follow boundary order. Built from the live scan so
+        expired divisions (already invisible) are not listed."""
+        from pyspark.sql import Window
+
+        table = self.path.rstrip("/").rsplit("/", 1)[-1]
+        cols = self._part_cols
+        if not cols:
+            return self.spark.createDataFrame(
+                [(name, table, 0, table, None, None, "NORMAL")],
+                "database_name string, container_name string, "
+                "partition_ordinal long, partition_name string, "
+                "boundary_value1 string, boundary_value2 string, "
+                "status string",
+            )
+        parts = self.scan().select(*cols).distinct()
+        w = Window.orderBy(*cols)
+        is_range = isinstance(
+            self.partitioning, (RangePartitioning, RangeHashPartitioning)
+        )
+        if is_range:
+            every = (
+                self.partitioning.every_ms
+                if isinstance(self.partitioning, RangePartitioning)
+                else self.partitioning._range.every_ms
+            )
+            b1 = F.col(PARTITION_COL).cast("string")
+            b2 = (F.col(PARTITION_COL) + every).cast("string")
+        else:
+            b1 = F.col(PARTITION_COL).cast("string")
+            b2 = F.lit(None).cast("string")
+        pname = F.concat_ws(
+            "_", F.lit(table), *[F.col(c).cast("string") for c in cols]
+        )
+        return parts.select(
+            F.lit(name).alias("database_name"),
+            F.lit(table).alias("container_name"),
+            (F.row_number().over(w) - 1).cast("long")
+            .alias("partition_ordinal"),
+            pname.alias("partition_name"),
+            b1.alias("boundary_value1"),
+            b2.alias("boundary_value2"),
+            F.lit("NORMAL").alias("status"),
+        )
+
     def vacuum_expired(self, now_ms: int | None = None) -> int:
         """Physically release wholly-expired divisions (GridDB frees
         expired data 'in division units' — here a division is one range

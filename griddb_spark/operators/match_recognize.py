@@ -362,8 +362,8 @@ class _MatchContext:
 # --------------------------------------------------------------------------
 
 
-def match_recognize(
-    df: DataFrame,
+def compile_matcher(
+    in_schema,
     pattern: str,
     define: Mapping[str, str],
     measures: Mapping[str, str] | None = None,
@@ -372,17 +372,19 @@ def match_recognize(
     all_rows: bool = False,
     measure_types: Mapping[str, str] | None = None,
     max_match_rows: int = 100_000,
-) -> DataFrame:
-    """Run MATCH_RECOGNIZE over ``df``.
+):
+    """Compile a MATCH_RECOGNIZE spec into a reusable per-partition
+    matcher — the engine behind both the batch operator and the streaming
+    face (which must resume matching across micro-batches).
 
-    ``define`` maps pattern variables to condition strings (Python operator
-    syntax: ``"value > PREV(value)"``); an undefined variable matches any
-    row (standard semantics). ``measures`` maps output names to expressions.
-    ``all_rows=False`` (ONE ROW PER MATCH) emits partition keys + measures +
-    match_no; ``all_rows=True`` additionally emits every matched input row
-    with classifier. AFTER MATCH SKIP PAST LAST ROW (the reference's only
-    mode). ``max_match_rows`` bounds a single match (the Spark-side analog
-    of the reference's CONF_PATTERN_MATCH_MEMORY_LIMIT).
+    Returns ``(process, out_schema, out_names)``. ``process(pdf,
+    match_no_offset=0, start_at=0)`` sorts ``pdf`` by ``order_by``, runs
+    the NFA with AFTER MATCH SKIP PAST LAST ROW starting at sorted
+    position ``start_at`` (earlier rows are physical context only — they
+    feed PREV but can never join a match), and returns ``(out_rows,
+    consumed_upto, sorted_pdf)`` where ``consumed_upto`` is the sorted
+    position just past the last completed match (rows from there on may
+    still match once more rows arrive — the streaming pending tail).
     """
     import pandas as pd
 
@@ -394,7 +396,6 @@ def match_recognize(
     compiled_measures = {m: _Expr(c) for m, c in (measures or {}).items()}
 
     # ---- output schema ----------------------------------------------------
-    in_schema = df.schema
     type_of = {f.name: f.dataType for f in in_schema.fields}
     fields: list[T.StructField] = []
     if all_rows:
@@ -466,7 +467,7 @@ def match_recognize(
 
         return dfs(nfa.start, start, [], frozenset(((nfa.start, start),)))
 
-    def _process(pdf: pd.DataFrame) -> pd.DataFrame:
+    def process(pdf: pd.DataFrame, match_no_offset: int = 0, start_at: int = 0):
         import sys
 
         sys.setrecursionlimit(max(sys.getrecursionlimit(), 4 * max_match_rows + 1000))
@@ -516,13 +517,14 @@ def match_recognize(
 
         out_rows = []
         match_no = 0
-        i, n = 0, len(pdf)
+        i, n = start_at, len(pdf)
+        consumed_upto = start_at
         while i < n:
             if start_mask is not None and not start_mask[i]:
                 i += 1
                 continue
             ctx.match_rows, ctx.labels = [], {}
-            ctx.match_number = match_no + 1
+            ctx.match_number = match_no_offset + match_no + 1
             path = _match_from(ctx, i, vec_conds)
             if not path:
                 i += 1
@@ -530,7 +532,8 @@ def match_recognize(
             match_no += 1
             rows = [r for r, _ in path]
             labels = dict(path)
-            ctx.match_rows, ctx.labels, ctx.match_number = rows, labels, match_no
+            ctx.match_rows, ctx.labels = rows, labels
+            ctx.match_number = match_no_offset + match_no
             mvals = {m: e.eval(ctx, rows[-1]) for m, e in compiled_measures.items()}
             cols = ctx._cols
             if all_rows:
@@ -538,15 +541,52 @@ def match_recognize(
                     rec = {c: cols[c][r] for c in pdf.columns}
                     rec["classifier"] = labels[r]
                     rec.update(mvals)
-                    rec["match_no"] = match_no
+                    rec["match_no"] = match_no_offset + match_no
                     out_rows.append(rec)
             else:
                 last = rows[-1]
                 rec = {c: cols[c][last] for c in partition_by}
                 rec.update(mvals)
-                rec["match_no"] = match_no
+                rec["match_no"] = match_no_offset + match_no
                 out_rows.append(rec)
             i = rows[-1] + 1  # AFTER MATCH SKIP PAST LAST ROW
+            consumed_upto = i
+        return out_rows, consumed_upto, pdf
+
+    return process, out_schema, out_names
+
+
+def match_recognize(
+    df: DataFrame,
+    pattern: str,
+    define: Mapping[str, str],
+    measures: Mapping[str, str] | None = None,
+    partition_by: Sequence[str] = (),
+    order_by: str = "ts",
+    all_rows: bool = False,
+    measure_types: Mapping[str, str] | None = None,
+    max_match_rows: int = 100_000,
+) -> DataFrame:
+    """Run MATCH_RECOGNIZE over ``df``.
+
+    ``define`` maps pattern variables to condition strings (Python operator
+    syntax: ``"value > PREV(value)"``); an undefined variable matches any
+    row (standard semantics). ``measures`` maps output names to expressions.
+    ``all_rows=False`` (ONE ROW PER MATCH) emits partition keys + measures +
+    match_no; ``all_rows=True`` additionally emits every matched input row
+    with classifier. AFTER MATCH SKIP PAST LAST ROW (the reference's only
+    mode). ``max_match_rows`` bounds a single match (the Spark-side analog
+    of the reference's CONF_PATTERN_MATCH_MEMORY_LIMIT).
+    """
+    import pandas as pd
+
+    process, out_schema, out_names = compile_matcher(
+        df.schema, pattern, define, measures, partition_by, order_by,
+        all_rows, measure_types, max_match_rows,
+    )
+
+    def _process(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows, _, _ = process(pdf)
         if not out_rows:
             return pd.DataFrame({c: pd.Series(dtype="object") for c in out_names})
         return pd.DataFrame(out_rows, columns=out_names)

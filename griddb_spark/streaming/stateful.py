@@ -77,3 +77,88 @@ def ema_anomaly_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def match_recognize_stream(
+    stream: DataFrame,
+    pattern: str,
+    define: "dict[str, str]",
+    measures: "dict[str, str] | None" = None,
+    partition_by: Sequence[str] = ("user_id",),
+    order_by: str = "ts",
+    measure_types: "dict[str, str] | None" = None,
+    max_pending: int = 10_000,
+    context_rows: int = 1,
+) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE: continuous pattern detection per key
+    (the streaming face of OP_WINDOW_MATCH — Flink's MATCH_RECOGNIZE /
+    CEP shape, absent from the reference which only matches at query
+    time).
+
+    Per key, state carries (a) the global match counter and (b) the
+    PENDING TAIL — rows after the last completed match, which may still
+    join a match once later rows arrive — plus ``context_rows`` extra
+    rows that feed physical PREV() across the batch boundary but can
+    never re-match. Each micro-batch replays pending + new rows through
+    the same compiled NFA as the batch operator (``compile_matcher``), so
+    a single-batch run is row-identical to batch MATCH_RECOGNIZE and
+    matches spanning micro-batch boundaries complete exactly once.
+
+    State is bounded by ``max_pending`` rows per key (the streaming
+    analog of CONF_PATTERN_MATCH_MEMORY_LIMIT — a pattern that stays
+    open longer than the tail is dropped oldest-first). Rows are assumed
+    to arrive in event-time order per key across batches (file replay /
+    ordered sources); out-of-order arrival needs an upstream watermark
+    sort, which this operator deliberately leaves to ingest.
+    """
+    import pickle
+
+    import pandas as pd
+
+    from griddb_spark.operators.match_recognize import compile_matcher
+
+    keys = list(partition_by)
+    process, out_schema, out_names = compile_matcher(
+        stream.schema, pattern, define, measures, keys, order_by,
+        False, measure_types,
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            offset, blob = state.get
+            pending = pickle.loads(bytes(blob)) if blob else None
+        else:
+            offset, pending = 0, None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if pending is not None and len(pending):
+            # pending rows are matchable; only the leading context block
+            # (oldest rows — they sort first by construction) is not
+            n_ctx = int(pending.attrs.get("n_ctx", 0))
+            rows = pd.concat([pending, batch], ignore_index=True)
+        else:
+            n_ctx, rows = 0, batch
+        out_rows, consumed, sorted_pdf = process(rows, offset, n_ctx)
+        n_matches = out_rows[-1]["match_no"] - offset if out_rows else 0
+        # new pending = context tail + unconsumed rows, bounded
+        tail_start = max(consumed - context_rows, 0)
+        tail = sorted_pdf.iloc[tail_start:]
+        if len(tail) > max_pending + context_rows:
+            tail = tail.iloc[-(max_pending + context_rows):]
+            tail_ctx = context_rows
+        else:
+            tail_ctx = consumed - tail_start
+        tail = tail.reset_index(drop=True)
+        tail.attrs["n_ctx"] = int(tail_ctx)
+        state.update((offset + n_matches, pickle.dumps(tail)))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_names)
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="match_no LONG, pending BINARY",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

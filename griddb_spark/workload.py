@@ -4935,3 +4935,84 @@ def pipe_write_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return write_training_shards(
         kept, out, "doc_id", n_shards=4, max_records_per_file=100_000
     )
+
+
+@query(
+    "meta_table_partitions",
+    f"""
+    WITH b AS (SELECT DISTINCT
+                 ({EV_START_MS} + (epoch_ms(CAST(ts AS TIMESTAMP))
+                  - {EV_START_MS}) // 86400000 * 86400000) AS p
+               FROM events)
+    SELECT 'public' AS database_name, 't' AS container_name,
+           row_number() OVER (ORDER BY p) - 1 AS partition_ordinal,
+           't_' || p::VARCHAR AS partition_name,
+           p::VARCHAR AS boundary_value1,
+           (p + 86400000)::VARCHAR AS boundary_value2,
+           'NORMAL' AS status
+    FROM b
+    """,
+)
+def meta_table_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#table_partitions meta table (meta_store.cpp:819-834): list the
+    live physical partitions of a RANGE-partitioned container — interval
+    bounds as strings, boundary-ordered ordinals. The oracle recomputes
+    the expected day-bucket set from the raw events."""
+    import tempfile
+
+    from griddb_spark.dml import DmlTable, range_partition_expr
+
+    ev = cat(spark, sf_dir).load("events")
+    path = tempfile.mkdtemp(prefix="dml_meta_") + "/t"
+    t = DmlTable(spark, path, range_partition_expr("ts", 1, "DAY")).create(ev)
+    return t.table_partitions()
+
+
+@query(
+    "stream_match_recognize",
+    f"""
+    WITH e AS ({_DUCK_EV}),
+    w AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+      FROM e
+    )
+    SELECT user_id, ts AS spike_ts, value AS spike_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS match_no
+    FROM w WHERE pv IS NOT NULL AND value > pv * 2
+    """,
+)
+def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE (match_recognize_stream): continuous
+    per-key pattern detection with the pending-tail state carrying
+    partial matches across micro-batches (bounded by max_pending — the
+    streaming CONF_PATTERN_MATCH_MEMORY_LIMIT analog). A bounded
+    availableNow run is row-identical to the batch operator, so the
+    batch spikes oracle gates it; cross-batch match completion is pinned
+    by the unit test."""
+    import uuid as _uuid
+
+    from griddb_spark.streaming import run_to_memory
+    from griddb_spark.streaming.stateful import match_recognize_stream
+
+    prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = raw
+    out = match_recognize_stream(
+        ev,
+        pattern="SPIKE",
+        define={"SPIKE": "value > PREV(value) * 2"},
+        measures={"spike_ts": "LAST(ts)", "spike_value": "LAST(value)"},
+        partition_by=["user_id"],
+        order_by="ts",
+    )
+    return run_to_memory(out, f"mr_{_uuid.uuid4().hex[:8]}", mode="append",
+                         shuffle_partitions=8)

@@ -349,3 +349,96 @@ def test_quantile_sketch_stream_matches_batch_histogram(spark, catalog):
         ).collect()
     }
     assert got == batch_q and len(got) > 0 and len(streamed) > 0
+
+
+def test_match_recognize_stream_single_batch_parity(spark, catalog):
+    """availableNow single-batch run == batch MATCH_RECOGNIZE row-for-row."""
+    from griddb_spark.operators import match_recognize
+    from griddb_spark.streaming import run_to_memory
+    from griddb_spark.streaming.stateful import match_recognize_stream
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev_s = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev_s = raw
+    spec = dict(
+        pattern="SPIKE",
+        define={"SPIKE": "value > PREV(value) * 2"},
+        measures={"spike_ts": "LAST(ts)", "spike_value": "LAST(value)"},
+        partition_by=["user_id"],
+        order_by="ts",
+    )
+    out = match_recognize_stream(ev_s, **spec)
+    streamed = sorted(
+        (r.user_id, r.spike_ts, r.spike_value, r.match_no)
+        for r in run_to_memory(out, "t_mr_parity", mode="append",
+                               shuffle_partitions=8).collect()
+    )
+    batch = sorted(
+        (r.user_id, r.spike_ts, r.spike_value, r.match_no)
+        for r in match_recognize(catalog.load("events"), **spec).collect()
+    )
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_match_recognize_stream_match_spans_batches(spark, tmp_path):
+    """An A-then-B match whose rows arrive in different micro-batches
+    completes exactly once; PREV works across the boundary; match_no is
+    continuous."""
+    import datetime as dt
+
+    from griddb_spark.streaming.stateful import match_recognize_stream
+
+    src = str(tmp_path / "mr_src")
+    os.makedirs(src)
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    # batch 1: a full match (10->30 rise then 5 drop) + a dangling rise
+    b1 = [("u", ts(0), 10.0), ("u", ts(1), 30.0), ("u", ts(2), 5.0),
+          ("u", ts(3), 50.0)]
+    # batch 2: the drop that completes the dangling match, then noise
+    b2 = [("u", ts(4), 7.0), ("u", ts(5), 8.0)]
+    schema = "k string, ts timestamp, value double"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/b1")
+
+    ckpt = str(tmp_path / "mr_ckpt")
+    outp = str(tmp_path / "mr_out")
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(f"{src}/*")
+        out = match_recognize_stream(
+            stream,
+            pattern="UP DOWN",
+            define={"UP": "value > PREV(value) * 2",
+                    "DOWN": "value < PREV(value) / 2"},
+            measures={"peak": "FIRST(value)", "trough": "LAST(value)",
+                      "end_ts": "LAST(ts)"},
+            partition_by=["k"], order_by="ts",
+        )
+        q = (out.writeStream.format("parquet").option("path", outp)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    got1 = {(r.match_no): (r.peak, r.trough) for r in
+            spark.read.parquet(outp).collect()}
+    assert got1 == {1: (30.0, 5.0)}  # dangling UP at ts(3) not emitted yet
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/b2")
+    run()
+    got2 = {(r.match_no): (r.peak, r.trough) for r in
+            spark.read.parquet(outp).collect()}
+    # the cross-batch match completed once, with a continuous match_no
+    assert got2 == {1: (30.0, 5.0), 2: (50.0, 7.0)}
