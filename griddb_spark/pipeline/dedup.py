@@ -640,6 +640,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def _positional_spans(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(__id, span_idx, span) — each document cut into consecutive
+    ``k``-token spans (last may be short). The token array is
+    pre-projected so the per-span lambda stays element-local (the
+    CollapseProject recompute hazard: an inline split() subtree would
+    re-tokenize the whole document per span)."""
+    toked = docs.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    return toked.select("__id", F.posexplode(spans).alias("span_idx", "span"))
+
+
+def _reassemble(
+    marked: DataFrame, id_col: str, kept: "F.Column", removed: "F.Column"
+) -> DataFrame:
+    """Doc-keyed reassembly shared by the span dedup/boilerplate ops:
+    ``kept`` boxes surviving (span_idx, span) structs, ``removed`` counts
+    the cut spans."""
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(removed).alias("n_removed"),
+            F.array_sort(F.collect_list(kept)).alias("__kept"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["span"]), " "
+            ).alias("clean_text"),
+            "n_spans",
+            "n_removed",
+        )
+    )
+
+
 def span_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -667,42 +711,14 @@ def span_dedup(
     Returns ``(id, clean_text, n_spans, n_removed)`` for every input
     document (``clean_text = ''`` when all spans were removed).
     """
-    # pre-project the token array: referenced once per span inside the
-    # transform lambda, an inline split() subtree would re-tokenize the
-    # whole document per span (the CollapseProject recompute hazard —
-    # multi-referenced non-trivial aliases survive as a real projection)
-    toked = docs.select(
-        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
-    )
-    toks = F.col("__toks")
-    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
-        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
-    )
-    sp = toked.select(
-        "__id", F.posexplode(spans).alias("span_idx", "span")
-    )
+    sp = _positional_spans(docs, id_col, text_col, k)
     # rank by global first occurrence; the exchange key is the span hash
     # (fixed width), the tie-break the natural corpus order
     w = W.partitionBy(F.md5("span")).orderBy("__id", "span_idx")
     ranked = sp.withColumn("__rn", F.row_number().over(w))
     kept = F.when(F.col("__rn") == 1, F.struct("span_idx", "span"))
-    return (
-        ranked.groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("__rn") > 1).cast("long")).alias("n_removed"),
-            F.array_sort(F.collect_list(kept)).alias("__kept"),
-        )
-        .select(
-            F.col("__id").alias(id_col),
-            F.array_join(
-                F.transform(F.col("__kept"), lambda s: s["span"]), " "
-            ).alias("clean_text"),
-            "n_spans",
-            "n_removed",
-        )
+    return _reassemble(
+        ranked, id_col, kept, (F.col("__rn") > 1).cast("long")
     )
 
 
@@ -722,17 +738,9 @@ def boilerplate_spans(
     repeated within one doc counts once), map-side combinable; output is
     bounded by corpus vocabulary, not corpus size.
     """
-    toked = docs.select(
-        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
-    )
-    toks = F.col("__toks")
-    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
-        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
-    )
+    sp = _positional_spans(docs, id_col, text_col, k)
     return (
-        toked.select("__id", F.explode(F.array_distinct(spans)).alias("span"))
+        sp.select("__id", "span").distinct()
         .groupBy("span")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
@@ -758,35 +766,11 @@ def remove_boilerplate(
     ``(id, clean_text, n_spans, n_removed)`` for every document.
     """
     bp = boilerplate_spans(docs, id_col, text_col, k, min_df).select("span")
-    toked = docs.select(
-        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
-    )
-    toks = F.col("__toks")
-    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
-        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
-    )
-    sp = toked.select(
-        "__id", F.posexplode(spans).alias("span_idx", "span")
-    )
+    sp = _positional_spans(docs, id_col, text_col, k)
     marked = sp.join(
         F.broadcast(bp.withColumn("__bp", F.lit(1))), "span", "left"
     )
     kept = F.when(F.col("__bp").isNull(), F.struct("span_idx", "span"))
-    return (
-        marked.groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.col("__bp").isNotNull().cast("long")).alias("n_removed"),
-            F.array_sort(F.collect_list(kept)).alias("__kept"),
-        )
-        .select(
-            F.col("__id").alias(id_col),
-            F.array_join(
-                F.transform(F.col("__kept"), lambda s: s["span"]), " "
-            ).alias("clean_text"),
-            "n_spans",
-            "n_removed",
-        )
+    return _reassemble(
+        marked, id_col, kept, F.col("__bp").isNotNull().cast("long")
     )
