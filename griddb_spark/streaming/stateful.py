@@ -87,6 +87,7 @@ def match_recognize_stream(
     partition_by: Sequence[str] = ("user_id",),
     order_by: str = "ts",
     measure_types: "dict[str, str] | None" = None,
+    all_rows: bool = False,
     max_pending: int = 10_000,
     context_rows: int = 1,
 ) -> DataFrame:
@@ -120,7 +121,7 @@ def match_recognize_stream(
     keys = list(partition_by)
     process, out_schema, out_names = compile_matcher(
         stream.schema, pattern, define, measures, keys, order_by,
-        False, measure_types,
+        all_rows, measure_types,
     )
 
     def update(

@@ -442,3 +442,49 @@ def test_match_recognize_stream_match_spans_batches(spark, tmp_path):
             spark.read.parquet(outp).collect()}
     # the cross-batch match completed once, with a continuous match_no
     assert got2 == {1: (30.0, 5.0), 2: (50.0, 7.0)}
+
+
+def test_match_recognize_stream_all_rows(spark, tmp_path):
+    """ALL ROWS PER MATCH on the stream: every matched input row emits
+    with its classifier, across batch boundaries."""
+    import datetime as dt
+
+    from griddb_spark.streaming.stateful import match_recognize_stream
+
+    src = str(tmp_path / "mra_src")
+    os.makedirs(src)
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    schema = "k string, ts timestamp, value double"
+    spark.createDataFrame(
+        [("u", ts(0), 10.0), ("u", ts(1), 30.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [("u", ts(2), 5.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/b2")
+
+    ckpt, outp = str(tmp_path / "mra_ckpt"), str(tmp_path / "mra_out")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    out = match_recognize_stream(
+        stream,
+        pattern="UP DOWN",
+        define={"UP": "value > PREV(value) * 2",
+                "DOWN": "value < PREV(value) / 2"},
+        measures={"end_ts": "LAST(ts)"},
+        partition_by=["k"], order_by="ts", all_rows=True,
+    )
+    q = (out.writeStream.format("parquet").option("path", outp)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = sorted(
+        (r.ts, r.value, r.classifier, r.match_no)
+        for r in spark.read.parquet(outp).collect()
+    )
+    # the match spans both batches: UP row from batch 1, DOWN from batch 2
+    assert [(v, c, m) for _, v, c, m in rows] == [
+        (30.0, "UP", 1), (5.0, "DOWN", 1)
+    ]
