@@ -377,7 +377,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
-    small_edges: int = 2_000_000,
+    small_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph → dedup clusters.
 
@@ -407,10 +407,11 @@ def connected_components(
     # Stats-dispatched strategy (same pattern as the small-vocab Jaccard
     # bitmap): a near-dup pair graph is tiny relative to the corpus — its
     # size tracks the duplicate count, not the document count — so below
-    # ``small_edges`` (≤ ~32 MB collected) a driver-side union-find beats
-    # the per-round job overhead of the distributed loop by ~10×. The
-    # bounded collect is by-contract; above the bound the Pregel loop below
-    # is the scale path.
+    # ``small_edges`` a driver-side union-find beats the per-round job
+    # overhead of the distributed loop by ~10×. The bounded collect is
+    # by-contract and goes through Arrow (two plain columns, no Row
+    # objects — Row overhead is ~10× the payload); above the bound the
+    # Pregel loop below is the scale path.
     n_edges = edges.count()
     if n_edges <= small_edges:
         spark = pairs.sparkSession
@@ -424,8 +425,8 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.filter(F.col("a") < F.col("b")).collect():
-            a, b = row.a, row.b
+        pdf = edges.filter(F.col("a") < F.col("b")).toPandas()
+        for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -450,14 +451,31 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    # min-label propagation only ever decreases labels, so the label total
-    # is strictly monotone until the fixpoint — convergence is one scalar
-    # aggregate over the (checkpointed) labels, no join needed. Decimal
+    # Convergence check, dispatched on label type. For numeric ids the
+    # label total is strictly monotone decreasing until the fixpoint
+    # (min-propagation only ever lowers labels), so convergence is one
+    # scalar aggregate over the (checkpointed) labels — no join. Decimal
     # accumulator: an int64 sum of billions of wide ids could overflow.
+    # For non-numeric ids (strings) the cast would yield NULL and the
+    # shortcut would falsely report convergence after one round, so fall
+    # back to the join-based changed-row count (sound for any orderable
+    # type; both sides are checkpointed so the join is over tiny frames).
+    numeric_labels = labels.schema["comp"].dataType.typeName() in {
+        "byte", "short", "integer", "long", "float", "double", "decimal",
+    }
+
     def _total(lb: DataFrame):
         return lb.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
 
-    prev_total = _total(labels)
+    def _changed(new: DataFrame, old: DataFrame) -> int:
+        n, o = new.alias("n"), old.alias("o")
+        return (
+            n.join(o, F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+
+    prev_total = _total(labels) if numeric_labels else None
     for _ in range(max_iter):
         nbr = edges.join(labels, edges["b"] == labels["id"]).select(
             edges["a"].alias("id"), F.col("comp")
@@ -468,12 +486,38 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        total = _total(new)
+        if numeric_labels:
+            total = _total(new)
+            converged = total == prev_total
+            prev_total = total
+        else:
+            converged = _changed(new, labels) == 0
         labels = new
-        if total == prev_total:
+        if converged:
             break
-        prev_total = total
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+#: above this many loser rows a forced broadcast risks driver/executor
+#: memory on a mostly-duplicate corpus; let the planner degrade to SMJ.
+_BROADCAST_LOSERS_MAX = 5_000_000
+
+
+def _anti_join_losers(docs: DataFrame, losers: DataFrame, id_col: str) -> DataFrame:
+    """Anti-join the corpus against a loser-id list, broadcast-guarded.
+
+    The loser list is usually tiny relative to the corpus but often
+    arrives as a stats-less ExistingRDD (driver-side union-find path),
+    which the planner would turn into a corpus-wide sort-merge join — so
+    we *want* the broadcast hint. But on a corpus that is mostly
+    duplicates the loser set is O(corpus) and a forced broadcast can
+    exceed driver memory where the planner would have degraded
+    gracefully; stats-dispatch on a cheap count (the frame is
+    checkpointed first so the count isn't paid twice)."""
+    losers = losers.localCheckpoint(eager=True)
+    if losers.count() <= _BROADCAST_LOSERS_MAX:
+        losers = F.broadcast(losers)
+    return docs.join(losers, id_col, "left_anti")
 
 
 def canonical_filter(
@@ -488,10 +532,7 @@ def canonical_filter(
     losers = components.filter(F.col("component") < F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    # explicit hint: the loser list is small by contract but often arrives
-    # as a stats-less ExistingRDD (driver-side union-find path), which
-    # otherwise plans as a sort-merge join of the whole corpus
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return _anti_join_losers(docs, losers, id_col)
 
 
 def canonical_best(
@@ -527,7 +568,7 @@ def canonical_best(
         .filter(F.col("__rn") > 1)
         .select(F.col("__m_id").alias(id_col))
     )
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return _anti_join_losers(docs, losers, id_col)
 
 
 def char_ngrams(col: Column | str, n: int = 4) -> Column:

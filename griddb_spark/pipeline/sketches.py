@@ -156,7 +156,9 @@ def histogram_quantile(
     )
     aggs = [F.max("__tot").alias("n_rows")]
     for q in quantiles:
-        label = f"q_{str(q).split('.')[1]}"
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"quantile must be in (0, 1), got {q}")
+        label = "q_" + f"{q:.2f}".split(".")[1]
         edge = F.lit(lo) + (F.col("__bucket") + F.lit(1)).cast("double") * F.lit(w)
         aggs.append(
             F.round(

@@ -128,15 +128,19 @@ def match_recognize_stream(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            offset, blob = state.get
+            offset, saved_ctx, blob = state.get
             pending = pickle.loads(bytes(blob)) if blob else None
         else:
-            offset, pending = 0, None
+            offset, saved_ctx, pending = 0, 0, None
         batch = pd.concat(list(pdfs), ignore_index=True)
         if pending is not None and len(pending):
             # pending rows are matchable; only the leading context block
-            # (oldest rows — they sort first by construction) is not
-            n_ctx = int(pending.attrs.get("n_ctx", 0))
+            # (oldest rows — they sort first by construction) is not.
+            # n_ctx rides in the state tuple explicitly: pandas
+            # DataFrame.attrs' pickle round-trip is an implementation
+            # detail that an upgrade could silently drop, which would let
+            # consumed context rows re-match across micro-batches.
+            n_ctx = int(saved_ctx)
             rows = pd.concat([pending, batch], ignore_index=True)
         else:
             n_ctx, rows = 0, batch
@@ -151,15 +155,14 @@ def match_recognize_stream(
         else:
             tail_ctx = consumed - tail_start
         tail = tail.reset_index(drop=True)
-        tail.attrs["n_ctx"] = int(tail_ctx)
-        state.update((offset + n_matches, pickle.dumps(tail)))
+        state.update((offset + n_matches, int(tail_ctx), pickle.dumps(tail)))
         if out_rows:
             yield pd.DataFrame(out_rows, columns=out_names)
 
     return stream.groupBy(*keys).applyInPandasWithState(
         update,
         outputStructType=out_schema,
-        stateStructType="match_no LONG, pending BINARY",
+        stateStructType="match_no LONG, n_ctx INT, pending BINARY",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -3519,7 +3519,7 @@ def pipe_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM c)
     SELECT event_type, max(tot) AS n_rows,
            round(min(CASE WHEN cum >= 0.5 * tot
-                          THEN (bucket + 1) * 2.0 END), 6) AS q_5,
+                          THEN (bucket + 1) * 2.0 END), 6) AS q_50,
            round(min(CASE WHEN cum >= 0.95 * tot
                           THEN (bucket + 1) * 2.0 END), 6) AS q_95
     FROM cum GROUP BY event_type

@@ -180,6 +180,34 @@ def test_connected_components_chains_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_string_ids_distributed_path(spark):
+    """Regression: the distributed loop's label-sum convergence shortcut
+    is numeric-only; string labels cast to NULL and previously made every
+    round look converged after one propagation. small_edges=0 forces the
+    Pregel path on a chain that needs >1 round."""
+    from griddb_spark.pipeline import connected_components
+
+    pairs = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")],
+        ["doc_a", "doc_b"],
+    )
+    got = {r.doc_id: r.component
+           for r in connected_components(pairs, small_edges=0).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x"}
+
+
+def test_connected_components_numeric_distributed_path(spark):
+    from griddb_spark.pipeline import connected_components
+
+    pairs = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.component
+           for r in connected_components(pairs, small_edges=0).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_canonical_filter_keeps_reps_and_unclustered(spark):
     from griddb_spark.pipeline import canonical_filter, connected_components
 

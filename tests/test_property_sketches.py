@@ -78,7 +78,7 @@ def test_histogram_quantile_bucket_math_matches_reference(spark, seed):
     )
     n = len(buckets)
     assert out.n_rows == n
-    for q, name in zip(qs, ("q_25", "q_5", "q_9")):
+    for q, name in zip(qs, ("q_25", "q_50", "q_90")):
         need = q * n
         cum = 0
         ref = None

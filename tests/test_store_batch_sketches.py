@@ -123,7 +123,7 @@ class TestSketches:
         for r in out:
             vs = rows[r.event_type]
             n = len(vs)
-            for q, est in ((0.5, r.q_5), (0.95, r.q_95)):
+            for q, est in ((0.5, r.q_50), (0.95, r.q_95)):
                 below_edge = sum(1 for v in vs if v < est)
                 below_prev = sum(1 for v in vs if v < est - width)
                 assert below_edge >= q * n
@@ -137,7 +137,7 @@ class TestSketches:
         out = histogram_quantile(
             df, ["g"], "v", [0.5], lo=0.0, hi=8.0, n_buckets=8).collect()
         assert out[0].n_rows == 3
-        assert math.isfinite(out[0].q_5)
+        assert math.isfinite(out[0].q_50)
 
     def test_sketch_plan_bounds_shuffle(self, spark, catalog):
         """The distinct sketch must pre-aggregate (partial dedup) before

@@ -321,7 +321,7 @@ def test_quantile_sketch_stream_matches_batch_histogram(spark, catalog):
         "ts", F.date_trunc("hour", F.col("ts"))
     )
     batch_q = {
-        r.ts: (r.n_rows, r.q_5, r.q_95)
+        r.ts: (r.n_rows, r.q_50, r.q_95)
         for r in histogram_quantile(
             ev_b, ["ts"], "value", [0.5, 0.95], lo=0.0, hi=512.0,
             n_buckets=256,
