@@ -411,25 +411,135 @@ class DmlTable:
         return self
 
     def update(self, cond: Column, assignments: Mapping[str, Column]) -> "DmlTable":
-        """UPDATE ... SET assignments WHERE cond (read-rewrite)."""
-        df = self.read()
-        updated = df.select(
-            *[
-                F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in df.columns
-            ]
-        )
-        self._rewrite(updated)
+        """UPDATE ... SET assignments WHERE cond.
+
+        Partitioned containers rewrite ONLY the leaves containing matching
+        rows (see ``_mutate``); rows whose assignment moves them across a
+        partition boundary land in their new leaf. Unpartitioned
+        containers fall back to a whole-table stage-and-swap.
+        """
+
+        def transform(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        self._mutate(cond, transform)
         return self
 
     def delete(self, cond: Column) -> "DmlTable":
-        """DELETE FROM ... WHERE cond (keep the complement)."""
-        self._rewrite(self.read().filter(~F.coalesce(cond, F.lit(False))))
+        """DELETE FROM ... WHERE cond (keep the complement). Partitioned
+        containers rewrite only the leaves that hold matching rows."""
+        self._mutate(
+            cond, lambda df: df.filter(~F.coalesce(cond, F.lit(False)))
+        )
         return self
 
     # -- internals -----------------------------------------------------------
+
+    def _mutate(self, cond: Column, transform) -> None:
+        """Partition-scoped mutation (the 100 TB shape of UPDATE/DELETE).
+
+        The reference mutates rows in place through the container store
+        (``sql_processor_dml.cpp``, ``base_container.cpp`` putRow); plain
+        parquet can't, so the unit of rewrite is the Hive leaf directory:
+
+        1. discover the affected leaves — ``scan().filter(cond)`` projects
+           only the partition columns, so Catalyst pushes ``cond`` into the
+           parquet scan (row-group stats skip most of the table) and the
+           distinct leaf list collected is bounded by the leaf count;
+        2. re-read ONLY those leaves (the IN-filter on the partition
+           columns is a static PartitionFilter — untouched leaves are
+           never opened, let alone rewritten) and apply the mutation;
+        3. stage the result partitioned, then swap per leaf: affected
+           leaves are replaced wholesale (a leaf whose rows were all
+           deleted simply disappears), and staged leaves that were NOT in
+           the affected set — rows whose updated partition key moved them —
+           are merged file-wise into their existing directories (staged
+           part-file names carry a job UUID, so merges can't collide).
+
+        A one-row UPDATE on a year-partitioned container therefore touches
+        one leaf directory; every other leaf's files stay byte-identical.
+        On Delta/Iceberg this whole method is MERGE with file-level
+        replacement — the plan shape (pruned scan → mutate → replace
+        matched files) is the same.
+        """
+        if self.partitioning is None:
+            self._rewrite(transform(self.read()))
+            return
+        part_cols = self._part_cols
+        cond_safe = F.coalesce(cond, F.lit(False))
+        affected = [
+            tuple(r)
+            for r in self.scan()
+            .filter(cond_safe)
+            .select(*part_cols)
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return  # nothing matches: zero I/O, no leaf touched
+
+        if len(part_cols) == 1:
+            leaf_filter = F.col(part_cols[0]).isin([t[0] for t in affected])
+        else:
+            import functools
+
+            leaf_filter = functools.reduce(
+                lambda a, b: a | b,
+                [
+                    functools.reduce(
+                        lambda x, y: x & y,
+                        [F.col(c) == v for c, v in zip(part_cols, t)],
+                    )
+                    for t in affected
+                ],
+            )
+        sub = self.scan().filter(leaf_filter).drop(*part_cols)
+        mutated = transform(sub)
+
+        tmp = f"{self.path}.stage-{uuid.uuid4().hex[:8]}"
+        staged = DmlTable(self.spark, tmp, self.partitioning)
+        staged._write(staged._with_part(mutated), "error")
+
+        # swap: drop the affected leaves, then graft the staged leaves in
+        for t in affected:
+            d = os.path.join(
+                self.path, *[f"{c}={v}" for c, v in zip(part_cols, t)]
+            )
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        depth = len(part_cols)
+        for root, dirs, files in os.walk(tmp):
+            rel = os.path.relpath(root, tmp)
+            parts = [] if rel == "." else rel.split(os.sep)
+            if len(parts) != depth or not all("=" in p for p in parts):
+                continue
+            dirs[:] = []  # leaf reached; don't descend further
+            dest = os.path.join(self.path, *parts)
+            os.makedirs(dest, exist_ok=True)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                os.rename(os.path.join(root, f), os.path.join(dest, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+        # a fully-deleted range leaf may leave an empty parent (__part=x
+        # with every __subpart gone) — prune so #table_partitions and
+        # directory listings don't surface hollow partitions
+        if depth == 2:
+            for entry in os.listdir(self.path):
+                d = os.path.join(self.path, entry)
+                if (
+                    entry.startswith(f"{PARTITION_COL}=")
+                    and os.path.isdir(d)
+                    and not os.listdir(d)
+                ):
+                    os.rmdir(d)
 
     def _with_part(self, df: DataFrame) -> DataFrame:
         if self.partitioning is None:

@@ -179,3 +179,124 @@ def test_timeseries_container_row_expiration(spark):
     )
     vals = sorted(r.v for r in ts.to_df().collect())
     assert vals == [6.0, 7.0, 8.0, 9.0]
+
+
+# -- partition-scoped UPDATE/DELETE: leaf-level filesystem behavior --------
+
+def _leaf_state(path):
+    """{leaf relpath: {filename: sha256}} for every Hive leaf directory."""
+    import hashlib
+    import os
+
+    state = {}
+    for root, _dirs, files in os.walk(path):
+        rel = os.path.relpath(root, path)
+        if rel == "." or not all("=" in p for p in rel.split(os.sep)):
+            continue
+        data = [f for f in files if not f.startswith(("_", "."))]
+        if data:
+            state[rel] = {
+                f: hashlib.sha256(
+                    open(os.path.join(root, f), "rb").read()
+                ).hexdigest()
+                for f in data
+            }
+    return state
+
+
+def _day_table(spark, tmp_path, name="days"):
+    from griddb_spark.dml import DmlTable, range_partition_expr
+
+    rows = [
+        (i, f"2024-01-{1 + i % 5:02d} 12:00:00", float(i))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id int, ts string, val double").select(
+        "id", F.col("ts").cast("timestamp").alias("ts"), "val"
+    )
+    return DmlTable(
+        spark, str(tmp_path / name), range_partition_expr("ts", 1, "DAY")
+    ).create(df)
+
+
+def test_scoped_update_leaves_other_partitions_byte_identical(spark, tmp_path):
+    t = _day_table(spark, tmp_path)
+    before = _leaf_state(t.path)
+    assert len(before) == 5
+    # predicate touches only Jan 2 (ids with i % 5 == 1)
+    t.update(F.to_date("ts") == "2024-01-02", {"val": F.col("val") + 1000})
+    after = _leaf_state(t.path)
+    changed = {k for k in before if before[k] != after.get(k)}
+    day2 = [k for k in before if "1704153600000" in k]  # 2024-01-02 epoch ms
+    assert changed == set(day2) and len(day2) == 1
+    got = {r.id: r.val for r in t.read().collect()}
+    assert all(got[i] == i + 1000 for i in range(50) if i % 5 == 1)
+    assert all(got[i] == float(i) for i in range(50) if i % 5 != 1)
+
+
+def test_scoped_update_moves_row_across_leaves(spark, tmp_path):
+    t = _day_table(spark, tmp_path)
+    before = _leaf_state(t.path)
+    # move id=1 (Jan 2) to Jan 7 — a leaf that does not exist yet
+    t.update(
+        F.col("id") == 1,
+        {"ts": F.lit("2024-01-07 12:00:00").cast("timestamp")},
+    )
+    after = _leaf_state(t.path)
+    assert len(after) == 6  # new leaf materialized
+    changed = {k for k in before if before[k] != after.get(k)}
+    assert all("1704153600000" in k for k in changed)  # only Jan 2 rewritten
+    got = {r.id: r.ts for r in t.read().collect()}
+    assert str(got[1]).startswith("2024-01-07")
+    assert t.read().count() == 50
+
+
+def test_scoped_delete_all_in_leaf_removes_directory(spark, tmp_path):
+    import os
+
+    t = _day_table(spark, tmp_path)
+    before = _leaf_state(t.path)
+    t.delete(F.to_date("ts") == "2024-01-03")
+    after = _leaf_state(t.path)
+    assert len(after) == 4
+    gone = set(before) - set(after)
+    assert len(gone) == 1 and "1704240000000" in next(iter(gone))
+    assert not os.path.exists(os.path.join(t.path, next(iter(gone))))
+    # untouched leaves byte-identical
+    assert all(before[k] == after[k] for k in after)
+    assert t.read().count() == 40
+
+
+def test_scoped_delete_no_match_is_zero_io(spark, tmp_path):
+    t = _day_table(spark, tmp_path)
+    before = _leaf_state(t.path)
+    t.delete(F.col("val") > 1e9)
+    assert _leaf_state(t.path) == before
+
+
+def test_scoped_delete_range_hash_leaf_and_empty_parent(spark, tmp_path):
+    import os
+
+    from griddb_spark.dml import DmlTable, range_hash_partition_expr
+
+    rows = [(i, f"2024-01-{1 + i % 2:02d} 06:00:00", i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, ts string, dev int").select(
+        "id", F.col("ts").cast("timestamp").alias("ts"), "dev"
+    )
+    t = DmlTable(
+        spark,
+        str(tmp_path / "rh"),
+        range_hash_partition_expr("ts", 1, "DAY", "dev", 4),
+    ).create(df)
+    before = _leaf_state(t.path)
+    # delete one (day, device) cell entirely
+    t.delete((F.to_date("ts") == "2024-01-01") & (F.col("dev") == 0))
+    after = _leaf_state(t.path)
+    assert len(after) == len(before) - 1
+    assert all(before[k] == after[k] for k in after)  # others untouched
+    # delete the whole remaining Jan 1 range bucket -> parent dir pruned
+    t.delete(F.to_date("ts") == "2024-01-01")
+    assert not any(
+        "1704067200000" in d for d in os.listdir(t.path) if "=" in d
+    )
+    assert t.read().count() == sum(1 for i in range(30) if i % 2 == 1)

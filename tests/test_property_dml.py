@@ -107,3 +107,102 @@ def test_random_dml_sequence_vs_reference(spark, tmp_path, seed):
         else:
             assert g[2] == pytest.approx(w[2], abs=1e-9), (
                 seed, partitioned, g, w)
+
+
+# -- range-partitioned battery: leaf-straddling predicates, partition-key
+#    reassignment (rows must move leaves), delete-all-in-leaf -------------
+
+DAYS = ["2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"]
+DAY_MS = {d: i for i, d in enumerate(DAYS)}
+
+
+def _rand_ts_rows(rng, n, next_id):
+    return [
+        (
+            next_id + i,
+            rng.choice(DAYS) + f" {rng.randrange(24):02d}:00:00",
+            float(rng.randrange(100)),
+        )
+        for i in range(n)
+    ]
+
+
+def _ts_pred(rng):
+    """Predicates chosen to straddle / align with day-leaf boundaries."""
+    kind = rng.randrange(4)
+    if kind == 0:  # exactly one leaf
+        d = rng.choice(DAYS)
+        return F.to_date("ts") == d, lambda r: r["ts"][:10] == d
+    if kind == 1:  # straddles a leaf boundary (afternoon of d1 .. morning of d2)
+        i = rng.randrange(len(DAYS) - 1)
+        lo, hi = DAYS[i] + " 12:00:00", DAYS[i + 1] + " 12:00:00"
+        return (F.col("ts") >= lo) & (F.col("ts") < hi), (
+            lambda r: lo <= r["ts"] < hi
+        )
+    if kind == 2:  # value predicate, cuts across every leaf
+        x = rng.randrange(100)
+        return F.col("val") < x, lambda r: r["val"] < x
+    m = rng.randrange(2, 5)
+    return F.col("id") % m == 0, lambda r: r["id"] % m == 0
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_range_partitioned_dml_vs_reference(spark, tmp_path, seed):
+    from griddb_spark.dml import DmlTable, range_partition_expr
+
+    rng = random.Random(9100 + seed)
+    schema = "id int, ts string, val double"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).select(
+            "id", F.col("ts").cast("timestamp").alias("ts"), "val"
+        )
+
+    init = _rand_ts_rows(rng, rng.randint(10, 30), 0)
+    next_id = len(init)
+    t = DmlTable(
+        spark, str(tmp_path / "t"), range_partition_expr("ts", 1, "DAY")
+    ).create(mk(init))
+    ref = [dict(zip(("id", "ts", "val"), r)) for r in init]
+
+    for _ in range(rng.randint(3, 6)):
+        op = rng.choice(["insert", "update", "move", "delete", "delete_leaf"])
+        if op == "insert":
+            rows = _rand_ts_rows(rng, rng.randint(1, 8), next_id)
+            next_id += len(rows)
+            t.insert(mk(rows))
+            ref.extend(dict(zip(("id", "ts", "val"), r)) for r in rows)
+        elif op == "update":
+            cond, pf = _ts_pred(rng)
+            delta = float(rng.randrange(1, 50))
+            t.update(cond, {"val": F.col("val") + delta})
+            for r in ref:
+                if pf(r):
+                    r["val"] += delta
+        elif op == "move":  # partition-key reassignment: rows change leaves
+            cond, pf = _ts_pred(rng)
+            day_to = rng.choice(DAYS)
+            new_ts = day_to + " 09:30:00"
+            t.update(cond, {"ts": F.lit(new_ts).cast("timestamp")})
+            for r in ref:
+                if pf(r):
+                    r["ts"] = new_ts
+        elif op == "delete_leaf":  # may empty a whole leaf directory
+            d = rng.choice(DAYS)
+            t.delete(F.to_date("ts") == d)
+            ref = [r for r in ref if r["ts"][:10] != d]
+        else:
+            cond, pf = _ts_pred(rng)
+            t.delete(cond)
+            ref = [r for r in ref if not pf(r)]
+        if not ref:
+            break  # table may be fully empty; parquet dir has no leaves left
+
+    if ref:
+        got = sorted(
+            (r.id, str(r.ts), r.val) for r in t.read().collect()
+        )
+        want = sorted(
+            (r["id"], r["ts"].replace("T", " "), r["val"]) for r in ref
+        )
+        assert got == want, (seed, got[:5], want[:5])
