@@ -6,24 +6,36 @@ module adds the pipeline plumbing a media corpus needs at 100 TB:
 - a conventional schema: ``(media BINARY, media_meta STRUCT<format,width,
   height,n_bytes,...>)`` — metadata is queryable/prunable without touching
   the blobs;
-- ``extract_meta`` — cheap JVM-side header fields (no decode);
-- ``decode_features`` — the decode/feature-extract stage as an
-  Arrow-batched ``mapInPandas``: real Spark plumbing (schema, batch shape,
-  partition parallelism), with the codec behind ``_decode_image``.
+- ``extract_meta`` / ``png_meta`` — cheap JVM-side header fields (no
+  decode; IHDR width/height parse is pure substring+conv Column algebra);
+- ``decode_features`` / ``resize_media`` / ``frame_sample`` — the
+  decode/resize/frame stages as Arrow-batched ``mapInPandas``: real Spark
+  plumbing (schema, batch shape, partition parallelism).
 
-The actual image/audio codecs are NOT in this environment, so
-``_decode_image`` raises ``NotImplementedError`` unless ``fake=True``
-(deterministic stand-in features), keeping the distributed machinery fully
-testable.
+The codec: PNG (8-bit grayscale/RGB/RGBA, non-interlaced) is decoded FOR
+REAL with the stdlib — zlib inflate + scanline unfilter (all five PNG
+filters incl. Paeth) — and ``png_encode`` writes spec-compliant PNGs with
+the standard minimum-sum-of-residuals adaptive filter choice, so the
+decoder's Sub/Up/Average/Paeth reconstruction is genuinely exercised.
+Other formats (JPEG/audio/video) still raise ``NotImplementedError``
+unless ``fake=True`` (deterministic byte-level stand-in features): those
+codecs aren't in this container, and a production deployment would plug
+PIL/libvips/ffmpeg into ``_decode_image`` — the distributed machinery is
+identical. The pure-Python per-scanline filter loop is fine for the
+fixture-scale images here; a real deployment's codec hop is C either way.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 META_SCHEMA = T.StructType(
     [
@@ -57,16 +69,202 @@ def pack_binary(df: DataFrame, src_col: str, out_col: str = "media") -> DataFram
     return df.withColumn(out_col, media).withColumn(f"{out_col}_meta", meta)
 
 
-def _decode_image(buf: bytes, fake: bool):
-    """Decode one media blob → (mean_byte, feature vector).
+# -- PNG codec (stdlib only: zlib inflate/deflate + filter math) -----------
 
-    STUB: real codecs (PIL/libvips/ffmpeg) are not installed in this
-    container. ``fake=True`` computes deterministic byte-level features so
-    the distributed path is exercised end-to-end.
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_line(ft: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    """Apply PNG filter ``ft`` to a raw scanline (encode direction)."""
+    n = len(line)
+    out = bytearray(n)
+    for i in range(n):
+        x = line[i]
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            v = x
+        elif ft == 1:
+            v = x - a
+        elif ft == 2:
+            v = x - b
+        elif ft == 3:
+            v = x - ((a + b) >> 1)
+        else:
+            v = x - _paeth(a, b, c)
+        out[i] = v & 0xFF
+    return bytes(out)
+
+
+def _unfilter_line(ft: int, line: bytearray, prev: bytes, bpp: int) -> bytearray:
+    """Reconstruct a filtered scanline in place (decode direction)."""
+    n = len(line)
+    for i in range(n):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            add = 0
+        elif ft == 1:
+            add = a
+        elif ft == 2:
+            add = b
+        elif ft == 3:
+            add = (a + b) >> 1
+        elif ft == 4:
+            add = _paeth(a, b, c)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        line[i] = (line[i] + add) & 0xFF
+    return line
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+_COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # channels → PNG color type
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type → channels
+
+
+def png_encode(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
+    """Encode raw 8-bit pixels as a spec-compliant non-interlaced PNG.
+
+    Per-scanline adaptive filtering (the libpng heuristic: pick the filter
+    minimizing the sum of absolute residuals), so round-tripping through
+    ``png_decode`` exercises Sub/Up/Average/Paeth reconstruction — not
+    just the trivial None filter."""
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match width*height*channels")
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _COLOR_TYPE[channels], 0, 0, 0
+    )
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride:(y + 1) * stride]
+        best_ft, best_filt, best_score = 0, line, None
+        for ft in range(5):
+            filt = _filter_line(ft, line, prev, channels)
+            score = sum(v if v < 128 else 256 - v for v in filt)
+            if best_score is None or score < best_score:
+                best_ft, best_filt, best_score = ft, filt, score
+        raw.append(best_ft)
+        raw += best_filt
+        prev = line
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(buf: bytes) -> "tuple[int, int, int, bytes]":
+    """Decode a PNG → (width, height, channels, raw 8-bit pixel bytes).
+
+    Supports bit depth 8, color types 0/2/4/6, non-interlaced — the
+    overwhelmingly common PNG profile. zlib-inflates the IDAT stream and
+    reconstructs every scanline through the five PNG filters."""
+    if buf[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, bytearray(), None
+    w = h = channels = ctype = None
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        tag = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth}")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+            # indexed-color (type 3) carries one palette index per pixel
+            channels = 1 if ctype == 3 else _CHANNELS[ctype]
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data does not match dimensions")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        line = _unfilter_line(
+            raw[base], bytearray(raw[base + 1:base + 1 + stride]), prev,
+            channels,
+        )
+        out += line
+        prev = bytes(line)
+    if ctype == 3:  # expand palette indices → RGB
+        if plte is None:
+            raise ValueError("indexed PNG missing PLTE")
+        rgb = bytearray()
+        for i in out:
+            rgb += plte[i * 3:i * 3 + 3]
+        return w, h, 3, bytes(rgb)
+    return w, h, channels, bytes(out)
+
+
+def _gray(pixels: bytes, channels: int) -> bytes:
+    """Collapse multi-channel pixels to 8-bit grayscale (integer mean of
+    the color channels; alpha ignored)."""
+    if channels == 1:
+        return pixels
+    nc = 3 if channels >= 3 else 1  # gray+alpha: first channel is gray
+    return bytes(
+        sum(pixels[i + k] for k in range(nc)) // nc
+        for i in range(0, len(pixels), channels)
+    )
+
+
+def _decode_image(buf: bytes, fake: bool):
+    """Decode one media blob → (mean_pixel, feature vector).
+
+    PNG bytes decode FOR REAL (``png_decode``); features are the mean
+    pixel plus per-quadrant means of the grayscale image. Other formats:
+    real codecs (PIL/libvips/ffmpeg) are not installed in this container,
+    so ``fake=True`` computes deterministic byte-level features to keep
+    the distributed path exercised end-to-end, and ``fake=False`` raises.
     """
+    if buf[:8] == PNG_MAGIC:
+        w, h, channels, px = png_decode(buf)
+        g = _gray(px, channels)
+        n = len(g)
+        mean = sum(g) / n if n else 0.0
+        quarters = [g[i * n // 4:(i + 1) * n // 4] for i in range(4)]
+        feat = [float(sum(q)) / len(q) if q else 0.0 for q in quarters]
+        return mean, feat
     if not fake:
         raise NotImplementedError(
-            "media codecs are not available in this environment; "
+            "only the stdlib PNG codec is available in this environment; "
             "pass fake=True or plug a codec into _decode_image"
         )
     n = len(buf)
@@ -77,10 +275,65 @@ def _decode_image(buf: bytes, fake: bool):
     return mean, feat
 
 
+def png_pack(
+    df: DataFrame,
+    src_col: str,
+    id_col: str = "doc_id",
+    width: int = 32,
+    out_col: str = "media",
+) -> DataFrame:
+    """Materialize REAL PNG bytes per row: the utf-8 bytes of ``src_col``
+    laid out as an 8-bit grayscale image of the given width (height =
+    n_bytes // width complete scanlines; rows shorter than one scanline
+    are dropped). The deterministic pixel↔byte mapping is what lets a SQL
+    oracle verify the decode path without itself decoding PNG: any
+    pixel statistic equals the same statistic over the source bytes."""
+    import pandas as pd
+
+    def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for t in pdf[src_col]:
+                b = ("" if t is None else t).encode("utf-8")
+                h = len(b) // width
+                media.append(
+                    png_encode(b[: width * h], width, h) if h else None
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: media})
+
+    packed = (
+        df.select(id_col, src_col)
+        .mapInPandas(_pack, schema=f"{id_col} long, {out_col} binary")
+        .filter(F.col(out_col).isNotNull())
+    )
+    return packed.withColumn(f"{out_col}_meta", png_meta(F.col(out_col)))
+
+
+def png_meta(media: Column) -> Column:
+    """Typed PNG metadata as a pure JVM Column expression — width/height
+    parsed out of the IHDR chunk with substring + hex + conv, format from
+    the magic. NO decode, no Python: at 100 TB metadata predicates prune
+    on this struct without ever inflating a blob."""
+    be_int = lambda pos: F.conv(  # noqa: E731 — 4-byte big-endian int
+        F.hex(F.substring(media, pos, 4)), 16, 10
+    ).cast("int")
+    is_png = F.substring(media, 1, 8) == F.lit(PNG_MAGIC)
+    return F.struct(
+        F.when(is_png, F.lit("image/png")).otherwise(F.lit("unknown"))
+        .alias("format"),
+        F.when(is_png, be_int(17)).alias("width"),
+        F.when(is_png, be_int(21)).alias("height"),
+        F.octet_length(media).cast("int").alias("n_bytes"),
+        F.lower(F.hex(F.substring(media, 1, 4))).alias("header_hex"),
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), True),
         T.StructField("resized", T.BinaryType(), True),
+        T.StructField("r_w", T.IntegerType(), True),
+        T.StructField("r_h", T.IntegerType(), True),
         T.StructField("r_mean", T.DoubleType(), True),
     ]
 )
@@ -100,29 +353,58 @@ def resize_media(
     media_col: str = "media",
     id_col: str = "doc_id",
     out_bytes: int = 64,
+    out_w: int = 8,
+    out_h: int = 8,
 ) -> DataFrame:
-    """Resize stage: deterministic stride-resample of the byte stream to
-    exactly ``out_bytes`` (STUB for decode+interpolate — codecs aren't in
-    this container). The Spark-side contract is the real thing: Arrow
-    batches in/out, bounded per-row output size, and the blob never
-    leaves the executor."""
+    """Resize stage over Arrow-batched ``mapInPandas``.
+
+    PNG blobs take the REAL path: decode (zlib inflate + unfilter) →
+    grayscale → nearest-neighbor resample to ``out_w × out_h`` →
+    re-encode PNG. Non-PNG blobs fall back to a deterministic byte-stride
+    resample to ``out_bytes`` (the stand-in for formats whose codecs
+    aren't in this container). Either way the Spark contract is the real
+    thing: Arrow batches in/out, bounded per-row output size, and the
+    blob never leaves the executor."""
     import pandas as pd
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out, means = [], []
+            out, ws, hs, means = [], [], [], []
             for buf in pdf[media_col]:
                 b = bytes(buf)
+                if b[:8] == PNG_MAGIC:
+                    w, h, channels, px = png_decode(b)
+                    g = _gray(px, channels)
+                    rp = bytes(
+                        g[((r * h) // out_h) * w + (c * w) // out_w]
+                        for r in range(out_h)
+                        for c in range(out_w)
+                    )
+                    out.append(png_encode(rp, out_w, out_h))
+                    ws.append(out_w)
+                    hs.append(out_h)
+                    means.append(sum(rp) / len(rp))
+                    continue
                 n = len(b)
                 if n == 0:
                     out.append(b"")
+                    ws.append(0)
+                    hs.append(1)
                     means.append(0.0)
                     continue
                 r = bytes(b[(i * n) // out_bytes] for i in range(out_bytes))
                 out.append(r)
+                ws.append(out_bytes)
+                hs.append(1)
                 means.append(sum(r) / len(r))
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "resized": out, "r_mean": means}
+                {
+                    "doc_id": pdf[id_col],
+                    "resized": out,
+                    "r_w": pd.Series(ws, dtype="int32"),
+                    "r_h": pd.Series(hs, dtype="int32"),
+                    "r_mean": means,
+                }
             )
 
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
@@ -137,11 +419,15 @@ def frame_sample(
     frame_bytes: int = 32,
     stride: int = 2,
 ) -> DataFrame:
-    """Frame-sampling stage: the blob is treated as a raw buffer of
-    fixed-size frames (the video stand-in); emit every ``stride``-th
-    COMPLETE frame. Row-expanding ``mapInPandas`` — one input row yields
+    """Frame-sampling stage: emit every ``stride``-th frame as its own
+    row (row-expanding ``mapInPandas`` — one input row yields
     ``ceil(n_frames/stride)`` output rows, the shape a real video
-    frame-sampler has."""
+    frame-sampler has).
+
+    PNG blobs take the REAL path: decode, then each grayscale scanline is
+    one frame (the decoded-pixel analog of fixed-rate frames — exercises
+    inflate + unfilter on every sampled row). Non-PNG blobs are treated
+    as a raw buffer of ``frame_bytes``-sized frames."""
     import pandas as pd
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -149,6 +435,16 @@ def frame_sample(
             ids, idxs, frames, means = [], [], [], []
             for i, buf in zip(pdf[id_col], pdf[media_col]):
                 b = bytes(buf)
+                if b[:8] == PNG_MAGIC:
+                    w, h, channels, px = png_decode(b)
+                    g = _gray(px, channels)
+                    for k in range(0, h, stride):
+                        fr = g[k * w:(k + 1) * w]
+                        ids.append(i)
+                        idxs.append(k)
+                        frames.append(fr)
+                        means.append(sum(fr) / len(fr))
+                    continue
                 for k in range(0, len(b) // frame_bytes, stride):
                     fr = b[k * frame_bytes:(k + 1) * frame_bytes]
                     ids.append(i)

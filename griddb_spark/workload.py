@@ -1591,37 +1591,47 @@ def pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipe_multimodal_meta",
     """
-    WITH b AS (SELECT doc_id, text, strlen(text) n,
-                 [ascii(substr(text, i, 1)) for i in range(1, length(text)+1)]
-                   bytes
-               FROM documents)
-    SELECT doc_id, 'fake/text' AS format, n AS n_bytes,
-      lower(hex(substr(text, 1, 4))) AS header_hex,
-      round(list_aggregate(bytes, 'sum')::double / n, 6) AS mean_byte,
-      round(coalesce(list_aggregate(bytes[1:(n//4)], 'avg'), 0.0), 6) AS f0,
-      round(coalesce(list_aggregate(bytes[(n//4)+1:(2*n//4)], 'avg'), 0.0), 6)
+    WITH b AS (SELECT doc_id, text, 32 * (strlen(text) // 32) m,
+                 strlen(text) // 32 h
+               FROM documents WHERE strlen(text) >= 32),
+    p AS (SELECT doc_id, m, h,
+                 [ascii(substr(text, i, 1)) for i in range(1, m + 1)] px
+          FROM b)
+    SELECT doc_id, 'image/png' AS format, CAST(32 AS INT) AS width,
+      CAST(h AS INT) AS height, '89504e47' AS header_hex,
+      round(list_aggregate(px, 'sum')::double / m, 6) AS mean_byte,
+      round(coalesce(list_aggregate(px[1:(m//4)], 'avg'), 0.0), 6) AS f0,
+      round(coalesce(list_aggregate(px[(m//4)+1:(2*m//4)], 'avg'), 0.0), 6)
         AS f1,
-      round(coalesce(list_aggregate(bytes[(2*n//4)+1:(3*n//4)], 'avg'), 0.0), 6)
+      round(coalesce(list_aggregate(px[(2*m//4)+1:(3*m//4)], 'avg'), 0.0), 6)
         AS f2,
-      round(coalesce(list_aggregate(bytes[(3*n//4)+1:n], 'avg'), 0.0), 6) AS f3
-    FROM b
+      round(coalesce(list_aggregate(px[(3*m//4)+1:m], 'avg'), 0.0), 6) AS f3
+    FROM p
     """,
 )
 def pipe_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: pack text as opaque binary media +
-    typed metadata, then the decode/feature stub over mapInPandas (Arrow
-    batches). Codec itself is stubbed (fake=True) — the schema, batching
-    and partition parallelism are the real thing."""
-    from griddb_spark.pipeline.multimodal import decode_features, pack_binary
+    """Multimodal plumbing end-to-end over REAL PNG bytes: each document's
+    bytes become an 8-bit grayscale PNG (stdlib encoder, adaptive
+    filters), metadata (width/height) is parsed from the IHDR chunk as a
+    pure JVM Column expression — no decode, the 100 TB prune path — and
+    features come from a genuine zlib-inflate + unfilter decode inside
+    Arrow-batched mapInPandas (fake=False). The oracle never touches PNG:
+    pixels are a deterministic function of the text bytes, so it verifies
+    the whole encode→IHDR-parse→decode chain by recomputing the pixel
+    statistics directly from the source bytes."""
+    from griddb_spark.pipeline.multimodal import decode_features, png_pack
 
     docs = cat(spark, sf_dir).load("documents")
-    packed = pack_binary(docs, "text")
-    feats = decode_features(packed, "media", "doc_id", fake=True)
+    packed = png_pack(docs, "text", width=32)
+    feats = decode_features(packed, "media", "doc_id", fake=False)
     return (
-        packed.select("doc_id", "media_meta.format", "media_meta.header_hex")
+        packed.select(
+            "doc_id", "media_meta.format", "media_meta.width",
+            "media_meta.height", "media_meta.header_hex",
+        )
         .join(feats, "doc_id")
         .select(
-            "doc_id", "format", "n_bytes", "header_hex",
+            "doc_id", "format", "width", "height", "header_hex",
             _r6(F.col("mean_byte")).alias("mean_byte"),
             *[_r6(F.col("feat")[i]).alias(f"f{i}") for i in range(4)],
         )
@@ -1692,30 +1702,33 @@ def pipe_dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipe_multimodal_resize",
     """
-    WITH b AS (SELECT doc_id, text, strlen(text) n FROM documents
-               WHERE strlen(text) > 0)
+    WITH b AS (SELECT doc_id, text, strlen(text) // 32 h FROM documents
+               WHERE strlen(text) >= 32)
     SELECT doc_id, CAST(64 AS INT) AS out_n,
       round(list_aggregate(
-        [ascii(substr(text, ((i*n)//64)+1, 1)) for i in range(0, 64)],
+        [ascii(substr(text, (((i//8)*h)//8)*32 + ((i%8)*32)//8 + 1, 1))
+         for i in range(0, 64)],
         'avg'), 6) AS r_mean
     FROM b
     """,
 )
 def pipe_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal resize stage: stride-resample every blob to a fixed
-    64-byte buffer over Arrow-batched mapInPandas (codec stubbed; the
-    distributed plumbing is real). Oracle recomputes the stride indices
-    byte-for-byte in SQL."""
-    from griddb_spark.pipeline.multimodal import pack_binary, resize_media
+    """Multimodal resize stage over REAL PNGs: decode (zlib inflate +
+    per-scanline unfilter) → nearest-neighbor resample of the 32×h
+    grayscale image to 8×8 → re-encode PNG, inside Arrow-batched
+    mapInPandas. The oracle replays the nearest-neighbor index arithmetic
+    directly over the source bytes — a wrong decode (bad filter math, bad
+    dimensions) cannot hash-match."""
+    from griddb_spark.pipeline.multimodal import png_pack, resize_media
 
     docs = cat(spark, sf_dir).load("documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    packed = pack_binary(docs, "text").filter(F.octet_length("media") > 0)
-    rz = resize_media(packed, "media", "doc_id", out_bytes=64)
+    packed = png_pack(docs, "text", width=32)
+    rz = resize_media(packed, "media", "doc_id", out_w=8, out_h=8)
     return rz.select(
         "doc_id",
-        F.octet_length("resized").cast("int").alias("out_n"),
+        (F.col("r_w") * F.col("r_h")).cast("int").alias("out_n"),
         _r6(F.col("r_mean")).alias("r_mean"),
     )
 
@@ -1734,17 +1747,18 @@ def pipe_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipe_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame-sampling stage: blob → every 2nd complete 32-byte
-    frame, one output row per frame (row-expanding mapInPandas — the
-    video frame-sampler shape). Oracle unnests the same frame grid in
-    SQL."""
-    from griddb_spark.pipeline.multimodal import frame_sample, pack_binary
+    """Multimodal frame-sampling over REAL PNGs: every 2nd decoded
+    scanline of the 32×h grayscale image is one output frame — a
+    row-expanding mapInPandas whose every row passes through zlib inflate
+    + unfilter (the video frame-sampler shape). Oracle unnests the same
+    frame grid over the source bytes in SQL."""
+    from griddb_spark.pipeline.multimodal import frame_sample, png_pack
 
     docs = cat(spark, sf_dir).load("documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    packed = pack_binary(docs, "text")
-    fr = frame_sample(packed, "media", "doc_id", frame_bytes=32, stride=2)
+    packed = png_pack(docs, "text", width=32)
+    fr = frame_sample(packed, "media", "doc_id", stride=2)
     return fr.select(
         "doc_id", "frame_idx", _r6(F.col("f_mean")).alias("f_mean")
     )

@@ -378,3 +378,87 @@ def test_linear_probe_plan_has_no_shuffle(spark, emb):
     plan = (linear_probe_score(emb, "embedding", w)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_png_codec_roundtrip_all_filters_and_channels(spark):
+    import random
+
+    from griddb_spark.pipeline.multimodal import png_decode, png_encode
+
+    rng = random.Random(17)
+    for w, h, ch in [(32, 4, 1), (7, 3, 3), (5, 5, 4), (1, 1, 1), (16, 9, 1)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        assert png_decode(png_encode(px, w, h, ch)) == (w, h, ch, px)
+    # gradient forces Sub/Up/Average/Paeth filter selection
+    px = bytes((x * 3 + y * 7) % 256 for y in range(20) for x in range(30))
+    assert png_decode(png_encode(px, 30, 20))[3] == px
+
+
+def test_png_decoder_reads_foreign_encoders():
+    """Spec-compliance: PNGs written by real-world encoders (not our own)
+    must decode — gray, RGB+palette, RGBA profiles."""
+    import os
+
+    from griddb_spark.pipeline.multimodal import png_decode
+
+    fixtures = [
+        ("/usr/share/doc/python3/_static/minus.png", 1),   # grayscale
+        ("/usr/share/gitweb/static/git-logo.png", 3),      # indexed->RGB
+        ("/usr/share/doc/python3/_static/file.png", 4),    # RGBA
+    ]
+    seen = 0
+    for path, ch in fixtures:
+        if not os.path.exists(path):
+            continue
+        w, h, c, px = png_decode(open(path, "rb").read())
+        assert c == ch and len(px) == w * h * c and w > 0 and h > 0
+        seen += 1
+    assert seen >= 1  # at least one independent encoder exercised
+
+
+def test_png_pack_meta_parses_ihdr_jvm_side(spark):
+    from griddb_spark.pipeline.multimodal import png_decode, png_pack
+
+    df = spark.createDataFrame(
+        [(1, "a" * 100), (2, "xy" * 40), (3, "short")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in png_pack(df, "text", width=32).collect()}
+    assert set(rows) == {1, 2}  # doc 3 (<32 bytes) dropped
+    for i, n in ((1, 100), (2, 80)):
+        meta = rows[i].media_meta
+        assert meta.format == "image/png"
+        assert (meta.width, meta.height) == (32, n // 32)
+        assert meta.header_hex == "89504e47"
+        # JVM-parsed dims must equal the decoded truth
+        w, h, c, px = png_decode(bytes(rows[i].media))
+        assert (w, h, c) == (meta.width, meta.height, 1)
+
+
+def test_multimodal_resize_and_frames_real_png(spark):
+    from griddb_spark.pipeline.multimodal import (
+        frame_sample,
+        png_decode,
+        png_pack,
+        resize_media,
+    )
+
+    text = "".join(chr(65 + (i * 11) % 26) for i in range(320))  # 32x10
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    packed = png_pack(df, "text", width=32)
+
+    r = resize_media(packed, out_w=8, out_h=8).collect()[0]
+    assert (r.r_w, r.r_h) == (8, 8)
+    w, h, c, px = png_decode(bytes(r.resized))  # output is itself a PNG
+    assert (w, h, c) == (8, 8, 1)
+    want = bytes(
+        ord(text[((rr * 10) // 8) * 32 + (cc * 32) // 8])
+        for rr in range(8) for cc in range(8)
+    )
+    assert px == want and r.r_mean == sum(want) / 64
+
+    fr = {f.frame_idx: f for f in frame_sample(packed, stride=2).collect()}
+    assert set(fr) == {0, 2, 4, 6, 8}  # every 2nd scanline of 10
+    for k, f in fr.items():
+        line = text[k * 32:(k + 1) * 32].encode()
+        assert bytes(f.frame) == line
+        assert f.f_mean == sum(line) / 32
