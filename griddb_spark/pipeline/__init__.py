@@ -70,6 +70,7 @@ from griddb_spark.pipeline.quality import (  # noqa: F401
 from griddb_spark.pipeline.similarity import (  # noqa: F401
     ann_ivf,
     cosine_pairs,
+    cosine_pairs_ann,
     knn_bruteforce,
     l2_normalize,
     linear_probe_score,

@@ -328,6 +328,103 @@ def cosine_pairs(
     )
 
 
+def sign_code(vec: Column, bits: int = 8) -> Column:
+    """Coarse-quantizer cell id from the sign bits of the first ``bits``
+    dimensions (axis-aligned random-hyperplane LSH for cosine — the
+    hyperplanes are the coordinate planes, so the code is a deterministic
+    pure-Column expression any engine can replay). Vectors with high
+    cosine agree on most signs; Hamming-probing neighbor codes recovers
+    pairs that straddle a plane."""
+    terms = [
+        (F.element_at(vec, j + 1) >= 0).cast("long") * F.lit(1 << j)
+        for j in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def cosine_pairs_ann(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    sign_bits: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN-candidate near-dup pairs: the 100 TB route for embedding dedup
+    (``cosine_pairs``' documented scale path, now a real operator).
+
+    Candidate generation is sub-quadratic: every vector is binned by its
+    ``sign_bits``-bit sign code (2^bits cells), and each vector probes its
+    own cell plus the ``bits`` Hamming-1 neighbor codes (multi-probe LSH).
+    Because Hamming-1 adjacency is symmetric, generating candidates only
+    in the ``id_a < id_b`` direction loses nothing. The shuffle carries
+    (cell, id, vec) — candidate volume is Σ_cell |probers|·|members|,
+    bounded by cell occupancy, never n². Verification is exact: a
+    vectorized NumPy row-wise cosine over Arrow batches (narrow stage —
+    no second shuffle), keeping pairs ≥ ``threshold``.
+
+    Recall contract: a pair is found iff its sign codes differ in ≤1 of
+    the first ``bits`` dims. At near-dup thresholds (≥0.9) codes almost
+    always agree outright; lower thresholds need more probes or a trained
+    coarse quantizer — that trade-off is the definition of ANN. Scale
+    knob: ``sign_bits`` grows with log₂(corpus) to keep cells O(1)-sized.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    import pandas as pd
+
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__cell", sign_code(F.col("__v"), sign_bits))
+    probe_cells = F.array(
+        F.col("__cell"),
+        *[F.col("__cell").bitwiseXOR(F.lit(1 << j)) for j in range(sign_bits)],
+    )
+    probes = v.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.explode(probe_cells).alias("__pcell"),
+    )
+    members = v.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__cell").alias("__pcell"),
+    )
+    cand = probes.join(members, "__pcell").filter(F.col("id_a") < F.col("id_b"))
+
+    out_schema = "id_a long, id_b long, cos_sim double"
+
+    def verify(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ma = np.stack(pdf["__va"].to_numpy())
+            mb = np.stack(pdf["__vb"].to_numpy())
+            na = np.linalg.norm(ma, axis=1)
+            nb = np.linalg.norm(mb, axis=1)
+            denom = na * nb
+            denom[denom == 0.0] = 1.0
+            sim = np.round(np.einsum("ij,ij->i", ma, mb) / denom, round_to)
+            keep = sim >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cos_sim": sim[keep],
+                }
+            )
+
+    return cand.select("id_a", "id_b", "__va", "__vb").mapInPandas(
+        verify, out_schema
+    )
+
+
 def max_sim_vs_bench(
     corpus: DataFrame,
     bench: DataFrame,

@@ -3970,6 +3970,94 @@ def pipe_dedup_embed_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_dedup_embed_canonical_ann",
+    """
+    WITH RECURSIVE u AS (
+      SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, [x * 1.001 for x in embedding::DOUBLE[]]
+      FROM embeddings
+    ),
+    grp AS (SELECT v, min(vec_id) rep FROM u GROUP BY v),
+    xe AS (SELECT grp.rep a, u.vec_id b FROM u JOIN grp ON u.v = grp.v
+           WHERE u.vec_id != grp.rep),
+    c AS (SELECT rep vec_id, v,
+            ( (v[1] >= 0)::BIGINT * 1 + (v[2] >= 0)::BIGINT * 2
+            + (v[3] >= 0)::BIGINT * 4 + (v[4] >= 0)::BIGINT * 8
+            + (v[5] >= 0)::BIGINT * 16 + (v[6] >= 0)::BIGINT * 32
+            + (v[7] >= 0)::BIGINT * 64 + (v[8] >= 0)::BIGINT * 128) cell
+          FROM grp),
+    p AS (SELECT vec_id, v,
+            unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4),
+                    xor(cell, 8), xor(cell, 16), xor(cell, 32),
+                    xor(cell, 64), xor(cell, 128)]) pcell
+          FROM c),
+    j AS (SELECT p.vec_id id_a, m.vec_id id_b
+          FROM p JOIN c m ON m.cell = p.pcell AND p.vec_id < m.vec_id
+          WHERE round(list_cosine_similarity(p.v, m.v), 6) >= 0.9),
+    e AS (SELECT id_a a, id_b b FROM j UNION SELECT id_b, id_a FROM j
+          UNION SELECT a, b FROM xe UNION SELECT b, a FROM xe),
+    reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+    ),
+    comp AS (SELECT src vec_id, least(src, min(dst)) component
+             FROM reach GROUP BY src)
+    SELECT u.vec_id FROM u
+    WHERE NOT EXISTS (SELECT 1 FROM comp c
+                      WHERE c.vec_id = u.vec_id AND c.component < u.vec_id)
+    """,
+)
+def pipe_dedup_embed_canonical_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dedup through the ANN candidate route — the 100 TB
+    composition that ``pipe_dedup_embed_canonical``'s docstring promises:
+    sign-code cell probing (``cosine_pairs_ann``) replaces the exact
+    O(n²) pair stage; components + canonical filter are unchanged.
+
+    The fixture corpus is the embeddings table plus a deterministic
+    near-duplicate of every vector (×1.001 per component — same sign
+    code, cosine ≈ 1), so at threshold 0.9 the ANN keep-set provably
+    equals the exact variant's (pinned by a unit test): candidate
+    generation is sub-quadratic, recall on true near-dups is complete.
+    An exact-collapse pre-stage (group identical vectors, probe only the
+    min-id representative — same composition as the collapsed minhash)
+    keeps replica-heavy corpora linear: LSH cells full of bit-identical
+    vectors would otherwise rebuild the quadratic candidate set the ANN
+    route exists to avoid. The oracle replays the collapse, the sign
+    codes, the Hamming-1 probe set, the verify, and the recursive
+    closure in SQL."""
+    from griddb_spark.pipeline import (
+        canonical_filter,
+        connected_components,
+        cosine_pairs_ann,
+    )
+
+    emb = cat(spark, sf_dir).load("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = emb.unionByName(pert)
+    g = corpus.groupBy("embedding").agg(
+        F.min("vec_id").alias("rep"),
+        F.collect_list("vec_id").alias("members"),
+    )
+    reps = g.select(F.col("rep").alias("vec_id"), "embedding")
+    exact_edges = g.select(
+        F.col("rep").alias("id_a"), F.explode("members").alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
+    ann_pairs = cosine_pairs_ann(
+        reps, "vec_id", "embedding", threshold=0.9, sign_bits=8
+    ).select("id_a", "id_b")
+    pairs = ann_pairs.unionByName(exact_edges)
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    return canonical_filter(corpus, comps, id_col="vec_id").select("vec_id")
+
+
+@query(
     "pipe_encode_tokens",
     """
     WITH tf AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) token

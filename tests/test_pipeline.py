@@ -462,3 +462,50 @@ def test_multimodal_resize_and_frames_real_png(spark):
         line = text[k * 32:(k + 1) * 32].encode()
         assert bytes(f.frame) == line
         assert f.f_mean == sum(line) / 32
+
+
+def test_cosine_pairs_ann_equals_exact_on_near_dup_corpus(spark, emb):
+    """The ANN candidate route (sign-code cells + Hamming-1 multi-probe)
+    must reproduce the exact kernel's output where its recall contract
+    holds: a corpus whose true near-dups share sign codes."""
+    from griddb_spark.pipeline import cosine_pairs, cosine_pairs_ann
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(
+            corpus, "vec_id", "embedding", threshold=0.9, blocks=4
+        ).collect()
+    }
+    ann = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_ann(
+            corpus, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    n = base.count()
+    assert ann == exact and len(ann) == n  # one planted pair per vector
+
+
+def test_cosine_pairs_ann_candidates_are_cell_bounded(spark, emb):
+    """Sanity on the sub-quadratic claim: the candidate count must be far
+    below n^2/2 (the exact kernel's pair count) on a spread-out corpus."""
+    from pyspark.sql import functions as SF
+
+    from griddb_spark.pipeline.similarity import sign_code
+
+    n = emb.count()
+    v = emb.select(
+        SF.col("embedding").cast("array<double>").alias("__v")
+    ).withColumn("__cell", sign_code(SF.col("__v"), 8))
+    occupancy = v.groupBy("__cell").count().collect()
+    # candidates <= sum over cells of 9 * occupancy^2 (own + 8 probes)
+    cand_bound = 9 * sum(r["count"] ** 2 for r in occupancy)
+    assert cand_bound < n * n / 4
