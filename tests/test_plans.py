@@ -64,14 +64,34 @@ def test_asof_join_is_single_sort(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_match_recognize_fans_out_all_cores(spark):
-    """The NFA is the Python slow path: its grouped-map stage must keep an
-    explicit-numPartitions repartition (REPARTITION_BY_NUM), which AQE
-    never coalesces — without it the tiny-by-bytes shuffle collapses onto
-    a few cores (observed 4x wall-clock on events at sf0.1)."""
+def test_match_recognize_simple_pattern_compiles_to_jvm(spark):
+    """Single-variable patterns (the spikes shape) take the JVM fast
+    path: pure window/filter plan, NO Python worker node anywhere."""
     from griddb_spark import workload
 
     plan = _plan(workload.QUERIES["match_recognize_spikes"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan  # lag + row_number execute as window exec
+
+
+def test_match_recognize_nfa_fans_out_all_cores(spark, catalog):
+    """Patterns beyond the fast path (quantifiers/sequences) stay on the
+    NFA — the Python slow path must keep an explicit-numPartitions
+    repartition (REPARTITION_BY_NUM), which AQE never coalesces — without
+    it the tiny-by-bytes shuffle collapses onto a few cores (observed 4x
+    wall-clock on events at sf0.1)."""
+    from griddb_spark.operators import match_recognize
+
+    ev = catalog.load("events")
+    df = match_recognize(
+        ev,
+        pattern="UP+ DOWN",
+        define={"UP": "value > PREV(value)", "DOWN": "value < PREV(value)"},
+        measures={"peak": "LAST(value)"},
+        partition_by=["user_id"],
+        order_by="ts",
+    )
+    plan = _plan(df)
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
 

@@ -121,3 +121,70 @@ def test_random_pattern_matches_re_oracle(spark, case):
         assert got[k] == want, (
             f"pattern {pattern!r} partition {k}: {got[k]} != {want}"
         )
+
+
+def test_jvm_fast_path_row_identical_to_nfa(spark, catalog, monkeypatch):
+    """The single-variable JVM fast path must be row-identical to the
+    NFA on a condition exercising NULL comparisons, boolean ops, NOT,
+    PREV offsets, and match-function measures."""
+    import importlib
+
+    mr = importlib.import_module("griddb_spark.operators.match_recognize")
+
+    ev = catalog.load("events").limit(4000)
+    spec = dict(
+        pattern="HOT",
+        define={
+            "HOT": "(value > PREV(value) * 1.5 or value > PREV(value, 2)) "
+                   "and not (value < 10)"
+        },
+        measures={
+            "hot_ts": "LAST(ts)",
+            "v": "value",
+            "prev_v": "PREV(value)",
+            "m": "MATCH_NUMBER()",
+            "who": "CLASSIFIER()",
+            "mag": "ABS(value - PREV(value))",
+        },
+        measure_types={"m": "long", "mag": "double"},
+        partition_by=["user_id"],
+        order_by="ts",
+    )
+    fast = mr.match_recognize(ev, **spec)
+    assert "FlatMapGroupsInPandas" not in fast._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.setattr(mr, "_try_fast_path", lambda *a, **k: None)
+    slow = mr.match_recognize(ev, **spec)
+    assert "FlatMapGroupsInPandas" in slow._jdf.queryExecution().executedPlan().toString()
+
+    key = lambda r: (r.user_id, r.m)  # noqa: E731
+    got_f = sorted(fast.collect(), key=key)
+    got_s = sorted(slow.collect(), key=key)
+    assert fast.columns == slow.columns
+    assert len(got_f) == len(got_s) and len(got_f) > 0
+    for a, b in zip(got_f, got_s):
+        assert a == b, (a, b)
+
+
+def test_jvm_fast_path_all_rows_and_undefined_var(spark, catalog, monkeypatch):
+    import importlib
+
+    mr = importlib.import_module("griddb_spark.operators.match_recognize")
+
+    ev = catalog.load("events").limit(1000)
+    spec = dict(
+        pattern="ROW",
+        define={},  # undefined variable matches every row
+        measures={"mn": "MATCH_NUMBER()"},
+        measure_types={"mn": "long"},
+        partition_by=["user_id"],
+        order_by="ts",
+        all_rows=True,
+    )
+    fast = mr.match_recognize(ev, **spec)
+    monkeypatch.setattr(mr, "_try_fast_path", lambda *a, **k: None)
+    slow = mr.match_recognize(ev, **spec)
+    key = lambda r: (r.user_id, r.mn)  # noqa: E731
+    rf, rs = sorted(fast.collect(), key=key), sorted(slow.collect(), key=key)
+    assert fast.columns == slow.columns and len(rf) == 1000
+    assert all(a == b for a, b in zip(rf, rs))
