@@ -40,13 +40,48 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+#: Queries that appeared in CORRECTNESS_r01-r03 (the driver has sampled
+#: the same ~50 registration-order-first entries for three rounds, so 88+
+#: registered queries never reached the hard signal). Listing the
+#: already-sampled names LAST rotates every never-sampled operator
+#: (streaming family, TPC-H suite, GIS, meta tables, late pipeline ops)
+#: to the front of the iteration order the driver samples from. Purely an
+#: ordering change — the full inventory is identical.
+_SAMPLED_R1_R3 = [
+    "agg_distinct", "agg_group_concat", "agg_stats", "asof_join_users",
+    "dml_update_delete", "join_cross_theta", "join_full_outer",
+    "join_inner_5way", "join_left_outer", "join_semi_anti",
+    "limit_offset", "match_recognize_spikes", "max_min_rows",
+    "meta_index_info", "pipe_ann_ivf", "pipe_decontaminate",
+    "pipe_dedup_canonical", "pipe_dedup_components", "pipe_dedup_exact",
+    "pipe_dedup_minhash", "pipe_dedup_minhash_collapsed",
+    "pipe_dedup_simhash", "pipe_fingerprint", "pipe_knn_cosine",
+    "pipe_lang_id", "pipe_multimodal_frames", "pipe_multimodal_meta",
+    "pipe_multimodal_resize", "pipe_pack_sequences",
+    "pipe_sample_stratified", "pipe_text_quality", "pipe_vocab_topk",
+    "q1_pricing_summary", "range_15m_fill_linear", "range_15m_fill_null",
+    "range_15m_fill_prev", "range_hour_none", "scalar_case_in_between",
+    "scalar_glob_like", "scalar_string_funcs", "scalar_time_ctors",
+    "scalar_time_funcs", "setops", "sort_topk",
+    "sql_frontend_group_by_range", "stream_group_by_range",
+    "stream_sliding_window", "time_avg_per_user",
+    "time_interpolated_per_user", "time_next_per_user",
+    "time_prev_only_per_user", "time_sampling_user3", "tql_aggregation",
+    "tql_select_where_order_limit", "ts_weighted_avg_range",
+    "window_funcs",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from griddb_spark import workload
 
-    return dict(workload.QUERIES)
+    seen = [n for n in _SAMPLED_R1_R3 if n in workload.QUERIES]
+    fresh = [n for n in workload.QUERIES if n not in set(seen)]
+    return {n: workload.QUERIES[n] for n in fresh + seen}
 
 
 def oracle_sql() -> dict[str, str]:
     from griddb_spark import workload
 
-    return dict(workload.ORACLE)
+    names = list(queries())
+    return {n: workload.ORACLE[n] for n in names if n in workload.ORACLE}

@@ -102,17 +102,26 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The stdout line is the driver contract, but its capture has been
+    # observed tail-truncated in the recorded artifact (BENCH_r03 carried
+    # only ~65 of 138 per-query timings, "parsed": null) — so the full
+    # profile is ALSO written to a machine-readable sibling file.
+    profile_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_profile.json"
     )
+    try:
+        with open(profile_path, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the data
+    print(json.dumps(record))
     return 0
 
 

@@ -116,12 +116,26 @@ class Collection:
         return out
 
     # -- mutation (insert-or-update by row key) ------------------------------
+
+    #: compact the mutation lineage every N generations: each put/remove
+    #: stacks a union + window-dedup (or a filter) on the previous plan, so
+    #: a long-lived container would otherwise grow an unbounded plan tree —
+    #: analysis cost per fetch climbs with every put, and one action
+    #: replays every generation. ``localCheckpoint`` materializes current
+    #: state and truncates the lineage back to a leaf, bounding both.
+    COMPACT_EVERY = 16
+
+    def _maybe_compact(self) -> None:
+        if self._generation % self.COMPACT_EVERY == 0:
+            self._df = self._df.localCheckpoint(eager=True)
+
     def put(self, rows: DataFrame | Sequence[dict]) -> "Collection":
         new = self._as_df(rows)
+        self._generation += 1
         if self.row_key is None:
             self._df = self._df.unionByName(new)
+            self._maybe_compact()
             return self
-        self._generation += 1
         old = self._df.withColumn("__gen", F.lit(0))
         incoming = new.withColumn("__gen", F.lit(self._generation))
         w = Window.partitionBy(self.row_key).orderBy(F.col("__gen").desc())
@@ -131,11 +145,14 @@ class Collection:
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__gen")
         )
+        self._maybe_compact()
         return self
 
     def remove(self, key) -> "Collection":
         self._require_key()
+        self._generation += 1
         self._df = self._df.filter(~self._key_eq(key))
+        self._maybe_compact()
         return self
 
     # -- query ---------------------------------------------------------------

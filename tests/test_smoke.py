@@ -134,3 +134,46 @@ def test_export_import_roundtrip_csv_json(catalog, tmp_path):
             (tuple(r) for r in back.orderBy("event_id").limit(50).collect())
         )
         assert got == sorted(want), f"{fmt} roundtrip mismatch"
+
+
+def test_collection_put_lineage_stays_bounded(spark):
+    """100 sequential puts must not build an unbounded plan: the
+    periodic localCheckpoint compaction truncates lineage, so plan size
+    is bounded by COMPACT_EVERY generations and fetch latency stays flat
+    instead of replaying every generation."""
+    import time
+
+    from griddb_spark.container import Collection
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)],
+                               "id int, v double")
+    col = Collection("c", df, row_key="id")
+
+    def plan_lines(c):
+        return len(
+            c.df._jdf.queryExecution().analyzed().numberedTreeString()
+            .splitlines()
+        )
+
+    sizes, latencies = [], []
+    for gen in range(1, 101):
+        col.put([{"id": gen % 25, "v": float(gen)}])
+        if gen % 20 == 0:
+            sizes.append(plan_lines(col))
+            t0 = time.monotonic()
+            col.fetch()
+            latencies.append(time.monotonic() - t0)
+    # bounded: every sampled plan fits within ~one compaction window of
+    # stacked generations (empirically ~12 lines per generation)
+    cap = Collection.COMPACT_EVERY * 20
+    assert max(sizes) < cap, sizes
+    assert sizes[-1] <= sizes[0] * 2, sizes  # no monotone growth
+    # flat latency: the last fetch is not dramatically slower than the
+    # first (unbounded lineage showed superlinear replay here)
+    assert latencies[-1] < max(latencies[0] * 5, 2.0), latencies
+    # correctness across compaction boundaries
+    got = {r.id: r.v for r in col.fetch()}
+    want = {i: float(i) for i in range(10)}
+    for gen in range(1, 101):
+        want[gen % 25] = float(gen)
+    assert got == want
