@@ -145,33 +145,46 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type → channels
 def png_encode(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
     """Encode raw 8-bit pixels as a spec-compliant non-interlaced PNG.
 
-    Per-scanline adaptive filtering (the libpng heuristic: pick the filter
-    minimizing the sum of absolute residuals), so round-tripping through
-    ``png_decode`` exercises Sub/Up/Average/Paeth reconstruction — not
-    just the trivial None filter."""
+    Per-scanline adaptive filtering (the libpng heuristic: pick the
+    filter minimizing the sum of absolute residuals), vectorized: the
+    None/Sub/Up candidates are three whole-image NumPy expressions and
+    the per-line argmin picks among them. Sub/Up lines decode through
+    the vectorized inverse; Average/Paeth stay decode-supported for
+    foreign PNGs (a real encoder may emit them) but aren't worth their
+    per-byte Python cost on the encode side."""
+    import numpy as np
+
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match width*height*channels")
     ihdr = struct.pack(
         ">IIBBBBB", width, height, 8, _COLOR_TYPE[channels], 0, 0, 0
     )
     stride = width * channels
-    raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        line = pixels[y * stride:(y + 1) * stride]
-        best_ft, best_filt, best_score = 0, line, None
-        for ft in range(5):
-            filt = _filter_line(ft, line, prev, channels)
-            score = sum(v if v < 128 else 256 - v for v in filt)
-            if best_score is None or score < best_score:
-                best_ft, best_filt, best_score = ft, filt, score
-        raw.append(best_ft)
-        raw += best_filt
-        prev = line
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
+    # filter candidates, computed image-wide
+    f_none = img
+    left = np.zeros_like(img)
+    left[:, channels:] = img[:, :-channels]
+    f_sub = img - left  # uint8 wraparound == mod-256 residual
+    up = np.zeros_like(img)
+    up[1:, :] = img[:-1, :]
+    f_up = img - up
+    cands = (f_none, f_sub, f_up)
+
+    def score(m):
+        v = m.astype(np.int64)
+        return np.minimum(v, 256 - v).sum(axis=1)
+
+    best = np.argmin(np.stack([score(m) for m in cands]), axis=0)
+    raw = np.empty((height, stride + 1), dtype=np.uint8)
+    raw[:, 0] = best
+    for ft, m in enumerate(cands):
+        rows = best == ft
+        raw[rows, 1:] = m[rows]
     return (
         PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -209,20 +222,37 @@ def png_decode(buf: bytes) -> "tuple[int, int, int, bytes]":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
+    import numpy as np
+
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data does not match dimensions")
-    out = bytearray()
-    prev = bytes(stride)
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    fts, lines = mat[:, 0], mat[:, 1:]
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prev_np = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        base = y * (stride + 1)
-        line = _unfilter_line(
-            raw[base], bytearray(raw[base + 1:base + 1 + stride]), prev,
-            channels,
-        )
-        out += line
-        prev = bytes(line)
+        ft, line = int(fts[y]), lines[y]
+        if ft == 0:
+            recon[y] = line
+        elif ft == 2:  # Up: whole-line vector add (uint8 wrap == mod 256)
+            recon[y] = line + prev_np
+        elif ft == 1:  # Sub: per-phase cumulative sum
+            ph = line.reshape(-1, channels).astype(np.int64)
+            recon[y] = (np.cumsum(ph, axis=0) % 256).astype(np.uint8).reshape(-1)
+        else:  # Average/Paeth: inherently sequential reconstruction
+            recon[y] = np.frombuffer(
+                bytes(
+                    _unfilter_line(
+                        ft, bytearray(line.tobytes()), prev_np.tobytes(),
+                        channels,
+                    )
+                ),
+                dtype=np.uint8,
+            )
+        prev_np = recon[y]
+    out = bytearray(recon.tobytes())
     if ctype == 3:  # expand palette indices → RGB
         if plte is None:
             raise ValueError("indexed PNG missing PLTE")
@@ -236,13 +266,15 @@ def png_decode(buf: bytes) -> "tuple[int, int, int, bytes]":
 def _gray(pixels: bytes, channels: int) -> bytes:
     """Collapse multi-channel pixels to 8-bit grayscale (integer mean of
     the color channels; alpha ignored)."""
+    import numpy as np
+
     if channels == 1:
         return pixels
     nc = 3 if channels >= 3 else 1  # gray+alpha: first channel is gray
-    return bytes(
-        sum(pixels[i + k] for k in range(nc)) // nc
-        for i in range(0, len(pixels), channels)
-    )
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(-1, channels)
+    return (px[:, :nc].astype(np.int64).sum(axis=1) // nc).astype(
+        np.uint8
+    ).tobytes()
 
 
 def _decode_image(buf: bytes, fake: bool):
@@ -255,12 +287,20 @@ def _decode_image(buf: bytes, fake: bool):
     the distributed path exercised end-to-end, and ``fake=False`` raises.
     """
     if buf[:8] == PNG_MAGIC:
+        import numpy as np
+
         w, h, channels, px = png_decode(buf)
-        g = _gray(px, channels)
+        g = np.frombuffer(_gray(px, channels), dtype=np.uint8).astype(
+            np.float64
+        )
         n = len(g)
-        mean = sum(g) / n if n else 0.0
-        quarters = [g[i * n // 4:(i + 1) * n // 4] for i in range(4)]
-        feat = [float(sum(q)) / len(q) if q else 0.0 for q in quarters]
+        mean = float(g.mean()) if n else 0.0
+        feat = [
+            float(g[i * n // 4:(i + 1) * n // 4].mean())
+            if (i + 1) * n // 4 > i * n // 4
+            else 0.0
+            for i in range(4)
+        ]
         return mean, feat
     if not fake:
         raise NotImplementedError(

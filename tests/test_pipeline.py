@@ -389,9 +389,17 @@ def test_png_codec_roundtrip_all_filters_and_channels(spark):
     for w, h, ch in [(32, 4, 1), (7, 3, 3), (5, 5, 4), (1, 1, 1), (16, 9, 1)]:
         px = bytes(rng.randrange(256) for _ in range(w * h * ch))
         assert png_decode(png_encode(px, w, h, ch)) == (w, h, ch, px)
-    # gradient forces Sub/Up/Average/Paeth filter selection
+    # gradient forces non-trivial (Sub/Up) filter selection; Average and
+    # Paeth reconstruction are exercised by the foreign-encoder fixtures
     px = bytes((x * 3 + y * 7) % 256 for y in range(20) for x in range(30))
-    assert png_decode(png_encode(px, 30, 20))[3] == px
+    enc = png_encode(px, 30, 20)
+    assert png_decode(enc)[3] == px
+    # the adaptive chooser actually picked a non-None filter somewhere
+    import zlib as _z
+
+    idat = enc.split(b"IDAT")[1]
+    raw = _z.decompress(idat[: len(idat) - 8])
+    assert any(raw[y * 31] != 0 for y in range(20))
 
 
 def test_png_decoder_reads_foreign_encoders():
