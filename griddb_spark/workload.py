@@ -4681,8 +4681,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
          JOIN supplier s ON l.l_suppkey = s.s_suppkey
          JOIN nation cn ON c.c_nationkey = cn.n_nationkey
          JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-    WHERE ((cn.n_name = 'FRANCE' AND sn.n_name = 'GERMANY')
-        OR (cn.n_name = 'GERMANY' AND sn.n_name = 'FRANCE'))
+    WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+        OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY cust_nation, supp_nation, l_year
@@ -4710,10 +4710,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
         .filter(
-            ((F.col("cust_nation") == "FRANCE")
-             & (F.col("supp_nation") == "GERMANY"))
-            | ((F.col("cust_nation") == "GERMANY")
-               & (F.col("supp_nation") == "FRANCE")))
+            ((F.col("cust_nation") == "NATION_1")
+             & (F.col("supp_nation") == "NATION_2"))
+            | ((F.col("cust_nation") == "NATION_2")
+               & (F.col("supp_nation") == "NATION_1")))
     )
     return (
         j.groupBy("cust_nation", "supp_nation",
@@ -4806,7 +4806,9 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM customer c, avg_bal
              WHERE c.c_acctbal > avg_bal.a
                AND NOT EXISTS (SELECT 1 FROM orders o
-                               WHERE o.o_custkey = c.c_custkey))
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_orderdate >=
+                                     TIMESTAMP '2000-01-01 00:00:00'))
     SELECT c_nationkey % 5 AS cntry_grp, count(*) AS numcust,
            CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM cust GROUP BY cntry_grp ORDER BY cntry_grp
@@ -4814,8 +4816,10 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 flavor: positive-balance-above-average customers with no
-    orders — scalar aggregate subquery (broadcast single row) + NOT
-    EXISTS anti-join, grouped by a country bucket."""
+    RECENT orders (no order since 2000 — every fixture customer has SOME
+    order, so the unqualified form gated an empty result) — scalar
+    aggregate subquery (broadcast single row) + NOT EXISTS anti-join,
+    grouped by a country bucket."""
     c = cat(spark, sf_dir)
     cust = c.load("customer")
     avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
@@ -4823,7 +4827,9 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = (cust.crossJoin(F.broadcast(avg_bal))
             .filter(F.col("c_acctbal") > F.col("__a")))
     no_orders = rich.join(
-        c.load("orders").select("o_custkey"),
+        c.load("orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey"),
         rich.c_custkey == F.col("o_custkey"), "left_anti")
     return (
         no_orders
@@ -4831,6 +4837,487 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"),
              F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"))
         .orderBy("cntry_grp")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH minp AS (SELECT l_partkey, min(l_extendedprice) mn
+                  FROM lineitem GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+           CAST(s.s_acctbal AS DOUBLE) AS s_acctbal,
+           CAST(l.l_extendedprice AS DOUBLE) AS price
+    FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN minp ON minp.l_partkey = p.p_partkey
+                AND l.l_extendedprice = minp.mn
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 10 AND r.r_name = 'EUROPE'
+    ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey, price
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 flavor (no partsupp in the fixture — supply cost becomes
+    shipped price): for every size-10 part, the European supplier(s) who
+    shipped it at the per-part MINIMUM price. The correlated scalar-min
+    subquery folds to a grouped min joined back on (part, price) — the
+    AGG_FOLD rewrite shape (sql_compiler.cpp) — with all dimension sides
+    broadcast; top-100 by account balance."""
+    c = cat(spark, sf_dir)
+    li = c.load("lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    minp = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("__mn"))
+    p = c.load("part").filter(F.col("p_size") == 10)
+    nr = (c.load("nation")
+          .join(F.broadcast(c.load("region")
+                            .filter(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey")))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(minp, ["l_partkey"])
+        .filter(F.col("l_extendedprice") == F.col("__mn"))
+        .join(F.broadcast(c.load("supplier")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                 "p_partkey", "price")
+        .limit(100)
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT extract(year FROM o.o_orderdate)::BIGINT o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS volume,
+             sn.n_name supp_nation
+      FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                               THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END)
+                      AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 flavor: national market share — the widest snowflake in
+    the suite (7-way: lineitem × orders × customer × 2 nations × region ×
+    supplier × part), every dimension broadcast, conditional-aggregate
+    ratio per year."""
+    c = cat(spark, sf_dir)
+    li = c.load("lineitem")
+    o = c.load("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    cn = (c.load("nation").join(
+            F.broadcast(c.load("region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"))
+          .select(F.col("n_nationkey").alias("cnk")))
+    sn = c.load("nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    p = c.load("part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    vol = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    nat = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.load("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(c.load("supplier")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(
+            F.sum(nat).cast("double") / F.sum(vol).cast("double"), 6
+        ).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           extract(year FROM o.o_orderdate)::BIGINT AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS profit
+    FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 flavor: profit by supplier nation and year for parts
+    matching a name pattern (no partsupp → profit is discounted revenue).
+    LIKE-filtered part dim broadcast; two-key rollup."""
+    c = cat(spark, sf_dir)
+    p = c.load("part").filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    return (
+        c.load("lineitem")
+        .join(c.load("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.load("supplier")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c.load("nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(_dec("l_extendedprice")
+                   * _dec(F.lit(1) - F.col("l_discount")))
+             .cast("double").alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_stock",
+    """
+    WITH pv AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+      GROUP BY l.l_partkey),
+    tot AS (SELECT sum(value) t FROM pv)
+    SELECT pv.l_partkey AS p_partkey, CAST(pv.value AS DOUBLE) AS value
+    FROM pv, tot WHERE pv.value > 0.0011 * tot.t
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 flavor: parts whose shipped value from a nation group
+    exceeds a FRACTION OF THE GLOBAL TOTAL — grouped aggregate + scalar
+    total (single-row broadcast cross join) + HAVING. The one-pass shape:
+    the per-part values are computed once and reused for the total."""
+    c = cat(spark, sf_dir)
+    sup = (c.load("supplier")
+           .join(F.broadcast(c.load("nation").filter(
+               F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7"))),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey"))
+    pv = (
+        c.load("lineitem")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("__value"))
+        .localCheckpoint(eager=True)  # computed once, read twice
+    )
+    tot = pv.agg(F.sum("__value").alias("__t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("__value") > F.lit(0.0011) * F.col("__t"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.col("__value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    """
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 flavor (no shipmode/commitdate in the fixture — 'late'
+    means shipped ≥90 days after ordering): high/low-priority line counts
+    per return flag, the dual conditional-count shape with an inequality
+    join predicate on top of the key equality."""
+    c = cat(spark, sf_dir)
+    li = c.load("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        c.load("orders")
+        .join(li, (F.col("o_orderkey") == F.col("l_orderkey"))
+              & (F.col("l_shipdate")
+                 >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue — the VIEW (revenue
+    CTE computed once, localCheckpoint) consumed twice: once for the
+    scalar max, once for the equality filter."""
+    c = cat(spark, sf_dir)
+    rev = (
+        c.load("lineitem")
+        .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_dec("l_extendedprice")
+                   * _dec(F.lit(1) - F.col("l_discount")))
+             .alias("total_revenue"))
+        .localCheckpoint(eager=True)
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        c.load("supplier")
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_parts_supplier",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 flavor: distinct supplier count per (brand, type, size),
+    excluding a NOT IN supplier blacklist (negative balance — the
+    'complaints' analog) — anti-join + DISTINCT aggregate over the
+    broadcastable part dim."""
+    c = cat(spark, sf_dir)
+    p = c.load("part").filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    bad = c.load("supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        c.load("lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_quantity",
+    """
+    WITH pa AS (SELECT l_partkey, avg(l_quantity) av
+                FROM lineitem GROUP BY l_partkey)
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.5 * pa.av
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 flavor: revenue of below-half-average-quantity orders
+    for one brand — the correlated scalar-avg subquery folded to a
+    grouped avg joined back on the part key (AGG_FOLD shape)."""
+    c = cat(spark, sf_dir)
+    li = c.load("lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("__av"))
+    p = c.load("part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, ["l_partkey"])
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("__av"))
+        .agg(F.round(F.sum(_dec("l_extendedprice")).cast("double")
+                     / F.lit(7.0), 6).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: discounted revenue under an OR-of-ANDs predicate mixing
+    both join sides — the disjunction can't push fully into either scan,
+    but the per-side residuals (brand IN, size/qty ranges) can and do."""
+    c = cat(spark, sf_dir)
+    arm = lambda b, s1, s2, q1, q2: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s1, s2)
+        & F.col("l_quantity").between(q1, q2))
+    return (
+        c.load("lineitem")
+        .join(F.broadcast(c.load("part")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arm("Brand#1", 1, 15, 1, 20)
+                | arm("Brand#2", 10, 30, 10, 30)
+                | arm("Brand#3", 20, 50, 20, 40))
+        .agg(F.sum(_dec("l_extendedprice")
+                   * _dec(F.lit(1) - F.col("l_discount")))
+             .cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q20_promotion_parts",
+    """
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shipped AS (SELECT l_suppkey, l_partkey, sum(l_quantity) qty
+                FROM lineitem JOIN red ON l_partkey = p_partkey
+                GROUP BY l_suppkey, l_partkey),
+    supps AS (SELECT DISTINCT l_suppkey FROM shipped WHERE qty > 50)
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN supps ON s.s_suppkey = supps.l_suppkey
+    WHERE n.n_name IN ('NATION_4', 'NATION_8', 'NATION_12')
+    ORDER BY s.s_name
+    """,
+)
+def q20_promotion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 flavor: suppliers in a nation group who shipped >50
+    units of any 'red' part — the nested-IN chain (parts → grouped
+    quantities → distinct suppliers) folded to semi-join steps."""
+    c = cat(spark, sf_dir)
+    red = c.load("part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        c.load("lineitem")
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 50)
+        .select("l_suppkey").distinct()
+    )
+    n = c.load("nation").filter(
+        F.col("n_name").isin("NATION_4", "NATION_8", "NATION_12"))
+    return (
+        c.load("supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(shipped), F.col("s_suppkey") == F.col("l_suppkey"),
+              "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, s.s_name
+      FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE n.n_name = 'NATION_6' AND o.o_orderstatus = 'F')
+    SELECT s_name, count(*) AS numwait
+    FROM l1
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 flavor (no receipt/commit dates — 'kept waiting' is
+    holding the LATEST ship date in a multi-supplier finished order):
+    the double-correlated EXISTS + NOT EXISTS pair folding to a semi-
+    and an anti-join against the same fact table."""
+    c = cat(spark, sf_dir)
+    li = c.load("lineitem")
+    sup = (c.load("supplier")
+           .join(F.broadcast(c.load("nation")
+                             .filter(F.col("n_name") == "NATION_6")),
+                 F.col("s_nationkey") == F.col("n_nationkey")))
+    l1 = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c.load("orders").filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "s_name")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = li.select(F.col("l_orderkey").alias("k3"),
+                   F.col("l_shipdate").alias("d3"))
+    return (
+        l1.join(l2, (F.col("l_orderkey") == F.col("k2"))
+                & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("k3"))
+              & (F.col("d3") > F.col("l_shipdate")), "left_anti")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )
 
 
