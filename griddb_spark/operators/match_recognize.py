@@ -424,6 +424,69 @@ def compile_matcher(
     transitions = nfa.transitions
     accept = nfa.accept
 
+    # ---- vectorized single-variable shortcut ------------------------------
+    # A one-variable quantifier-free pattern under SKIP PAST LAST ROW is a
+    # plain row filter (single-row matches can't overlap): matches = the
+    # DEFINE mask, match numbers = a cumulative count, measures = whole-
+    # partition vectorized expressions indexed at the matched rows. The
+    # batch operator usually routes such patterns to the pure-JVM window
+    # plan (_try_fast_path); this shortcut serves the STREAMING face,
+    # which must run inside applyInPandasWithState — it removes the
+    # per-match Python dict/eval work (~10x on dense-match partitions).
+    try:
+        _sv_tokens = _PatternParser._tokenize(pattern)
+    except ValueError:
+        _sv_tokens = []
+    single_var = (
+        _sv_tokens[0]
+        if len(_sv_tokens) == 1 and _sv_tokens[0] not in "()|+*?"
+        else None
+    )
+
+    class _StripMatchFns(ast.NodeTransformer):
+        """FIRST/LAST(x) → x (the matched row); marks MATCH_NUMBER and
+        CLASSIFIER sites with placeholder Names resolved after the mask."""
+
+        def visit_Call(self, node):
+            self.generic_visit(node)
+            if isinstance(node.func, ast.Name):
+                if node.func.id in ("FIRST", "LAST"):
+                    return node.args[0]
+                if node.func.id == "MATCH_NUMBER":
+                    return ast.Name(id="__match_no__", ctx=ast.Load())
+                if node.func.id == "CLASSIFIER":
+                    return ast.Name(id="__classifier__", ctx=ast.Load())
+            return node
+
+    sv_measures = None
+    sv_needs_aug = False
+    if single_var is not None:
+        sv_measures = {}
+        for m, expr in compiled_measures.items():
+            tree = _StripMatchFns().visit(
+                ast.parse(ast.unparse(expr.tree), mode="eval").body
+            )
+            sv_measures[m] = ast.fix_missing_locations(tree)
+            sv_needs_aug = sv_needs_aug or any(
+                isinstance(nd, ast.Name)
+                and nd.id in ("__match_no__", "__classifier__")
+                for nd in ast.walk(tree)
+            )
+
+    class _AugView:
+        """Read-only DataFrame facade exposing extra virtual columns to
+        ``_vectorize`` without copying the partition frame."""
+
+        def __init__(self, pdf, extra):
+            self._pdf, self._extra = pdf, extra
+
+        @property
+        def columns(self):
+            return list(self._pdf.columns) + list(self._extra)
+
+        def __getitem__(self, k):
+            return self._extra[k] if k in self._extra else self._pdf[k]
+
     def _match_from(
         ctx: _MatchContext, start: int, vec_conds: dict
     ) -> list[tuple[int, str]] | None:
@@ -472,7 +535,6 @@ def compile_matcher(
 
         sys.setrecursionlimit(max(sys.getrecursionlimit(), 4 * max_match_rows + 1000))
         pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
-        ctx = _MatchContext(pdf, [], {}, 0)
         # Vectorize every match-independent DEFINE over the whole partition
         # once (bool numpy arrays); the NFA then runs on array lookups.
         vec_conds = {}
@@ -515,6 +577,57 @@ def compile_matcher(
                     start_mask[:] = True
                     break
 
+        # vectorized single-variable shortcut (see compile-time setup)
+        if single_var is not None and (
+            single_var in vec_conds or single_var not in compiled_define
+        ):
+            import numpy as np
+
+            nn = len(pdf)
+            mask = vec_conds.get(single_var)
+            mask = (
+                np.ones(nn, dtype=bool) if mask is None else mask.copy()
+            )
+            if start_at:
+                mask[:start_at] = False
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                return [], start_at, pdf
+            try:
+                nums = match_no_offset + np.arange(
+                    1, len(idx) + 1, dtype="int64"
+                )
+                if sv_needs_aug:
+                    full_nums = np.zeros(nn, dtype="int64")
+                    full_nums[idx] = nums
+                    src = _AugView(pdf, {
+                        "__match_no__": pd.Series(full_nums),
+                        "__classifier__": pd.Series([single_var] * nn),
+                    })
+                else:
+                    src = pdf
+                mdata = {}
+                for m, tree in sv_measures.items():
+                    s = _vectorize(tree, src)
+                    mdata[m] = (
+                        s.to_numpy()[idx]
+                        if isinstance(s, pd.Series)
+                        else np.full(len(idx), s)
+                    )
+            except (ValueError, KeyError):
+                pass  # fall through to the general NFA loop
+            else:
+                if all_rows:
+                    out = {c: pdf[c].to_numpy()[idx] for c in pdf.columns}
+                    out["classifier"] = np.full(len(idx), single_var)
+                else:
+                    out = {c: pdf[c].to_numpy()[idx] for c in partition_by}
+                out.update(mdata)
+                out["match_no"] = nums
+                frame = pd.DataFrame(out).reindex(columns=out_names)
+                return frame, int(idx[-1]) + 1, pdf
+
+        ctx = _MatchContext(pdf, [], {}, 0)
         out_rows = []
         match_no = 0
         i, n = start_at, len(pdf)
@@ -787,6 +900,8 @@ def match_recognize(
 
     def _process(pdf: pd.DataFrame) -> pd.DataFrame:
         out_rows, _, _ = process(pdf)
+        if isinstance(out_rows, pd.DataFrame):
+            return out_rows
         if not out_rows:
             return pd.DataFrame({c: pd.Series(dtype="object") for c in out_names})
         return pd.DataFrame(out_rows, columns=out_names)

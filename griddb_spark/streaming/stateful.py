@@ -145,7 +145,14 @@ def match_recognize_stream(
         else:
             n_ctx, rows = 0, batch
         out_rows, consumed, sorted_pdf = process(rows, offset, n_ctx)
-        n_matches = out_rows[-1]["match_no"] - offset if out_rows else 0
+        if isinstance(out_rows, pd.DataFrame):  # vectorized single-var path
+            n_matches = (
+                int(out_rows["match_no"].iloc[-1]) - offset
+                if len(out_rows)
+                else 0
+            )
+        else:
+            n_matches = out_rows[-1]["match_no"] - offset if out_rows else 0
         # new pending = context tail + unconsumed rows, bounded
         tail_start = max(consumed - context_rows, 0)
         tail = sorted_pdf.iloc[tail_start:]
@@ -156,7 +163,10 @@ def match_recognize_stream(
             tail_ctx = consumed - tail_start
         tail = tail.reset_index(drop=True)
         state.update((offset + n_matches, int(tail_ctx), pickle.dumps(tail)))
-        if out_rows:
+        if isinstance(out_rows, pd.DataFrame):
+            if len(out_rows):
+                yield out_rows
+        elif out_rows:
             yield pd.DataFrame(out_rows, columns=out_names)
 
     return stream.groupBy(*keys).applyInPandasWithState(
