@@ -246,6 +246,46 @@ def _exec_match_recognize(
 _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN(?P<analyze>\s+ANALYZE)?\s+", re.IGNORECASE)
 
 
+class PreparedStatement:
+    """Prepared statement: parse/rewrite once, bind ``?`` placeholders per
+    execution (JDBC ``PreparedStatement`` surface; server-side the plan is
+    cached keyed on the statement with ``EXPR_PLACEHOLDER`` leaves,
+    ``sql_type.h:42-92``, ``sql_execution.cpp`` statement cache).
+
+    The GridDB-dialect rewrite (hints, GLOB, GROUP BY RANGE detection) runs
+    at prepare time; each ``execute(*params)`` is a parameterized
+    ``spark.sql`` — Catalyst substitutes typed literals into the cached
+    parse, never string splicing, so rebinding re-optimizes with the new
+    literals (predicate pushdown / partition pruning see the bound value).
+    """
+
+    def __init__(self, spark: SparkSession, catalog: ContainerCatalog, sql: str):
+        self._spark = spark
+        self._catalog = catalog
+        self._sql = sql
+        self.param_count = sql.count("?")
+        # dispatch + dialect rewrite resolved once
+        self._rewritten = rewrite_sql(sql)
+        catalog.register_all()
+
+    def execute(self, *params) -> DataFrame:
+        if len(params) != self.param_count:
+            raise ValueError(
+                f"statement has {self.param_count} placeholders, "
+                f"got {len(params)} parameters"
+            )
+        if not params:
+            return self._spark.sql(self._rewritten)
+        return self._spark.sql(self._rewritten, args=list(params))
+
+
+def prepare(
+    spark: SparkSession, catalog: ContainerCatalog, sql: str
+) -> PreparedStatement:
+    """Prepare a GridDB SQL statement for repeated parameterized runs."""
+    return PreparedStatement(spark, catalog, sql)
+
+
 def griddb_sql(
     spark: SparkSession, catalog: ContainerCatalog, sql: str,
     params: list | None = None,

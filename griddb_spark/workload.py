@@ -2072,6 +2072,37 @@ def sql_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_prepared_statement",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 20000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_prepared_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prepared statements (EXPR_PLACEHOLDER, sql_type.h:42-92; JDBC
+    PreparedStatement surface): parse/rewrite once, bind ? placeholders
+    per execution through Catalyst's parameterized SQL (typed literals,
+    never string splicing — the bound value reaches predicate pushdown).
+    The statement is executed twice with different binds; the second
+    bind's result is returned and gated against the literal oracle."""
+    from griddb_spark.sql.translate import prepare
+
+    c = cat(spark, sf_dir)
+    stmt = prepare(
+        spark, c,
+        "SELECT o_orderpriority, count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders WHERE o_totalprice > ? AND o_orderstatus = ? "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    )
+    stmt.execute(50000.0, "O").collect()  # first bind: different plan args
+    return stmt.execute(20000.0, "F")
+
+
+@query(
     "partition_pruned_scan_rh",
     """
     SELECT event_type, round(sum(value), 6) AS sv, count(*) AS n

@@ -227,3 +227,35 @@ def test_range_frame_unit_boundary_rewrite(spark, catalog):
     a = sorted((r.user_id, r.ts, round(r.mov, 9)) for r in got.collect())
     b = sorted((r.user_id, r.ts, round(r.mov, 9)) for r in want.collect())
     assert a == b and len(a) > 0
+
+
+def test_prepared_statement_rebind_and_validation(spark, catalog):
+    from griddb_spark.sql.translate import prepare
+
+    stmt = prepare(
+        spark, catalog,
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > ? "
+        "AND o_orderstatus = ?",
+    )
+    assert stmt.param_count == 2
+    lo = stmt.execute(1000.0, "F").collect()[0].n
+    hi = stmt.execute(100000.0, "F").collect()[0].n
+    assert lo > hi >= 0  # rebinding actually changes the plan's literals
+    with pytest.raises(ValueError):
+        stmt.execute(1000.0)
+
+
+def test_prepared_statement_dialect_rewrite_happens_at_prepare(spark, catalog):
+    """GridDB-isms (GLOB) must survive prepare-time rewriting and bind."""
+    from griddb_spark.sql.translate import prepare
+
+    stmt = prepare(
+        spark, catalog,
+        "SELECT count(*) AS n FROM part WHERE p_name GLOB 'red*' "
+        "AND p_size > ?",
+    )
+    n = stmt.execute(0).collect()[0].n
+    direct = spark.sql(
+        "SELECT count(*) AS n FROM part WHERE p_name LIKE 'red%'"
+    ).collect()[0].n
+    assert n == direct > 0
