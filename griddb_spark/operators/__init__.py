@@ -20,6 +20,9 @@ from griddb_spark.operators.timeseries import (
     time_sampling,
     time_sampling_no_interp,
 )
+from griddb_spark.operators.continuous_agg import (  # noqa: F401
+    refresh_continuous_aggregate,
+)
 from griddb_spark.operators.group_range import group_by_range
 from griddb_spark.operators.match_recognize import match_recognize
 from griddb_spark.operators.skew import salted_join

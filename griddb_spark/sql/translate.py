@@ -24,6 +24,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from griddb_spark.catalog import ContainerCatalog
 from griddb_spark.functions.scalar import glob_to_regex
@@ -259,16 +260,36 @@ class PreparedStatement:
     literals (predicate pushdown / partition pruning see the bound value).
     """
 
-    def __init__(self, spark: SparkSession, catalog: ContainerCatalog, sql: str):
+    _INSERT_RE = re.compile(
+        r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*"
+        r"(?:\((?P<cols>[^)]*)\))?\s*VALUES\s*\((?P<vals>[^)]*)\)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: ContainerCatalog,
+        sql: str,
+        tables: "dict[str, object] | None" = None,
+    ):
         self._spark = spark
         self._catalog = catalog
         self._sql = sql
         self.param_count = sql.count("?")
-        # dispatch + dialect rewrite resolved once
-        self._rewritten = rewrite_sql(sql)
-        catalog.register_all()
+        self._batch: list[tuple] = []
+        self._insert = self._INSERT_RE.match(sql)
+        self._tables = tables or {}
+        if self._insert is None:
+            # dispatch + dialect rewrite resolved once
+            self._rewritten = rewrite_sql(sql)
+            catalog.register_all()
 
     def execute(self, *params) -> DataFrame:
+        if self._insert is not None:
+            raise ValueError(
+                "update statement returns no ResultSet; use executeBatch()"
+            )
         if len(params) != self.param_count:
             raise ValueError(
                 f"statement has {self.param_count} placeholders, "
@@ -278,12 +299,88 @@ class PreparedStatement:
             return self._spark.sql(self._rewritten)
         return self._spark.sql(self._rewritten, args=list(params))
 
+    # -- batch updates (5.5: PreparedStatement addBatch/clearBatch/
+    # executeBatch — JDBCAddBatch.java sample). Only non-ResultSet
+    # statements batch; the error surfaces at executeBatch time, matching
+    # the reference's documented timing. --------------------------------
+
+    def add_batch(self, *params) -> None:
+        if len(params) != self.param_count:
+            raise ValueError(
+                f"statement has {self.param_count} placeholders, "
+                f"got {len(params)} parameters"
+            )
+        self._batch.append(tuple(params))
+
+    def clear_batch(self) -> None:
+        self._batch = []
+
+    def execute_batch(self) -> list[int]:
+        """Run every batched bind as ONE write job (the point of batch
+        updates at scale: N statements, one append — not N commits).
+        Returns per-statement update counts, JDBC-style."""
+        if self._insert is None:
+            raise ValueError(
+                "batch execution requires a non-ResultSet statement "
+                "(INSERT), got a query"
+            )
+        name = self._insert.group("table")
+        target = self._tables.get(name)
+        if target is None:
+            raise KeyError(f"no writable container bound for table {name!r}")
+        if not self._batch:
+            return []
+        vals = [v.strip() for v in self._insert.group("vals").split(",")]
+        schema = target.read().schema
+        cols_spec = self._insert.group("cols")
+        cols = (
+            [c.strip() for c in cols_spec.split(",")]
+            if cols_spec
+            else [f.name for f in schema.fields]
+        )
+        if len(vals) != len(cols):
+            raise ValueError("VALUES arity does not match column list")
+        rows = []
+        for params in self._batch:
+            it = iter(params)
+            rows.append(tuple(
+                next(it) if v == "?" else _parse_literal(v) for v in vals
+            ))
+        sub = T.StructType([schema[c] for c in cols])
+        df = self._spark.createDataFrame(rows, sub)
+        target.insert(df)
+        n = len(self._batch)
+        self._batch = []
+        return [1] * n
+
+
+def _parse_literal(text: str):
+    """Inline SQL literal inside a batched INSERT's VALUES list."""
+    t = text.strip()
+    if t.upper() == "NULL":
+        return None
+    if t.startswith("'") and t.endswith("'"):
+        return t[1:-1].replace("''", "'")
+    try:
+        return int(t)
+    except ValueError:
+        pass
+    try:
+        return float(t)
+    except ValueError:
+        raise ValueError(f"unsupported literal {text!r}") from None
+
 
 def prepare(
-    spark: SparkSession, catalog: ContainerCatalog, sql: str
+    spark: SparkSession,
+    catalog: ContainerCatalog,
+    sql: str,
+    tables: "dict[str, object] | None" = None,
 ) -> PreparedStatement:
-    """Prepare a GridDB SQL statement for repeated parameterized runs."""
-    return PreparedStatement(spark, catalog, sql)
+    """Prepare a GridDB SQL statement for repeated parameterized runs.
+    ``tables`` binds writable containers (DmlTable) by name for batched
+    INSERT statements."""
+    return PreparedStatement(spark, catalog, sql, tables)
 
 
 def griddb_sql(

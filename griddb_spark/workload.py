@@ -2103,6 +2103,82 @@ def sql_prepared_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_batch_update",
+    """
+    SELECT * FROM (VALUES
+      (1, 'alpha', 10.5), (2, 'beta', NULL), (3, 'gamma', -2.25),
+      (4, 'delta', 0.0), (5, 'epsilon', 99.75))
+      AS t(id, name, score)
+    """,
+)
+def sql_batch_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch updates (5.5 — PreparedStatement addBatch/clearBatch/
+    executeBatch, docs/GridDB-5.5-CE-RELEASE_NOTES.md:35-44): N batched
+    binds execute as ONE append write job, not N commits. A cleared batch
+    must not write; a query statement must refuse executeBatch (the error
+    surfaces at executeBatch time, per the reference docs). The read-back
+    of the written container is the gated result."""
+    import tempfile
+
+    from griddb_spark.dml import DmlTable
+    from griddb_spark.sql.translate import prepare
+
+    c = cat(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="batch_upd_") + "/t"
+    t = DmlTable(spark, path).create(
+        spark.createDataFrame([], "id int, name string, score double")
+    )
+    stmt = prepare(spark, c, "INSERT INTO t VALUES (?, ?, ?)", tables={"t": t})
+    stmt.add_batch(99, "discarded", 1.0)
+    stmt.clear_batch()  # cleared binds must not reach the container
+    for row in [(1, "alpha", 10.5), (2, "beta", None), (3, "gamma", -2.25),
+                (4, "delta", 0.0), (5, "epsilon", 99.75)]:
+        stmt.add_batch(*row)
+    counts = stmt.execute_batch()
+    assert counts == [1] * 5
+    return t.read()
+
+
+@query(
+    "ts_continuous_aggregate",
+    """
+    SELECT (1704067200000 + (epoch_ms(CAST(ts AS TIMESTAMP)) - 1704067200000)
+            // 3600000 * 3600000) AS bucket_ms,
+           event_type,
+           count(*) AS n, round(avg(value), 6) AS avg_value,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY bucket_ms, event_type
+    """,
+)
+def ts_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic time-series aggregation (5.6,
+    docs/GridDB-5.6-CE-RELEASE_NOTES.md:64-69): the scheduled rollup that
+    processes only data newer than the target's high-water mark. Run
+    twice — first over the first half-month of events, then over the full
+    source — the second refresh recomputes only buckets at/above the
+    stored mark (boundary bucket swapped via DELETE+append). Converging
+    to exactly the one-shot aggregation is the gate."""
+    import tempfile
+
+    from griddb_spark.dml import DmlTable
+    from griddb_spark.operators import refresh_continuous_aggregate
+
+    ev = cat(spark, sf_dir).load("events")
+    target = DmlTable(spark, tempfile.mkdtemp(prefix="cagg_") + "/rollup")
+    aggs = {
+        "n": F.count(F.lit(1)),
+        "avg_value": F.round(F.avg("value"), 6),
+        "sum_value": F.round(F.sum("value"), 6),
+    }
+    first = ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    refresh_continuous_aggregate(
+        first, target, "ts", 1, "HOUR", aggs, by=["event_type"])
+    refresh_continuous_aggregate(
+        ev, target, "ts", 1, "HOUR", aggs, by=["event_type"])
+    return target.read()
+
+
+@query(
     "partition_pruned_scan_rh",
     """
     SELECT event_type, round(sum(value), 6) AS sv, count(*) AS n

@@ -259,3 +259,66 @@ def test_prepared_statement_dialect_rewrite_happens_at_prepare(spark, catalog):
         "SELECT count(*) AS n FROM part WHERE p_name LIKE 'red%'"
     ).collect()[0].n
     assert n == direct > 0
+
+
+def test_batch_update_one_write_and_error_timing(spark, catalog, tmp_path):
+    from griddb_spark.dml import DmlTable
+    from griddb_spark.sql.translate import prepare
+
+    t = DmlTable(spark, str(tmp_path / "t")).create(
+        spark.createDataFrame([], "id int, name string, score double")
+    )
+    stmt = prepare(spark, catalog, "INSERT INTO t VALUES (?, ?, ?)",
+                   tables={"t": t})
+    # executing an update statement as a query must refuse
+    with pytest.raises(ValueError):
+        stmt.execute(1, "x", 0.0)
+    stmt.add_batch(1, "a", 1.0)
+    stmt.add_batch(2, "b", None)
+    assert stmt.execute_batch() == [1, 1]
+    assert stmt.execute_batch() == []  # batch drained
+    got = {r.id: (r.name, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", 1.0), 2: ("b", None)}
+    # batching a SELECT errors at executeBatch time (reference-documented
+    # timing), not at addBatch
+    q = prepare(spark, catalog, "SELECT count(*) AS n FROM orders")
+    with pytest.raises(ValueError):
+        q.execute_batch()
+    # partial column list + inline literal values
+    s2 = prepare(spark, catalog, "INSERT INTO t (id, name) VALUES (?, 'z')",
+                 tables={"t": t})
+    s2.add_batch(7)
+    s2.execute_batch()
+    assert {r.id for r in t.read().collect()} == {1, 2, 7}
+    assert t.read().filter("id = 7").collect()[0].score is None
+
+
+def test_continuous_aggregate_incremental_refresh(spark, catalog, tmp_path):
+    """Feeding refresh #2 ONLY the data at/after the stored high-water
+    mark must converge to the one-shot rollup — old buckets come from the
+    target, not from re-reading the source."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.dml import DmlTable
+    from griddb_spark.operators import refresh_continuous_aggregate
+    from griddb_spark.operators.continuous_agg import BUCKET_COL
+
+    ev = catalog.load("events")
+    aggs = {"n": F.count(F.lit(1)), "avg_v": F.round(F.avg("value"), 6)}
+
+    t1 = DmlTable(spark, str(tmp_path / "full"))
+    refresh_continuous_aggregate(ev, t1, "ts", 1, "DAY", aggs)
+    want = {r[BUCKET_COL]: (r.n, r.avg_v) for r in t1.read().collect()}
+
+    t2 = DmlTable(spark, str(tmp_path / "inc"))
+    split = "2024-01-11"
+    refresh_continuous_aggregate(
+        ev.filter(F.col("ts") < F.lit(split).cast("timestamp")),
+        t2, "ts", 1, "DAY", aggs)
+    hwm = t2.read().agg(F.max(BUCKET_COL)).collect()[0][0]
+    # second refresh sees ONLY rows from the hwm bucket onward
+    tail = ev.filter(
+        F.unix_millis(F.col("ts")) >= hwm)
+    refresh_continuous_aggregate(tail, t2, "ts", 1, "DAY", aggs)
+    got = {r[BUCKET_COL]: (r.n, r.avg_v) for r in t2.read().collect()}
+    assert got == want and len(want) == 30
