@@ -67,6 +67,10 @@ from griddb_spark.pipeline.quality import (  # noqa: F401
     urls,
     with_repetition_stats,
 )
+from griddb_spark.pipeline.profile import (  # noqa: F401
+    canonical_url,
+    profile_stats,
+)
 from griddb_spark.pipeline.similarity import (  # noqa: F401
     ann_ivf,
     cosine_pairs,

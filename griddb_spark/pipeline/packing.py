@@ -231,3 +231,89 @@ def encode_tokens(
             "n_unk",
         )
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_freq: int = 2,
+) -> DataFrame:
+    """Learn BPE merge rules over the corpus — the tokenizer-TRAINING
+    loop (``bpe_pair_counts`` is its single scoring step).
+
+    Returns the learned merge table ``(merge_rank, left, right, merged,
+    freq)``, rank 1 = first merge learned.
+
+    Distributed shape: the iterated state is the WORD-FREQUENCY VOCAB
+    (distinct words × their current symbol segmentation — bounded by
+    vocabulary size, not corpus size), built with one corpus pass. Each
+    round is (a) one combinable groupBy over the vocab's adjacent symbol
+    pairs weighted by word frequency, (b) a one-row argmax collect
+    (count desc, pair asc — deterministic ties), and (c) a JVM array
+    fold applying the merge greedily left-to-right, checkpointed so the
+    plan never grows with iteration count. At 100 TB the corpus is
+    touched once; every iteration runs over the vocab only.
+    """
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+        .filter(F.length("__w") > 0)
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .select(
+            F.col("__freq"),
+            F.split(F.col("__w"), "").alias("__sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def pair_counts(v: DataFrame) -> DataFrame:
+        two_plus = v.filter(F.size("__sym") >= 2)
+        pair = F.explode(
+            F.zip_with(
+                F.slice(F.col("__sym"), 1, F.size("__sym") - 1),
+                F.slice(F.col("__sym"), 2, F.size("__sym") - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("__p")
+        return (
+            two_plus.select("__freq", pair)
+            .groupBy(F.col("__p.l").alias("l"), F.col("__p.r").alias("r"))
+            .agg(F.sum("__freq").alias("n"))
+        )
+
+    def apply_merge(sym: Column, a: str, b: str) -> Column:
+        return F.aggregate(
+            sym,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a)
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            pair_counts(vocab)
+            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].n < min_freq:
+            break
+        l, r, n = best[0].l, best[0].r, best[0].n
+        merges.append((rank, l, r, l + r, int(n)))
+        vocab = vocab.select(
+            "__freq", apply_merge(F.col("__sym"), l, r).alias("__sym")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string, freq long",
+    )

@@ -3037,6 +3037,91 @@ def pipe_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_profile_stats",
+    """
+    SELECT 'doc_id' AS column, 'bigint' AS dtype, count(*) AS n_rows,
+           sum((doc_id IS NULL)::BIGINT) AS n_null,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_repr,
+           CAST(max(doc_id) AS VARCHAR) AS max_repr,
+           CAST(NULL AS DOUBLE) AS avg_len
+    FROM documents
+    UNION ALL
+    SELECT 'text', 'string', count(*), sum((text IS NULL)::BIGINT),
+           count(DISTINCT text), min(text), max(text),
+           round(avg(strlen(text)), 6)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', 'string', count(*), sum((lang IS NULL)::BIGINT),
+           count(DISTINCT lang), min(lang), max(lang),
+           round(avg(strlen(lang)), 6)
+    FROM documents
+    UNION ALL
+    SELECT 'source', 'string', count(*), sum((source IS NULL)::BIGINT),
+           count(DISTINCT source), min(source), max(source),
+           round(avg(strlen(source)), 6)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', 'bigint', count(*), sum((n_chars IS NULL)::BIGINT),
+           count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+           CAST(max(n_chars) AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM documents
+    """,
+)
+def pipe_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (the ANALYZE-TABLE / pre-training audit shape):
+    per-column null counts, exact distinct cardinality, value bounds and
+    string-length means — ALL columns in ONE scan (Catalyst fuses the
+    aggregate battery into a single partial-agg pipeline; at 100 TB pass
+    approx=True to swap exact distincts for HLL sketches). Long-format
+    output: one row per column."""
+    from griddb_spark.pipeline import profile_stats
+
+    docs = cat(spark, sf_dir).load("documents")
+    return profile_stats(docs)
+
+
+@query(
+    "pipe_url_dedup",
+    """
+    WITH t AS (SELECT doc_id,
+        'https://www.' || source || '.example.com/page/' ||
+        (doc_id % 50) || '?id=' || (doc_id % 7) AS canon
+      FROM documents)
+    SELECT canon AS canonical_url, count(*) AS n_dups,
+           min(doc_id) AS survivor_id
+    FROM t GROUP BY canon
+    """,
+)
+def pipe_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (the crawl-frontier shape): messy URLs
+    — uppercase scheme/host, tracking parameters, fragments — normalize
+    via pure Column regex algebra (canonical_url) and dedup on the
+    canonical form. Both engines synthesize the same deterministic messy
+    URLs from doc fields; the ORACLE constructs the clean form directly,
+    so any canonicalization bug hash-fails. No UDF, one groupBy."""
+    from griddb_spark.pipeline import canonical_url
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    messy = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+            F.lit(".Example.COM/page/"), F.col("doc_id") % 50,
+            F.lit("?utm_source=feed&id="), F.col("doc_id") % 7,
+            F.lit("&utm_campaign=x#section-2"),
+        ),
+    )
+    return (
+        messy.withColumn("canonical_url", canonical_url(F.col("url")))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_dups"),
+             F.min("doc_id").alias("survivor_id"))
+    )
+
+
+@query(
     "pipe_embed_normalize",
     """
     WITH t AS (SELECT vec_id, embedding::double[] AS ev FROM embeddings),
@@ -3386,6 +3471,59 @@ def pipe_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cat(spark, sf_dir).load("documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id")
     return bpe_pair_counts(docs, "text", top_k=20)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """DuckDB replay of the BPE merge-learning loop, unrolled.
+
+    The greedy left-to-right merge application is expressed as string
+    ``replace`` over a chr(31)-joined symbol string — ``replace`` scans
+    left-to-right over non-overlapping occurrences, which is exactly the
+    fold semantics of ``bpe_train``'s JVM array aggregate — so the whole
+    iterative algorithm value-hash-gates instead of rows-only."""
+    sep = "chr(31)"
+    parts = [
+        """WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+           AS wd FROM documents),
+    v0 AS (SELECT count(*) AS freq,
+             array_to_string([wd[i] for i in range(1, length(wd)+1)],
+                             chr(31)) AS symstr
+           FROM w WHERE length(wd) > 0 GROUP BY wd)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+    p{i} AS (SELECT u.l AS l, u.r AS r, sum(freq) AS n FROM (
+        SELECT freq, unnest([{{'l': s[j], 'r': s[j+1]}}
+                             for j in range(1, len(s))]) AS u
+        FROM (SELECT freq, string_split(symstr, {sep}) AS s FROM v{i - 1})
+      ) GROUP BY u.l, u.r),
+    b{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
+    v{i} AS (SELECT freq,
+        replace(symstr,
+                (SELECT l FROM b{i}) || {sep} || (SELECT r FROM b{i}),
+                (SELECT l FROM b{i}) || (SELECT r FROM b{i})) AS symstr
+      FROM v{i - 1})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS left, r AS right, "
+        f"l || r AS merged, CAST(n AS BIGINT) AS freq FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ",".join(parts) + "\nSELECT * FROM (\n" + union + ")"
+
+
+@query("pipe_bpe_train", _bpe_train_oracle(5))
+def pipe_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (the full merge-learning loop —
+    pipe_bpe_pairs is its single scoring step): 5 merge rounds over the
+    corpus. The iterated state is the word-frequency vocab (bounded by
+    vocabulary, not corpus); each round is one combinable pair-count
+    groupBy + a 1-row argmax + a JVM array-fold merge, checkpointed so
+    the plan never grows. The oracle replays all 5 rounds unrolled in
+    SQL (greedy merge = left-to-right string replace)."""
+    from griddb_spark.pipeline.packing import bpe_train
+
+    docs = cat(spark, sf_dir).load("documents")
+    return bpe_train(docs, "text", n_merges=5)
 
 
 @query(

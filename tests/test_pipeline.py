@@ -517,3 +517,60 @@ def test_cosine_pairs_ann_candidates_are_cell_bounded(spark, emb):
     # candidates <= sum over cells of 9 * occupancy^2 (own + 8 probes)
     cand_bound = 9 * sum(r["count"] ** 2 for r in occupancy)
     assert cand_bound < n * n / 4
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed merge-learning loop must reproduce a sequential
+    reference BPE (same greedy left-to-right apply, same count-desc /
+    pair-asc tie order) merge for merge."""
+    import re as _re
+
+    from griddb_spark.pipeline.packing import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low newer low wide lowest",
+    ]
+
+    # -- sequential reference ------------------------------------------
+    words = {}
+    for t in texts:
+        for w in _re.findall(r"\S+", t):
+            words[w] = words.get(w, 0) + 1
+    vocab = {tuple(w): f for w, f in words.items()}
+
+    def ref_merges(n):
+        v = dict(vocab)
+        out = []
+        for rank in range(1, n + 1):
+            counts = {}
+            for sym, f in v.items():
+                for a, b in zip(sym, sym[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), n_best = best
+            if n_best < 2:
+                break
+            out.append((rank, a, b, a + b, n_best))
+            nv = {}
+            for sym, f in v.items():
+                acc = []
+                for x in sym:
+                    if acc and acc[-1] == a and x == b:
+                        acc[-1] = a + b
+                    else:
+                        acc.append(x)
+                nv[tuple(acc)] = nv.get(tuple(acc), 0) + f
+            v = nv
+        return out
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.freq)
+        for r in bpe_train(df, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got == ref_merges(8) and len(got) == 8
