@@ -253,3 +253,26 @@ def test_curation_report_broadcasts_flag_lists(spark):
     plan = _plan(workload.QUERIES["pipe_curation_report"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_suite_no_cartesian_dims_broadcast(spark):
+    """The new TPC-H shapes: every dimension side must broadcast (or at
+    least never degrade to a cartesian/nested-loop), and the correlated
+    scalar-subquery folds (q2/q17) must stay equi-joins."""
+    from griddb_spark import workload
+
+    for q in ("q2_min_cost_supplier", "q8_market_share",
+              "q9_product_profit", "q11_important_stock",
+              "q12_shipmode_priority", "q15_top_supplier",
+              "q16_parts_supplier", "q17_small_quantity",
+              "q19_disjunctive_revenue", "q20_promotion_parts",
+              "q21_waiting_supplier"):
+        plan = _plan(workload.QUERIES[q](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q
+        # q12/q21/q11/q15 legitimately carry one broadcast-NLJ for the
+        # single-row scalar (cross join of an aggregate); anything else
+        # with a nested loop is a planning bug
+        if q not in ("q11_important_stock", "q15_top_supplier"):
+            assert "BroadcastNestedLoopJoin" not in plan, q
+    p8 = _plan(workload.QUERIES["q8_market_share"](spark, SF_DIR))
+    assert p8.count("BroadcastHashJoin") >= 4  # dims all broadcast
