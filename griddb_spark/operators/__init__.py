@@ -21,7 +21,9 @@ from griddb_spark.operators.timeseries import (
     time_sampling_no_interp,
 )
 from griddb_spark.operators.continuous_agg import (  # noqa: F401
+    auto_aggregate_stream,
     refresh_continuous_aggregate,
+    refresh_incremental,
 )
 from griddb_spark.operators.group_range import group_by_range
 from griddb_spark.operators.match_recognize import match_recognize

@@ -2179,6 +2179,81 @@ def ts_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_continuous_aggregate",
+    """
+    SELECT (1704067200000 + (epoch_ms(CAST(ts AS TIMESTAMP)) - 1704067200000)
+            // 3600000 * 3600000) AS bucket_ms,
+           event_type, count(*) AS n,
+           round(sum(value), 6) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY bucket_ms, event_type
+    """,
+)
+def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming automatic aggregation (the foreachBatch face of 5.6's
+    scheduled rollup): the event history replays as THREE time-ordered
+    micro-batches whose boundaries deliberately straddle hour buckets;
+    each batch merges MERGEABLE PARTIALS (count/sum/min/max — avg is
+    derived on read, which is exactly why continuous aggregates store
+    partials) into the rollup container. A straddled bucket merges
+    stored⊕fresh instead of being recomputed from an incomplete slice —
+    converging to the one-shot aggregation is the gate."""
+    import tempfile
+    import uuid as _uuid
+
+    from griddb_spark.dml import DmlTable
+    from griddb_spark.operators import auto_aggregate_stream
+
+    prepare(spark)
+    ev = cat(spark, sf_dir).load("events")
+    src_dir = tempfile.mkdtemp(prefix="cagg_stream_src_")
+    # three ts-ordered files with boundaries inside hour buckets
+    n = ev.count()
+    from pyspark.sql import Window as _W
+
+    ranked = ev.withColumn(
+        "__rk", F.row_number().over(_W.orderBy("ts", "user_id", "event_type"))
+    )
+    for i in range(3):
+        (ranked.filter((F.col("__rk") > i * n // 3)
+                       & (F.col("__rk") <= (i + 1) * n // 3))
+         .drop("__rk").coalesce(1).write.mode("overwrite")
+         .parquet(f"{src_dir}/f{i}"))
+    import glob
+    import shutil
+
+    for i in range(3):  # flatten: one data file per arrival step
+        part = glob.glob(f"{src_dir}/f{i}/part-*.parquet")[0]
+        shutil.move(part, f"{src_dir}/{i:02d}.parquet")
+        shutil.rmtree(f"{src_dir}/f{i}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    target = DmlTable(spark, tempfile.mkdtemp(prefix="cagg_tgt_") + "/rollup")
+    specs = {
+        "n": ("count", None),
+        "sum_value": ("sum", "value"),
+        "min_value": ("min", "value"),
+        "max_value": ("max", "value"),
+    }
+    q = auto_aggregate_stream(
+        stream, target, "ts", 1, "HOUR", specs, by=["event_type"],
+        checkpoint_dir=tempfile.mkdtemp(prefix=f"cagg_ck_{_uuid.uuid4().hex[:6]}_"),
+    )
+    q.awaitTermination()
+    return target.read().select(
+        "bucket_ms", "event_type", "n",
+        _r6(F.col("sum_value")).alias("sum_value"),
+        _r6(F.col("min_value")).alias("min_value"),
+        _r6(F.col("max_value")).alias("max_value"),
+    )
+
+
+@query(
     "partition_pruned_scan_rh",
     """
     SELECT event_type, round(sum(value), 6) AS sv, count(*) AS n

@@ -488,3 +488,41 @@ def test_match_recognize_stream_all_rows(spark, tmp_path):
     assert [(v, c, m) for _, v, c, m in rows] == [
         (30.0, "UP", 1), (5.0, "DOWN", 1)
     ]
+
+
+def test_refresh_incremental_merges_straddled_and_late_buckets(spark, tmp_path):
+    """Partial-merge refresh: a bucket split across batches merges
+    stored+fresh; late data (an older bucket reappearing in a later
+    batch) merges into its stored row instead of being dropped."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.dml import DmlTable
+    from griddb_spark.operators import refresh_incremental
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "ts string, k string, v double"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "k", "v")
+
+    t = DmlTable(spark, str(tmp_path / "roll"))
+    specs = {"n": ("count", None), "sv": ("sum", "v"),
+             "mn": ("min", "v"), "mx": ("max", "v")}
+    # batch 1: bucket 10:00 partial (2 rows), bucket 11:00 (1 row)
+    refresh_incremental(mk([
+        ("2024-01-01 10:05:00", "a", 1.0),
+        ("2024-01-01 10:50:00", "a", 3.0),
+        ("2024-01-01 11:10:00", "a", 5.0),
+    ]), t, "ts", 1, "HOUR", specs, by=["k"])
+    # batch 2: straddles bucket 11:00 AND delivers late rows for 10:00
+    refresh_incremental(mk([
+        ("2024-01-01 11:40:00", "a", 7.0),
+        ("2024-01-01 10:20:00", "a", 9.0),   # late
+        ("2024-01-01 12:01:00", "b", 2.0),
+    ]), t, "ts", 1, "HOUR", specs, by=["k"])
+
+    got = {(r.bucket_ms, r.k): (r.n, r.sv, r.mn, r.mx)
+           for r in t.read().collect()}
+    h10 = 1704103200000  # 2024-01-01 10:00 UTC epoch ms
+    assert got[(h10, "a")] == (3, 13.0, 1.0, 9.0)          # late row merged
+    assert got[(h10 + 3600000, "a")] == (2, 12.0, 5.0, 7.0)  # straddle merged
+    assert got[(h10 + 7200000, "b")] == (1, 2.0, 2.0, 2.0)
