@@ -484,6 +484,13 @@ class DmlTable:
         ]
         if not affected:
             return  # nothing matches: zero I/O, no leaf touched
+        if len(affected) > 512:
+            # a predicate touching hundreds of leaves is a (near-)full
+            # mutation: a 512-literal IN / OR-of-ANDs partition filter
+            # bloats the plan for no I/O savings — take the plain
+            # stage-and-swap rewrite instead
+            self._rewrite(transform(self.read()))
+            return
 
         if len(part_cols) == 1:
             leaf_filter = F.col(part_cols[0]).isin([t[0] for t in affected])

@@ -107,12 +107,19 @@ def write_training_shards(
     set — bounded file sizes at any scale, no coalesce(1) anywhere).
     Returns the (shard, n_rows) manifest read back from disk.
     """
+    import os
+
     spark = df.sparkSession
     sharded = df.withColumn("__shard", hash_bucket(key_col) % n_shards)
     w = sharded.repartition(F.col("__shard")).write.mode("overwrite")
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.partitionBy("__shard").parquet(path)
+    # an empty keep-set writes no shard directories; reading the bare
+    # path would fail schema inference — an empty manifest is the honest
+    # answer (seen for real when an aggressive curation drops everything)
+    if not any(e.startswith("__shard=") for e in os.listdir(path)):
+        return spark.createDataFrame([], "shard bigint, n_rows long")
     back = spark.read.parquet(path)
     return back.groupBy(F.col("__shard").alias("shard")).agg(
         F.count(F.lit(1)).alias("n_rows")

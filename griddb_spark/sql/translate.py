@@ -260,6 +260,9 @@ class PreparedStatement:
     literals (predicate pushdown / partition pruning see the bound value).
     """
 
+    #: batched-INSERT form. The VALUES list is split on bare commas, so
+    #: inline literals may not contain ',' or ')' — bind such values via
+    #: ``?`` placeholders instead (the JDBC-typical usage anyway).
     _INSERT_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*"
         r"(?:\((?P<cols>[^)]*)\))?\s*VALUES\s*\((?P<vals>[^)]*)\)\s*;?\s*$",
@@ -276,7 +279,9 @@ class PreparedStatement:
         self._spark = spark
         self._catalog = catalog
         self._sql = sql
-        self.param_count = sql.count("?")
+        # placeholders are '?' OUTSIDE string literals ('' is the escaped
+        # quote inside one, so stripping quoted spans first is exact)
+        self.param_count = re.sub(r"'(?:[^']|'')*'", "", sql).count("?")
         self._batch: list[tuple] = []
         self._insert = self._INSERT_RE.match(sql)
         self._tables = tables or {}

@@ -574,3 +574,14 @@ def test_bpe_train_matches_python_reference(spark):
         for r in bpe_train(df, n_merges=8).orderBy("merge_rank").collect()
     ]
     assert got == ref_merges(8) and len(got) == 8
+
+
+def test_write_training_shards_empty_keepset(spark, tmp_path):
+    """An aggressive curation can drop every document — the shard writer
+    must return an empty manifest, not crash on schema inference."""
+    from griddb_spark.pipeline.sampling import write_training_shards
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = write_training_shards(df, str(tmp_path / "s"), "doc_id", n_shards=4)
+    assert out.collect() == []
+    assert out.columns == ["shard", "n_rows"]
