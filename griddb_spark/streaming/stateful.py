@@ -54,20 +54,42 @@ def ema_anomaly_stream(
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         n, ema = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
-            out = []
-            for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                if v is None or v != v:
-                    continue
-                anomalous = n >= min_history and v > threshold * ema
-                ema = v if n == 0 else alpha * v + (1 - alpha) * ema
-                n += 1
-                out.append((*key, ts, float(v), float(ema), bool(anomalous)))
-            if out:
-                yield pd.DataFrame(out, columns=[*keys, ts_col, "value", "ema",
-                                                 "is_anomaly"])
+            vals = pdf[value_col].astype("float64")
+            keep = vals.notna().to_numpy()
+            v = vals.to_numpy()[keep]
+            if len(v) == 0:
+                continue
+            # the EMA recurrence vectorized: pandas ewm(adjust=False) is
+            # bit-identical to the per-row `alpha*v + (1-alpha)*ema` loop
+            # (verified), with the carried state injected as a seed row.
+            if n == 0:
+                ema_seq = (
+                    pd.Series(v).ewm(alpha=alpha, adjust=False).mean()
+                    .to_numpy()
+                )
+                prev = np.concatenate(([0.0], ema_seq[:-1]))
+            else:
+                seeded = (
+                    pd.Series(np.concatenate(([ema], v)))
+                    .ewm(alpha=alpha, adjust=False).mean().to_numpy()
+                )
+                ema_seq = seeded[1:]
+                prev = np.concatenate(([ema], ema_seq[:-1]))
+            counts = n + np.arange(len(v))  # observations before each row
+            anomalies = (counts >= min_history) & (v > threshold * prev)
+            out = {k: np.full(len(v), kv) for k, kv in zip(keys, key)}
+            out[ts_col] = pdf[ts_col].to_numpy()[keep]
+            out["value"] = v
+            out["ema"] = ema_seq
+            out["is_anomaly"] = anomalies
+            n += len(v)
+            ema = float(ema_seq[-1])
+            yield pd.DataFrame(out)
         state.update((n, ema))
 
     return stream.groupBy(*keys).applyInPandasWithState(

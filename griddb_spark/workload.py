@@ -2871,9 +2871,14 @@ def stream_ema_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], value_col="value", ts_col="ts",
         alpha=0.2, threshold=2.0, min_history=5,
     )
+    # 32 state partitions: with the EMA recurrence vectorized (pandas ewm
+    # — bit-identical to the per-row loop) per-key compute is trivial and
+    # per-key state-machinery overhead dominates; spreading the 15k keys
+    # across all cores measured 10.8s -> 5.6s on the 10x probe
+    # (ratio 6x -> 2.9x) and sf0.1 improved 2.6s -> 1.9s.
     out = run_to_memory(
         flagged, f"ema_{_uuid.uuid4().hex[:8]}", mode="append",
-        shuffle_partitions=8,
+        shuffle_partitions=32,
     )
     return (
         out.filter(F.col("is_anomaly"))
