@@ -2401,6 +2401,57 @@ def pipe_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_dedup_ngram_collapsed",
+    """
+    WITH c AS (SELECT min(doc_id) AS rep, count(*) AS csize
+               FROM documents GROUP BY md5(text)),
+    r AS (SELECT d.doc_id, d.text, c.csize FROM documents d
+          JOIN c ON d.doc_id = c.rep),
+    g AS (SELECT doc_id, csize, list_distinct([substr(text, p, 4)
+                 FOR p IN range(1, greatest(length(text) - 3, 1) + 1)]) grams
+          FROM r),
+    n AS (SELECT doc_id, len(grams) n FROM g),
+    ex AS (SELECT doc_id, unnest(grams) t FROM g),
+    ov AS (SELECT x.doc_id doc_a, y.doc_id doc_b, count(*) cnt
+           FROM ex x JOIN ex y ON x.t = y.t AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+    p AS (SELECT doc_a, doc_b,
+            round(cnt::DOUBLE / (na.n + nb.n - cnt), 6) jaccard
+          FROM ov JOIN n na ON na.doc_id = doc_a
+                  JOIN n nb ON nb.doc_id = doc_b)
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           ga.csize AS size_a, gb.csize AS size_b
+    FROM p JOIN g ga ON ga.doc_id = p.doc_a
+           JOIN g gb ON gb.doc_id = p.doc_b
+    WHERE p.jaccard >= 0.7
+    """,
+)
+def pipe_dedup_ngram_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard with the exact-duplicate pre-collapse — the same
+    replica-robust composition the minhash family has: identical texts
+    collapse to one representative (cluster sizes carried through), so
+    the PPJoin candidate set is bounded by DISTINCT documents and
+    replica-heavy corpora stop inducing quadratic candidate growth (the
+    plain ngram kernel measures ~10x under 10-way replica clusters; this
+    one stays ~1-2x)."""
+    from griddb_spark.pipeline import collapse_exact, ngram_jaccard_pairs
+
+    docs = cat(spark, sf_dir).load("documents")
+    reps = collapse_exact(docs, "doc_id", "text")
+    pairs = ngram_jaccard_pairs(reps, "doc_id", "text", threshold=0.7, n=4)
+    sz = reps.select("doc_id", "cluster_size")
+    return (
+        pairs.join(F.broadcast(sz.select(F.col("doc_id").alias("doc_a"),
+                                         F.col("cluster_size")
+                                         .alias("size_a"))), "doc_a")
+        .join(F.broadcast(sz.select(F.col("doc_id").alias("doc_b"),
+                                    F.col("cluster_size").alias("size_b"))),
+              "doc_b")
+        .select("doc_a", "doc_b", "jaccard", "size_a", "size_b")
+    )
+
+
+@query(
     "pipe_dedup_embed_cosine",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
