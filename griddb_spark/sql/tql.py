@@ -67,9 +67,65 @@ _FN_MAP = {
 }
 
 
+def _envelope_sql(col: str) -> "dict[str, str]":
+    """SQL snippets for the WKT envelope of a geometry column — the same
+    regex/split/higher-order pipeline as ``functions.gis.st_mbr``, emitted
+    as Spark-SQL text so TQL WHERE clauses stay pure ``F.expr``."""
+    pairs = (
+        f"filter(split(trim(regexp_replace(upper({col}), '[A-Z()]+', '')), "
+        f"'\\\\s*,\\\\s*'), p -> p != '')"
+    )
+    xs = f"transform({pairs}, p -> cast(split(trim(p), '\\\\s+')[0] as double))"
+    ys = f"transform({pairs}, p -> cast(split(trim(p), '\\\\s+')[1] as double))"
+    return {
+        "xmin": f"array_min({xs})", "xmax": f"array_max({xs})",
+        "ymin": f"array_min({ys})", "ymax": f"array_max({ys})",
+    }
+
+
+def _wkt_envelope_literal(wkt: str) -> "tuple[float, float, float, float]":
+    """Envelope of a literal WKT string, computed at rewrite time."""
+    nums = [float(v) for v in re.findall(r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", wkt)]
+    xs, ys = nums[0::2], nums[1::2]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+_MBR_RE = re.compile(
+    r"ST_MBRINTERSECTS\s*\(\s*(?P<col>\w+)\s*,\s*"
+    r"(?:ST_MAKERECT\s*\(\s*(?P<rect>[^)]*)\)"
+    r"|ST_GEOMFROMTEXT\s*\(\s*'(?P<wkt>[^']*)'\s*\))\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_geometry(expr: str) -> str:
+    """TQL geometry predicates → envelope-overlap column math.
+
+    ``ST_MBRINTERSECTS(geom, ST_MAKERECT(x1,y1,x2,y2) |
+    ST_GEOMFROMTEXT('wkt'))`` is exactly what GridDB's R-tree evaluates
+    (``function_gis.h``; the fine geometry test is out of scope per
+    SURVEY §1.2): the probe envelope folds to constants at rewrite time,
+    the column envelope is the st_mbr pipeline inlined as SQL, and the
+    interval-overlap predicate min/max-pushes into the scan when the
+    bounds are materialized columns."""
+
+    def repl(m: re.Match) -> str:
+        env = _envelope_sql(m.group("col"))
+        if m.group("rect") is not None:
+            x1, y1, x2, y2 = [float(v) for v in m.group("rect").split(",")]
+        else:
+            x1, y1, x2, y2 = _wkt_envelope_literal(m.group("wkt"))
+        return (
+            f"({env['xmin']} <= {x2} AND {env['xmax']} >= {x1} "
+            f"AND {env['ymin']} <= {y2} AND {env['ymax']} >= {y1})"
+        )
+
+    return _MBR_RE.sub(repl, expr)
+
+
 def _rewrite_expr(expr: str) -> str:
     """TQL expression → Spark SQL expression (token-level)."""
-    out = expr
+    out = _rewrite_geometry(expr)
     # TIMESTAMP('2024-01-01T00:00:00Z') literal → to_timestamp('...')
     out = re.sub(
         r"\bTIMESTAMP\s*\(\s*'([^']+)'\s*\)",

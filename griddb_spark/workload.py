@@ -1075,6 +1075,46 @@ def tql_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tql_geometry_probe",
+    """
+    WITH g AS (SELECT user_id, value,
+                 (user_id % 100)::DOUBLE AS px, (user_id % 53)::DOUBLE AS py
+               FROM events)
+    SELECT user_id, round(sum(value), 6) AS sv, count(*) AS n
+    FROM g
+    WHERE px >= 20 AND px <= 45 AND py >= 10 AND py <= 30
+    GROUP BY user_id
+    """,
+)
+def tql_geometry_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TQL geometry condition (function_gis.h — ST_MBRINTERSECTS with an
+    ST_MAKERECT probe is what GridDB's R-tree evaluates): a GEOMETRY
+    (WKT) column built deterministically from event fields, probed
+    through the TQL front-end; the envelope extraction + interval
+    overlap run as pure SQL column math. The oracle checks the same
+    containment on the raw coordinates — a wrong WKT parse or overlap
+    test cannot hash-match."""
+    from griddb_spark.container import Collection
+
+    ev = cat(spark, sf_dir).load("events").select(
+        "user_id", "value",
+        F.concat(
+            F.lit("POINT("), (F.col("user_id") % 100).cast("double"),
+            F.lit(" "), (F.col("user_id") % 53).cast("double"), F.lit(")"),
+        ).alias("geom"),
+    )
+    col = Collection("events_geo", ev)
+    out = col.query(
+        "SELECT user_id, value "
+        "WHERE ST_MBRINTERSECTS(geom, ST_MAKERECT(20, 10, 45, 30))"
+    )
+    return out.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "sql_frontend_group_by_range",
     _duck_fill_base(3_600_000)
     + """

@@ -322,3 +322,31 @@ def test_continuous_aggregate_incremental_refresh(spark, catalog, tmp_path):
     refresh_continuous_aggregate(tail, t2, "ts", 1, "DAY", aggs)
     got = {r[BUCKET_COL]: (r.n, r.avg_v) for r in t2.read().collect()}
     assert got == want and len(want) == 30
+
+
+def test_tql_geometry_mbr_intersects_rect_and_wkt(spark):
+    from griddb_spark.container import Collection
+
+    df = spark.createDataFrame(
+        [(1, "POINT(5 5)"), (2, "POINT(50 5)"),
+         (3, "LINESTRING(0 0, 4 8)"),          # envelope straddles probe
+         (4, "POLYGON((20 20, 30 20, 30 30, 20 30, 20 20))")],
+        ["id", "geom"],
+    )
+    col = Collection("g", df)
+    got = {r.id for r in col.query(
+        "SELECT * WHERE ST_MBRINTERSECTS(geom, ST_MAKERECT(0, 0, 10, 10))"
+    ).collect()}
+    assert got == {1, 3}
+    # literal-WKT probe: envelope folded at rewrite time
+    got2 = {r.id for r in col.query(
+        "SELECT * WHERE ST_MBRINTERSECTS(geom, "
+        "ST_GEOMFROMTEXT('POLYGON((25 25, 60 25, 60 60, 25 60, 25 25))'))"
+    ).collect()}
+    assert got2 == {4}
+    # composes with ordinary predicates
+    got3 = {r.id for r in col.query(
+        "SELECT * WHERE id > 1 AND "
+        "ST_MBRINTERSECTS(geom, ST_MAKERECT(0, 0, 100, 100))"
+    ).collect()}
+    assert got3 == {2, 3, 4}
