@@ -57,7 +57,9 @@ from griddb_spark.pipeline.sampling import (  # noqa: F401
     deterministic_sample,
     hash_bucket,
     snapshot_diff,
+    stratified_fixed_k,
     stratified_sample,
+    temperature_mix,
     train_split,
 )
 from griddb_spark.pipeline.quality import (  # noqa: F401

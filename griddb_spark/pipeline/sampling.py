@@ -90,6 +90,76 @@ def mix_to_token_budget(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    token_col: Column | str,
+    temperature: float = 0.7,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual/multi-domain
+    re-balancing rule): each stratum's sampling weight is its token share
+    raised to ``temperature`` < 1, which flattens the distribution toward
+    rare sources (τ=1 keeps natural proportions, τ→0 approaches uniform).
+    Keep rate per stratum = min(1, w_s / max_s w_s) with
+    w_s ∝ share_s^τ / share_s — i.e. the largest stratum's rate scales
+    the others so nothing is UPsampled, only over-represented strata are
+    thinned (the standard no-duplication mixing form).
+
+    Rates are data-driven (one combinable sum per stratum, broadcast
+    back); the keep decision is the content-hash bucket, so appends never
+    resample history. Pure column math — the oracle replays the powers
+    exactly.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    totals = df.groupBy(stratum_col).agg(F.sum(tok).alias("__tot"))
+    grand = totals.agg(F.sum("__tot").alias("__g"))
+    # w_s = share^tau / share = share^(tau-1); rate = w_s / max(w_s).
+    # max w corresponds to the SMALLEST share when tau < 1.
+    w = totals.crossJoin(F.broadcast(grand)).select(
+        stratum_col,
+        F.pow(F.col("__tot") / F.col("__g"), F.lit(temperature - 1.0))
+        .alias("__w"),
+    )
+    wmax = w.agg(F.max("__w").alias("__wm"))
+    rates = w.crossJoin(F.broadcast(wmax)).select(
+        stratum_col,
+        F.least(F.lit(1.0), F.col("__w") / F.col("__wm")).alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(hash_bucket(key_col) < F.floor(F.col("__rate") * _BUCKETS))
+        .drop("__rate")
+    )
+
+
+def stratified_fixed_k(
+    df: DataFrame, key_col: str, stratum_col: str, k: int
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (the reservoir-sampling
+    use case, reproducibly): rank rows within each stratum by their
+    content hash (md5 of the key — a uniform, engine-portable shuffle
+    order) and keep the first ``k``. Unlike a true streaming reservoir
+    the result is IDENTICAL across runs, partitionings, and engines, and
+    appending data only evicts rows whose hash rank falls out of the top
+    k — it never reshuffles survivors arbitrarily.
+
+    One hash shuffle on the stratum; the per-stratum top-k is a window
+    rank (strata are assumed numerous/balanced — for one giant stratum
+    use deterministic_sample instead).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -3590,6 +3590,69 @@ def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_mix_temperature",
+    """
+    WITH t AS (SELECT doc_id, source, n_chars FROM documents),
+    tot AS (SELECT source, sum(n_chars)::DOUBLE AS tt FROM t GROUP BY source),
+    g AS (SELECT sum(tt) AS gg FROM tot),
+    w AS (SELECT source, pow(tt / g.gg, 0.7 - 1.0) AS w FROM tot, g),
+    wm AS (SELECT max(w) AS wm FROM w),
+    r AS (SELECT source, least(1.0, w / wm.wm) AS rate FROM w, wm)
+    SELECT t.source, count(*) AS n_docs, sum(n_chars) AS kept_chars
+    FROM t JOIN r USING (source)
+    WHERE ('0x'||substr(md5(cast(doc_id AS varchar)),1,8))::BIGINT % 10000
+          < floor(rate * 10000)
+    GROUP BY t.source
+    """,
+)
+def pipe_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (τ=0.7 — the multilingual
+    re-balancing rule): per-source weight share^(τ-1), scaled so the
+    most over-represented source thins the most and nothing upsamples;
+    data-driven rates + content-hash keep decision (append-stable). The
+    oracle replays the power/rate arithmetic and the md5 buckets."""
+    from griddb_spark.pipeline import temperature_mix
+
+    docs = cat(spark, sf_dir).load("documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    kept = temperature_mix(docs, "doc_id", "source", "n_chars",
+                           temperature=0.7)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+@query(
+    "pipe_sample_fixed_k",
+    """
+    WITH r AS (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rk
+               FROM documents)
+    SELECT source, count(*) AS n, sum(n_chars) AS sum_chars,
+           min(doc_id) AS min_id
+    FROM r WHERE rk <= 25 GROUP BY source
+    """,
+)
+def pipe_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (the reproducible
+    reservoir): rank by content hash within each source, keep the top
+    25 — identical across runs/partitionings/engines, append-stable
+    evictions. One hash shuffle + window rank."""
+    from griddb_spark.pipeline import stratified_fixed_k
+
+    docs = cat(spark, sf_dir).load("documents")
+    kept = stratified_fixed_k(docs, "doc_id", "source", k=25)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+@query(
     "pipe_mix_budget",
     """
     WITH t AS (SELECT doc_id, source,

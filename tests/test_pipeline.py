@@ -585,3 +585,43 @@ def test_write_training_shards_empty_keepset(spark, tmp_path):
     out = write_training_shards(df, str(tmp_path / "s"), "doc_id", n_shards=4)
     assert out.collect() == []
     assert out.columns == ["shard", "n_rows"]
+
+
+def test_temperature_mix_flattens_and_never_upsamples(spark, docs):
+    from griddb_spark.pipeline import temperature_mix
+
+    d = docs.select("doc_id", "source", "n_chars")
+    before = {r.source: r.t for r in
+              d.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()}
+    kept = temperature_mix(d, "doc_id", "source", "n_chars", temperature=0.5)
+    after = {r.source: r.t for r in
+             kept.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()}
+    # nothing upsampled; the relative spread between the biggest and
+    # smallest source must shrink (flattening)
+    assert all(after[s] <= before[s] for s in after)
+    big, small = max(before, key=before.get), min(before, key=before.get)
+    assert after[big] / max(after[small], 1) < before[big] / before[small]
+    # deterministic: rerun keeps the identical set
+    kept2 = temperature_mix(d, "doc_id", "source", "n_chars", temperature=0.5)
+    assert sorted(r.doc_id for r in kept.collect()) == \
+        sorted(r.doc_id for r in kept2.collect())
+
+
+def test_stratified_fixed_k_stable_under_appends(spark, docs):
+    from griddb_spark.pipeline import stratified_fixed_k
+
+    d = docs.select("doc_id", "source")
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    k_half = {r.doc_id for r in stratified_fixed_k(half, "doc_id", "source", 5)
+              .collect()}
+    k_full = {r.doc_id for r in stratified_fixed_k(d, "doc_id", "source", 5)
+              .collect()}
+    # per-stratum counts exactly k (every source has >5 docs)
+    counts = (stratified_fixed_k(d, "doc_id", "source", 5)
+              .groupBy("source").count().collect())
+    assert all(r["count"] == 5 for r in counts)
+    # appending only evicts (hash rank falls out of top k), never adds
+    # rows that weren't hash-ranked ahead: survivors of the full run that
+    # exist in the half corpus must be survivors of the half run
+    half_ids = {r.doc_id for r in half.collect()}
+    assert (k_full & half_ids) <= k_half
