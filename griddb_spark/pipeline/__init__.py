@@ -81,6 +81,7 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     l2_normalize,
     linear_probe_score,
     max_sim_vs_bench,
+    mean_pool_vectors,
     quantize_int8,
 )
 from griddb_spark.pipeline.sketches import (  # noqa: F401

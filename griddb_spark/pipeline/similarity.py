@@ -482,3 +482,34 @@ def max_sim_vs_bench(
         .repartition(para, "__id")
         .mapInPandas(gen, out_schema)
     )
+
+
+def mean_pool_vectors(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "pooled",
+    round_to: "int | None" = None,
+) -> DataFrame:
+    """Element-wise mean of vectors per group — the chunk→document
+    embedding pooling step (embed chunks, average into one doc vector).
+
+    posexplode → (group, pos) average → reassemble in position order:
+    one shuffle keyed on (group, pos) with map-side partial averages, so
+    the fan-out is rows×dim but the reduce width is groups×dim — the
+    same shape as ``centroids_by`` (which pools by cell instead of doc).
+    At 100 TB this beats any collect_list-then-average formulation by
+    never materializing a group's vector list on one reducer.
+    """
+    pos = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col).cast("array<double>"))
+    )
+    by_pos = pos.groupBy(group_col, "pos").agg(F.avg("col").alias("v"))
+    if round_to is not None:
+        by_pos = by_pos.withColumn("v", F.round(F.col("v"), round_to))
+    return by_pos.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s["v"],
+        ).alias(out_col)
+    )

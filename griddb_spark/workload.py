@@ -3590,6 +3590,31 @@ def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_chunk_embed_pool",
+    """
+    WITH p AS (SELECT vec_id % 100 AS doc,
+                 generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding)::DOUBLE AS v
+               FROM embeddings),
+    a AS (SELECT doc, pos, round(avg(v), 6) AS v FROM p GROUP BY doc, pos)
+    SELECT doc, list(v ORDER BY pos) AS pooled FROM a GROUP BY doc
+    """,
+)
+def pipe_chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document embedding pooling (mean_pool_vectors): element-wise
+    mean of each group's vectors via posexplode + (group, pos) partial
+    averages + position-ordered reassembly — the reduce width is
+    groups×dim, never a per-group vector list on one reducer. Here chunks
+    group by vec_id % 100 (the doc-key stand-in)."""
+    from griddb_spark.pipeline import mean_pool_vectors
+
+    emb = cat(spark, sf_dir).load("embeddings").select(
+        (F.col("vec_id") % 100).alias("doc"), "embedding"
+    )
+    return mean_pool_vectors(emb, "doc", "embedding", "pooled", round_to=6)
+
+
+@query(
     "pipe_mix_temperature",
     """
     WITH t AS (SELECT doc_id, source, n_chars FROM documents),

@@ -625,3 +625,54 @@ def test_stratified_fixed_k_stable_under_appends(spark, docs):
     # exist in the half corpus must be survivors of the half run
     half_ids = {r.doc_id for r in half.collect()}
     assert (k_full & half_ids) <= k_half
+
+
+def test_png_codec_randomized_battery():
+    """Randomized round-trips across sizes/channels/content shapes, plus
+    decode of synthetic streams using EVERY filter type (incl. the
+    Average/Paeth lines our encoder never emits but foreign encoders do)."""
+    import random
+    import struct
+    import zlib
+
+    from griddb_spark.pipeline.multimodal import (
+        PNG_MAGIC,
+        _filter_line,
+        _png_chunk,
+        png_decode,
+        png_encode,
+    )
+
+    rng = random.Random(99)
+    for _ in range(30):
+        w = rng.randint(1, 40)
+        h = rng.randint(1, 30)
+        ch = rng.choice([1, 3, 4])
+        kind = rng.randrange(3)
+        n = w * h * ch
+        if kind == 0:      # random noise
+            px = bytes(rng.randrange(256) for _ in range(n))
+        elif kind == 1:    # smooth gradient (filters win big)
+            px = bytes((i * 7 // (ch or 1)) % 256 for i in range(n))
+        else:              # constant blocks
+            px = bytes((i // max(w, 1)) % 3 * 17 for i in range(n))
+        assert png_decode(png_encode(px, w, h, ch)) == (w, h, ch, px)
+
+    # hand-built stream forcing filter types 3 (Average) and 4 (Paeth)
+    for _ in range(10):
+        w, h, ch = rng.randint(2, 20), rng.randint(2, 10), rng.choice([1, 3])
+        stride = w * ch
+        px = bytes(rng.randrange(256) for _ in range(stride * h))
+        raw = bytearray()
+        prev = bytes(stride)
+        for y in range(h):
+            line = px[y * stride:(y + 1) * stride]
+            ft = rng.choice([0, 1, 2, 3, 4])
+            raw.append(ft)
+            raw += _filter_line(ft, line, prev, ch)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2}[ch], 0, 0, 0)
+        buf = (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+        assert png_decode(buf) == (w, h, ch, px)
