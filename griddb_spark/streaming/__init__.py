@@ -17,6 +17,7 @@ maps onto Structured Streaming:
 
 from griddb_spark.streaming.stream_ops import (  # noqa: F401
     dedup_stream,
+    embed_dedup_stream,
     distinct_sketch_stream,
     freq_sketch_stream,
     quantile_sketch_stream,

@@ -340,3 +340,137 @@ def run_to_memory(
         if shuffle_partitions is not None:
             spark.conf.set(key, prev)
     return spark.table(table_name)
+
+
+def embed_dedup_stream(
+    stream: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    sign_bits: int = 8,
+    checkpoint_dir: "str | None" = None,
+):
+    """Streaming embedding dedup against a persistent ANN index — the
+    ingest-time semantic dedup shape: only first-seen members of each
+    near-dup cluster enter the corpus.
+
+    Per micro-batch (foreachBatch — the cross-batch state is the INDEX
+    itself, a parquet directory Hive-partitioned by sign-code cell):
+
+    1. intra-batch dedup: ``cosine_pairs_ann`` within the batch →
+       components → min-id canonical (two same-batch near-dups collapse);
+    2. cross-batch probe: the survivors' own + Hamming-1 cells are read
+       from the index — a PARTITION-PRUNED scan touching only the probed
+       cell directories, never the whole index — and candidates verify
+       with the vectorized exact cosine; anything matching an indexed
+       vector is a duplicate of earlier data and is dropped;
+    3. the remaining survivors append to their cell partitions.
+
+    Probe cost per batch tracks the batch (cells touched × occupancy),
+    not corpus size — the same posture as the MinHash ``lsh_index``
+    incremental path, in embedding space. Assumes ordered arrival for
+    first-seen-wins determinism (replay/checkpoint otherwise re-runs an
+    idempotent append of already-indexed survivors).
+
+    Returns the started StreamingQuery; the deduped corpus IS the index
+    (``spark.read.parquet(index_path)``).
+    """
+    from griddb_spark.pipeline.dedup import connected_components
+    from griddb_spark.pipeline.similarity import cosine_pairs_ann, sign_code
+
+    def _batch(bdf: DataFrame, _bid: int) -> None:
+        if bdf.isEmpty():
+            return
+        spark = bdf.sparkSession
+        b = (
+            bdf.select(
+                id_col, F.col(vec_col).cast("array<double>").alias("__v")
+            )
+            .withColumn("__cell", sign_code(F.col("__v"), sign_bits))
+            .localCheckpoint(eager=True)
+        )
+        pairs = cosine_pairs_ann(
+            b.select(F.col(id_col), F.col("__v").alias(vec_col)),
+            id_col, vec_col, threshold, sign_bits,
+        ).select("id_a", "id_b")
+        comps = connected_components(pairs, src="id_a", dst="id_b")
+        # inline broadcast anti-join: losers are bounded by the batch by
+        # construction, so skip canonical_filter's stats-dispatch count
+        losers = comps.filter(F.col("component") < F.col("doc_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        keep = b.join(F.broadcast(losers), id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        if os.path.isdir(index_path) and any(
+            e.startswith("__cell=") for e in os.listdir(index_path)
+        ):
+            cells = {
+                r[0]
+                for r in keep.select("__cell").distinct().collect()
+            }
+            probe = sorted(
+                {c ^ (1 << j) for c in cells for j in range(sign_bits)}
+                | cells
+            )
+            idx = (
+                spark.read.parquet(index_path)
+                .filter(F.col("__cell").isin(probe))
+                .select(
+                    F.col(id_col).alias("__iid"),
+                    F.col("__v").alias("__iv"),
+                    F.col("__cell").alias("__icell"),
+                )
+            )
+            probes = keep.select(
+                F.col(id_col),
+                F.col("__v"),
+                F.explode(
+                    F.array(
+                        F.col("__cell"),
+                        *[
+                            F.col("__cell").bitwiseXOR(F.lit(1 << j))
+                            for j in range(sign_bits)
+                        ],
+                    )
+                ).alias("__pcell"),
+            )
+            import pandas as pd  # noqa: F401  (mapInPandas below)
+
+            cand = probes.join(idx, probes["__pcell"] == idx["__icell"])
+
+            def verify(batches):
+                import numpy as np
+                import pandas as pd
+
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    ma = np.stack(pdf["__v"].to_numpy())
+                    mb = np.stack(pdf["__iv"].to_numpy())
+                    na = np.linalg.norm(ma, axis=1)
+                    nb = np.linalg.norm(mb, axis=1)
+                    den = na * nb
+                    den[den == 0.0] = 1.0
+                    sim = np.einsum("ij,ij->i", ma, mb) / den
+                    dup = np.round(sim, 6) >= threshold
+                    yield pd.DataFrame(
+                        {id_col: pdf[id_col].to_numpy()[dup]}
+                    )
+
+            dup_ids = cand.select(id_col, "__v", "__iv").mapInPandas(
+                verify, f"{id_col} long"
+            ).distinct()
+            keep = keep.join(dup_ids, id_col, "left_anti")
+        # cluster by cell before the partitioned append: one file per
+        # touched cell per batch, not tasks × cells small files (the same
+        # leaf-clustering rule as DmlTable._write)
+        keep.select(id_col, "__v", "__cell").repartition(
+            F.col("__cell")
+        ).write.mode("append").partitionBy("__cell").parquet(index_path)
+
+    writer = stream.writeStream.foreachBatch(_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -3590,6 +3590,101 @@ def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_embed",
+    """
+    WITH RECURSIVE u AS (
+      SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, [x * 1.001 for x in embedding::DOUBLE[]]
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id, v,
+            ( (v[1] >= 0)::BIGINT * 1 + (v[2] >= 0)::BIGINT * 2
+            + (v[3] >= 0)::BIGINT * 4 + (v[4] >= 0)::BIGINT * 8
+            + (v[5] >= 0)::BIGINT * 16 + (v[6] >= 0)::BIGINT * 32
+            + (v[7] >= 0)::BIGINT * 64 + (v[8] >= 0)::BIGINT * 128) cell
+          FROM u),
+    p AS (SELECT vec_id, v,
+            unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4),
+                    xor(cell, 8), xor(cell, 16), xor(cell, 32),
+                    xor(cell, 64), xor(cell, 128)]) pcell
+          FROM c),
+    j AS (SELECT p.vec_id id_a, m.vec_id id_b
+          FROM p JOIN c m ON m.cell = p.pcell AND p.vec_id < m.vec_id
+          WHERE round(list_cosine_similarity(p.v, m.v), 6) >= 0.9),
+    e AS (SELECT id_a a, id_b b FROM j UNION SELECT id_b, id_a FROM j),
+    reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+    ),
+    comp AS (SELECT src vec_id, least(src, min(dst)) component
+             FROM reach GROUP BY src)
+    SELECT u.vec_id FROM u
+    WHERE NOT EXISTS (SELECT 1 FROM comp c
+                      WHERE c.vec_id = u.vec_id AND c.component < u.vec_id)
+    """,
+)
+def stream_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding dedup (embed_dedup_stream): vectors arrive in
+    three micro-batches (originals interleaved with their ×1.001 planted
+    near-duplicates, id order — clusters deliberately span batch
+    boundaries); each batch dedups within itself (ANN pairs → components
+    → canonical) and probes the PERSISTENT sign-code-partitioned index
+    for duplicates of earlier data (partition-pruned read of only the
+    probed cells), then appends its survivors. The deduped corpus IS the
+    index; first-seen-wins under ordered arrival equals the batch min-id
+    canonical, so the recursive-closure oracle gates it."""
+    import tempfile
+    import uuid as _uuid
+
+    from griddb_spark.streaming import embed_dedup_stream
+
+    prepare(spark)
+    emb = cat(spark, sf_dir).load("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = emb.unionByName(pert)
+    src_dir = tempfile.mkdtemp(prefix="embdedup_src_")
+    from pyspark.sql import Window as _W
+
+    n = corpus.count()
+    ranked = corpus.withColumn(
+        "__rk",
+        F.row_number().over(_W.orderBy(F.col("vec_id") % 100000, "vec_id")),
+    )
+    import glob
+    import shutil
+
+    for i in range(3):
+        (ranked.filter((F.col("__rk") > i * n // 3)
+                       & (F.col("__rk") <= (i + 1) * n // 3))
+         .drop("__rk").coalesce(1).write.mode("overwrite")
+         .parquet(f"{src_dir}/f{i}"))
+        part = glob.glob(f"{src_dir}/f{i}/part-*.parquet")[0]
+        shutil.move(part, f"{src_dir}/{i:02d}.parquet")
+        shutil.rmtree(f"{src_dir}/f{i}")
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    index = tempfile.mkdtemp(prefix="embdedup_idx_") + "/index"
+    q = embed_dedup_stream(
+        stream, index, "vec_id", "embedding", threshold=0.9, sign_bits=8,
+        checkpoint_dir=tempfile.mkdtemp(
+            prefix=f"embdedup_ck_{_uuid.uuid4().hex[:6]}_"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(index).select("vec_id")
+
+
+@query(
     "pipe_chunk_embed_pool",
     """
     WITH p AS (SELECT vec_id % 100 AS doc,
