@@ -3653,16 +3653,19 @@ def stream_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as _W
 
     n = corpus.count()
+    # checkpoint: the global order window would otherwise re-sort once
+    # per arrival file written below
     ranked = corpus.withColumn(
         "__rk",
         F.row_number().over(_W.orderBy(F.col("vec_id") % 100000, "vec_id")),
-    )
+    ).localCheckpoint(eager=True)
     import glob
     import shutil
 
-    for i in range(3):
-        (ranked.filter((F.col("__rk") > i * n // 3)
-                       & (F.col("__rk") <= (i + 1) * n // 3))
+    n_batches = 3
+    for i in range(n_batches):
+        (ranked.filter((F.col("__rk") > i * n // n_batches)
+                       & (F.col("__rk") <= (i + 1) * n // n_batches))
          .drop("__rk").coalesce(1).write.mode("overwrite")
          .parquet(f"{src_dir}/f{i}"))
         part = glob.glob(f"{src_dir}/f{i}/part-*.parquet")[0]
