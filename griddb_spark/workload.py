@@ -1032,6 +1032,54 @@ def asof_join_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "ts", "value", "r_ts", "r_value")
 
 
+@query(
+    "asof_join_tolerance",
+    f"""
+    WITH e AS ({_DUCK_EV}),
+    l AS (SELECT event_id, ts, value FROM e WHERE user_id = 1),
+    r AS (SELECT ts, value FROM e WHERE user_id = 2),
+    u AS (
+      SELECT ts, 0 AS side, ts AS r_ts, value AS r_value,
+             NULL::BIGINT AS event_id, NULL::DOUBLE AS l_value FROM r
+      UNION ALL
+      SELECT ts, 1, NULL, NULL, event_id, value FROM l
+    ),
+    w AS (
+      SELECT ts, side, event_id, l_value,
+        last_value(r_ts IGNORE NULLS) OVER
+          (ORDER BY ts DESC, side ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS m_ts,
+        last_value(r_value IGNORE NULLS) OVER
+          (ORDER BY ts DESC, side ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS m_value
+      FROM u
+    ),
+    t AS (SELECT event_id, ts, l_value,
+            CASE WHEN abs(epoch_ms(m_ts) - epoch_ms(ts)) <= 600000
+                 THEN m_ts END AS r_ts,
+            CASE WHEN abs(epoch_ms(m_ts) - epoch_ms(ts)) <= 600000
+                 THEN m_value END AS r_value
+          FROM w WHERE side = 1)
+    SELECT event_id, ts, l_value AS value, r_ts, r_value FROM t
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD direction with a 10-minute tolerance (the
+    pandas merge_asof tolerance semantics): each user-1 event gets the
+    EARLIEST user-2 event at or after it, but only within the window —
+    matches farther away null out instead of attaching a stale row. Same
+    single-sort tagged-union plan; the tolerance is a post-predicate on
+    the matched struct, so no extra join or shuffle."""
+    from griddb_spark.operators import asof_join
+
+    ev = cat(spark, sf_dir).load("events")
+    left = ev.filter(F.col("user_id") == 1).select("event_id", "ts", "value")
+    right = ev.filter(F.col("user_id") == 2).select("ts", "value")
+    out = asof_join(left, right, on="ts", direction="forward",
+                    tolerance_ms=600_000, right_prefix="r_")
+    return out.select("event_id", "ts", "value", "r_ts", "r_value")
+
+
 # ===========================================================================
 # query-language front-ends (TQL + GridDB SQL) driven end-to-end
 # ===========================================================================
