@@ -2142,6 +2142,36 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "partition_pruned_point_lookup",
+    """
+    SELECT event_type, round(sum(value), 6) AS sv, count(*) AS n
+    FROM events WHERE user_id = 7 GROUP BY event_type
+    """,
+)
+def partition_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION BY HASH(user_id, 16) + POINT lookup: the key-equality
+    case of NarrowingKey pruning (sql_compiler.h:3101-3135) — the
+    predicate derives the single hash bucket, so the scan touches ONE of
+    the 16 leaf directories (HashPartitioning.key_filter; the typed
+    literal matters: xxhash64 of int32 vs int64 picks different
+    buckets)."""
+    import tempfile
+
+    from griddb_spark.dml import DmlTable, hash_partition_expr
+
+    ev = cat(spark, sf_dir).load("events")
+    path = tempfile.mkdtemp(prefix="dml_ev_h_") + "/t"
+    t = DmlTable(spark, path, hash_partition_expr("user_id", 16)).create(ev)
+    dtype = dict(ev.dtypes)["user_id"]
+    one = t.scan().filter(
+        t.partitioning.key_filter(7, dtype)
+    ).drop("__part")
+    return one.groupBy("event_type").agg(
+        _r6(F.sum("value")).alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+
+
 @query("sql_explain")  # no oracle: plan text is engine-specific by nature
 def sql_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXPLAIN / EXPLAIN ANALYZE (SyntaxTree::EXPLAIN_PLAN/EXPLAIN_ANALYZE,
