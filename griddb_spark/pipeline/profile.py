@@ -88,10 +88,15 @@ def canonical_url(url):
     head = F.lower(F.regexp_extract(u, r"(?i)^(https?://[^/?]*)", 1))
     tail = F.regexp_replace(u, r"(?i)^https?://[^/?]*", "")
     u = F.concat(head, tail)
+    # drop tracking params in three positional passes so the remaining
+    # parameters keep correct separators: '&p=v' (middle/end) vanishes,
+    # a leading '?p=v&' hands its '?' to the next parameter, and a lone
+    # leading '?p=v' removes the whole query
     for p in TRACKING_PARAMS:
-        u = F.regexp_replace(u, rf"(?i)[?&]{p}=[^&#]*", "?")
-    u = F.regexp_replace(u, r"\?&", "?")          # ?&rest -> ?rest
-    u = F.regexp_replace(u, r"\?+", "?")          # collapse ?? runs
-    u = F.regexp_replace(u, r"\?$", "")           # bare trailing ?
+        u = F.regexp_replace(u, rf"(?i)&{p}=[^&#]*", "")
+    for p in TRACKING_PARAMS:
+        u = F.regexp_replace(u, rf"(?i)\?{p}=[^&#]*&", "?")
+    for p in TRACKING_PARAMS:
+        u = F.regexp_replace(u, rf"(?i)\?{p}=[^&#]*$", "")
     u = F.regexp_replace(u, r"/$", "")            # trailing slash
     return u

@@ -676,3 +676,49 @@ def test_png_codec_randomized_battery():
                + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
                + _png_chunk(b"IEND", b""))
         assert png_decode(buf) == (w, h, ch, px)
+
+
+def test_canonical_url_randomized_vs_python_reference(spark):
+    """Randomized URL canonicalization vs an independent Python
+    reference implementing the same spec (lowercase scheme+host, strip
+    fragment, drop tracking params keeping others in order, trim
+    trailing slash)."""
+    import random
+    import re as _re
+
+    from griddb_spark.pipeline import canonical_url
+    from griddb_spark.pipeline.profile import TRACKING_PARAMS
+
+    rng = random.Random(23)
+
+    def ref(url):
+        u = _re.sub(r"#.*$", "", url)
+        m = _re.match(r"(?i)^(https?://[^/?]*)(.*)$", u, _re.S)
+        if m:
+            u = m.group(1).lower() + m.group(2)
+        host_path, sep, query = u.partition("?")
+        if sep:
+            parts = [p for p in query.split("&")
+                     if p.split("=")[0].lower() not in TRACKING_PARAMS]
+            u = host_path + ("?" + "&".join(parts) if parts else "")
+        return _re.sub(r"/$", "", u)
+
+    urls = []
+    for _ in range(120):
+        scheme = rng.choice(["http", "HTTP", "https", "HTTPS", "HtTpS"])
+        host = rng.choice(["Example.COM", "www.site.ORG", "CDN.x.Net"])
+        path = rng.choice(["", "/", "/a/b", "/Page/12", "/a/b/"])
+        params = []
+        for _ in range(rng.randrange(4)):
+            k = rng.choice(["id", "q", "utm_source", "utm_campaign",
+                            "gclid", "ref", "page"])
+            params.append(f"{k}={rng.randrange(100)}")
+        query = "?" + "&".join(params) if params else ""
+        frag = rng.choice(["", "#x", "#sec-2"])
+        urls.append(f"{scheme}://{host}{path}{query}{frag}")
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c"))
+           .collect()]
+    for u, g in zip(urls, got):
+        assert g == ref(u), (u, g, ref(u))
