@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -526,3 +528,53 @@ def test_refresh_incremental_merges_straddled_and_late_buckets(spark, tmp_path):
     assert got[(h10, "a")] == (3, 13.0, 1.0, 9.0)          # late row merged
     assert got[(h10 + 3600000, "a")] == (2, 12.0, 5.0, 7.0)  # straddle merged
     assert got[(h10 + 7200000, "b")] == (1, 2.0, 2.0, 2.0)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_refresh_incremental_random_batches_converge(spark, tmp_path, seed):
+    """ANY partition of the rows into batches, delivered in ANY order,
+    must converge to the one-shot rollup — the merge is order- and
+    split-independent (partials are commutative monoids)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from griddb_spark.dml import DmlTable
+    from griddb_spark.operators import refresh_incremental
+    from griddb_spark.operators.continuous_agg import BUCKET_COL
+
+    rng = random.Random(4200 + seed)
+    rows = [
+        (f"2024-02-{1 + rng.randrange(3):02d} {rng.randrange(24):02d}:"
+         f"{rng.randrange(60):02d}:00",
+         rng.choice(["a", "b"]), float(rng.randrange(100)))
+        for _ in range(120)
+    ]
+
+    def mk(rs):
+        return spark.createDataFrame(
+            rs, "ts string, k string, v double"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "k", "v")
+
+    specs = {"n": ("count", None), "sv": ("sum", "v"),
+             "mn": ("min", "v"), "mx": ("max", "v")}
+
+    one = DmlTable(spark, str(tmp_path / "one"))
+    refresh_incremental(mk(rows), one, "ts", 1, "HOUR", specs, by=["k"])
+    want = {(r[BUCKET_COL], r.k): (r.n, r.sv, r.mn, r.mx)
+            for r in one.read().collect()}
+
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    n_batches = rng.randint(2, 5)
+    bounds = sorted(rng.sample(range(1, len(rows)), n_batches - 1))
+    pieces, prev = [], 0
+    for b in bounds + [len(rows)]:
+        pieces.append(shuffled[prev:b])
+        prev = b
+    inc = DmlTable(spark, str(tmp_path / "inc"))
+    for piece in pieces:
+        refresh_incremental(mk(piece), inc, "ts", 1, "HOUR", specs, by=["k"])
+    got = {(r[BUCKET_COL], r.k): (r.n, r.sv, r.mn, r.mx)
+           for r in inc.read().collect()}
+    assert got == want
