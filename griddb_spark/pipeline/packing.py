@@ -39,10 +39,12 @@ def token_count(col: Column | str, mode: str = "ws") -> Column:
     ``bpe`` = the BPE-ish pre-tokenizer (letter runs | digit runs |
     single punctuation glyph) from :mod:`pipeline.text`."""
     c = F.col(col) if isinstance(col, str) else col
+    # long, not int: token counts get summed corpus-wide (mixing budgets,
+    # pack offsets) where int32 overflows at 100 TB scale
     if mode == "ws":
-        return F.size(tokens(c))
+        return F.size(tokens(c)).cast("long")
     if mode == "bpe":
-        return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0))
+        return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0)).cast("long")
     raise ValueError(f"unknown token mode: {mode}")
 
 

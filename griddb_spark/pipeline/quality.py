@@ -118,11 +118,13 @@ def pii_scrub(col: Column | str) -> dict[str, Column]:
     scrubbed = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     scrubbed = F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
     scrubbed = F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
+    # long counts: corpus-level PII tallies are sums of these columns, and
+    # the BIGINT oracle twin must dtype-match exactly
     return {
         "scrubbed": scrubbed,
-        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
-        "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
-        "n_ips": F.regexp_count(c, F.lit(IPV4_RE)),
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
+        "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
+        "n_ips": F.regexp_count(c, F.lit(IPV4_RE)).cast("long"),
     }
 
 

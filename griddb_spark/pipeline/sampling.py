@@ -191,7 +191,10 @@ def write_training_shards(
     if not any(e.startswith("__shard=") for e in os.listdir(path)):
         return spark.createDataFrame([], "shard bigint, n_rows long")
     back = spark.read.parquet(path)
-    return back.groupBy(F.col("__shard").alias("shard")).agg(
+    # Hive partition discovery infers __shard as int; surface it as the
+    # long it was written as (BIGINT oracle twin / shard counts can be >2^31
+    # in pathological n_shards configs)
+    return back.groupBy(F.col("__shard").cast("long").alias("shard")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
 

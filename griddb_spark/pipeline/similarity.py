@@ -169,7 +169,7 @@ def knn_bruteforce(
 
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -243,7 +243,7 @@ def ann_ivf(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -490,6 +490,7 @@ def mean_pool_vectors(
     vec_col: str = "embedding",
     out_col: str = "pooled",
     round_to: "int | None" = None,
+    assemble: bool = True,
 ) -> DataFrame:
     """Element-wise mean of vectors per group — the chunk→document
     embedding pooling step (embed chunks, average into one doc vector).
@@ -507,6 +508,12 @@ def mean_pool_vectors(
     by_pos = pos.groupBy(group_col, "pos").agg(F.avg("col").alias("v"))
     if round_to is not None:
         by_pos = by_pos.withColumn("v", F.round(F.col("v"), round_to))
+    if not assemble:
+        # long format (group, pos, v): the exchange/audit-friendly shape —
+        # scalar columns only, 0-based pos as long
+        return by_pos.select(
+            group_col, F.col("pos").cast("long").alias("pos"), "v"
+        )
     return by_pos.groupBy(group_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "v"))),

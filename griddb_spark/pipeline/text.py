@@ -129,10 +129,12 @@ def quality_stats(col: Column | str) -> dict[str, Column]:
         + (F.lit(1.0) - punct_ratio) * 0.5
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.25
     )
+    # counts surface as long: corpus-level sums of these columns overflow
+    # int32 at 100 TB, and the BIGINT oracle twin must dtype-match exactly
     return {
-        "n_chars": n_chars,
-        "n_tokens": n_tokens,
-        "n_bpe_tokens": n_bpe,
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "n_bpe_tokens": n_bpe.cast("long"),
         "mean_word_len": mean_word_len,
         "punct_ratio": punct_ratio,
         "stop_ratio": stop_ratio,

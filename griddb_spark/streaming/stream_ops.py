@@ -123,7 +123,7 @@ def distinct_sketch_stream(
         stream.withWatermark(key, watermark)
         .groupBy(win.alias("__w"))
         .agg(F.size(F.collect_set(register_col(F.col(id_col), m)))
-             .alias("n_registers"))
+             .cast("long").alias("n_registers"))
     )
     return hits.select(
         F.col("__w.start").alias(key),

@@ -432,7 +432,7 @@ def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
         F.lag("l_quantity").over(w).alias("prev_qty"),
         F.lead("l_quantity").over(w).alias("next_qty"),
         F.sum("l_quantity").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("running_qty"),
@@ -490,9 +490,9 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("c_name").alias("up"),
         F.lower("c_mktsegment").alias("lo"),
         F.substring("c_name", 1, 8).alias("pre"),
-        F.length("c_name").alias("len"),
+        F.length("c_name").cast("long").alias("len"),
         F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("repl"),
-        F.instr(F.col("c_name"), F.lit("0")).alias("pos"),
+        F.instr(F.col("c_name"), F.lit("0")).cast("long").alias("pos"),
         F.trim(F.col("c_mktsegment")).alias("trimmed"),
         F.concat("c_name", F.lit("/"), "c_mktsegment").alias("joined"),
         F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("N/A")).alias("seg_or_na"),
@@ -2223,7 +2223,7 @@ def sql_prepared_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_batch_update",
     """
-    SELECT * FROM (VALUES
+    SELECT id, name, CAST(score AS DOUBLE) AS score FROM (VALUES
       (1, 'alpha', 10.5), (2, 'beta', NULL), (3, 'gamma', -2.25),
       (4, 'delta', 0.0), (5, 'epsilon', 99.75))
       AS t(id, name, score)
@@ -2484,7 +2484,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = cat(spark, sf_dir).load("embeddings")
     return emb.filter(F.col("vec_id") < 20).select(
         "vec_id",
-        F.size("embedding").alias("arr_len"),
+        F.size("embedding").cast("long").alias("arr_len"),
         _r6(F.element_at("embedding", 1).cast("double")).alias("first_elem"),
         _r6(F.element_at("embedding", 64).cast("double")).alias("last_elem"),
     )
@@ -2797,8 +2797,8 @@ def scalar_numeric_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         px.cast("long").cast("double").alias("px_trunc"),
         _r6(F.sqrt(px)).alias("px_sqrt"),
         _r6(F.log(2.0, px + 1)).alias("px_log2"),
-        F.ceil(F.col("l_discount") * 100).alias("disc_ceil"),
-        F.floor(F.col("l_tax") * 100).alias("tax_floor"),
+        F.ceil(F.col("l_discount") * 100).cast("double").alias("disc_ceil"),
+        F.floor(F.col("l_tax") * 100).cast("double").alias("tax_floor"),
         hex_to_dec(F.lit("FF")).cast("int").alias("hex_ff"),
     )
 
@@ -3289,29 +3289,29 @@ def pipe_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_profile_stats",
     """
     SELECT 'doc_id' AS column, 'bigint' AS dtype, count(*) AS n_rows,
-           sum((doc_id IS NULL)::BIGINT) AS n_null,
+           sum((doc_id IS NULL)::BIGINT)::BIGINT AS n_null,
            count(DISTINCT doc_id) AS n_distinct,
            CAST(min(doc_id) AS VARCHAR) AS min_repr,
            CAST(max(doc_id) AS VARCHAR) AS max_repr,
            CAST(NULL AS DOUBLE) AS avg_len
     FROM documents
     UNION ALL
-    SELECT 'text', 'string', count(*), sum((text IS NULL)::BIGINT),
+    SELECT 'text', 'string', count(*), sum((text IS NULL)::BIGINT)::BIGINT,
            count(DISTINCT text), min(text), max(text),
            round(avg(strlen(text)), 6)
     FROM documents
     UNION ALL
-    SELECT 'lang', 'string', count(*), sum((lang IS NULL)::BIGINT),
+    SELECT 'lang', 'string', count(*), sum((lang IS NULL)::BIGINT)::BIGINT,
            count(DISTINCT lang), min(lang), max(lang),
            round(avg(strlen(lang)), 6)
     FROM documents
     UNION ALL
-    SELECT 'source', 'string', count(*), sum((source IS NULL)::BIGINT),
+    SELECT 'source', 'string', count(*), sum((source IS NULL)::BIGINT)::BIGINT,
            count(DISTINCT source), min(source), max(source),
            round(avg(strlen(source)), 6)
     FROM documents
     UNION ALL
-    SELECT 'n_chars', 'bigint', count(*), sum((n_chars IS NULL)::BIGINT),
+    SELECT 'n_chars', 'bigint', count(*), sum((n_chars IS NULL)::BIGINT)::BIGINT,
            count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
            CAST(max(n_chars) AS VARCHAR), CAST(NULL AS DOUBLE)
     FROM documents
@@ -3378,9 +3378,11 @@ def pipe_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_max(list_transform(ev, x -> abs(x))) AS amax
           FROM t)
     SELECT vec_id,
-      list_transform(ev, x -> CAST(floor(x / nrm * 1000000 + 0.5) AS BIGINT))
+      array_to_string(list_transform(ev,
+        x -> CAST(floor(x / nrm * 1000000 + 0.5) AS BIGINT)), ',')
         AS unit_q6,
-      list_transform(ev, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS INT))
+      array_to_string(list_transform(ev,
+        x -> CAST(floor(x * (127.0 / amax) + 0.5) AS INT)), ',')
         AS q_int8,
       round(127.0 / amax, 6) AS q_scale
     FROM n
@@ -3393,12 +3395,22 @@ def pipe_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage that makes every later cosine a dot product and shrinks the ANN
     working set 4x. Norm/amax are pre-projected once per row (see
     with_unit_and_int8) — inlining them into the element lambdas is
-    O(dim²) interpreted work."""
+    O(dim²) interpreted work. The int vectors gate as comma-joined strings
+    (exact: integer formatting has no engine variance) because the
+    driver's pandas canonicalizer cannot hash list cells."""
     from griddb_spark.pipeline.similarity import with_unit_and_int8
 
     emb = cat(spark, sf_dir).load("embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id")
-    return with_unit_and_int8(emb, "embedding", keep=("vec_id",))
+    q = with_unit_and_int8(emb, "embedding", keep=("vec_id",))
+    return q.select(
+        "vec_id",
+        F.array_join(F.col("unit_q6").cast("array<string>"), ",")
+            .alias("unit_q6"),
+        F.array_join(F.col("q_int8").cast("array<string>"), ",")
+            .alias("q_int8"),
+        "q_scale",
+    )
 
 
 #: shared gaps-and-islands oracle for both sessionization faces (12h gap →
@@ -3411,8 +3423,8 @@ _SESSION_ORACLE = """
                THEN 1 ELSE 0 END AS nw
           FROM events),
     s AS (SELECT user_id, ts, value,
-            sum(nw) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) + 1 AS sid
+            (sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) + 1)::BIGINT AS sid
           FROM e)
     SELECT user_id, {sid} min(ts) AS session_start,
            max(ts) + INTERVAL 720 MINUTE AS session_end,
@@ -3769,25 +3781,27 @@ def stream_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_chunk_embed_pool",
     """
     WITH p AS (SELECT vec_id % 100 AS doc,
-                 generate_subscripts(embedding, 1) AS pos,
+                 generate_subscripts(embedding, 1) - 1 AS pos,
                  unnest(embedding)::DOUBLE AS v
-               FROM embeddings),
-    a AS (SELECT doc, pos, round(avg(v), 6) AS v FROM p GROUP BY doc, pos)
-    SELECT doc, list(v ORDER BY pos) AS pooled FROM a GROUP BY doc
+               FROM embeddings)
+    SELECT doc, pos, round(avg(v), 6) AS v FROM p GROUP BY doc, pos
     """,
 )
 def pipe_chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→document embedding pooling (mean_pool_vectors): element-wise
     mean of each group's vectors via posexplode + (group, pos) partial
-    averages + position-ordered reassembly — the reduce width is
-    groups×dim, never a per-group vector list on one reducer. Here chunks
-    group by vec_id % 100 (the doc-key stand-in)."""
+    averages — the reduce width is groups×dim, never a per-group vector
+    list on one reducer. Here chunks group by vec_id % 100 (the doc-key
+    stand-in). Gated in long format (doc, pos, v) — scalar columns only,
+    so the driver's pandas canonicalizer can hash it; ``assemble=True``
+    yields the array-typed production shape."""
     from griddb_spark.pipeline import mean_pool_vectors
 
     emb = cat(spark, sf_dir).load("embeddings").select(
         (F.col("vec_id") % 100).alias("doc"), "embedding"
     )
-    return mean_pool_vectors(emb, "doc", "embedding", "pooled", round_to=6)
+    return mean_pool_vectors(emb, "doc", "embedding", "pooled", round_to=6,
+                             assemble=False)
 
 
 @query(
@@ -3799,7 +3813,7 @@ def pipe_chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (SELECT source, pow(tt / g.gg, 0.7 - 1.0) AS w FROM tot, g),
     wm AS (SELECT max(w) AS wm FROM w),
     r AS (SELECT source, least(1.0, w / wm.wm) AS rate FROM w, wm)
-    SELECT t.source, count(*) AS n_docs, sum(n_chars) AS kept_chars
+    SELECT t.source, count(*) AS n_docs, sum(n_chars)::BIGINT AS kept_chars
     FROM t JOIN r USING (source)
     WHERE ('0x'||substr(md5(cast(doc_id AS varchar)),1,8))::BIGINT % 10000
           < floor(rate * 10000)
@@ -3832,7 +3846,7 @@ def pipe_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                  row_number() OVER (PARTITION BY source
                    ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rk
                FROM documents)
-    SELECT source, count(*) AS n, sum(n_chars) AS sum_chars,
+    SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars,
            min(doc_id) AS min_id
     FROM r WHERE rk <= 25 GROUP BY source
     """,
@@ -3861,7 +3875,7 @@ def pipe_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents),
     tot AS (SELECT source, sum(n_tokens) AS tot FROM t GROUP BY source),
     r AS (SELECT source, least(1.0, 1000.0 / tot) AS rate FROM tot)
-    SELECT t.source, count(*) AS n_docs, sum(n_tokens) AS kept_tokens
+    SELECT t.source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS kept_tokens
     FROM t JOIN r USING (source)
     WHERE ('0x'||substr(md5(cast(doc_id AS varchar)),1,8))::BIGINT % 10000
           < floor(rate * 10000)
@@ -3979,7 +3993,7 @@ def pipe_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantile_cont(score, 0.25) OVER (PARTITION BY source) AS thr
           FROM q)
     SELECT source, count(*) AS n_docs,
-           sum(CASE WHEN score < thr THEN 1 ELSE 0 END) AS n_dropped,
+           sum(CASE WHEN score < thr THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
            round(min(thr), 6) AS p25_threshold
     FROM f GROUP BY source
     """,
@@ -4213,9 +4227,9 @@ def pipe_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM c)
     SELECT event_type, max(tot) AS n_rows,
            round(min(CASE WHEN cum >= 0.5 * tot
-                          THEN (bucket + 1) * 2.0 END), 6) AS q_50,
+                          THEN (bucket + 1) * 2.0 END), 6)::DOUBLE AS q_50,
            round(min(CASE WHEN cum >= 0.95 * tot
-                          THEN (bucket + 1) * 2.0 END), 6) AS q_95
+                          THEN (bucket + 1) * 2.0 END), 6)::DOUBLE AS q_95
     FROM cum GROUP BY event_type
     """,
 )
@@ -4924,9 +4938,9 @@ def pipe_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM c)
     SELECT ts, max(tot)::BIGINT AS n_rows,
            round(min(CASE WHEN cm >= 0.5 * tot
-                          THEN (bucket + 1) * 2.0 END), 6) AS q_50,
+                          THEN (bucket + 1) * 2.0 END), 6)::DOUBLE AS q_50,
            round(min(CASE WHEN cm >= 0.95 * tot
-                          THEN (bucket + 1) * 2.0 END), 6) AS q_95
+                          THEN (bucket + 1) * 2.0 END), 6)::DOUBLE AS q_95
     FROM cum GROUP BY ts
     """,
 )
@@ -5725,9 +5739,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l.l_returnflag,
            sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
            sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
       AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

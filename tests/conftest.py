@@ -47,22 +47,33 @@ def duck():
     con.close()
 
 
-def _norm(v):
+def _norm(v, approx=False):
+    """Dtype-faithful canonical form: the driver's gate hashes through
+    pandas with dtype-aware hashing, so ``6`` (int) must NOT equal ``6.0``
+    (float) and no silent rounding may paper over value drift. Each value
+    becomes a (type-tag, value) pair; floats stay exact unless the column
+    is explicitly declared approximate."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
+            return ("float", "NaN")
+        return ("float", round(v, 6) if approx else v)
+    if isinstance(v, int):
+        return ("int", v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()[:26]  # µs precision, drop tz suffix variance
-    return v
+        return ("ts", v.isoformat()[:26])  # µs precision, drop tz variance
+    return (type(v).__name__, v)
 
 
 def assert_matches_oracle(df, duck_con, sql, *, approx_cols=()):
-    """Order-insensitive, column-name-sorted comparison of a Spark
-    DataFrame against a DuckDB query — the driver's correctness gate
-    shape (row count + schema names + values)."""
+    """Order-insensitive, column-name-sorted, DTYPE-STRICT comparison of a
+    Spark DataFrame against a DuckDB query — the driver's correctness gate
+    shape (row count + schema names + dtype-aware value hash). Floats
+    compare exactly; pass column names in ``approx_cols`` only for columns
+    deliberately declared approximate."""
     spark_rows = df.collect()
     duck_res = duck_con.execute(sql)
     duck_cols = [d[0] for d in duck_res.description]
@@ -75,12 +86,15 @@ def assert_matches_oracle(df, duck_con, sql, *, approx_cols=()):
     order = sorted(spark_cols)
     s_idx = [spark_cols.index(c) for c in order]
     d_idx = [duck_cols.index(c) for c in order]
+    apx = [c in approx_cols for c in order]
 
     s_set = sorted(
-        (tuple(_norm(r[i]) for i in s_idx) for r in spark_rows), key=repr
+        (tuple(_norm(r[i], a) for i, a in zip(s_idx, apx)) for r in spark_rows),
+        key=repr,
     )
     d_set = sorted(
-        (tuple(_norm(r[i]) for i in d_idx) for r in duck_rows), key=repr
+        (tuple(_norm(r[i], a) for i, a in zip(d_idx, apx)) for r in duck_rows),
+        key=repr,
     )
     assert len(s_set) == len(d_set), f"row count: spark={len(s_set)} duck={len(d_set)}"
     mismatches = [
