@@ -514,26 +514,47 @@ class DmlTable:
         staged = DmlTable(self.spark, tmp, self.partitioning)
         staged._write(staged._with_part(mutated), "error")
 
-        # swap: drop the affected leaves, then graft the staged leaves in
-        for t in affected:
-            d = os.path.join(
-                self.path, *[f"{c}={v}" for c, v in zip(part_cols, t)]
-            )
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+        # swap, stage-then-drop ordered so no crash point loses data: each
+        # affected leaf moves ASIDE (one rename — never deleted yet), its
+        # staged replacement renames in (one rename), and the old tree is
+        # removed only after every graft landed. The aside dir sits NEXT TO
+        # the table path, so a half-committed swap never leaves a dir that
+        # partition discovery would misparse, and the old rows remain on
+        # disk until the final cleanup.
         depth = len(part_cols)
-        for root, dirs, files in os.walk(tmp):
+        staged_leaves: dict[tuple, str] = {}
+        for root, dirs, _files in os.walk(tmp):
             rel = os.path.relpath(root, tmp)
             parts = [] if rel == "." else rel.split(os.sep)
             if len(parts) != depth or not all("=" in p for p in parts):
                 continue
             dirs[:] = []  # leaf reached; don't descend further
+            staged_leaves[tuple(parts)] = root
+        aside = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        os.makedirs(aside, exist_ok=True)
+        for i, t in enumerate(affected):
+            parts = tuple(f"{c}={v}" for c, v in zip(part_cols, t))
+            d = os.path.join(self.path, *parts)
+            if os.path.isdir(d):
+                os.rename(d, os.path.join(aside, str(i)))
+            src = staged_leaves.pop(parts, None)
+            if src is not None:  # None = every row in the leaf was deleted
+                os.makedirs(os.path.dirname(d), exist_ok=True)
+                os.rename(src, d)
+                for f in os.listdir(d):  # drop writer droppings (.crc)
+                    if f.startswith(("_", ".")):
+                        os.remove(os.path.join(d, f))
+        # staged leaves NOT in the affected set — rows whose updated
+        # partition key moved them — merge file-wise into existing leaves
+        # (staged part-file names carry a job UUID, so merges can't collide)
+        for parts, root in staged_leaves.items():
             dest = os.path.join(self.path, *parts)
             os.makedirs(dest, exist_ok=True)
-            for f in files:
+            for f in os.listdir(root):
                 if f.startswith(("_", ".")):
                     continue
                 os.rename(os.path.join(root, f), os.path.join(dest, f))
+        shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         # a fully-deleted range leaf may leave an empty parent (__part=x
         # with every __subpart gone) — prune so #table_partitions and

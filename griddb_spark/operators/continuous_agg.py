@@ -96,7 +96,10 @@ def refresh_continuous_aggregate(
 #: how to merge two partials. avg/stddev are DERIVED on read from these
 #: (sum/count) — exactly why continuous aggregates store partial states.
 _PARTIAL_FN = {
-    "count": lambda c: F.count(F.lit(1)),
+    # ('count', None) = row count; ('count', col) = non-null count of col —
+    # silently counting all rows for a named column would overstate counts
+    # on nullable columns
+    "count": lambda c: F.count(F.lit(1)) if c is None else F.count(c),
     "sum": F.sum,
     "min": F.min,
     "max": F.max,

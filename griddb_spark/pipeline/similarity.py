@@ -288,7 +288,8 @@ def cosine_pairs(
         "pa", "pb", "__id", "__v", (F.col("__blk") == F.col("pa")).alias("__is_a")
     )
 
-    out_schema = "id_a long, id_b long, cos_sim double"
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -396,7 +397,8 @@ def cosine_pairs_ann(
     )
     cand = probes.join(members, "__pcell").filter(F.col("id_a") < F.col("id_b"))
 
-    out_schema = "id_a long, id_b long, cos_sim double"
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
 
     def verify(batches):
         import numpy as np
@@ -458,7 +460,8 @@ def max_sim_vs_bench(
     bm = bm / np.where(nb == 0.0, 1.0, nb)
     bc = corpus.sparkSession.sparkContext.broadcast(bm.T.copy())
 
-    out_schema = f"{id_col} long, max_bench_sim double"
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, max_bench_sim double"
 
     def gen(batches):
         for pdf in batches:

@@ -155,10 +155,18 @@ def histogram_quantile(
         F.sum("__n").over(tot).alias("__tot"),
     )
     aggs = [F.max("__tot").alias("n_rows")]
+    seen_labels = set()
     for q in quantiles:
         if not 0.0 < q < 1.0:
             raise ValueError(f"quantile must be in (0, 1), got {q}")
-        label = "q_" + f"{q:.2f}".split(".")[1]
+        # label from the full decimal expansion: 0.5 -> q_50, 0.999 ->
+        # q_999 — f'{q:.2f}' silently rounded 3-decimal quantiles (0.999
+        # -> 'q_00', 0.995 collided with 0.99)
+        dec = format(q, "f").rstrip("0").split(".")[1]
+        label = "q_" + (dec if len(dec) >= 2 else dec.ljust(2, "0"))
+        if label in seen_labels:
+            raise ValueError(f"duplicate quantile label {label!r} for q={q}")
+        seen_labels.add(label)
         edge = F.lit(lo) + (F.col("__bucket") + F.lit(1)).cast("double") * F.lit(w)
         aggs.append(
             F.round(

@@ -353,6 +353,16 @@ class PreparedStatement:
             ))
         sub = T.StructType([schema[c] for c in cols])
         df = self._spark.createDataFrame(rows, sub)
+        # a partial column list still inserts the FULL target schema: the
+        # unnamed columns ride as typed NULLs, so a partitioned target's
+        # partitioning expression finds its source column and unpartitioned
+        # appends never write schema-divergent files
+        missing = [f for f in schema.fields if f.name not in cols]
+        if missing:
+            df = df.select(
+                *cols,
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+            ).select(*[f.name for f in schema.fields])
         target.insert(df)
         n = len(self._batch)
         self._batch = []

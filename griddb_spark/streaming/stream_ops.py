@@ -459,8 +459,9 @@ def embed_dedup_stream(
                         {id_col: pdf[id_col].to_numpy()[dup]}
                     )
 
+            id_t = bdf.schema[id_col].dataType.simpleString()
             dup_ids = cand.select(id_col, "__v", "__iv").mapInPandas(
-                verify, f"{id_col} long"
+                verify, f"{id_col} {id_t}"
             ).distinct()
             keep = keep.join(dup_ids, id_col, "left_anti")
         # cluster by cell before the partitioned append: one file per

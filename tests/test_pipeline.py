@@ -519,6 +519,28 @@ def test_cosine_pairs_ann_candidates_are_cell_bounded(spark, emb):
     assert cand_bound < n * n / 4
 
 
+def test_cosine_pairs_ann_supports_string_ids(spark, emb):
+    """The mapInPandas output schema derives the id type from the input —
+    string document ids must work, not just bigint (the hardcoded
+    'id_a long' schema used to die with an Arrow cast error)."""
+    from griddb_spark.pipeline import cosine_pairs_ann
+
+    base = emb.limit(50).select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    pert = base.select(
+        F.concat(F.col("vec_id"), F.lit("-dup")).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    got = cosine_pairs_ann(
+        base.unionByName(pert), "vec_id", "embedding", threshold=0.9
+    ).collect()
+    assert len(got) == 50
+    assert all(isinstance(r.id_a, str) and r.id_b == r.id_a + "-dup"
+               for r in got)
+
+
 def test_bpe_train_matches_python_reference(spark):
     """The distributed merge-learning loop must reproduce a sequential
     reference BPE (same greedy left-to-right apply, same count-desc /

@@ -56,6 +56,22 @@ def test_linear_counting_registers_match_reference(spark, seed):
                 assert abs(est - n) <= max(4.0, 0.25 * n)
 
 
+def test_histogram_quantile_labels_full_decimals_and_rejects_collisions(spark):
+    """p999-style quantiles keep their full decimal label (q_999, q_995);
+    colliding labels and out-of-range quantiles are rejected eagerly."""
+    from griddb_spark.pipeline.sketches import histogram_quantile
+
+    df = spark.createDataFrame([("g", float(v)) for v in range(64)],
+                               "g string, v double")
+    out = histogram_quantile(df, ["g"], "v", [0.5, 0.95, 0.99, 0.995, 0.999],
+                             0.0, 64.0, 32)
+    assert out.columns[-4:] == ["q_95", "q_99", "q_995", "q_999"]
+    with pytest.raises(ValueError, match="duplicate quantile label"):
+        histogram_quantile(df, ["g"], "v", [0.5, 0.50], 0.0, 64.0, 32)
+    with pytest.raises(ValueError, match="quantile must be in"):
+        histogram_quantile(df, ["g"], "v", [1.5], 0.0, 64.0, 32)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_histogram_quantile_bucket_math_matches_reference(spark, seed):
     from griddb_spark.pipeline.sketches import histogram_quantile

@@ -293,6 +293,31 @@ def test_batch_update_one_write_and_error_timing(spark, catalog, tmp_path):
     assert t.read().filter("id = 7").collect()[0].score is None
 
 
+def test_batch_update_partial_columns_on_partitioned_target(
+    spark, catalog, tmp_path
+):
+    """A partial column list fills the unnamed columns with typed NULLs,
+    so a PARTITIONED target's partitioning expression always finds its
+    source column and the appended files carry the full schema."""
+    from griddb_spark.dml import DmlTable, HashPartitioning
+    from griddb_spark.sql.translate import prepare
+
+    t = DmlTable(spark, str(tmp_path / "tp"), HashPartitioning("id", 4)).create(
+        spark.createDataFrame([(1, "seed", 0.5)],
+                              "id int, name string, score double")
+    )
+    stmt = prepare(spark, catalog, "INSERT INTO tp (id, name) VALUES (?, ?)",
+                   tables={"tp": t})
+    stmt.add_batch(2, "two")
+    stmt.add_batch(3, "three")
+    assert stmt.execute_batch() == [1, 1]
+    got = {r.id: (r.name, r.score) for r in t.read().collect()}
+    assert got == {1: ("seed", 0.5), 2: ("two", None), 3: ("three", None)}
+    # schema is identical across files: a plain (non-mergeSchema) read
+    # already returned every column above; full schema asserted here
+    assert [f.name for f in t.read().schema.fields] == ["id", "name", "score"]
+
+
 def test_continuous_aggregate_incremental_refresh(spark, catalog, tmp_path):
     """Feeding refresh #2 ONLY the data at/after the stored high-water
     mark must converge to the one-shot rollup — old buckets come from the

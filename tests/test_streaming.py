@@ -530,6 +530,28 @@ def test_refresh_incremental_merges_straddled_and_late_buckets(spark, tmp_path):
     assert got[(h10 + 7200000, "b")] == (1, 2.0, 2.0, 2.0)
 
 
+def test_refresh_incremental_count_column_skips_nulls(spark, tmp_path):
+    """('count', col) counts NON-NULL values of col; ('count', None)
+    counts rows — a named column must not silently count all rows."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.dml import DmlTable
+    from griddb_spark.operators import refresh_incremental
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:05:00", 1.0), ("2024-01-01 10:10:00", None),
+         ("2024-01-01 10:20:00", 3.0)],
+        "ts string, v double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "v")
+    t = DmlTable(spark, str(tmp_path / "rollnc"))
+    refresh_incremental(
+        df, t, "ts", 1, "HOUR",
+        {"n_rows": ("count", None), "n_v": ("count", "v")},
+    )
+    row = t.read().collect()[0]
+    assert (row.n_rows, row.n_v) == (3, 2)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_refresh_incremental_random_batches_converge(spark, tmp_path, seed):
     """ANY partition of the rows into batches, delivered in ANY order,
