@@ -40,42 +40,58 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-#: Queries that appeared in CORRECTNESS_r01-r03 (the driver has sampled
-#: the same ~50 registration-order-first entries for three rounds, so 88+
-#: registered queries never reached the hard signal). Listing the
-#: already-sampled names LAST rotates every never-sampled operator
-#: (streaming family, TPC-H suite, GIS, meta tables, late pipeline ops)
-#: to the front of the iteration order the driver samples from. Purely an
-#: ordering change — the full inventory is identical.
-_SAMPLED_R1_R3 = [
-    "agg_distinct", "agg_group_concat", "agg_stats", "asof_join_users",
-    "dml_update_delete", "join_cross_theta", "join_full_outer",
-    "join_inner_5way", "join_left_outer", "join_semi_anti",
-    "limit_offset", "match_recognize_spikes", "max_min_rows",
-    "meta_index_info", "pipe_ann_ivf", "pipe_decontaminate",
-    "pipe_dedup_canonical", "pipe_dedup_components", "pipe_dedup_exact",
-    "pipe_dedup_minhash", "pipe_dedup_minhash_collapsed",
-    "pipe_dedup_simhash", "pipe_fingerprint", "pipe_knn_cosine",
-    "pipe_lang_id", "pipe_multimodal_frames", "pipe_multimodal_meta",
-    "pipe_multimodal_resize", "pipe_pack_sequences",
-    "pipe_sample_stratified", "pipe_text_quality", "pipe_vocab_topk",
-    "q1_pricing_summary", "range_15m_fill_linear", "range_15m_fill_null",
-    "range_15m_fill_prev", "range_hour_none", "scalar_case_in_between",
-    "scalar_glob_like", "scalar_string_funcs", "scalar_time_ctors",
-    "scalar_time_funcs", "setops", "sort_topk",
-    "sql_frontend_group_by_range", "stream_group_by_range",
-    "stream_sliding_window", "time_avg_per_user",
+#: Union of queries sampled in CORRECTNESS_r01-r04 (the driver samples the
+#: first ~50 iteration-order entries each round). Listing already-sampled
+#: names LAST rotates every never-sampled query — the TPC-H tail, the
+#: streaming sketch family, the late pipeline ops — to the front so each
+#: round's sample covers maximum fresh surface. Purely an ordering change;
+#: the inventory is identical.
+_SAMPLED_R1_R4 = [
+    "agg_distinct", "agg_group_concat", "agg_stats", "asof_join_tolerance",
+    "asof_join_users", "composite_key_multiget", "ddl_alter_table",
+    "ddl_create_view", "dml_update_delete", "gis_mbr_join",
+    "gis_qsf_probe", "join_cross_theta", "join_full_outer",
+    "join_inner_5way", "join_left_outer", "join_semi_anti", "limit_offset",
+    "match_recognize_spikes", "max_min_rows", "meta_access_control",
+    "meta_databases", "meta_index_info", "meta_primary_keys",
+    "meta_tables", "nano_ts_fidelity", "natural_join", "nosql_multiget",
+    "partition_pruned_point_lookup", "partition_pruned_scan",
+    "partition_pruned_scan_rh", "pipe_ann_ivf", "pipe_chunk_documents",
+    "pipe_decontaminate", "pipe_dedup_canonical", "pipe_dedup_components",
+    "pipe_dedup_embed_cosine", "pipe_dedup_exact", "pipe_dedup_minhash",
+    "pipe_dedup_minhash_collapsed", "pipe_dedup_ngram",
+    "pipe_dedup_ngram_collapsed", "pipe_dedup_simhash",
+    "pipe_embed_normalize", "pipe_fingerprint", "pipe_knn_cosine",
+    "pipe_lang_id", "pipe_lm_score", "pipe_multimodal_frames",
+    "pipe_multimodal_meta", "pipe_multimodal_resize",
+    "pipe_pack_sequences", "pipe_pii_scrub", "pipe_profile_stats",
+    "pipe_quality_repetition", "pipe_sample_stratified",
+    "pipe_text_quality", "pipe_url_dedup", "pipe_url_domains",
+    "pipe_vocab_topk", "q1_pricing_summary", "range_15m_fill_linear",
+    "range_15m_fill_null", "range_15m_fill_prev", "range_20m_offset",
+    "range_hour_none", "scalar_array_funcs", "scalar_bitwise_ops",
+    "scalar_case_in_between", "scalar_glob_like", "scalar_json_props",
+    "scalar_numeric_funcs", "scalar_string_funcs", "scalar_string_funcs2",
+    "scalar_time_ctors", "scalar_time_funcs", "scalar_time_tz",
+    "sessionize_events", "setops", "sort_topk", "sql_batch_update",
+    "sql_explain", "sql_frontend_group_by_range",
+    "sql_prepared_statement", "stream_continuous_aggregate",
+    "stream_dedup", "stream_dedup_embed", "stream_ema_anomaly",
+    "stream_group_by_range", "stream_interval_join", "stream_sessionize",
+    "stream_sliding_window", "subquery_fold", "time_avg_per_user",
     "time_interpolated_per_user", "time_next_per_user",
-    "time_prev_only_per_user", "time_sampling_user3", "tql_aggregation",
-    "tql_select_where_order_limit", "ts_weighted_avg_range",
-    "window_funcs",
+    "time_prev_only_per_user", "time_sampling_no_interp",
+    "time_sampling_user3", "time_window_agg", "tql_aggregation",
+    "tql_geometry_probe", "tql_select_where_order_limit",
+    "ts_continuous_aggregate", "ts_row_expiration",
+    "ts_weighted_avg_range", "window_funcs",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from griddb_spark import workload
 
-    seen = [n for n in _SAMPLED_R1_R3 if n in workload.QUERIES]
+    seen = [n for n in _SAMPLED_R1_R4 if n in workload.QUERIES]
     fresh = [n for n in workload.QUERIES if n not in set(seen)]
     return {n: workload.QUERIES[n] for n in fresh + seen}
 

@@ -38,6 +38,52 @@ _SPARK_HINTS = ("BROADCAST", "BROADCASTJOIN", "MAPJOIN", "MERGE",
                 "SHUFFLE_HASH", "SHUFFLE_REPLICATE_NL", "REPARTITION",
                 "COALESCE", "REBALANCE")
 
+#: GridDB's join-order hint (sql_compiler.h:36-64 SQLHint::LEADING;
+#: applied at sql_compiler.cpp:10201 as CMD_OPT_JOIN_LEADING_*). Spark has
+#: no LEADING hint, but Catalyst preserves the SYNTACTIC join order unless
+#: cost-based join reordering is explicitly enabled — so the faithful
+#: mapping is to reorder a simple comma-list FROM clause to the hinted
+#: order (inner-join commutativity makes this semantics-preserving).
+_LEADING_RE = re.compile(r"/\*\+\s*Leading\s*\(([^()]*)\)\s*\*/",
+                         re.IGNORECASE)
+_FROM_LIST_RE = re.compile(
+    r"(\bFROM\s+)([A-Za-z_][\w.]*(?:\s+(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b|"
+    r"HAVING\b|JOIN\b|ON\b)[A-Za-z_]\w*)?"
+    r"(?:\s*,\s*[A-Za-z_][\w.]*(?:\s+(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b|"
+    r"HAVING\b|JOIN\b|ON\b)[A-Za-z_]\w*)?)+)",
+    re.IGNORECASE,
+)
+
+
+def _apply_leading(sql: str) -> str:
+    """Reorder a comma-joined FROM list to a ``/*+ Leading(a b c) */``
+    hint's order. Conservative: only fires on a plain comma list of named
+    tables (optionally aliased) where every hinted name resolves; explicit
+    JOIN chains and subquery sources are left to Catalyst/AQE."""
+    m = _LEADING_RE.search(sql)
+    if not m:
+        return sql
+    order = m.group(1).replace(",", " ").split()
+    out = _LEADING_RE.sub("", sql)
+    fm = _FROM_LIST_RE.search(out)
+    if not order or not fm:
+        return out
+    items = [i.strip() for i in fm.group(2).split(",")]
+    by_name = {}
+    for item in items:
+        parts = item.split()
+        by_name[parts[-1].lower()] = item        # alias (or bare name)
+        by_name[parts[0].split(".")[-1].lower()] = item  # table name
+    picked, seen = [], set()
+    for name in order:
+        item = by_name.get(name.lower())
+        if item is None or id(item) in seen:
+            return out  # unresolvable hint: keep the query, drop the hint
+        picked.append(item)
+        seen.add(id(item))
+    rest = [i for i in items if id(i) not in seen]
+    return out[: fm.start(2)] + ", ".join(picked + rest) + out[fm.end(2):]
+
 #: GridDB 5.8 time-unit frame boundary — ``RANGE BETWEEN (10, MINUTE)
 #: PRECEDING`` (GridDB-5.8-CE-RELEASE_NOTES.md FRAME-clause) → Spark's
 #: interval-literal range boundary over a timestamp ordering.
@@ -52,6 +98,8 @@ _FRAME_UNIT_RE = re.compile(
 def rewrite_sql(sql: str) -> str:
     """Token-level GridDB SQL → Spark SQL rewrite (no structure change)."""
     out = sql
+
+    out = _apply_leading(out)
 
     def _hint(m: re.Match) -> str:
         body = m.group(0)

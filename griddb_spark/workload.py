@@ -1189,6 +1189,43 @@ def sql_frontend_group_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_frontend_leading_hint",
+    """
+    SELECT c_mktsegment,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_frontend_leading_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridDB ``/*+ Leading(...) */`` join-order hint
+    (sql_compiler.h:36-64, applied sql_compiler.cpp:10201) through the SQL
+    front-end: the comma-list FROM clause is reordered to the hinted
+    order, which Catalyst preserves (no cost-based join reorder by
+    default) — so the fact table leads the left-deep tree exactly as the
+    hint demands. Same result set either way (inner-join commutativity);
+    the plan test pins the order."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    c = cat(spark, sf_dir)
+    return griddb_sql(
+        spark, c,
+        "SELECT /*+ Leading(lineitem orders customer) */ c_mktsegment, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "         * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) "
+        "  AS revenue, "
+        "count(*) AS n_lines "
+        "FROM customer, orders, lineitem "
+        "WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey "
+        "GROUP BY c_mktsegment",
+    )
+
+
+@query(
     "match_recognize_spikes",
     f"""
     WITH e AS ({_DUCK_EV}),
@@ -3011,14 +3048,37 @@ def nano_ts_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_ema_anomaly")  # no oracle: custom stateful streaming op
+@query(
+    "stream_ema_anomaly",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, value::DOUBLE AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT user_id, rn, v, 0.0::DOUBLE AS prev_ema, v AS ema
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.v, r.ema AS prev_ema,
+             0.2::DOUBLE * e.v + 0.8::DOUBLE * r.ema AS ema
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, count(*) AS n_anomalies
+    FROM r WHERE rn - 1 >= 5 AND v > 2.0 * prev_ema
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
 def stream_ema_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key stateful streaming anomaly detection
     (applyInPandasWithState): one (count, EMA) state per user_id over the
     events stream, flagging values > 2x the running level — the
     Structured-Streaming replacement for GridDB's removed trigger/alert
-    path (docs/GridDB-5.0-CE-RELEASE_NOTES.md). Rows-only driver check;
-    the per-key recurrence is order-sensitive and not SQL-expressible."""
+    path (docs/GridDB-5.0-CE-RELEASE_NOTES.md). VALUE-ORACLED: the oracle
+    replays the exact EMA recurrence as a recursive CTE stepping one row
+    per key per iteration — `0.2*v + 0.8*prev` in doubles is bit-identical
+    to the kernel's pandas ewm(adjust=False) (unit-pinned), and (user_id,
+    ts) pairs are unique in the fixture so the per-key order is total."""
     import uuid as _uuid
 
     from griddb_spark.streaming import run_to_memory
@@ -5391,18 +5451,24 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = c.load("lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
-    cn = c.load("nation").select(
+    # push the nation-pair literals INTO both dimension scans: only
+    # customers/suppliers of the two nations survive their (broadcast)
+    # dim joins, so the big customer⋈orders⋈lineitem chain runs on ~2/N
+    # of the rows — at 100 TB this pre-filter IS the query plan, the
+    # residual disjunction only rejects same-nation pairs
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    cn = c.load("nation").filter(pair).select(
         F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
-    sn = c.load("nation").select(
+    sn = c.load("nation").filter(pair).select(
         F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    cust = c.load("customer").join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+    supp = c.load("supplier").join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
     j = (
-        c.load("customer").join(c.load("orders"),
-                                F.col("c_custkey") == F.col("o_custkey"))
+        cust.join(c.load("orders"), F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.load("supplier")),
-              F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(
             ((F.col("cust_nation") == "NATION_1")
              & (F.col("supp_nation") == "NATION_2"))

@@ -276,3 +276,43 @@ def test_tpch_suite_no_cartesian_dims_broadcast(spark):
             assert "BroadcastNestedLoopJoin" not in plan, q
     p8 = _plan(workload.QUERIES["q8_market_share"](spark, SF_DIR))
     assert p8.count("BroadcastHashJoin") >= 4  # dims all broadcast
+
+
+def test_leading_hint_pins_join_order(spark, catalog):
+    """/*+ Leading(...) */ must actually change the Catalyst join tree:
+    the hinted leading table heads the left-deep chain (Catalyst keeps
+    syntactic join order absent cost-based reordering)."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    q = ("SELECT /*+ Leading({order}) */ count(*) AS n "
+         "FROM customer, orders, lineitem "
+         "WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey")
+
+    def first_table(sql):
+        plan = griddb_sql(
+            spark, catalog, sql
+        )._jdf.queryExecution().optimizedPlan().toString()
+        # relations print as `Relation [l_orderkey...] parquet` — identify
+        # each table by its column prefix, in tree (join) order
+        pos = {t: plan.find(f"Relation [{p}_")
+               for t, p in (("customer", "c"), ("orders", "o"),
+                            ("lineitem", "l"))}
+        assert all(p >= 0 for p in pos.values())
+        return min(pos, key=pos.get)
+
+    assert first_table(q.format(order="lineitem orders customer")) == "lineitem"
+    assert first_table(q.format(order="customer orders lineitem")) == "customer"
+
+
+def test_q7_broadcasts_dims_and_pushes_nation_pair(spark):
+    """q7's nation-pair literals must reach the nation scans (dim
+    pre-filter before the fact chain) and every dim join must broadcast —
+    no dim table may degrade to a sort-merge join."""
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["q7_volume_shipping"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3  # cn, sn, supplier-side
+    assert "In(n_name, [NATION_1,NATION_2])" in plan or \
+           "In(n_name, [NATION_1, NATION_2])" in plan
+    # the shipdate range is pushed into the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
