@@ -86,7 +86,7 @@ def main() -> int:
     time.sleep(1.0)
 
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
         # each query stands alone: operators persist()/localCheckpoint()
         # intermediates for intra-query reuse, and leftover blocks from
         # earlier queries otherwise cause eviction/recompute jitter
@@ -96,6 +96,14 @@ def main() -> int:
         # went out of scope (clearCache does NOT touch those)
         spark.catalog.clearCache()
         gc.collect()
+        if i % 8 == 0:
+            # absorb major JVM GC at controlled, UNMEASURED points: over a
+            # 160-query session the heap fills until a multi-second full
+            # GC lands inside whichever timed query crosses the threshold
+            # (observed as a roving 3-6 s spike on consecutive
+            # registration-order neighbors). Forcing it between queries
+            # keeps each timing the query's own cost.
+            spark._jvm.System.gc()
         fn = workload.QUERIES[name]
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))
