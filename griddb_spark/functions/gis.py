@@ -16,6 +16,15 @@ math and fully codegen-friendly:
 At scale: store the four envelope bounds as top-level columns and the
 overlap predicate min/max-pushes into the parquet scan — file/row-group
 skipping does the coarse filtering GridDB's R-tree provides.
+
+Parity note: this envelope surface is not a subset of the reference's —
+it IS the reference's. GridDB's exact-geometry predicates
+(``intersects``/``contains``/``within``/``relate``/…) are declared but
+commented out in ``gis_geometry.h:314-340`` under "Left for OpenGIS
+Fullset"; the shipped evaluation path is bounding-rect intersection
+(``isBoundingRectIntersects``, ``gis_geometry.h:243``) plus the
+quadratic-surface tests (see ``qsf.py``). A user of the reference cannot
+run a polygon-exact query today, so none is emulated here.
 """
 
 from __future__ import annotations

@@ -84,6 +84,36 @@ def _apply_leading(sql: str) -> str:
     rest = [i for i in items if id(i) not in seen]
     return out[: fm.start(2)] + ", ".join(picked + rest) + out[fm.end(2):]
 
+#: GridDB's statistical hint ``TableRowCount(t, n)`` (sql_compiler.h:63
+#: TABLE_ROW_COUNT; consumed at sql_compiler.cpp:12495-12520
+#: resolveJoinNodeApproxSize to pick the small/driving join side). Spark's
+#: equivalent lever is the broadcast-join decision, so a hinted count small
+#: enough to sit comfortably under the default 10 MB
+#: autoBroadcastJoinThreshold maps to ``/*+ BROADCAST(t) */``; larger
+#: counts are dropped (Catalyst's own stats govern, same as GridDB falling
+#: back to ``approxSize_``).
+TABLE_ROW_COUNT_BROADCAST_ROWS = 100_000
+
+_ROW_COUNT_RE = re.compile(
+    r"TableRowCount\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _apply_table_row_count(sql: str) -> str:
+    small = [m.group(1) for m in _ROW_COUNT_RE.finditer(sql)
+             if int(m.group(2)) <= TABLE_ROW_COUNT_BROADCAST_ROWS]
+    out = _ROW_COUNT_RE.sub("", sql)
+    if not small:
+        return out
+    sel = re.search(r"\bSELECT\b", out, re.IGNORECASE)
+    if not sel:
+        return out
+    return (out[: sel.end()]
+            + " /*+ BROADCAST(%s) */" % ", ".join(small)
+            + out[sel.end():])
+
+
 #: GridDB 5.8 time-unit frame boundary — ``RANGE BETWEEN (10, MINUTE)
 #: PRECEDING`` (GridDB-5.8-CE-RELEASE_NOTES.md FRAME-clause) → Spark's
 #: interval-literal range boundary over a timestamp ordering.
@@ -100,6 +130,7 @@ def rewrite_sql(sql: str) -> str:
     out = sql
 
     out = _apply_leading(out)
+    out = _apply_table_row_count(out)
 
     def _hint(m: re.Match) -> str:
         body = m.group(0)

@@ -1226,6 +1226,39 @@ def sql_frontend_leading_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_frontend_row_count_hint",
+    """
+    SELECT n_name,
+           count(*) AS n_suppliers,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_frontend_row_count_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridDB ``/*+ TableRowCount(t, n) */`` statistical hint
+    (sql_compiler.h:63 TABLE_ROW_COUNT; sql_compiler.cpp:12495-12520
+    resolveJoinNodeApproxSize uses it to pick the small/driving join
+    side). Spark's equivalent decision is broadcast-vs-shuffle, so a
+    small hinted count maps to ``/*+ BROADCAST(t) */`` — here nation
+    (25 rows) is force-broadcast; the plan test pins the
+    BroadcastHashJoin. Result set identical either way."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    c = cat(spark, sf_dir)
+    return griddb_sql(
+        spark, c,
+        "SELECT /*+ TableRowCount(nation, 25) */ n_name, "
+        "count(*) AS n_suppliers, "
+        "CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal "
+        "FROM supplier, nation "
+        "WHERE s_nationkey = n_nationkey "
+        "GROUP BY n_name",
+    )
+
+
+@query(
     "match_recognize_spikes",
     f"""
     WITH e AS ({_DUCK_EV}),

@@ -304,6 +304,18 @@ def test_leading_hint_pins_join_order(spark, catalog):
     assert first_table(q.format(order="customer orders lineitem")) == "customer"
 
 
+def test_table_row_count_hint_forces_broadcast(spark):
+    """/*+ TableRowCount(nation, 25) */ must surface as a BroadcastHashJoin
+    with nation on the build side (the reference uses the hinted count to
+    pick the small/driving join side; Spark's analogue is broadcast)."""
+    from griddb_spark import workload
+
+    plan = _plan(
+        workload.QUERIES["sql_frontend_row_count_hint"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_q7_broadcasts_dims_and_pushes_nation_pair(spark):
     """q7's nation-pair literals must reach the nation scans (dim
     pre-filter before the fact chain) and every dim join must broadcast —

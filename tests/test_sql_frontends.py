@@ -93,6 +93,15 @@ def test_rewrite_sql_tokens():
     # GridDB-specific hints stripped, Spark hints kept
     assert "/*+" not in rewrite_sql("SELECT /*+ LEADING(a b) */ * FROM t")
     assert "BROADCAST" in rewrite_sql("SELECT /*+ BROADCAST(n) */ * FROM t")
+    # TableRowCount: small count -> BROADCAST hint; large count -> dropped
+    small = rewrite_sql(
+        "SELECT /*+ TableRowCount(nation, 25) */ * FROM nation, supplier "
+        "WHERE n_nationkey = s_nationkey")
+    assert "BROADCAST(nation)" in small and "TableRowCount" not in small
+    big = rewrite_sql(
+        "SELECT /*+ TableRowCount(lineitem, 6000000) */ * FROM lineitem")
+    assert "BROADCAST" not in big and "TableRowCount" not in big
+    assert "/*+" not in big
 
 
 def test_griddb_sql_passthrough(spark, catalog, duck):
