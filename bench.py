@@ -121,7 +121,9 @@ def main() -> int:
     # observed tail-truncated in the recorded artifact (BENCH_r03 carried
     # only ~65 of 138 per-query timings, "parsed": null) — so the full
     # profile is ALSO written to a machine-readable sibling file.
-    profile_path = os.path.join(
+    # SPARK_GRAFT_PROFILE redirects the profile (scale probes / ad-hoc
+    # runs must not clobber the committed sf0.1 profile).
+    profile_path = os.environ.get("SPARK_GRAFT_PROFILE") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_profile.json"
     )
     try:
