@@ -75,14 +75,18 @@ from griddb_spark.pipeline.profile import (  # noqa: F401
 )
 from griddb_spark.pipeline.similarity import (  # noqa: F401
     ann_ivf,
+    assign_clusters,
     cosine_pairs,
     cosine_pairs_ann,
+    cosine_pairs_within,
+    kmeans_fit,
     knn_bruteforce,
     l2_normalize,
     linear_probe_score,
     max_sim_vs_bench,
     mean_pool_vectors,
     quantize_int8,
+    semdedup,
 )
 from griddb_spark.pipeline.sketches import (  # noqa: F401
     cms_build,

@@ -17,6 +17,8 @@ double accumulation in element order — matching DuckDB's
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -425,6 +427,228 @@ def cosine_pairs_ann(
     return cand.select("id_a", "id_b", "__va", "__vb").mapInPandas(
         verify, out_schema
     )
+
+
+#: above this many centroids the interpreted-HOF cost of the all-JVM
+#: assignment expression dominates and assign_clusters switches to the
+#: Arrow-batched GEMM projection (same math, same plan shape).
+_ASSIGN_JVM_MAX_K = 16
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment (max cosine, ties to the lowest
+    cluster index) as a PURE PROJECTION: the centroid set is a driver-side
+    literal (k·dim scalars), each cosine is a JVM higher-order-function
+    expression, and the argmax is an array_max over (cos, -idx) structs —
+    no shuffle, no Python, no join. At 100 TB this is a map-only stage
+    that pipelines into whatever scan precedes it; the cosine is rounded
+    to ``round_to`` BEFORE the argmax so the assignment is reproducible
+    across engines and accumulation orders.
+
+    Dispatch on k: Catalyst higher-order functions are interpreted (not
+    codegen'd), so the all-JVM expression path costs O(k·dim) interpreted
+    ops per row — measured ~15 s for k=80 over just 20k rows. Above
+    ``_ASSIGN_JVM_MAX_K`` the same argmax runs as ONE Arrow-batched
+    pandas GEMM (rows × centroidsᵀ) — still a pure projection (no
+    Exchange; plan-tested), identical formula (dot / (|v|·|c|), rounded,
+    ties to the lowest index via first-max argmax over
+    ascending-index columns)."""
+    import math
+
+    if len(centroids) > _ASSIGN_JVM_MAX_K:
+        idxs = np.array([int(ci) for ci, _ in centroids])
+        assert (np.diff(idxs) > 0).all()  # ascending → argmax tie = min idx
+        cm = np.stack([np.asarray(c, dtype=np.float64) for _, c in centroids])
+        cn = np.linalg.norm(cm, axis=1)
+
+        @F.pandas_udf("int")
+        def _assign(vs: pd.Series) -> pd.Series:
+            m = np.stack(vs.to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(m, axis=1)
+            den = np.outer(vn, cn)
+            den[den == 0.0] = np.inf  # zero norm → cos 0, matches JVM path
+            sim = np.round((m @ cm.T) / den, round_to)
+            return pd.Series(idxs[np.argmax(sim, axis=1)].astype(np.int32))
+
+        return df.withColumn(
+            out_col, _assign(F.col(vec_col).cast("array<double>"))
+        )
+
+    v = F.col(vec_col).cast("array<double>")
+    vnorm = norm(v)
+    structs = []
+    for cidx, c in centroids:
+        cn = math.sqrt(sum(float(x) * float(x) for x in c))
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        den = vnorm * F.lit(cn)
+        cos = F.when(den > 0.0, dot(v, clit) / den).otherwise(F.lit(0.0))
+        structs.append(
+            F.struct(
+                F.round(cos, round_to).alias("c"),
+                F.lit(-int(cidx)).cast("int").alias("ni"),
+            )
+        )
+    best = F.array_max(F.array(*structs))
+    return df.withColumn(out_col, (-best["ni"]).cast("int"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 1,
+    round_to: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over an embedding column, Spark-shaped.
+
+    Deterministic init: the vectors of the ``k`` lowest ids (no RNG — the
+    driver contract forbids nondeterminism, and seeded-random init is a
+    one-line swap). Each iteration is (a) the no-shuffle
+    ``assign_clusters`` projection against the current broadcast-literal
+    centroids, then (b) ONE map-side-combinable shuffle of (cluster, pos)
+    partial sums — posexplode → avg — whose result is k·dim scalars
+    collected to the driver (the same driver-coordinated loop structure
+    Spark MLlib's KMeans uses; the collect is bounded by k·dim, never by
+    rows). Updated centroid components are rounded to ``round_to`` —
+    the fixed-point contract that keeps every later cosine comparable
+    across engines. Clusters that lose all members are dropped (their
+    index simply disappears; survivors keep their original index).
+
+    Returns the final [(cluster_index, centroid)] list — feed it back to
+    ``assign_clusters`` for the final assignment, or to ``ann_ivf`` as a
+    trained coarse quantizer."""
+    v = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    init = v.orderBy("__id").limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(r["__v"])) for i, r in enumerate(init)
+    ]
+    for _ in range(iters):
+        a = assign_clusters(v, cents, vec_col="__v", round_to=round_to)
+        rows = (
+            a.select("cluster", F.posexplode("__v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_c.setdefault(r["cluster"], {})[r["pos"]] = round(r["m"], round_to)
+        cents = [
+            (ci, [d[p] for p in range(len(d))]) for ci, d in sorted(by_c.items())
+        ]
+    return cents
+
+
+def cosine_pairs_within(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine pairs RESTRICTED to a grouping column, as ONE
+    per-group GEMM: rows shuffle once keyed by ``group_col`` (volume
+    O(n·dim) — vectors are never duplicated per candidate pair, which a
+    pair-join formulation would do at O(pairs·dim), measured 16×
+    slower at the 10× probe), then each group computes its |g|×|g|
+    similarity matrix in NumPy, row-blocked so per-task memory is
+    O(block·|g|) regardless of group size. The group structure (a
+    k-means cell, an LSH bucket, a language) bounds the quadratic
+    instead of the corpus. Returns (id_a, id_b, cos_sim) with
+    id_a < id_b."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
+    sub = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("__id", kind="mergesort")
+        ids = pdf["__id"].to_numpy()
+        m = np.stack(pdf["__v"].to_numpy())
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        u = m / nrm[:, None]
+        n = len(u)
+        oa, ob, oc = [], [], []
+        block = 4096
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sim = np.round(u[s:e] @ u.T, round_to)
+            for i in range(s, e):
+                j = np.nonzero(sim[i - s, i + 1:] >= threshold)[0] + i + 1
+                if len(j):
+                    oa.append(np.repeat(ids[i], len(j)))
+                    ob.append(ids[j])
+                    oc.append(sim[i - s, j])
+        if not oa:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0],
+                 "cos_sim": np.array([], dtype=np.float64)}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(oa),
+                "id_b": np.concatenate(ob),
+                "cos_sim": np.concatenate(oc),
+            }
+        )
+
+    return sub.groupBy("__g").applyInPandas(kernel, out_schema)
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embeddings, find near-duplicate pairs ONLY within
+    each cluster, and keep one canonical member (the component-min id) per
+    near-dup group. Clustering is what makes semantic dedup tractable at
+    100 TB — the pairwise stage is Σ_cell |cell|², bounded by cluster
+    occupancy (grow ``k`` with corpus size to keep cells O(1)-sized),
+    never n².
+
+    Pipeline: ``kmeans_fit`` (driver-coordinated Lloyd) →
+    ``assign_clusters`` (no-shuffle projection) → ``cosine_pairs_within``
+    (cluster-keyed self-join + vectorized verify) →
+    ``connected_components`` → broadcast anti-join of the losers.
+    Returns (id_col, cluster) for every kept row."""
+    from griddb_spark.pipeline.dedup import _anti_join_losers, connected_components
+
+    cents = kmeans_fit(df, id_col, vec_col, k=k, iters=iters, round_to=round_to)
+    a = assign_clusters(
+        df.select(F.col(id_col), F.col(vec_col)), cents,
+        vec_col=vec_col, round_to=round_to,
+    )
+    pairs = cosine_pairs_within(
+        a, "cluster", id_col, vec_col, threshold, round_to
+    ).select("id_a", "id_b")
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    losers = comps.filter(F.col("component") < F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return _anti_join_losers(a.select(id_col, "cluster"), losers, id_col)
 
 
 def max_sim_vs_bench(

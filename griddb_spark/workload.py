@@ -2660,6 +2660,90 @@ def pipe_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, "vec_id", "embedding", threshold=0.4, blocks=4)
 
 
+#: Deterministic Lloyd's k-means replay (k=8, one update round): init =
+#: the 8 lowest-id vectors, assignment = max cosine rounded to 6dp with
+#: ties to the lowest cluster index, update = element-wise mean rounded to
+#: 6dp (the fixed-point contract that makes Spark and DuckDB agree
+#: bit-for-bit on every later comparison). s2 is the final assignment.
+_KMEANS_CTE = """
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, ev AS cv
+           FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+    a1 AS (SELECT vec_id, ev, cidx,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(ev, cv), 6) DESC,
+                        cidx ASC) AS rn
+           FROM v CROSS JOIN c0),
+    s1 AS (SELECT vec_id, ev, cidx FROM a1 WHERE rn = 1),
+    u1 AS (SELECT cidx, list(m ORDER BY pos) AS cv FROM (
+             SELECT cidx, pos, round(avg(x), 6) AS m FROM (
+               SELECT cidx, generate_subscripts(ev, 1) AS pos,
+                      unnest(ev) AS x
+               FROM s1) GROUP BY cidx, pos) GROUP BY cidx),
+    a2 AS (SELECT vec_id, ev, cidx,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(ev, cv), 6) DESC,
+                        cidx ASC) AS rn
+           FROM v CROSS JOIN u1),
+    s2 AS (SELECT vec_id, ev, cidx FROM a2 WHERE rn = 1)
+"""
+
+
+@query(
+    "pipe_cluster_kmeans",
+    _KMEANS_CTE + "SELECT vec_id, CAST(cidx AS INT) AS cluster FROM s2",
+)
+def pipe_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column: no-shuffle
+    broadcast-literal assignment projection + one map-side-combinable
+    (cluster, pos) mean shuffle per iteration, k·dim driver collect (the
+    MLlib loop shape). The oracle replays init/assign/update/reassign in
+    SQL under the shared 6dp fixed-point contract."""
+    from griddb_spark.pipeline import assign_clusters, kmeans_fit
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=1)
+    return assign_clusters(emb, cents).select("vec_id", "cluster")
+
+
+@query(
+    "pipe_semdedup",
+    _KMEANS_CTE + """
+    , j AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM s2 x JOIN s2 y
+              ON x.cidx = y.cidx AND x.vec_id < y.vec_id
+            WHERE round(list_cosine_similarity(x.ev, y.ev), 6) >= 0.4),
+    e AS (SELECT id_a AS a, id_b AS b FROM j
+          UNION SELECT id_b, id_a FROM j),
+    reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+    comp AS (SELECT src AS vec_id, least(src, min(dst)) AS component
+             FROM reach GROUP BY src)
+    SELECT s2.vec_id, CAST(s2.cidx AS INT) AS cluster FROM s2
+    WHERE NOT EXISTS (SELECT 1 FROM comp c
+                      WHERE c.vec_id = s2.vec_id AND c.component < s2.vec_id)
+    """,
+)
+def pipe_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters bound the pairwise
+    cosine stage (Σ_cell |cell|², never n²), then connected components +
+    min-id canonical keep within each near-dup group. The oracle replays
+    the same k-means and closes the pair graph with a recursive CTE."""
+    from griddb_spark.pipeline import semdedup
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    # the scale knob from the semdedup contract: k grows with the corpus
+    # so cells stay ~250 vectors and the pairwise stage stays linear-ish
+    # (measured 10x probe: 18x superlinear at fixed k=8 -> bounded with
+    # adaptive k). Resolves to k=8 at every driver/oracle sf (n <= 2000),
+    # so the SQL twin's LIMIT 8 init is exact where it runs.
+    k = max(8, emb.count() // 250)
+    return semdedup(emb, "vec_id", "embedding", k=k, iters=1, threshold=0.4)
+
+
 @query(
     "meta_tables",
     """

@@ -541,6 +541,108 @@ def test_cosine_pairs_ann_supports_string_ids(spark, emb):
                for r in got)
 
 
+def test_kmeans_matches_numpy_reference(spark, emb):
+    """kmeans_fit + assign_clusters must reproduce a sequential NumPy
+    Lloyd's under the same fixed-point contract (cosine and centroid
+    means rounded to 6dp, argmax ties to the lowest cluster index,
+    empty clusters dropped) — multi-iteration, so the update loop is
+    exercised beyond what the 1-iteration oracle gate covers."""
+    import numpy as np
+
+    from griddb_spark.pipeline import assign_clusters, kmeans_fit
+
+    k, iters = 5, 3
+    rows = emb.orderBy("vec_id").collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = [r["vec_id"] for r in rows]
+
+    def ref_assign(cents):
+        out = []
+        for x in X:
+            best = None
+            for ci, c in cents:
+                den = np.linalg.norm(x) * np.linalg.norm(c)
+                cos = round(float(np.dot(x, c) / den), 6) if den > 0 else 0.0
+                if best is None or cos > best[0]:
+                    best = (cos, ci)
+            out.append(best[1])
+        return out
+
+    cents = [(i, X[i].copy()) for i in range(k)]
+    for _ in range(iters):
+        a = ref_assign(cents)
+        cents = [
+            (ci, np.array([round(float(m), 6)
+                           for m in X[[j for j, cj in enumerate(a) if cj == ci]]
+                           .mean(axis=0)]))
+            for ci in sorted(set(a))
+        ]
+    want = dict(zip(ids, ref_assign(cents)))
+
+    got_cents = kmeans_fit(emb, "vec_id", "embedding", k=k, iters=iters)
+    assert [ci for ci, _ in got_cents] == [ci for ci, _ in cents]
+    for (_, gc), (_, wc) in zip(got_cents, cents):
+        assert np.allclose(gc, wc, atol=0, rtol=0)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(emb, got_cents).select(
+            "vec_id", "cluster").collect()
+    }
+    assert got == want
+
+
+def test_assign_clusters_dispatch_paths_agree(spark, emb, monkeypatch):
+    """The all-JVM expression path (small k) and the Arrow GEMM path
+    (large k) are the same operator — identical assignments on identical
+    centroids, including tie-breaks."""
+    from griddb_spark.pipeline import assign_clusters, kmeans_fit
+    from griddb_spark.pipeline import similarity as sim
+
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=20, iters=1)
+    assert len(cents) > 16  # large enough to exercise the GEMM path
+
+    monkeypatch.setattr(sim, "_ASSIGN_JVM_MAX_K", 10_000)
+    jvm = {r["vec_id"]: r["cluster"]
+           for r in assign_clusters(emb, cents).select(
+               "vec_id", "cluster").collect()}
+    monkeypatch.setattr(sim, "_ASSIGN_JVM_MAX_K", 0)
+    gemm = {r["vec_id"]: r["cluster"]
+            for r in assign_clusters(emb, cents).select(
+                "vec_id", "cluster").collect()}
+    assert jvm == gemm
+
+
+def test_semdedup_keeps_one_per_planted_group(spark, emb):
+    """semdedup on a corpus of originals + scaled near-duplicates must
+    keep exactly the originals: cosine is scale-invariant, so a planted
+    pair always lands in the same k-means cell (same rounded cosine
+    vector → same argmax) and collapses to its min id."""
+    from griddb_spark.pipeline import assign_clusters, kmeans_fit, semdedup
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    kept = semdedup(
+        corpus, "vec_id", "embedding", k=8, iters=1, threshold=0.9
+    ).collect()
+    assert sorted(r["vec_id"] for r in kept) == sorted(
+        r["vec_id"] for r in base.select("vec_id").collect()
+    )
+    # the cluster column is the final assignment, verbatim
+    cents = kmeans_fit(corpus, "vec_id", "embedding", k=8, iters=1)
+    want = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(corpus, cents).select(
+            "vec_id", "cluster").collect()
+    }
+    assert all(want[r["vec_id"]] == r["cluster"] for r in kept)
+
+
 def test_bpe_train_matches_python_reference(spark):
     """The distributed merge-learning loop must reproduce a sequential
     reference BPE (same greedy left-to-right apply, same count-desc /

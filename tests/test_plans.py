@@ -304,6 +304,24 @@ def test_leading_hint_pins_join_order(spark, catalog):
     assert first_table(q.format(order="customer orders lineitem")) == "customer"
 
 
+def test_assign_clusters_is_shuffle_free(spark):
+    """Nearest-centroid assignment must be a pure projection: literal
+    centroids + higher-order-function cosines + struct argmax — NO
+    Exchange in the physical plan (at 100 TB it pipelines into the scan)."""
+    from griddb_spark import workload
+    from griddb_spark.pipeline import assign_clusters, kmeans_fit
+
+    emb = workload.cat(spark, SF_DIR).load("embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=1)
+    plan = _plan(assign_clusters(emb, cents).select("vec_id", "cluster"))
+    assert "Exchange" not in plan
+    # the large-k Arrow GEMM path is a projection too
+    cents20 = kmeans_fit(emb, "vec_id", "embedding", k=20, iters=1)
+    assert len(cents20) > 16
+    plan20 = _plan(assign_clusters(emb, cents20).select("vec_id", "cluster"))
+    assert "Exchange" not in plan20 and "ArrowEvalPython" in plan20
+
+
 def test_table_row_count_hint_forces_broadcast(spark):
     """/*+ TableRowCount(nation, 25) */ must surface as a BroadcastHashJoin
     with nation on the build side (the reference uses the hinted count to
