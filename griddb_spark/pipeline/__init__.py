@@ -85,6 +85,7 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     linear_probe_score,
     max_sim_vs_bench,
     mean_pool_vectors,
+    prune_prototypes,
     quantize_int8,
     semdedup,
 )

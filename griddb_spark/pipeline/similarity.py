@@ -441,6 +441,7 @@ def assign_clusters(
     vec_col: str = "embedding",
     round_to: int = 6,
     out_col: str = "cluster",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment (max cosine, ties to the lowest
     cluster index) as a PURE PROJECTION: the centroid set is a driver-side
@@ -467,18 +468,26 @@ def assign_clusters(
         cm = np.stack([np.asarray(c, dtype=np.float64) for _, c in centroids])
         cn = np.linalg.norm(cm, axis=1)
 
-        @F.pandas_udf("int")
-        def _assign(vs: pd.Series) -> pd.Series:
+        @F.pandas_udf("c int, s double")
+        def _assign(vs: pd.Series) -> pd.DataFrame:
             m = np.stack(vs.to_numpy()).astype(np.float64)
             vn = np.linalg.norm(m, axis=1)
             den = np.outer(vn, cn)
             den[den == 0.0] = np.inf  # zero norm → cos 0, matches JVM path
             sim = np.round((m @ cm.T) / den, round_to)
-            return pd.Series(idxs[np.argmax(sim, axis=1)].astype(np.int32))
+            am = np.argmax(sim, axis=1)
+            return pd.DataFrame(
+                {"c": idxs[am].astype(np.int32),
+                 "s": sim[np.arange(len(am)), am]}
+            )
 
-        return df.withColumn(
-            out_col, _assign(F.col(vec_col).cast("array<double>"))
+        picked = _assign(F.col(vec_col).cast("array<double>"))
+        out = df.withColumn("__pick", picked).withColumn(
+            out_col, F.col("__pick.c")
         )
+        if score_col is not None:
+            out = out.withColumn(score_col, F.col("__pick.s"))
+        return out.drop("__pick")
 
     v = F.col(vec_col).cast("array<double>")
     vnorm = norm(v)
@@ -495,7 +504,10 @@ def assign_clusters(
             )
         )
     best = F.array_max(F.array(*structs))
-    return df.withColumn(out_col, (-best["ni"]).cast("int"))
+    out = df.withColumn(out_col, (-best["ni"]).cast("int"))
+    if score_col is not None:
+        out = out.withColumn(score_col, best["c"])
+    return out
 
 
 def kmeans_fit(
@@ -649,6 +661,46 @@ def semdedup(
         F.col("doc_id").alias(id_col)
     )
     return _anti_join_losers(a.select(id_col, "cluster"), losers, id_col)
+
+
+def prune_prototypes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 1,
+    keep_frac: float = 0.5,
+    hardest: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022,
+    arXiv:2206.14486): cluster the embeddings, score every example by
+    cosine similarity to its assigned centroid (the self-supervised
+    prototype metric), and keep ``keep_frac`` of each cluster —
+    ``hardest=True`` keeps the LOW-similarity tail (the
+    beats-power-law-scaling choice for abundant data), ``hardest=False``
+    keeps the prototypical core (the right choice for scarce data).
+
+    Per-cluster quota, not a global cut — pruning must not collapse small
+    clusters (the paper's class-balance concern). Cost: the k-means fit +
+    one projection + ONE window shuffle keyed by cluster; ties broken by
+    (score, id) so the keep-set is reproducible. Returns
+    (id_col, cluster, proto_sim)."""
+    from pyspark.sql import Window
+
+    cents = kmeans_fit(df, id_col, vec_col, k=k, iters=iters, round_to=round_to)
+    a = assign_clusters(
+        df.select(F.col(id_col), F.col(vec_col)), cents,
+        vec_col=vec_col, round_to=round_to, score_col="proto_sim",
+    )
+    first = F.col("proto_sim").asc() if hardest else F.col("proto_sim").desc()
+    w = Window.partitionBy("cluster").orderBy(first, F.col(id_col).asc())
+    ranked = a.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    )
+    return ranked.filter(
+        F.col("__rn") <= F.ceil(F.lit(float(keep_frac)) * F.col("__cnt"))
+    ).select(F.col(id_col), "cluster", "proto_sim")
 
 
 def max_sim_vs_bench(

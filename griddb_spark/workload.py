@@ -2745,6 +2745,35 @@ def pipe_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_prune_prototypes",
+    _KMEANS_CTE + """
+    , sc AS (SELECT s2.vec_id, s2.cidx,
+               round(list_cosine_similarity(s2.ev, u1.cv), 6) AS proto_sim
+             FROM s2 JOIN u1 ON s2.cidx = u1.cidx),
+    rk AS (SELECT vec_id, cidx, proto_sim,
+             row_number() OVER (PARTITION BY cidx
+               ORDER BY proto_sim ASC, vec_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cidx) AS cnt
+           FROM sc)
+    SELECT vec_id, CAST(cidx AS INT) AS cluster, proto_sim
+    FROM rk WHERE rn <= ceil(0.5 * cnt)
+    """,
+)
+def pipe_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022): keep the
+    hardest half of every k-means cluster by cosine-to-centroid. The
+    oracle replays the k-means and recomputes the prototype metric
+    against the final centroids — which must equal the argmax cosine the
+    assignment itself produced."""
+    from griddb_spark.pipeline import prune_prototypes
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    return prune_prototypes(
+        emb, "vec_id", "embedding", k=8, iters=1, keep_frac=0.5, hardest=True
+    )
+
+
+@query(
     "meta_tables",
     """
     SELECT table_name, CAST(ordinal_position AS INT) AS ordinal, column_name

@@ -643,6 +643,38 @@ def test_semdedup_keeps_one_per_planted_group(spark, emb):
     assert all(want[r["vec_id"]] == r["cluster"] for r in kept)
 
 
+def test_prune_prototypes_quota_and_tail(spark, emb):
+    """Per-cluster quota: exactly ceil(frac·|cluster|) kept; hardest=True
+    keeps the low-similarity tail (every kept score ≤ every dropped score
+    within the cluster), hardest=False the prototypical core."""
+    import math
+
+    from griddb_spark.pipeline import assign_clusters, kmeans_fit, prune_prototypes
+
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=6, iters=1)
+    full = assign_clusters(
+        emb, cents, score_col="proto_sim"
+    ).select("vec_id", "cluster", "proto_sim").collect()
+    by_c: dict = {}
+    for r in full:
+        by_c.setdefault(r["cluster"], []).append((r["proto_sim"], r["vec_id"]))
+
+    for hardest in (True, False):
+        kept = prune_prototypes(
+            emb, "vec_id", "embedding", k=6, iters=1,
+            keep_frac=0.3, hardest=hardest,
+        ).collect()
+        got: dict = {}
+        for r in kept:
+            got.setdefault(r["cluster"], set()).add(r["vec_id"])
+        assert set(got) == set(by_c)
+        for c, members in by_c.items():
+            quota = math.ceil(0.3 * len(members))
+            assert len(got[c]) == quota
+            want = sorted(members, reverse=not hardest)[:quota]
+            assert got[c] == {vid for _, vid in want}
+
+
 def test_bpe_train_matches_python_reference(spark):
     """The distributed merge-learning loop must reproduce a sequential
     reference BPE (same greedy left-to-right apply, same count-desc /
