@@ -2745,6 +2745,51 @@ def pipe_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_ann_ivf_trained",
+    _KMEANS_CTE + """
+    , pos2 AS (SELECT cidx, generate_subscripts(ev, 1) AS p,
+                      unnest(ev) AS x FROM s2),
+    byp2 AS (SELECT cidx, p, avg(x) AS x FROM pos2 GROUP BY cidx, p),
+    cent2 AS (SELECT cidx, list(x ORDER BY p) AS centroid
+              FROM byp2 GROUP BY cidx),
+    q AS (SELECT vec_id AS q_id, ev AS qv FROM v WHERE vec_id < 5),
+    qc AS (SELECT q_id, qv, cidx,
+             round(list_dot_product(qv, centroid)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(centroid, centroid))), 6) AS cc
+           FROM q CROSS JOIN cent2),
+    probes AS (SELECT q_id, qv, cidx FROM
+                 (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cc DESC, cidx) AS pr FROM qc)
+               WHERE pr <= 2),
+    s AS (SELECT p.q_id, e.vec_id AS n_id,
+            round(list_dot_product(p.qv, e.ev)
+                  / (sqrt(list_dot_product(p.qv, p.qv))
+                     * sqrt(list_dot_product(e.ev, e.ev))), 6) AS cos_sim
+          FROM probes p JOIN s2 e ON e.cidx = p.cidx
+          WHERE p.q_id != e.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, n_id) AS rnk FROM s)
+    SELECT q_id, n_id, cos_sim, rnk AS rank FROM r WHERE rnk <= 3
+    """,
+)
+def pipe_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a TRAINED coarse quantizer: k-means cells instead of
+    the label column — the full unsupervised IVF pipeline (train →
+    assign → probe). ann_ivf recomputes per-cell means as its quantizer
+    (centroids_by), so the oracle recomputes them over the replayed
+    assignment the same way."""
+    from griddb_spark.pipeline import ann_ivf, assign_clusters, kmeans_fit
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=1)
+    a = assign_clusters(emb, cents)
+    return ann_ivf(
+        a, a.filter(F.col("vec_id") < 5), cell_col="cluster", k=3, nprobe=2
+    )
+
+
+@query(
     "pipe_prune_prototypes",
     _KMEANS_CTE + """
     , sc AS (SELECT s2.vec_id, s2.cidx,
