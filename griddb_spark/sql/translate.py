@@ -129,8 +129,11 @@ def rewrite_sql(sql: str) -> str:
     """Token-level GridDB SQL → Spark SQL rewrite (no structure change)."""
     out = sql
 
-    out = _apply_leading(out)
+    # TableRowCount first: stripping its token from a multi-hint comment
+    # (GridDB packs several hints per /*+ ... */) leaves a pure
+    # Leading(...) comment for _apply_leading to match.
     out = _apply_table_row_count(out)
+    out = _apply_leading(out)
 
     def _hint(m: re.Match) -> str:
         body = m.group(0)

@@ -2790,6 +2790,41 @@ def pipe_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cluster_assign",
+    _KMEANS_CTE + """
+    SELECT s2.vec_id, CAST(s2.cidx AS INT) AS cluster,
+           round(list_cosine_similarity(s2.ev, u1.cv), 6) AS proto_sim
+    FROM s2 JOIN u1 ON s2.cidx = u1.cidx
+    """,
+)
+def stream_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment AT INGEST: centroids are trained offline
+    (kmeans_fit on the static table), then every arriving micro-batch is
+    assigned by the same shuffle-free projection — stateless, no
+    watermark, the shape of routing an embedding firehose into IVF cells
+    as it lands. Oracle replays the batch assignment + prototype score."""
+    import uuid as _uuid
+
+    from griddb_spark.pipeline import assign_clusters, kmeans_fit
+    from griddb_spark.streaming import run_to_memory
+
+    prepare(spark)
+    static = cat(spark, sf_dir).load("embeddings")
+    cents = kmeans_fit(static, "vec_id", "embedding", k=8, iters=1)
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(sf_dir)
+    )
+    out = assign_clusters(raw, cents, score_col="proto_sim").select(
+        "vec_id", "cluster", "proto_sim"
+    )
+    return run_to_memory(out, f"ca_{_uuid.uuid4().hex[:8]}", mode="append",
+                         shuffle_partitions=8)
+
+
+@query(
     "pipe_prune_prototypes",
     _KMEANS_CTE + """
     , sc AS (SELECT s2.vec_id, s2.cidx,

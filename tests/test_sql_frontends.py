@@ -102,6 +102,14 @@ def test_rewrite_sql_tokens():
         "SELECT /*+ TableRowCount(lineitem, 6000000) */ * FROM lineitem")
     assert "BROADCAST" not in big and "TableRowCount" not in big
     assert "/*+" not in big
+    # GridDB packs several hints in ONE comment: both must still apply
+    combo = rewrite_sql(
+        "SELECT /*+ Leading(orders customer) TableRowCount(nation, 25) */ "
+        "count(*) AS n FROM customer, orders, nation "
+        "WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey")
+    assert "BROADCAST(nation)" in combo
+    import re
+    assert re.search(r"FROM\s+orders\s*,\s*customer\s*,\s*nation", combo)
 
 
 def test_griddb_sql_passthrough(spark, catalog, duck):
