@@ -567,17 +567,24 @@ def cosine_pairs_within(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     round_to: int = 6,
+    max_group: int = 8192,
 ) -> DataFrame:
-    """Exact cosine pairs RESTRICTED to a grouping column, as ONE
-    per-group GEMM: rows shuffle once keyed by ``group_col`` (volume
-    O(n·dim) — vectors are never duplicated per candidate pair, which a
-    pair-join formulation would do at O(pairs·dim), measured 16×
-    slower at the 10× probe), then each group computes its |g|×|g|
-    similarity matrix in NumPy, row-blocked so per-task memory is
-    O(block·|g|) regardless of group size. The group structure (a
-    k-means cell, an LSH bucket, a language) bounds the quadratic
-    instead of the corpus. Returns (id_a, id_b, cos_sim) with
-    id_a < id_b."""
+    """Exact cosine pairs RESTRICTED to a grouping column, as per-group
+    GEMMs: rows shuffle once keyed by ``group_col`` (volume O(n·dim) —
+    vectors are never duplicated per candidate pair, which a pair-join
+    formulation would do at O(pairs·dim), measured 16× slower at the
+    10× probe), then each group computes its |g|×|g| similarity matrix
+    in NumPy. The group structure (a k-means cell, an LSH bucket, a
+    language) bounds the quadratic instead of the corpus.
+
+    Skew guard (stats-dispatched, like the repo's other kernels): one
+    task per group serializes a degenerate giant group, so when any
+    group exceeds ``max_group`` rows every row is hash-assigned to one
+    of B = ⌈|g|/max_group⌉ sub-blocks and replicated to its B block
+    PAIRS (the classic triangle join) — |g|² work unchanged but spread
+    over B(B+1)/2 tasks, per-task memory ≤ 2·max_group·dim. Same
+    output set either way (parity-tested). Returns (id_a, id_b,
+    cos_sim) with id_a < id_b."""
     id_t = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
     sub = df.select(
@@ -586,42 +593,107 @@ def cosine_pairs_within(
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
 
-    def kernel(pdf):
+    def _emit(ids_a, va, ids_b, vb, triangular):
         import numpy as np
         import pandas as pd
+
+        def unit(m):
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0.0] = 1.0
+            return m / nrm[:, None]
+
+        ua, ub = unit(va), unit(vb)
+        oa, ob, oc = [], [], []
+        block = 4096
+        for s in range(0, len(ua), block):
+            e = min(s + block, len(ua))
+            sim = np.round(ua[s:e] @ ub.T, round_to)
+            for i in range(s, e):
+                lo = i + 1 if triangular else 0
+                j = np.nonzero(sim[i - s, lo:] >= threshold)[0] + lo
+                if len(j):
+                    oa.append(np.repeat(ids_a[i], len(j)))
+                    ob.append(ids_b[j])
+                    oc.append(sim[i - s, j])
+        if not oa:
+            return pd.DataFrame(
+                {"id_a": ids_a[:0], "id_b": ids_a[:0],
+                 "cos_sim": np.array([], dtype=np.float64)}
+            )
+        a = np.concatenate(oa)
+        b = np.concatenate(ob)
+        c = np.concatenate(oc)
+        swap = b < a  # normalize to id_a < id_b (cross-block order is hash order)
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"id_a": a2, "id_b": b2, "cos_sim": c})
+
+    def kernel(pdf):
+        import numpy as np
 
         pdf = pdf.sort_values("__id", kind="mergesort")
         ids = pdf["__id"].to_numpy()
         m = np.stack(pdf["__v"].to_numpy())
-        nrm = np.linalg.norm(m, axis=1)
-        nrm[nrm == 0.0] = 1.0
-        u = m / nrm[:, None]
-        n = len(u)
-        oa, ob, oc = [], [], []
-        block = 4096
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            sim = np.round(u[s:e] @ u.T, round_to)
-            for i in range(s, e):
-                j = np.nonzero(sim[i - s, i + 1:] >= threshold)[0] + i + 1
-                if len(j):
-                    oa.append(np.repeat(ids[i], len(j)))
-                    ob.append(ids[j])
-                    oc.append(sim[i - s, j])
-        if not oa:
+        return _emit(ids, m, ids, m, triangular=True)
+
+    biggest = sub.groupBy("__g").count().agg(F.max("count")).collect()[0][0]
+    if biggest is None or biggest <= max_group:
+        return sub.groupBy("__g").applyInPandas(kernel, out_schema)
+
+    nb = F.ceil(F.col("__n") / F.lit(max_group)).cast("int")
+    sizes = sub.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    blocked = (
+        sub.join(F.broadcast(sizes), "__g")
+        .withColumn("__nb", nb)
+        .withColumn(
+            "__p", F.pmod(F.xxhash64(F.col("__id")), F.col("__nb")).cast("int")
+        )
+        .withColumn(
+            "__pair",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nb") - 1),
+                    lambda q: F.struct(
+                        F.least(F.col("__p"), q).alias("i"),
+                        F.greatest(F.col("__p"), q).alias("j"),
+                    ),
+                )
+            ),
+        )
+        .select(
+            "__g", F.col("__pair.i").alias("__i"), F.col("__pair.j").alias("__j"),
+            "__id", "__v", "__p",
+        )
+    )
+
+    def pair_kernel(key, pdf):
+        import numpy as np
+
+        _, i, j = key
+        pdf = pdf.sort_values("__id", kind="mergesort")
+        if i == j:
+            ids = pdf["__id"].to_numpy()
+            m = np.stack(pdf["__v"].to_numpy())
+            return _emit(ids, m, ids, m, triangular=True)
+        left = pdf[pdf["__p"] == i]
+        right = pdf[pdf["__p"] == j]
+        if len(left) == 0 or len(right) == 0:  # hash-empty block
+            import pandas as pd
+
+            empty = pdf["__id"].to_numpy()[:0]
             return pd.DataFrame(
-                {"id_a": ids[:0], "id_b": ids[:0],
+                {"id_a": empty, "id_b": empty,
                  "cos_sim": np.array([], dtype=np.float64)}
             )
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(oa),
-                "id_b": np.concatenate(ob),
-                "cos_sim": np.concatenate(oc),
-            }
+        return _emit(
+            left["__id"].to_numpy(), np.stack(left["__v"].to_numpy()),
+            right["__id"].to_numpy(), np.stack(right["__v"].to_numpy()),
+            triangular=False,
         )
 
-    return sub.groupBy("__g").applyInPandas(kernel, out_schema)
+    return blocked.groupBy("__g", "__i", "__j").applyInPandas(
+        pair_kernel, out_schema
+    )
 
 
 def semdedup(

@@ -643,6 +643,27 @@ def test_semdedup_keeps_one_per_planted_group(spark, emb):
     assert all(want[r["vec_id"]] == r["cluster"] for r in kept)
 
 
+def test_cosine_pairs_within_block_path_parity(spark, emb):
+    """The skew-guarded triangle-join path (forced via a tiny max_group)
+    must produce exactly the single-task-per-group path's pair set —
+    including in-block vs cross-block dedup and id_a<id_b
+    normalization."""
+    from griddb_spark.pipeline import cosine_pairs_within
+
+    g = emb.withColumn("grp", (F.col("vec_id") % 2).cast("int"))
+    direct = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in cosine_pairs_within(
+            g, "grp", "vec_id", "embedding", 0.4).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in cosine_pairs_within(
+            g, "grp", "vec_id", "embedding", 0.4, max_group=40).collect()
+    }
+    assert direct and blocked == direct
+
+
 def test_prune_prototypes_quota_and_tail(spark, emb):
     """Per-cluster quota: exactly ceil(frac·|cluster|) kept; hardest=True
     keeps the low-similarity tail (every kept score ≤ every dropped score
