@@ -505,6 +505,63 @@ def frame_sample(
     )
 
 
+def dhash_media(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over decoded images: decode →
+    grayscale → nearest-neighbor ``grid×grid`` downsample → one bit per
+    horizontally-adjacent pixel pair (left < right), packed LSB-first
+    into a ``grid·(grid-1)``-bit BIGINT (56 bits at the default grid=8 —
+    deliberately under 63 so the hash stays a signed long everywhere).
+    Identical-looking images collide exactly; near-identical images land
+    within small Hamming distance, so the banding/multi-probe machinery
+    used for embeddings applies unchanged. Non-PNG blobs fall back to the
+    same deterministic byte-stride sample as ``resize_media``. Arrow
+    batches in/out; the blob never leaves the executor."""
+    import pandas as pd
+
+    nbits = grid * (grid - 1)
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = []
+            for buf in pdf[media_col]:
+                b = bytes(buf)
+                if b[:8] == PNG_MAGIC:
+                    w, h, channels, px = png_decode(b)
+                    g = _gray(px, channels)
+                    p = [
+                        g[((r * h) // grid) * w + (c * w) // grid]
+                        for r in range(grid)
+                        for c in range(grid)
+                    ]
+                elif len(b) == 0:
+                    p = [0] * (grid * grid)
+                else:
+                    n = len(b)
+                    p = [
+                        b[(i * n) // (grid * grid)]
+                        for i in range(grid * grid)
+                    ]
+                bits = 0
+                for i in range(nbits):
+                    r, c = i // (grid - 1), i % (grid - 1)
+                    if p[r * grid + c] < p[r * grid + c + 1]:
+                        bits |= 1 << i
+                hs.append(bits)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "dhash": pd.Series(hs, dtype="int64")}
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        _dhash, schema=f"{id_col} {id_t}, dhash long"
+    )
+
+
 def decode_features(
     df: DataFrame,
     media_col: str = "media",

@@ -2790,6 +2790,43 @@ def pipe_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_media_dedup",
+    """
+    WITH b AS (SELECT doc_id, text, strlen(text) // 32 h FROM documents
+               WHERE strlen(text) >= 32),
+    hs AS (SELECT doc_id,
+      list_aggregate(
+        [ ((ascii(substr(text, (((i//7)*h)//8)*32 + ((i%7)*32)//8 + 1, 1))
+            < ascii(substr(text, (((i//7)*h)//8)*32
+                                 + (((i%7)+1)*32)//8 + 1, 1)))::BIGINT << i)
+          for i in range(0, 56) ], 'sum')::BIGINT AS dhash
+      FROM b)
+    SELECT dhash, min(doc_id) AS keeper, count(*) AS n_docs
+    FROM hs GROUP BY dhash
+    """,
+)
+def pipe_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL PNGs: pack → decode → 8×8
+    nearest-neighbor downsample → 56-bit dHash → collapse identical
+    hashes to the min-id keeper. The oracle replays the downsample index
+    arithmetic and the bit packing directly over the source bytes, so a
+    wrong decode or a wrong hash bit cannot hash-match. Near-dup (small
+    Hamming distance) variants reuse the embedding banding machinery on
+    the dhash column."""
+    from griddb_spark.pipeline.multimodal import dhash_media, png_pack
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    packed = png_pack(docs, "text", width=32)
+    hs = dhash_media(packed, "media", "doc_id")
+    return hs.groupBy("dhash").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
     "stream_cluster_assign",
     _KMEANS_CTE + """
     SELECT s2.vec_id, CAST(s2.cidx AS INT) AS cluster,

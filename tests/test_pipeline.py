@@ -643,6 +643,38 @@ def test_semdedup_keeps_one_per_planted_group(spark, emb):
     assert all(want[r["vec_id"]] == r["cluster"] for r in kept)
 
 
+def test_dhash_brightness_invariant_and_exact(spark):
+    """The dHash encodes horizontal gradient SIGNS: a uniform brightness
+    shift must not change it (the perceptual property), identical images
+    must collide, and a horizontally-flipped gradient must differ."""
+    import pandas as pd
+
+    from griddb_spark.pipeline.multimodal import dhash_media, png_encode
+
+    base = bytes((r * 7 + c * 11) % 200 for r in range(16) for c in range(16))
+    brighter = bytes(min(255, px + 40) for px in base)  # clip-free: max 199+40
+    flipped = bytes(
+        base[r * 16 + (15 - c)] for r in range(16) for c in range(16)
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "media": [
+                    png_encode(base, 16, 16),
+                    png_encode(base, 16, 16),
+                    png_encode(brighter, 16, 16),
+                    png_encode(flipped, 16, 16),
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r["dhash"]
+           for r in dhash_media(df, "media", "doc_id").collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] != got[1]
+
+
 def test_cosine_pairs_within_block_path_parity(spark, emb):
     """The skew-guarded triangle-join path (forced via a tiny max_group)
     must produce exactly the single-task-per-group path's pair set —
