@@ -46,6 +46,7 @@ from griddb_spark.pipeline.dedup import (  # noqa: F401
     collapse_exact,
     connected_components,
     exact_dedup,
+    hamming_pairs_int,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     remove_boilerplate,

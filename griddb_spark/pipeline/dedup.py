@@ -372,6 +372,72 @@ def simhash_pairs(
     )
 
 
+def hamming_pairs_int(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    total_bits: int = 56,
+    bands: int = 8,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs of an INTEGER hash column (a dHash, a packed
+    sign-code, any ≤63-bit fingerprint) with Hamming distance ≤
+    ``max_hamming``, by pigeonhole banding: the hash splits into
+    ``bands`` equal bit-slices; a pair within ``max_hamming`` ≤ bands-1
+    leaves at least one slice untouched, so joining on (band, slice) is
+    recall-COMPLETE — the banded candidate set provably equals the
+    all-pairs result, which is exactly what the SQL oracle checks.
+    Verify is pure integer xor + bit_count (JVM, codegen). Shuffle
+    carries ``bands`` small rows per doc; candidate volume is bounded by
+    band-bucket occupancy, never n². Returns (id_a, id_b, hamming)."""
+    if max_hamming > bands - 1:
+        raise ValueError("pigeonhole banding needs max_hamming <= bands-1")
+    if total_bits % bands:
+        raise ValueError("total_bits must divide evenly into bands")
+    width = total_bits // bands
+    mask = (1 << width) - 1
+    h = df.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).cast("long").alias("__h")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("__h"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    banded = h.select(
+        "__id", "__h", F.explode(F.array(*band_structs)).alias("__b")
+    ).select(
+        "__id", "__h",
+        F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+            F.col("a.__h").alias("__ha"), F.col("b.__h").alias("__hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",

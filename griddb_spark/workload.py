@@ -2827,6 +2827,48 @@ def pipe_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_media_neardup",
+    """
+    WITH b AS (SELECT doc_id, text, strlen(text) // 32 h FROM documents
+               WHERE strlen(text) >= 32),
+    hs AS (SELECT doc_id,
+      list_aggregate(
+        [ ((ascii(substr(text, (((i//7)*h)//8)*32 + ((i%7)*32)//8 + 1, 1))
+            < ascii(substr(text, (((i//7)*h)//8)*32
+                                 + (((i%7)+1)*32)//8 + 1, 1)))::BIGINT << i)
+          for i in range(0, 56) ], 'sum')::BIGINT AS dhash
+      FROM b),
+    reps AS (SELECT dhash, min(doc_id) AS keeper FROM hs GROUP BY dhash)
+    SELECT a.keeper AS id_a, b.keeper AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM reps a JOIN reps b ON a.keeper < b.keeper
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+    """,
+)
+def pipe_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-duplicate image pairs: dHash each PNG, collapse
+    exact-identical hashes to a min-id representative, then find
+    representative pairs within Hamming distance 7 via pigeonhole
+    banding (``hamming_pairs_int``: 8 bit-slices of the 56-bit hash; a
+    pair within distance 7 shares at least one untouched slice, so the
+    banded join is recall-COMPLETE and the all-pairs SQL oracle checks
+    that exactly). The collapse-first composition bounds band-bucket
+    occupancy by distinct-hash count; verify is JVM xor+bit_count."""
+    from griddb_spark.pipeline.dedup import hamming_pairs_int
+    from griddb_spark.pipeline.multimodal import dhash_media, png_pack
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    packed = png_pack(docs, "text", width=32)
+    hs = dhash_media(packed, "media", "doc_id")
+    reps = hs.groupBy("dhash").agg(F.min("doc_id").alias("keeper"))
+    return hamming_pairs_int(
+        reps, "keeper", "dhash", total_bits=56, bands=8, max_hamming=7
+    )
+
+
+@query(
     "stream_cluster_assign",
     _KMEANS_CTE + """
     SELECT s2.vec_id, CAST(s2.cidx AS INT) AS cluster,

@@ -675,6 +675,51 @@ def test_dhash_brightness_invariant_and_exact(spark):
     assert got[4] != got[1]
 
 
+def test_hamming_pairs_int_matches_bruteforce(spark):
+    """Pigeonhole banding must be recall-COMPLETE: the banded candidate
+    join's output equals brute-force all-pairs Hamming for every
+    max_hamming <= bands-1, and invalid band configs are rejected."""
+    import itertools
+    import random
+
+    import pandas as pd
+    import pytest
+
+    from griddb_spark.pipeline.dedup import hamming_pairs_int
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(56) for _ in range(12)]
+    # seed guaranteed near-pairs: flip 1..6 random bits of some bases
+    hashes = list(base)
+    for i, flips in [(0, 1), (1, 3), (2, 5), (3, 7), (4, 2)]:
+        h = base[i]
+        for b in rng.sample(range(56), flips):
+            h ^= 1 << b
+        hashes.append(h)
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(len(hashes)), "h": hashes})
+    )
+    for mh in (2, 4, 7):
+        want = {
+            (i, j, bin(hashes[i] ^ hashes[j]).count("1"))
+            for i, j in itertools.combinations(range(len(hashes)), 2)
+            if bin(hashes[i] ^ hashes[j]).count("1") <= mh
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs_int(
+                df, "id", "h", total_bits=56, bands=8, max_hamming=mh
+            ).collect()
+        }
+        assert got == want
+    with pytest.raises(ValueError):
+        hamming_pairs_int(df, "id", "h", total_bits=56, bands=8,
+                          max_hamming=8)
+    with pytest.raises(ValueError):
+        hamming_pairs_int(df, "id", "h", total_bits=56, bands=5,
+                          max_hamming=4)
+
+
 def test_cosine_pairs_within_block_path_parity(spark, emb):
     """The skew-guarded triangle-join path (forced via a tiny max_group)
     must produce exactly the single-task-per-group path's pair set —
