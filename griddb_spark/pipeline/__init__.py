@@ -38,6 +38,12 @@ from griddb_spark.pipeline.decontaminate import (  # noqa: F401
     contamination_report,
     decontaminate,
 )
+from griddb_spark.pipeline.retrieval import (  # noqa: F401
+    bm25_search,
+    doc_terms,
+    inverted_index,
+    tfidf_top_terms,
+)
 from griddb_spark.pipeline.dedup import (  # noqa: F401
     boilerplate_spans,
     canonical_best,

@@ -2868,6 +2868,112 @@ def pipe_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared (doc, term, tf) CTE for the retrieval gates — the exact SQL twin
+#: of pipeline.retrieval.doc_terms (whitespace tokens of trim(lower(text)))
+_TF_CTE = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE strlen(trim(text)) > 0),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM toks GROUP BY doc_id, term)
+"""
+
+
+@query(
+    "pipe_tfidf_top_terms",
+    _TF_CTE + """
+    , dfreq AS (SELECT term, count(*)::BIGINT AS df_t FROM tf GROUP BY term)
+    , n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+    , scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)) + 1.0)
+                 AS score
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+    , ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+        FROM scored)
+    SELECT doc_id, term, tf, round(score, 6) AS score
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def pipe_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by smoothed TF-IDF
+    (``tfidf_top_terms``). Document frequency aggregates the already-
+    distinct tf relation (no re-explode), N rides as a broadcast 1-row
+    crossJoin, and the top-k window partitions by document — no global
+    sort, no driver collect. Term-asc tiebreak makes the selection a
+    total order on both engines."""
+    from griddb_spark.pipeline.retrieval import tfidf_top_terms
+
+    docs = cat(spark, sf_dir).load("documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@query(
+    "pipe_bm25_search",
+    _TF_CTE + """
+    , dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY doc_id)
+    , st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)
+    , qtf AS (SELECT * FROM tf WHERE term IN ('hash', 'join', 'vector'))
+    , dfq AS (SELECT term, count(*)::BIGINT AS df_t FROM qtf GROUP BY term)
+    , c AS (
+        SELECT qtf.doc_id,
+               ln((st.n_docs - dfq.df_t + 0.5) / (dfq.df_t + 0.5) + 1.0)
+                 * (qtf.tf * (1.2 + 1.0))
+                 / (qtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                 AS contrib
+        FROM qtf JOIN dfq ON qtf.term = dfq.term
+                 JOIN dl ON qtf.doc_id = dl.doc_id
+        CROSS JOIN st)
+    SELECT doc_id, round(sum(contrib), 6) AS score FROM c GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def pipe_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi-BM25 top-20 documents for the query {hash, join, vector}
+    (``bm25_search``, Lucene's non-negative idf). The literal IN prunes
+    the exploded relation BEFORE any shuffle — only the query terms'
+    postings move; their document frequencies and the corpus stats
+    (N, avgdl) are broadcast; the final top-k is a TakeOrdered."""
+    from griddb_spark.pipeline.retrieval import bm25_search
+
+    docs = cat(spark, sf_dir).load("documents")
+    return bm25_search(
+        docs, "doc_id", "text", ["hash", "join", "vector"], k=20
+    )
+
+
+@query(
+    "pipe_inverted_index",
+    _TF_CTE + """
+    , ranked AS (
+        SELECT doc_id, term,
+               count(*) OVER (PARTITION BY term) AS df_t,
+               row_number() OVER (
+                   PARTITION BY term ORDER BY doc_id ASC) AS rn
+        FROM tf)
+    SELECT term, df_t,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+    FROM ranked WHERE rn <= 100 GROUP BY term, df_t
+    """,
+)
+def pipe_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: per term, full document frequency plus the first
+    100 doc ids ascending as a comma-joined posting list
+    (``inverted_index``). ONE term-keyed shuffle yields both (window
+    count + rank); the rank filter truncates stopword-class postings
+    BEFORE collect_list buffers them, so no agg row ever holds more
+    than 100 entries — the formulation that survives 100 TB stopwords."""
+    from griddb_spark.pipeline.retrieval import inverted_index
+
+    docs = cat(spark, sf_dir).load("documents")
+    return inverted_index(
+        docs, "doc_id", "text", min_df=1, max_postings=100
+    )
+
+
 @query(
     "stream_cluster_assign",
     _KMEANS_CTE + """

@@ -6,8 +6,11 @@ from pyspark.sql import SparkSession
 import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.shuffle.partitions","8")
+# SPARK_GRAFT_SIM_CPUS sweeps parallelism: results must be IDENTICAL at any
+# core count (partition-order/tie nondeterminism shows up as hash mismatch)
+CPUS = os.environ.get("SPARK_GRAFT_SIM_CPUS", "8")
+spark = (SparkSession.builder.master(f"local[{CPUS}]")
+         .config("spark.sql.shuffle.partitions", CPUS)
          .config("spark.ui.enabled","false").getOrCreate())  # vanilla-ish: no UTC, no nanosAsLong
 import __spark_entry__ as E
 

@@ -720,6 +720,54 @@ def test_hamming_pairs_int_matches_bruteforce(spark):
                           max_hamming=4)
 
 
+def test_retrieval_tfidf_bm25_inverted_index(spark):
+    """Retrieval trio over a hand-checkable corpus: TF-IDF ranks the
+    rare-but-frequent term first, BM25 prefers the doc matching more
+    query terms, and the inverted index truncates postings while
+    keeping the FULL document frequency."""
+    import math
+
+    import pandas as pd
+
+    from griddb_spark.pipeline.retrieval import (
+        bm25_search, inverted_index, tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "apple apple apple banana",   # apple rare+frequent here
+            "banana cherry banana",
+            "cherry banana date",
+            "banana date",
+        ],
+    }))
+    top1 = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    }
+    # doc 1: apple tf=3 df=1 beats banana tf=1 df=4
+    n = 4
+    s_apple = 3 * (math.log((n + 1) / (1 + 1)) + 1)
+    s_banana = 1 * (math.log((n + 1) / (4 + 1)) + 1)
+    assert s_apple > s_banana and top1[1] == "apple"
+
+    bm = bm25_search(df, "doc_id", "text", ["cherry", "date"], k=4)
+    rows = bm.collect()
+    assert [r["doc_id"] for r in rows][0] == 3  # matches BOTH query terms
+    assert all(a["score"] >= b["score"]
+               for a, b in zip(rows, rows[1:]))
+
+    inv = {
+        r["term"]: (r["df_t"], r["postings"])
+        for r in inverted_index(
+            df, "doc_id", "text", max_postings=2
+        ).collect()
+    }
+    assert inv["banana"] == (4, "1,2")  # df_t FULL, postings truncated asc
+    assert inv["apple"] == (1, "1")
+
+
 def test_cosine_pairs_within_block_path_parity(spark, emb):
     """The skew-guarded triangle-join path (forced via a tiny max_group)
     must produce exactly the single-task-per-group path's pair set —

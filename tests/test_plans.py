@@ -346,3 +346,25 @@ def test_q7_broadcasts_dims_and_pushes_nation_pair(spark):
            "In(n_name, [NATION_1, NATION_2])" in plan
     # the shipdate range is pushed into the lineitem scan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_inverted_index_truncates_before_collect(spark):
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_inverted_index"](spark, SF_DIR))
+    # two keyed shuffles total: the (doc,term) tf combine and the term
+    # window; the final group reuses the term partitioning (no 3rd
+    # exchange), so the rank filter provably runs BEFORE collect_list
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bm25_broadcasts_stats_and_dfreq(spark):
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_bm25_search"](spark, SF_DIR))
+    # query-term doc frequencies join broadcast; corpus stats ride a
+    # broadcast 1-row nested loop; never a shuffled cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
