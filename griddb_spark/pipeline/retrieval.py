@@ -98,11 +98,10 @@ def bm25_search(
     crossJoin. The final top-k is a TakeOrdered, not a global sort.
     """
     tf = doc_terms(df, id_col, text_col)
-    dl = (
-        doc_terms(df, id_col, text_col)
-        .groupBy(id_col)
-        .agg(F.sum("tf").cast("double").alias("dl"))
-    )
+    # dl derives from the SAME tf frame: the (doc,term) combine exchange is
+    # bit-identical across the dl/dfreq/qtf branches, so Spark reuses it
+    # (ReusedExchange) instead of re-exploding the corpus per branch
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("double").alias("dl"))
     stats = F.broadcast(
         dl.agg(
             F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
