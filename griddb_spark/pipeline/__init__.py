@@ -62,15 +62,19 @@ from griddb_spark.pipeline.dedup import (  # noqa: F401
 )
 from griddb_spark.pipeline.sampling import (  # noqa: F401
     deterministic_sample,
+    dsir_scores,
+    dsir_select,
     hash_bucket,
     snapshot_diff,
     stratified_fixed_k,
     stratified_sample,
     temperature_mix,
+    token_bucket,
     train_split,
 )
 from griddb_spark.pipeline.quality import (  # noqa: F401
     domain_of,
+    perplexity_buckets,
     pii_scrub,
     repetition_stats,
     urls,
@@ -94,12 +98,17 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     mean_pool_vectors,
     prune_prototypes,
     quantize_int8,
+    random_project,
+    random_project_exact,
+    rp_sign_table,
     semdedup,
 )
 from griddb_spark.pipeline.sketches import (  # noqa: F401
     cms_build,
     cms_estimate,
     histogram_quantile,
+    hll_distinct,
+    hll_oracle_sql,
     linear_counting_distinct,
 )
 from griddb_spark.pipeline.text import (  # noqa: F401

@@ -159,6 +159,49 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def perplexity_buckets(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+):
+    """CCNet-style quality partitioning (Wenzek et al. 2020): within each
+    language, rank documents by LM perplexity and cut into equal-count
+    buckets — ``head`` (lowest ppl / highest quality), ``middle``, …,
+    ``tail``. Downstream pipelines train on head(+middle) and drop or
+    down-weight tail; keeping the cut per-language avoids the classic
+    failure where one language's natural ppl range evicts another.
+
+    The ppl comes from :func:`unigram_logprob` (the corpus's own unigram
+    LM); the cut is ``ntile`` over a TOTAL order (ppl, id) so bucket
+    membership is deterministic under any partitioning and identical in
+    any SQL engine. Scale shape: the ntile window partitions by language —
+    one shuffle on the language key; skew between languages is bounded by
+    corpus language balance (partition-level, not row-level, state).
+
+    Returns ``(id, lang, ppl, bucket)`` with bucket ∈ {'head', 'middle',
+    'tail'} for the default 3 (numbered ``b<i>`` strings otherwise).
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col)
+    labeled = df.select(F.col(id_col), F.col(lang_col)).join(scored, id_col)
+    w = Window.partitionBy(lang_col).orderBy(F.col("ppl"), F.col(id_col))
+    tile = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        bucket = (
+            F.when(tile == 1, F.lit("head"))
+            .when(tile == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        bucket = F.concat(F.lit("b"), tile.cast("string"))
+    return labeled.select(
+        F.col(id_col), F.col(lang_col), F.col("ppl"), bucket.alias("bucket")
+    )
+
+
 def quality_threshold_flag(
     df, score_col: str, stratum_col: str, fraction: float = 0.25
 ):

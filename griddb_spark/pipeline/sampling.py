@@ -257,3 +257,113 @@ def snapshot_diff(
     return oh.join(nh, "__k", "full_outer").select(
         F.col("__k").alias(key_col), status.alias("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def token_bucket(token: Column | str, n_buckets: int, portable: bool = True) -> Column:
+    """Hashed n-gram feature bucket of a token.
+
+    ``portable=True`` derives the bucket from the first 8 md5 hex digits
+    (identical arithmetic in any engine — the oracle path);
+    ``portable=False`` uses ``xxhash64`` — the cheaper JVM-side hash for
+    production runs where cross-engine parity doesn't matter. Both are
+    uniform; only the bucket assignment differs.
+    """
+    t = F.col(token) if isinstance(token, str) else token
+    if portable:
+        h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    else:
+        h = F.abs(F.xxhash64(t))
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 512,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-document DSIR importance score: how much more likely the doc's
+    hashed-unigram bag is under the TARGET distribution than under the raw
+    corpus distribution (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling").
+
+    - features: whitespace tokens hashed into ``n_buckets`` buckets;
+    - bucket distributions: Laplace-smoothed token counts over the target
+      subset (rows satisfying ``target_pred``) and over the whole corpus;
+    - score(doc) = Σ_tokens [ln p̂_target(b) − ln p̂_raw(b)].
+
+    Determinism contract: each bucket's log-ratio is rounded to 6 decimals
+    ONCE and fixed as DECIMAL(18,6); per-document scores are then exact
+    decimal sums — order-independent, so the result hash-matches the SQL
+    oracle at any parallelism. (A float sum of raw logs would drift with
+    aggregation order.)
+
+    Scale shape: one explode over the corpus; bucket stats collapse to
+    ``n_buckets`` rows through map-side combine; the weight table
+    broadcasts; the per-doc sum is the only data-sized shuffle. The target
+    subset is re-scanned from the same exploded frame — no second pass
+    over raw text.
+
+    Returns ``(id_col, dsir_score double)`` for every doc with ≥1 token.
+    """
+    from pyspark.sql import Window
+
+    feat = (
+        df.select(
+            F.col(id_col),
+            target_pred.alias("__is_target"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        .select(
+            id_col,
+            "__is_target",
+            token_bucket("__t", n_buckets, portable).alias("__b"),
+        )
+    )
+    counts = feat.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__rc"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__tc"),
+    )
+    whole = Window.partitionBy()
+    bexp = F.lit(n_buckets)
+    weights = counts.select(
+        "__b",
+        F.round(
+            F.log((F.col("__tc") + 1).cast("double")
+                  / (F.sum("__tc").over(whole) + bexp).cast("double"))
+            - F.log((F.col("__rc") + 1).cast("double")
+                    / (F.sum("__rc").over(whole) + bexp).cast("double")),
+            6,
+        ).cast("decimal(18,6)").alias("__lw"),
+    )
+    return (
+        feat.join(F.broadcast(weights), "__b")
+        .groupBy(id_col)
+        .agg(F.sum("__lw").cast("double").alias("dsir_score"))
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    k: int,
+    n_buckets: int = 512,
+    portable: bool = True,
+) -> DataFrame:
+    """Top-``k`` documents by DSIR importance score (deterministic
+    tie-break on id) — the selection step of importance resampling. The
+    sort is a TakeOrdered top-k, never a full global sort."""
+    return (
+        dsir_scores(df, id_col, text_col, target_pred, n_buckets, portable)
+        .orderBy(F.desc("dsir_score"), F.col(id_col))
+        .limit(k)
+    )

@@ -871,3 +871,120 @@ def mean_pool_vectors(
             lambda s: s["v"],
         ).alias(out_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (sign matrix, deterministic)
+# ---------------------------------------------------------------------------
+
+def _rp_sign_seed(i: int, j: int) -> int:
+    """±1 entry of the deterministic JL sign matrix at (row i [1-based],
+    output dim j [0-based]) — parity of the first 8 md5 hex digits of
+    ``"i_j"``, identical in Python, Spark SQL, and any ANSI engine."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def rp_sign_table(spark, in_dim: int, out_dim: int) -> DataFrame:
+    """(i, j, s) — the JL sign matrix as a tiny broadcastable DataFrame.
+    The matrix is DERIVED (content-hash of the index pair), not sampled:
+    every engine, executor, and rerun reconstructs the identical matrix
+    with no seed to ship."""
+    rows = spark.range(1, in_dim + 1).select(F.col("id").alias("i"))
+    cols = spark.range(out_dim).select(F.col("id").alias("j"))
+    pair = F.concat(F.col("i").cast("string"), F.lit("_"),
+                    F.col("j").cast("string"))
+    bucket = F.conv(F.substring(F.md5(pair), 1, 8), 16, 10).cast("bigint")
+    return rows.crossJoin(cols).select(
+        "i", "j",
+        F.when(F.pmod(bucket, F.lit(2)) == 0, F.lit(1)).otherwise(F.lit(-1))
+        .alias("s"),
+    )
+
+
+def random_project_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int = 16,
+) -> DataFrame:
+    """JL random projection, exact-arithmetic twin: long-format
+    ``(id, j, comp)`` where ``comp = (Σ_i s_ij · q6(v_i)) / (1e6·√k)``.
+
+    Components quantize to micro-ints first (``floor(x·1e6+0.5)`` — the
+    repo's cross-engine float contract), so the inner sums are exact
+    BIGINT math at any aggregation order, and the single final division
+    is IEEE-exact-rounded — the DuckDB oracle hash-matches bit-for-bit.
+
+    Shape at scale: posexplode (rows×dim) → broadcast sign join (fan-out
+    ×out_dim) → one (id, j)-keyed sum with map-side combine. Use the GEMM
+    form (:func:`random_project`) when the result feeds further Spark-side
+    math and bit-parity with an external engine is not required.
+    """
+    import math as _math
+
+    spark = df.sparkSession
+    denom = 1_000_000.0 * _math.sqrt(out_dim)
+    q = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * 1_000_000 + 0.5)
+                .cast("bigint"),
+            )
+        ).alias("pos", "vq"),
+    ).select(id_col, (F.col("pos") + 1).alias("i"), "vq")
+    signs = rp_sign_table(spark, in_dim, out_dim)
+    return (
+        q.join(F.broadcast(signs), "i")
+        .groupBy(id_col, "j")
+        .agg((F.sum(F.col("vq") * F.col("s")) / F.lit(denom)).alias("comp"))
+    )
+
+
+def random_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int = 16,
+    out_col: str = "rp",
+) -> DataFrame:
+    """JL random projection, production path: per-batch NumPy GEMM against
+    the same derived ±1 sign matrix, scaled by 1/√k — dimensionality
+    reduction ahead of clustering/LSH/ANN so downstream distance work
+    costs O(k) not O(d) per pair (Achlioptas 2003 database-friendly
+    projections; distances preserved within ±ε w.h.p.).
+
+    In-row Arrow-batched matmul: no shuffle at all — the operator is a
+    projection, partitioning survives, and each batch costs one
+    (batch×d)·(d×k) GEMM. Agrees with :func:`random_project_exact` to
+    ~1e-5 (the exact twin quantizes inputs to 1e-6 first).
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    smat = np.array(
+        [[_rp_sign_seed(i, j) for j in range(out_dim)]
+         for i in range(1, in_dim + 1)],
+        dtype=np.float64,
+    ) / np.sqrt(out_dim)
+
+    def gemm(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            out = v @ smat
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: list(map(list, out))}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gemm, schema=f"{id_col} {id_type}, {out_col} array<double>"
+    )

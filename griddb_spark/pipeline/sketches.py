@@ -16,15 +16,16 @@ Two deliberate design choices:
    engine — the DuckDB oracle replays the exact same register math and the
    result hash-matches bit-for-bit. Estimator quality for the tested
    integer keys is equivalent.
-2. **Linear counting rather than HyperLogLog registers.** Linear counting
-   (Whang et al. 1990 — the same estimator HLL itself switches to in its
-   small-range regime) needs only "how many registers were hit", which is
-   expressible as two cascaded GROUP BYs in both engines; HLL's
-   leading-zero rho needs bit tricks that are not portable SQL. With
-   m registers the standard error is ~sqrt(m)/n-ish for n ≲ m·ln m; the
-   module exposes m so callers size it to the cardinality regime, and the
-   estimator reports saturation (all registers hit) as NULL rather than
-   ±inf.
+2. **Two distinct-count regimes.** Linear counting (Whang et al. 1990)
+   is exact-SQL-portable and accurate while n ≲ m·ln m, but its register
+   budget must track the cardinality — the wrong trade at 100 TB. True
+   HyperLogLog (Flajolet et al. 2007) keeps relative error ~1.04/√m at
+   ANY cardinality with a fixed 2^p registers; its leading-zero rank IS
+   portable SQL (``length(bin(suffix))`` — both Spark and DuckDB strip
+   leading zeros in ``bin``), and the estimator's arithmetic (sums of
+   exact powers of two, one multiply, one divide) is IEEE-exact, so the
+   oracle hash-matches bit-for-bit. ``linear_counting_distinct`` stays as
+   the small-range tool; ``hll_distinct`` is the scale path.
 
 Reference tie-in: GridDB has no sketch surface (its DISTINCT aggregation is
 exact, ``OP_GROUP_DISTINCT``, sql_operator_group.h:71-73); these are
@@ -181,6 +182,112 @@ def histogram_quantile(
             ).alias(label)
         )
     return cum.groupBy(*g).agg(*aggs)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    p: int = 10,
+    correct: bool = False,
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch: fixed ``m = 2^p`` registers per
+    group, relative error ~1.04/sqrt(m) at ANY key cardinality.
+
+    The 100 TB member of the distinct family: unlike
+    ``linear_counting_distinct`` (whose m must track n), the register
+    budget here is constant, the stage-1 exchange carries at most m rows
+    per group after map-side ``max`` combine, and sketches over disjoint
+    shards merge by register-wise max.
+
+    Register math (Flajolet et al. 2007), all in exact BIGINT / IEEE
+    arithmetic so any ANSI engine replays it bit-for-bit:
+
+    - ``h``     = 32-bit Knuth hash of the key
+    - ``idx``   = ``h mod m``; ``suffix = h div m``  (32-p bits)
+    - ``rho``   = leading-zero rank of the suffix
+                  = ``(32-p) - length(bin(suffix)) + 1`` (``bin`` has no
+                  leading zeros in Spark and DuckDB alike), ``33-p`` for 0
+    - ``M_j``   = per-register max rho
+    - raw est   = ``alpha_m * m^2 / (Z_absent + sum(2^-M_j))`` where
+                  absent registers contribute ``2^-0 = 1`` each. Every
+                  ``2^-M_j`` is an exact power of two and the full sum
+                  spans < 53 mantissa bits, so the double sum is EXACT and
+                  order-independent — no decimal detour needed.
+
+    ``correct=True`` additionally applies the standard small-range switch
+    (linear counting when raw <= 2.5m and empty registers exist). That
+    branch evaluates ``ln`` — correctly-rounded in practice but not
+    guaranteed bit-identical across libm implementations — so oracle-gated
+    callers keep the raw estimator and the correction is unit-tested for
+    accuracy instead.
+
+    Returns ``group_cols + (n_registers, est_distinct)``.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    suffix_bits = 32 - p
+    g = list(group_cols)
+    h = _int_hash(key_col)
+    suffix = F.floor(h / F.lit(m)).cast("bigint")
+    rho = F.when(suffix == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.lit(suffix_bits + 1) - F.length(F.bin(suffix))
+    )
+    regs = (
+        df.select(*g, F.pmod(h, F.lit(m)).alias("__idx"), rho.alias("__rho"))
+        .groupBy(*g, "__idx")
+        .agg(F.max("__rho").alias("__mj"))
+    )
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    summed = regs.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("__mj"))).alias("__s_present"),
+    )
+    z = (F.lit(m) - F.col("n_registers")).cast("double") + F.col("__s_present")
+    raw = F.lit(alpha) * F.lit(float(m * m)) / z
+    if correct:
+        v = F.lit(m) - F.col("n_registers")
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+        ).otherwise(raw)
+    else:
+        est = raw
+    return summed.select(*g, "n_registers", est.alias("est_distinct"))
+
+
+def hll_oracle_sql(
+    table: str, group_cols: Sequence[str], key_col: str, p: int = 10
+) -> str:
+    """The ANSI-SQL replay of ``hll_distinct`` (raw estimator) — shared by
+    the driver oracle and the parity tests so the register math can never
+    drift between the two."""
+    m = 1 << p
+    sb = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    g = ", ".join(group_cols)
+    return f"""
+    WITH h AS (
+      SELECT {g}, (({key_col} % {_M32}) * {_KNUTH}) % {_M32} AS h
+      FROM {table}),
+    r AS (
+      SELECT {g}, h % {m} AS idx,
+             CASE WHEN h // {m} = 0 THEN {sb + 1}
+                  ELSE {sb + 1} - length(bin(h // {m})) END AS rho
+      FROM h),
+    mx AS (SELECT {g}, idx, max(rho) AS mj FROM r GROUP BY ALL),
+    s AS (SELECT {g}, count(*) AS n_registers,
+                 sum(power(2.0, -mj)) AS s_present
+          FROM mx GROUP BY ALL)
+    SELECT {g}, n_registers,
+           CAST({alpha!r} AS DOUBLE) * CAST({m * m} AS DOUBLE)
+             / (CAST({m} - n_registers AS DOUBLE) + s_present) AS est_distinct
+    FROM s
+    """
 
 
 #: Second multiplicative constant (xxhash prime 2) for double hashing.

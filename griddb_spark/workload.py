@@ -3842,6 +3842,38 @@ def pipe_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_embed_rp",
+    """
+    WITH t AS (SELECT vec_id, embedding::double[] AS ev FROM embeddings),
+    q AS (SELECT vec_id, r.i,
+                 CAST(floor(ev[r.i] * 1000000 + 0.5) AS BIGINT) AS vq
+          FROM t CROSS JOIN range(1, 65) AS r(i)),
+    s AS (SELECT ri.i, rj.j,
+                 CASE WHEN ('0x' || substr(md5(ri.i || '_' || rj.j), 1, 8))
+                           ::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM range(1, 65) AS ri(i) CROSS JOIN range(0, 16) AS rj(j))
+    SELECT vec_id, j, sum(vq * s) / 4000000.0 AS comp
+    FROM q JOIN s USING (i)
+    GROUP BY vec_id, j
+    """,
+)
+def pipe_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 (similarity.py): the
+    dimensionality-reduction stage ahead of clustering/LSH at 100 TB — a
+    derived ±1 sign matrix (content-hash of the index pair, no seed to
+    ship) broadcast against micro-int-quantized components, summed in
+    exact BIGINT so any aggregation order hash-matches. The production
+    twin (``random_project``) is a shuffle-free Arrow GEMM; parity is
+    pinned in tests."""
+    from griddb_spark.pipeline import random_project_exact
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    return random_project_exact(emb, "vec_id", "embedding", in_dim=64,
+                                out_dim=16)
+
+
+@query(
     "pipe_embed_normalize",
     """
     WITH t AS (SELECT vec_id, embedding::double[] AS ev FROM embeddings),
@@ -4063,6 +4095,41 @@ def pipe_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cat(spark, sf_dir).load("documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id")
     return unigram_logprob(docs, "text", "doc_id")
+
+
+@query(
+    "pipe_ccnet_buckets",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) tok
+               FROM documents),
+    v AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT count(*) AS n FROM t),
+    ppl AS (SELECT doc_id,
+                   round(exp(-round(avg(ln(c::double / n)), 6)), 2) AS ppl
+            FROM t JOIN v USING (tok) CROSS JOIN tot
+            GROUP BY doc_id),
+    cut AS (SELECT d.doc_id, d.lang, ppl.ppl,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY ppl.ppl, d.doc_id) AS tile
+            FROM documents d JOIN ppl USING (doc_id))
+    SELECT doc_id, lang, ppl,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+    FROM cut
+    """,
+)
+def pipe_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality partitioning (Wenzek et al.
+    2020; pipeline/quality.py): per-language perplexity terciles over the
+    corpus's own unigram LM — train on head(+middle), drop/down-weight
+    tail. The cut is an ntile over the total order (ppl, doc_id), so
+    membership is deterministic at any parallelism; the window shuffles on
+    the language key only."""
+    from griddb_spark.pipeline import perplexity_buckets
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    return perplexity_buckets(docs, "doc_id", "text", "lang")
 
 
 @query(
@@ -4307,6 +4374,52 @@ def pipe_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+@query(
+    "pipe_dsir_select",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents),
+    feat AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % 512 AS b
+      FROM tok WHERE t <> ''),
+    counts AS (
+      SELECT b, count(*) AS rc,
+             sum(CASE WHEN source = 'src18' THEN 1 ELSE 0 END) AS tc
+      FROM feat GROUP BY b),
+    w AS (
+      SELECT b,
+             CAST(round(
+               ln((tc + 1) / CAST(sum(tc) OVER () + 512 AS DOUBLE))
+             - ln((rc + 1) / CAST(sum(rc) OVER () + 512 AS DOUBLE)), 6)
+             AS DECIMAL(18,6)) AS lw
+      FROM counts)
+    SELECT doc_id, CAST(sum(lw) AS DOUBLE) AS dsir_score
+    FROM feat JOIN w USING (b)
+    GROUP BY doc_id
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT 100
+    """,
+)
+def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, pipeline/sampling.py): rank
+    the corpus by importance of its hashed-unigram bag under a target
+    distribution (here the 'src18' domain) vs the raw distribution, keep
+    the top 100. Bucket log-ratios are rounded once and fixed as
+    DECIMAL(18,6) so the per-doc sums are exact and order-independent;
+    the weight table (512 rows) broadcasts; the only data-sized shuffle
+    is the per-doc sum; top-k is TakeOrdered. The oracle replays the
+    identical bucket hash (md5 hex digits) and smoothing arithmetic."""
+    from griddb_spark.pipeline import dsir_select
+
+    docs = cat(spark, sf_dir).load("documents")
+    return dsir_select(
+        docs, "doc_id", "text", F.col("source") == "src18", k=100
     )
 
 
@@ -4680,6 +4793,39 @@ def pipe_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = linear_counting_distinct(ev, ["event_type"], "user_id", m=4096)
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact"))
+    return sk.join(F.broadcast(exact), "event_type")
+
+
+from griddb_spark.pipeline.sketches import hll_oracle_sql as _hll_sql
+
+
+@query(
+    "pipe_sketch_hll",
+    f"""
+    WITH est AS ({_hll_sql("events", ["event_type"], "event_id", p=8)})
+    SELECT est.event_type, est.n_registers, est.est_distinct, e.n_exact
+    FROM est
+    JOIN (SELECT event_type, count(DISTINCT event_id) AS n_exact
+          FROM events GROUP BY event_type) e
+      ON est.event_type = e.event_type
+    """,
+)
+def pipe_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct sketch (pipeline/sketches.py): per event_type,
+    event ids stream into 256 registers whose max leading-zero rank yields
+    the Flajolet estimator. Unlike linear counting (whose register budget
+    must track cardinality) the state here is CONSTANT — 256 rows per group
+    through the exchange at any corpus size, merging by register-max — the
+    true 100 TB distinct-count shape. The oracle replays the identical
+    register math (Knuth hash + bin()-length rank + exact power-of-two
+    sums, all IEEE-exact); the exact count rides along for
+    estimate-vs-truth."""
+    from griddb_spark.pipeline.sketches import hll_distinct
+
+    ev = cat(spark, sf_dir).load("events")
+    sk = hll_distinct(ev, ["event_type"], "event_id", p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_exact"))
     return sk.join(F.broadcast(exact), "event_type")
 
 

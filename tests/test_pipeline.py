@@ -1024,3 +1024,142 @@ def test_canonical_url_randomized_vs_python_reference(spark):
            .collect()]
     for u, g in zip(urls, got):
         assert g == ref(u), (u, g, ref(u))
+
+
+def test_dsir_scores_match_python_reference(spark, docs):
+    """Portable-mode DSIR scores replay exactly in pure Python (md5-hex
+    bucket, Laplace smoothing, 6dp-rounded decimal log-ratios)."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from griddb_spark.pipeline import dsir_scores
+
+    B = 512
+    rows = docs.select("doc_id", "source", "text").collect()
+    feat = []
+    for r in rows:
+        for t in r.text.strip().split():
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % B
+            feat.append((r.doc_id, r.source == "src18", b))
+    rc: dict[int, int] = {}
+    tc: dict[int, int] = {}
+    for _, is_t, b in feat:
+        rc[b] = rc.get(b, 0) + 1
+        if is_t:
+            tc[b] = tc.get(b, 0) + 1
+    rtot, ttot = len(feat), sum(1 for _, t, _ in feat if t)
+    lw = {
+        b: Decimal(
+            str(round(math.log((tc.get(b, 0) + 1) / float(ttot + B))
+                      - math.log((rc[b] + 1) / float(rtot + B)), 6))
+        )
+        for b in rc
+    }
+    ref: dict[int, float] = {}
+    for d, _, b in feat:
+        ref[d] = ref.get(d, Decimal(0)) + lw[b]
+    got = {
+        r.doc_id: r.dsir_score
+        for r in dsir_scores(
+            docs, "doc_id", "text", F.col("source") == "src18"
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for d in got:
+        assert got[d] == float(ref[d]), (d, got[d], float(ref[d]))
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Docs drawn from the target vocabulary outrank background docs."""
+    from griddb_spark.pipeline import dsir_select
+
+    target_words = "alpha beta gamma delta epsilon".split()
+    noise_words = "zero one two three four five six seven".split()
+    rows = []
+    for i in range(20):  # target domain
+        rows.append((i, "t", " ".join(target_words[j % 5] for j in range(i, i + 12))))
+    for i in range(20, 60):  # background
+        rows.append((i, "b", " ".join(noise_words[j % 8] for j in range(i, i + 12))))
+    for i in range(60, 70):  # target-like but unlabeled: should be selected
+        rows.append((i, "b", " ".join(target_words[j % 5] for j in range(i, i + 12))))
+    df = spark.createDataFrame(rows, "id long, dom string, text string")
+    top = dsir_select(df, "id", "text", F.col("dom") == "t", k=30)
+    ids = {r.id for r in top.collect()}
+    # all 30 target-vocabulary docs (labeled + unlabeled) beat the noise
+    assert ids == set(range(20)) | set(range(60, 70))
+
+
+def test_dsir_fast_mode_same_docs_similar_ranking(spark, docs):
+    """xxhash64 mode (the production path) scores the same doc set; the
+    two hash families agree on which half of the corpus is target-like
+    (rank correlation need not be exact — buckets differ)."""
+    from griddb_spark.pipeline import dsir_scores
+
+    pred = F.col("source") == "src18"
+    slow = dsir_scores(docs, "doc_id", "text", pred, portable=True)
+    fast = dsir_scores(docs, "doc_id", "text", pred, portable=False)
+    s = {r.doc_id: r.dsir_score for r in slow.collect()}
+    f = {r.doc_id: r.dsir_score for r in fast.collect()}
+    assert set(s) == set(f)
+    n = len(s)
+    top_s = {d for d, _ in sorted(s.items(), key=lambda kv: -kv[1])[: n // 4]}
+    top_f = {d for d, _ in sorted(f.items(), key=lambda kv: -kv[1])[: n // 4]}
+    assert len(top_s & top_f) >= len(top_s) // 2
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark, docs):
+    """Per language: tercile sizes differ by ≤1 and every head doc's ppl
+    ≤ every tail doc's ppl (the CCNet contract)."""
+    from griddb_spark.pipeline import perplexity_buckets
+
+    out = perplexity_buckets(docs, "doc_id", "text", "lang").collect()
+    by_lang: dict[str, dict[str, list]] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(r.ppl)
+    for lang, buckets in by_lang.items():
+        sizes = [len(v) for v in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        if {"head", "tail"} <= buckets.keys():
+            assert max(buckets["head"]) <= min(buckets["tail"]), lang
+
+
+def test_random_project_gemm_matches_exact_twin(spark, emb):
+    """Production GEMM path vs exact-arithmetic twin: same sign matrix,
+    agreement to ~1e-5 (the twin quantizes inputs to 1e-6 first)."""
+    from griddb_spark.pipeline import random_project, random_project_exact
+
+    exact = {
+        (r.vec_id, r.j): r.comp
+        for r in random_project_exact(emb, "vec_id", "embedding", 64, 16).collect()
+    }
+    for r in random_project(emb, "vec_id", "embedding", 64, 16).collect():
+        for j, v in enumerate(r.rp):
+            assert abs(v - exact[(r.vec_id, j)]) < 2e-5, (r.vec_id, j)
+
+
+def test_random_project_preserves_distances(spark, emb):
+    """JL contract: pairwise distances in the projected space track the
+    original within a loose ε for k=16 (sanity, not a proof)."""
+    import math
+    import random as rnd
+
+    from griddb_spark.pipeline import random_project
+
+    rows = {r.vec_id: list(r.embedding) for r in emb.limit(60).collect()}
+    proj = {
+        r.vec_id: r.rp
+        for r in random_project(emb.limit(60), "vec_id", "embedding", 64, 16).collect()
+    }
+    ids = sorted(rows)
+    rng = rnd.Random(3)
+    ratios = []
+    for _ in range(40):
+        a, b = rng.sample(ids, 2)
+        d0 = math.dist(rows[a], rows[b])
+        d1 = math.dist(proj[a], proj[b])
+        if d0 > 1e-9:
+            ratios.append(d1 / d0)
+    mean = sum(ratios) / len(ratios)
+    assert 0.75 < mean < 1.25, mean
+    assert all(0.35 < r < 1.8 for r in ratios), (min(ratios), max(ratios))

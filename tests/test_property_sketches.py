@@ -107,3 +107,87 @@ def test_histogram_quantile_bucket_math_matches_reference(spark, seed):
                 ref = round(lo + (b + 1) * w, 6)
                 break
         assert getattr(out, name) == pytest.approx(ref, abs=1e-6)
+
+
+def _hll_ref(keys, p):
+    """Pure-Python replay of the HLL register math."""
+    m = 1 << p
+    sb = 32 - p
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = ((k % M32) * KNUTH) % M32
+        idx, suffix = h % m, h // m
+        rho = sb + 1 if suffix == 0 else sb + 1 - suffix.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    s = (m - len(regs)) + sum(2.0 ** -mj for mj in regs.values())
+    return len(regs), alpha * float(m * m) / s
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_hll_registers_match_reference_bitwise(spark, seed):
+    """The Spark register math (hash, idx, rho, exact power-of-two sum)
+    must agree BIT-FOR-BIT with a pure-Python replay — the property the
+    DuckDB oracle relies on."""
+    from griddb_spark.pipeline.sketches import hll_distinct
+
+    rng = random.Random(7200 + seed)
+    p = rng.choice([6, 8, 10])
+    rows = [
+        (f"g{rng.randint(0, 2)}", rng.randint(0, 5_000_000))
+        for _ in range(rng.randint(50, 600))
+    ]
+    df = spark.createDataFrame(rows, "g string, k long")
+    got = {
+        r.g: (r.n_registers, r.est_distinct)
+        for r in hll_distinct(df, ["g"], "k", p=p).collect()
+    }
+    by_g: dict[str, list] = {}
+    for g, k in rows:
+        by_g.setdefault(g, []).append(k)
+    for g, keys in by_g.items():
+        n_reg, est = _hll_ref(keys, p)
+        assert got[g][0] == n_reg
+        assert got[g][1] == est  # exact: every op is IEEE-exact
+
+
+def test_hll_sharded_merge_equals_single_pass(spark):
+    """Register-wise max over disjoint shards = sketch of the union: the
+    mergeability the 100 TB map-side combine depends on (here checked
+    end-to-end by unioning shard DataFrames before the sketch)."""
+    from griddb_spark.pipeline.sketches import hll_distinct
+
+    rng = random.Random(42)
+    a = [("g", rng.randint(0, 10**6)) for _ in range(400)]
+    b = [("g", rng.randint(0, 10**6)) for _ in range(400)]
+    da = spark.createDataFrame(a, "g string, k long")
+    db = spark.createDataFrame(b, "g string, k long")
+    merged = hll_distinct(da.unionAll(db), ["g"], "k", p=8).collect()[0]
+    _, ref = _hll_ref([k for _, k in a + b], 8)
+    assert merged.est_distinct == ref
+
+
+def test_hll_corrected_accuracy_small_and_large_range(spark):
+    """correct=True switches to linear counting in the small range; both
+    regimes stay inside ~3x the 1.04/sqrt(m) theoretical error."""
+    from griddb_spark.pipeline.sketches import hll_distinct
+
+    p, m = 8, 256
+    rng = random.Random(7)
+    for n in (60, 5000):
+        keys = rng.sample(range(50_000_000), n)
+        df = spark.createDataFrame([("g", k) for k in keys], "g string, k long")
+        est = hll_distinct(df, ["g"], "k", p=p, correct=True).collect()[0].est_distinct
+        assert abs(est - n) / n < 3 * 1.04 / math.sqrt(m), (n, est)
+
+
+def test_hll_oracle_sql_matches_spark(spark, catalog, duck):
+    """The shared oracle-SQL builder replays the Spark plan bit-for-bit on
+    the driver testdata (the gate's contract, pinned locally)."""
+    from tests.conftest import assert_matches_oracle
+
+    from griddb_spark.pipeline.sketches import hll_distinct, hll_oracle_sql
+
+    ev = catalog.load("events")
+    df = hll_distinct(ev, ["event_type"], "event_id", p=8)
+    assert_matches_oracle(df, duck, hll_oracle_sql("events", ["event_type"], "event_id", p=8))
