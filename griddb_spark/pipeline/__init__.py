@@ -71,10 +71,13 @@ from griddb_spark.pipeline.sampling import (  # noqa: F401
     temperature_mix,
     token_bucket,
     train_split,
+    weighted_fixed_k,
 )
 from griddb_spark.pipeline.quality import (  # noqa: F401
     domain_of,
+    gopher_rules,
     perplexity_buckets,
+    with_gopher_keep,
     pii_scrub,
     repetition_stats,
     urls,
@@ -96,6 +99,9 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     linear_probe_score,
     max_sim_vs_bench,
     mean_pool_vectors,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
     prune_prototypes,
     quantize_int8,
     random_project,
@@ -109,6 +115,8 @@ from griddb_spark.pipeline.sketches import (  # noqa: F401
     histogram_quantile,
     hll_distinct,
     hll_oracle_sql,
+    kmv_distinct,
+    kmv_set_ops,
     linear_counting_distinct,
 )
 from griddb_spark.pipeline.text import (  # noqa: F401

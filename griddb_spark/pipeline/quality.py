@@ -232,3 +232,82 @@ def urls(col: Column | str) -> Column:
 def domain_of(url: Column) -> Column:
     """Hostname of a single URL string ('' when not a URL)."""
     return F.regexp_extract(url, DOMAIN_RE, 1)
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule battery (Rae et al. 2021, Appendix A / MassiveText filtering)
+# ---------------------------------------------------------------------------
+
+#: the Gopher "required stopwords" list — a doc must contain >= 2 of them
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """The published Gopher/MassiveText document-filter rule battery
+    (Rae et al. 2021, Appendix A) as one per-row Column dict — the
+    standard pre-dedup keep/drop gate for web-scale corpora:
+
+    - ``r_word_count``      word count in [min_words, max_words]
+    - ``r_mean_word_len``   mean word length in [3, 10]
+    - ``r_symbol_ratio``    (# + ellipsis occurrences) / words < 0.1
+    - ``r_bullet_lines``    < 90% of lines start with a bullet
+    - ``r_ellipsis_lines``  < 30% of lines end with an ellipsis
+    - ``r_alpha_words``     > 80% of words contain a letter
+    - ``r_stopwords``       >= 2 distinct required stopwords present
+    - ``gopher_keep``       conjunction of all seven
+
+    Every rule is exact integer/IEEE column math (counts, one division,
+    one compare — no rounding needed: integer÷integer is correctly
+    rounded identically in any IEEE engine), so the DuckDB oracle
+    replays the battery bit-for-bit. No shuffle, no UDF: at 100 TB this
+    fuses into the scan like the repetition stats above.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = tokens(c)
+    n_words = F.size(w)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    sum_word_len = F.aggregate(w, F.lit(0), lambda a, t: a + F.length(t))
+    mean_wl = sum_word_len.cast("double") / n_words
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = F.regexp_count(c, F.lit(r"\.\.\."))
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike("\\.\\.\\.$")))
+    alpha_words = F.size(F.filter(w, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(w, s),
+        )
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "r_symbol_ratio": (n_hash + n_ellipsis).cast("double") / n_words
+        < 0.1,
+        "r_bullet_lines": bullet_lines.cast("double") / n_lines < 0.9,
+        "r_ellipsis_lines": ellipsis_lines.cast("double") / n_lines < 0.3,
+        "r_alpha_words": alpha_words.cast("double") / n_words > 0.8,
+        "r_stopwords": stop_hits >= 2,
+    }
+
+
+def with_gopher_keep(
+    df, text_col: str = "text", id_col: str = "doc_id", **kw
+):
+    """``(id, n_words, r_* …, gopher_keep)`` — the rule battery applied to
+    a corpus, with the conjunction column downstream filters key on."""
+    rules = gopher_rules(F.col(text_col), **kw)
+    flags = [v.alias(k) for k, v in rules.items()]
+    keep = None
+    for k, v in rules.items():
+        if k.startswith("r_"):
+            keep = v if keep is None else keep & v
+    return df.select(F.col(id_col), *flags, keep.alias("gopher_keep"))

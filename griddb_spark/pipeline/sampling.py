@@ -367,3 +367,45 @@ def dsir_select(
         .orderBy(F.desc("dsir_score"), F.col(id_col))
         .limit(k)
     )
+
+
+def weighted_fixed_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    k: int,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Weighted reservoir sampling without replacement, deterministically
+    (Efraimidis & Spirakis 2006, the A-ES scheme): each row gets an
+    exponential key ``r = -ln(u)/w`` with ``u`` derived from the row key's
+    content hash, and the ``k`` smallest keys win — inclusion probability
+    proportional to weight, yet the SAME sample on every run, partitioning,
+    and engine (a true reservoir is stream-order-dependent; this is not).
+
+    ``u = (first-8-md5-hex + 0.5) / 2^32`` ∈ (0,1) — the repo's portable
+    hash-uniform; the key is rounded to 6 decimals ONCE with the row id as
+    tie-break, the same fixed-point contract the DSIR scores use, so the
+    rank order is identical in the SQL oracle. Weights must be > 0.
+
+    Shape at scale: with strata, one shuffle on the stratum key and a
+    windowed top-k; without, a global TakeOrdered top-k (no full sort).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    key = F.col(key_col)
+    u = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("double") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    r = F.round(-F.log(u) / w.cast("double"), 6)
+    out = df.withColumn("__akey", r)
+    if stratum_col is not None:
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(stratum_col).orderBy(F.col("__akey"), key)
+        return (
+            out.withColumn("__rk", F.row_number().over(win))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk", "__akey")
+        )
+    return out.orderBy(F.col("__akey"), key).limit(k).drop("__akey")

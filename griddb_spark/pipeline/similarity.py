@@ -988,3 +988,261 @@ def random_project(
     return df.select(id_col, vec_col).mapInPandas(
         gemm, schema=f"{id_col} {id_type}, {out_col} array<double>"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — codebooks, encoding, ADC search
+# ---------------------------------------------------------------------------
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² in double, element order (portable accumulation — the
+    same left-to-right contract as :func:`dot`)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 1,
+    round_to: int = 6,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011): split the
+    vector into ``m`` contiguous subspaces of ``in_dim/m`` dims and run an
+    independent Lloyd's k-means (squared-L2, ``k`` codes) in each — a
+    vector then compresses to ``m`` small codes (m·log2(k) bits vs
+    32·in_dim), the standard memory layout for billion-scale ANN.
+
+    Deterministic contract matching ``kmeans_fit``: init = subvectors of
+    the ``k`` lowest ids; assignment = argmin of the 6dp-rounded squared
+    L2 with ties to the lowest code; updated centroid components rounded
+    to ``round_to``.
+
+    Scale shape: ONE scan explodes every vector into (id, subspace,
+    subvector) — all m subspaces train concurrently, not in m passes; the
+    assignment is a broadcast join against the m·k-row codebook + one
+    windowed argmin; the update is one map-side-combinable
+    (subspace, code, pos) mean shuffle; the driver collect is bounded by
+    m·k·(in_dim/m) = k·in_dim scalars. (At 100 TB codebooks are trained
+    on a `deterministic_sample` of the corpus, as FAISS does — encoding,
+    not training, is the full-data pass.)
+
+    Returns ``codebooks[j] = [(code, centroid), …]`` for each subspace j.
+    """
+    if in_dim % m:
+        raise ValueError(f"in_dim {in_dim} not divisible by m {m}")
+    d = in_dim // m
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    sub = v.select(
+        "__id",
+        F.posexplode(
+            F.array(*[F.slice("__v", j * d + 1, d) for j in range(m)])
+        ).alias("__j", "__sv"),
+    )
+    init = v.orderBy("__id").limit(k).collect()
+    books: list[list[tuple[int, list[float]]]] = [
+        [(c, [float(x) for x in r["__v"][j * d : (j + 1) * d]])
+         for c, r in enumerate(init)]
+        for j in range(m)
+    ]
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        book_rows = [
+            (j, c, cv) for j in range(m) for c, cv in books[j]
+        ]
+        bdf = spark.createDataFrame(
+            book_rows, "__j int, __c int, __cv array<double>"
+        )
+        w = Window.partitionBy("__id", "__j").orderBy(
+            F.col("__d"), F.col("__c")
+        )
+        assigned = (
+            sub.join(F.broadcast(bdf), "__j")
+            .withColumn(
+                "__d", F.round(_sq_l2(F.col("__sv"), F.col("__cv")), round_to)
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        means = (
+            assigned.select("__j", "__c", F.posexplode("__sv"))
+            .groupBy("__j", "__c", "pos")
+            .agg(F.round(F.avg("col"), round_to).alias("__m"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            upd.setdefault((r["__j"], r["__c"]), {})[r["pos"]] = r["__m"]
+        books = [
+            sorted(
+                (
+                    (c, [comp[p] for p in sorted(comp)])
+                    for (j2, c), comp in upd.items()
+                    if j2 == j
+                ),
+            )
+            for j in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[tuple[int, list[float]]]],
+    round_to: int = 6,
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode vectors to their PQ codes — a PURE PROJECTION against the
+    broadcast-literal codebooks (no shuffle, no join; at 100 TB this is
+    the full-data map stage that pipelines into the scan, writing m small
+    ints per vector).
+
+    Dispatch mirrors ``assign_clusters``: per-subspace argmin as JVM
+    higher-order expressions for small codebooks; one Arrow-batched NumPy
+    distance kernel above ``_ASSIGN_JVM_MAX_K`` codes (identical 6dp
+    rounding + lowest-code tie-break; parity pinned in tests).
+
+    Returns ``(id_col, out_col array<int>)``.
+    """
+    m = len(codebooks)
+    d = len(codebooks[0][0][1])
+    k = max(len(b) for b in codebooks)
+    id_type = df.schema[id_col].dataType.simpleString()
+    if k > _ASSIGN_JVM_MAX_K:
+        mats = [
+            np.stack([np.asarray(cv, dtype=np.float64) for _, cv in b])
+            for b in codebooks
+        ]
+        code_ids = [np.array([int(c) for c, _ in b]) for b in codebooks]
+        for ids in code_ids:
+            assert (np.diff(ids) > 0).all()
+
+        def kern(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(
+                    [np.asarray(r, dtype=np.float64) for r in pdf[vec_col]]
+                )
+                cols = []
+                for j in range(m):
+                    xs = x[:, j * d : (j + 1) * d]
+                    diff = xs[:, None, :] - mats[j][None, :, :]
+                    d2 = np.round(np.einsum("abk,abk->ab", diff, diff),
+                                  round_to)
+                    cols.append(code_ids[j][np.argmin(d2, axis=1)])
+                codes = np.stack(cols, axis=1)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col],
+                     out_col: [list(map(int, row)) for row in codes]}
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(
+            kern, schema=f"{id_col} {id_type}, {out_col} array<int>"
+        )
+
+    v = F.col(vec_col).cast("array<double>")
+    per_sub = []
+    for j, book in enumerate(codebooks):
+        sv = F.slice(v, j * d + 1, d)
+        structs = [
+            F.struct(
+                F.round(
+                    _sq_l2(sv, F.array(*[F.lit(float(x)) for x in cv])),
+                    round_to,
+                ).alias("d"),
+                F.lit(int(c)).cast("int").alias("c"),
+            )
+            for c, cv in book
+        ]
+        per_sub.append(F.array_min(F.array(*structs))["c"])
+    return df.select(F.col(id_col), F.array(*per_sub).alias(out_col))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    queries: list[tuple[int, list[float]]],
+    topk: int = 5,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: for each query the
+    per-(subspace, code) squared-L2 lookup table is computed ONCE on the
+    driver (m·k scalars), and every doc's approximate distance is m table
+    lookups + a sum — never a touch of the raw vectors. The compressed-
+    domain scan that makes billion-vector search RAM-resident.
+
+    Each LUT entry is rounded and fixed as DECIMAL(18,6) so the m-term
+    sum is exact at any evaluation order (the engine-portability contract
+    the oracle replays); the final top-k is a TakeOrdered with id
+    tie-break, never a full sort.
+
+    Returns ``(q_id, id_col, adc_dist, rn)`` with rn = 1..topk.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    d = len(codebooks[0][0][1])
+    id_type = codes.schema[id_col].dataType
+    quantum = Decimal(1).scaleb(-round_to)
+
+    def _round_half_up(x: float) -> float:
+        # match F.round / DuckDB round (HALF_UP), not Python's HALF_EVEN
+        return float(Decimal(repr(x)).quantize(quantum, ROUND_HALF_UP))
+
+    per_q = []
+    for q_id, qv in queries:
+        luts = []
+        for j, book in enumerate(codebooks):
+            qs = [float(x) for x in qv[j * d : (j + 1) * d]]
+            lut = {
+                c: _round_half_up(
+                    sum((a - b) * (a - b) for a, b in zip(qs, cv))
+                )
+                for c, cv in book
+            }
+            dense = [lut.get(c, float("inf")) for c in range(max(lut) + 1)]
+            luts.append(
+                F.element_at(
+                    F.array(*[F.lit(x).cast("decimal(18,6)") for x in dense]),
+                    F.element_at(F.col(codes_col), j + 1) + 1,
+                )
+            )
+        adc = sum(luts[1:], luts[0]).cast("double")
+        per_q.append(
+            codes.select(
+                F.lit(q_id).cast(id_type).alias("q_id"),
+                F.col(id_col),
+                adc.alias("adc_dist"),
+            )
+        )
+    allq = per_q[0]
+    for p in per_q[1:]:
+        allq = allq.unionAll(p)
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist"), F.col(id_col))
+    return (
+        allq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+    )

@@ -374,3 +374,111 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: Sequence[str], key_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the theta
+    sketch's base form): per group keep the ``k`` smallest distinct key
+    hashes; the k-th smallest pins the estimate ``(k-1) · 2^32 / h_k``.
+
+    Complements :func:`hll_distinct` where the SKETCH ITSELF must support
+    set algebra downstream (union = k smallest of merged sketches,
+    intersection via inclusion-exclusion on the union sketch —
+    :func:`kmv_set_ops`); HLL only unions. State per group is k hashes —
+    bounded through the exchange at any corpus size, and the distinct +
+    rank pipeline map-side-combines on (group, hash).
+
+    Below ``k`` distinct keys the sketch is the exact value set and the
+    exact count is reported. All math is integer + one IEEE division —
+    the oracle replays it bit-for-bit.
+
+    Returns ``group_cols + (n_kept, est_distinct)``.
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy("__h")
+    ranked = (
+        df.select(*g, _int_hash(key_col).alias("__h"))
+        .distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+    )
+    return ranked.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(float(_M32)) / F.max("__h")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-set algebra between two groups from their KMV sketches
+    only: |A|, |B|, |A∪B| from the merged sketch, |A∩B| via the standard
+    theta-sketch ratio (fraction of the union sketch's k survivors seen in
+    both sides, scaled by the union estimate), and Jaccard.
+
+    This is what KMV buys over HLL: at 100 TB, per-source document-id
+    sketches (k hashes each) flow to the driver and ANY pairwise overlap /
+    Jaccard matrix is computable sketch-side — no re-scan, no pairwise
+    joins over raw data. Arithmetic is integer + IEEE divisions in a fixed
+    order, so the SQL oracle hash-matches.
+
+    Returns one row: ``(est_a, est_b, est_union, est_intersect,
+    jaccard)``.
+    """
+    from pyspark.sql import Window
+
+    sub = df.filter(F.col(group_col).isin(group_a, group_b))
+    per = (
+        sub.select(F.col(group_col).alias("__g"),
+                   _int_hash(key_col).alias("__h"))
+        .distinct()
+        .withColumn(
+            "__rk",
+            F.row_number().over(Window.partitionBy("__g").orderBy("__h")),
+        )
+        .filter(F.col("__rk") <= k)
+    )
+    # merged candidate pool with membership flags (sketch-only from here)
+    pool = per.groupBy("__h").agg(
+        F.max((F.col("__g") == group_a).cast("int")).alias("__ina"),
+        F.max((F.col("__g") == group_b).cast("int")).alias("__inb"),
+    )
+    upool = pool.withColumn(
+        "__rk", F.row_number().over(Window.partitionBy().orderBy("__h"))
+    ).filter(F.col("__rk") <= k)
+    est = F.when(
+        F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(_M32)) / F.max("__h"))
+    u = upool.agg(
+        est.alias("est_union"),
+        F.count(F.lit(1)).alias("__nk"),
+        F.sum(F.col("__ina") * F.col("__inb")).alias("__both"),
+    )
+    a = per.filter(F.col("__g") == group_a).agg(est.alias("est_a"))
+    b = per.filter(F.col("__g") == group_b).agg(est.alias("est_b"))
+    out = a.crossJoin(b).crossJoin(u)
+    inter = (
+        F.col("__both").cast("double") / F.col("__nk").cast("double")
+    ) * F.col("est_union")
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersect"),
+        (inter / F.col("est_union")).alias("jaccard"),
+    )

@@ -6927,3 +6927,227 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominates once the matcher stopped being the bottleneck).
     return run_to_memory(out, f"mr_{_uuid.uuid4().hex[:8]}", mode="append",
                          shuffle_partitions=32)
+
+
+@query(
+    "pipe_quality_gopher",
+    r"""
+    WITH t AS (SELECT doc_id, text,
+                      string_split_regex(trim(text), '\s+') AS w,
+                      string_split(text, chr(10)) AS lines
+               FROM documents),
+    m AS (SELECT doc_id,
+                 len(w) AS n_words,
+                 list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                   ::double / len(w) AS mwl,
+                 (length(text) - length(replace(text, '#', ''))
+                  + len(regexp_extract_all(text, '\.\.\.')))::double
+                   / len(w) AS sym_ratio,
+                 len(list_filter(lines,
+                     l -> regexp_matches(ltrim(l), '^[-*•]')))::double
+                   / len(lines) AS bullet_frac,
+                 len(list_filter(lines,
+                     l -> regexp_matches(l, '\.\.\.$')))::double
+                   / len(lines) AS ellipsis_frac,
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   ::double / len(w) AS alpha_frac,
+                 len(list_filter(['the','be','to','of','and','that',
+                                  'have','with'],
+                     s -> list_contains(w, s))) AS stop_hits
+          FROM t)
+    SELECT doc_id, n_words,
+           n_words >= 50 AND n_words <= 100000 AS r_word_count,
+           mwl >= 3.0 AND mwl <= 10.0 AS r_mean_word_len,
+           sym_ratio < 0.1 AS r_symbol_ratio,
+           bullet_frac < 0.9 AS r_bullet_lines,
+           ellipsis_frac < 0.3 AS r_ellipsis_lines,
+           alpha_frac > 0.8 AS r_alpha_words,
+           stop_hits >= 2 AS r_stopwords,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (mwl >= 3.0 AND mwl <= 10.0)
+             AND sym_ratio < 0.1 AND bullet_frac < 0.9
+             AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
+             AND stop_hits >= 2 AS gopher_keep
+    FROM m
+    """,
+)
+def pipe_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher/MassiveText rule battery (Rae et al. 2021,
+    Appendix A; pipeline/quality.py): seven per-document keep/drop rules
+    (word count, mean word length, symbol ratio, bullet/ellipsis lines,
+    alpha-word fraction, required stopwords) + their conjunction. Pure
+    column math fused into the scan — no shuffle, no UDF; the oracle
+    replays every rule's exact integer/IEEE arithmetic."""
+    from griddb_spark.pipeline import with_gopher_keep
+
+    docs = cat(spark, sf_dir).load("documents")
+    return with_gopher_keep(docs)
+
+
+@query(
+    "pipe_sample_weighted",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             round(-ln((('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT
+                        + 0.5) / 4294967296.0)
+                   / n_chars::double, 6) AS akey
+      FROM documents),
+    k AS (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY akey, doc_id) AS rk
+          FROM r)
+    SELECT doc_id, source, n_chars FROM k WHERE rk <= 5
+    """,
+)
+def pipe_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sample (Efraimidis-Spirakis A-ES,
+    pipeline/sampling.py): 5 docs per source with inclusion probability
+    proportional to document length — the exponential key -ln(u)/w comes
+    from the doc id's content hash, so the sample is identical across
+    runs, partitionings, and engines (a true reservoir is stream-order-
+    dependent). One stratum shuffle + windowed top-k."""
+    from griddb_spark.pipeline import weighted_fixed_k
+
+    docs = cat(spark, sf_dir).load("documents")
+    return weighted_fixed_k(
+        docs.select("doc_id", "source", "n_chars"),
+        "doc_id", "n_chars", k=5, stratum_col="source",
+    )
+
+
+@query(
+    "pipe_sketch_kmv",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ((user_id % 4294967296) * 2654435761) % 4294967296 AS h
+      FROM events),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) rk
+          FROM h)
+    SELECT event_type, count(*) AS n_kept,
+           CASE WHEN count(*) < 64 THEN count(*)::double
+                ELSE 63.0 * 4294967296.0 / max(h) END AS est_distinct
+    FROM r WHERE rk <= 64
+    GROUP BY event_type
+    """,
+)
+def pipe_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002;
+    pipeline/sketches.py): per event_type the 64 smallest distinct user
+    hashes pin the cardinality estimate. The sketch that supports SET
+    ALGEBRA downstream (union/intersect/Jaccard between sketches —
+    pipe_sketch_kmv_setops) where HLL only unions; k hashes of state per
+    group at any corpus size."""
+    from griddb_spark.pipeline import kmv_distinct
+
+    ev = cat(spark, sf_dir).load("events")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+@query(
+    "pipe_sketch_kmv_setops",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type AS g,
+             ((user_id % 4294967296) * 2654435761) % 4294967296 AS h
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    per AS (SELECT g, h,
+                   row_number() OVER (PARTITION BY g ORDER BY h) rk
+            FROM h QUALIFY rk <= 64),
+    pool AS (SELECT h, max(CASE WHEN g = 'click' THEN 1 ELSE 0 END) ina,
+                    max(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) inb
+             FROM per GROUP BY h),
+    up AS (SELECT h, ina, inb,
+                  row_number() OVER (ORDER BY h) rk
+           FROM pool QUALIFY rk <= 64),
+    u AS (SELECT CASE WHEN count(*) < 64 THEN count(*)::double
+                      ELSE 63.0 * 4294967296.0 / max(h) END est_union,
+                 count(*) nk, sum(ina * inb) nb FROM up),
+    ea AS (SELECT CASE WHEN count(*) < 64 THEN count(*)::double
+                       ELSE 63.0 * 4294967296.0 / max(h) END est_a
+           FROM per WHERE g = 'click'),
+    eb AS (SELECT CASE WHEN count(*) < 64 THEN count(*)::double
+                       ELSE 63.0 * 4294967296.0 / max(h) END est_b
+           FROM per WHERE g = 'purchase')
+    SELECT est_a, est_b, est_union,
+           (nb::double / nk::double) * est_union AS est_intersect,
+           ((nb::double / nk::double) * est_union) / est_union AS jaccard
+    FROM ea, eb, u
+    """,
+)
+def pipe_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-side set algebra (theta-sketch form): |click ∩ purchase|
+    users, union and Jaccard, computed from two 64-hash KMV sketches alone
+    — the 100 TB pattern where per-source id sketches flow to the driver
+    and any pairwise overlap matrix is sketch math, never a re-scan or a
+    raw-data join. Fixed-order IEEE arithmetic; the oracle replays it."""
+    from griddb_spark.pipeline import kmv_set_ops
+
+    ev = cat(spark, sf_dir).load("events")
+    return kmv_set_ops(ev, "event_type", "user_id", "click", "purchase",
+                       k=64)
+
+
+@query(
+    "pipe_ann_pq",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    sub AS (SELECT vec_id, j, ev[j*16+1 : j*16+16] AS sv
+            FROM v CROSS JOIN range(0, 4) r(j)),
+    c0 AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1
+                    AS c, sv AS cv
+           FROM sub WHERE vec_id IN (SELECT vec_id FROM v
+                                     ORDER BY vec_id LIMIT 8)),
+    a1 AS (SELECT s.vec_id, s.j, s.sv, c0.c,
+             row_number() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY round((SELECT sum((s.sv[i]-c0.cv[i])^2)
+                               FROM range(1,17) t(i)), 6) ASC,
+                        c0.c ASC) AS rn
+           FROM sub s JOIN c0 USING (j)),
+    s1 AS (SELECT vec_id, j, sv, c FROM a1 WHERE rn = 1),
+    u1 AS (SELECT j, c, list(m ORDER BY pos) AS cv FROM (
+             SELECT j, c, pos, round(avg(x), 6) AS m FROM (
+               SELECT j, c, generate_subscripts(sv, 1) AS pos,
+                      unnest(sv) AS x FROM s1) GROUP BY j, c, pos)
+           GROUP BY j, c),
+    a2 AS (SELECT s.vec_id, s.j, u1.c,
+             row_number() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY round((SELECT sum((s.sv[i]-u1.cv[i])^2)
+                               FROM range(1,17) t(i)), 6) ASC,
+                        u1.c ASC) AS rn
+           FROM sub s JOIN u1 USING (j)),
+    s2 AS (SELECT vec_id, j, c FROM a2 WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, ev AS qv FROM v WHERE vec_id < 3),
+    lut AS (SELECT q.q_id, u1.j, u1.c,
+              CAST(round((SELECT sum((q.qv[u1.j*16+i] - u1.cv[i])^2)
+                          FROM range(1,17) t(i)), 6) AS DECIMAL(18,6)) AS ld
+            FROM q CROSS JOIN u1),
+    adc AS (SELECT l.q_id, s2.vec_id, CAST(sum(l.ld) AS DOUBLE) AS adc_dist
+            FROM s2 JOIN lut l ON s2.j = l.j AND s2.c = l.c
+            GROUP BY l.q_id, s2.vec_id)
+    SELECT q_id, vec_id, adc_dist, CAST(rn AS INT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY adc_dist, vec_id) AS rn
+      FROM adc) WHERE rn <= 5
+    """,
+)
+def pipe_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN (Jégou et al. 2011; pipeline/similarity.py):
+    train m=4 subspace codebooks (one exploded scan, all subspaces
+    concurrently), encode every vector to 4 small codes as a pure
+    projection, then answer queries in the COMPRESSED domain — ADC = m
+    lookup-table reads + an exact decimal sum per doc, never touching raw
+    vectors. The memory layout that makes billion-vector search
+    RAM-resident (4 bytes/vector here vs 256 raw). The oracle replays
+    train→encode→ADC under the shared 6dp fixed-point contract."""
+    from griddb_spark.pipeline import pq_adc_topk, pq_encode, pq_train
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    books = pq_train(emb, "vec_id", "embedding", in_dim=64, m=4, k=8,
+                     iters=1)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    qs = [(r.vec_id, list(r.embedding))
+          for r in emb.filter(F.col("vec_id") < 3).collect()]
+    return pq_adc_topk(codes, books, qs, topk=5)

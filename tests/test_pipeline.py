@@ -1163,3 +1163,143 @@ def test_random_project_preserves_distances(spark, emb):
     mean = sum(ratios) / len(ratios)
     assert 0.75 < mean < 1.25, mean
     assert all(0.35 < r < 1.8 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_gopher_rules_on_synthetic_corpus(spark):
+    """Each rule trips on a document built to violate exactly it."""
+    from griddb_spark.pipeline import with_gopher_keep
+
+    good = ("the quick brown fox jumps over of and that have with lazy dog "
+            * 8).strip()                              # 104 words, all rules pass
+    rows = [
+        (1, good),
+        (2, "the of and short"),                       # word count
+        (3, " ".join(["ab"] * 60) + " the of"),        # mean word len < 3
+        (4, good + " " + "#" * 1 + " #### ### ## # # # # # # # #"),  # symbols
+        (5, "\n".join("- bullet line the of and" for _ in range(10))),  # bullets
+        (6, "\n".join(f"line {i} the of and..." for i in range(10))),   # ellipsis
+        (7, good + " " + " ".join(["123"] * 60)),      # alpha fraction
+        (8, " ".join(f"w{i}" for i in range(80))),     # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_gopher_keep(df).collect()}
+    assert out[1].gopher_keep
+    assert not out[2].r_word_count
+    assert not out[3].r_mean_word_len
+    assert not out[4].r_symbol_ratio
+    assert not out[5].r_bullet_lines
+    assert not out[6].r_ellipsis_lines
+    assert not out[7].r_alpha_words
+    assert not out[8].r_stopwords
+    for i in range(2, 9):
+        assert not out[i].gopher_keep, i
+
+
+def test_weighted_fixed_k_matches_python_reference(spark, docs):
+    """The A-ES key (-ln(u)/w from the md5 hash) replays exactly in pure
+    Python; the per-stratum top-k sets are identical."""
+    import hashlib
+    import math
+
+    from griddb_spark.pipeline import weighted_fixed_k
+
+    rows = docs.select("doc_id", "source", "n_chars").collect()
+    ref: dict[str, list] = {}
+    for r in rows:
+        u = (int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+             + 0.5) / 2**32
+        ref.setdefault(r.source, []).append(
+            (round(-math.log(u) / r.n_chars, 6), r.doc_id))
+    want = {
+        s: {d for _, d in sorted(v)[:5]} for s, v in ref.items()
+    }
+    got: dict[str, set] = {}
+    out = weighted_fixed_k(
+        docs.select("doc_id", "source", "n_chars"),
+        "doc_id", "n_chars", k=5, stratum_col="source",
+    ).collect()
+    for r in out:
+        got.setdefault(r.source, set()).add(r.doc_id)
+    assert got == want
+
+
+def test_weighted_fixed_k_prefers_heavy_rows(spark):
+    """Inclusion tracks weight: rows with 50x the weight dominate the
+    sample (statistical, margin-safe: expected ~96% heavy)."""
+    from griddb_spark.pipeline import weighted_fixed_k
+
+    rows = [(i, "s", 5000 if i < 200 else 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    out = weighted_fixed_k(df, "id", "w", k=100, stratum_col="g").collect()
+    heavy = sum(1 for r in out if r.w == 5000)
+    assert heavy > 75, heavy
+
+
+def test_weighted_fixed_k_global_topk_no_stratum(spark):
+    from griddb_spark.pipeline import weighted_fixed_k
+
+    rows = [(i, 10 + i % 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = weighted_fixed_k(df, "id", "w", k=50)
+    assert out.count() == 50
+    assert set(out.columns) == {"id", "w"}
+
+
+def test_pq_encode_gemm_matches_jvm_path(spark, emb):
+    """The Arrow GEMM kernel (k > dispatch threshold) must produce the
+    same codes as the JVM expression path for an identical codebook —
+    checked by replicating a k=8 book so both paths apply to it."""
+    from griddb_spark.pipeline import pq_encode, pq_train
+    from griddb_spark.pipeline.similarity import _ASSIGN_JVM_MAX_K
+
+    sub = emb.limit(200)
+    books = pq_train(sub, "vec_id", "embedding", in_dim=64, m=4, k=8)
+    assert all(len(b) <= _ASSIGN_JVM_MAX_K for b in books)
+    jvm = {r.vec_id: r.codes for r in
+           pq_encode(sub, "vec_id", "embedding", books).collect()}
+    # pad each book past the dispatch threshold with far-away sentinel
+    # codes that can never win the argmin -> same codes, GEMM path
+    far = [1e6] * 16
+    big = [b + [(len(b) + i, far) for i in range(_ASSIGN_JVM_MAX_K)]
+           for b in books]
+    assert all(len(b) > _ASSIGN_JVM_MAX_K for b in big)
+    gemm = {r.vec_id: r.codes for r in
+            pq_encode(sub, "vec_id", "embedding", big).collect()}
+    assert jvm == gemm
+
+
+def test_pq_adc_approximates_exact_l2_ranking(spark, emb):
+    """ADC top-10 must overlap the exact squared-L2 top-10 (recall >= 0.2
+    with a tiny m=4,k=8 codebook over near-uniform synthetic vectors —
+    the contract is correlation, not exactness; real embedding manifolds
+    quantize far better) and every query's own vector must rank first."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import pq_adc_topk, pq_encode, pq_train
+
+    books = pq_train(emb, "vec_id", "embedding", in_dim=64, m=4, k=8)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    qs = [(r.vec_id, list(r.embedding))
+          for r in emb.filter(F.col("vec_id") < 3).collect()]
+    got = pq_adc_topk(codes, books, qs, topk=10).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.rn, r.vec_id))
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    for q_id, qv in qs:
+        ranked = [v for _, v in sorted(by_q[q_id])]
+        assert ranked[0] == q_id  # own vector always wins ADC
+        exact = sorted(
+            vecs, key=lambda d: (math.dist(qv, vecs[d]) ** 2, d)
+        )[:10]
+        assert len(set(ranked) & set(exact)) >= 2, (q_id, ranked, exact)
+
+
+def test_pq_train_deterministic_across_partitionings(spark, emb):
+    from griddb_spark.pipeline import pq_train
+
+    b1 = pq_train(emb.repartition(17), "vec_id", "embedding", 64, m=4, k=8)
+    b2 = pq_train(emb.coalesce(1), "vec_id", "embedding", 64, m=4, k=8)
+    assert b1 == b2

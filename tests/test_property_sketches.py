@@ -191,3 +191,58 @@ def test_hll_oracle_sql_matches_spark(spark, catalog, duck):
     ev = catalog.load("events")
     df = hll_distinct(ev, ["event_type"], "event_id", p=8)
     assert_matches_oracle(df, duck, hll_oracle_sql("events", ["event_type"], "event_id", p=8))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_kmv_estimate_accuracy_and_exact_regime(spark, seed):
+    """Below k the sketch is exact; above, the (k-1)/h_k estimator lands
+    within ~4/sqrt(k) of truth for uniform keys."""
+    from griddb_spark.pipeline.sketches import kmv_distinct
+
+    rng = random.Random(9300 + seed)
+    k = 64
+    small = rng.sample(range(10**9), rng.randint(5, k - 1))
+    big = rng.sample(range(10**9), 4000)
+    rows = [("small", x) for x in small] + [("big", x) for x in big]
+    rows += rows[: len(rows) // 3]  # duplicates must not matter
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {r.g: r for r in kmv_distinct(df, ["g"], "k", k=k).collect()}
+    assert out["small"].est_distinct == float(len(small))
+    err = abs(out["big"].est_distinct - 4000) / 4000
+    assert err < 4 / math.sqrt(k), (out["big"].est_distinct, err)
+
+
+def test_kmv_set_ops_recover_planted_overlap(spark):
+    """Jaccard/intersection estimates from sketches alone track a planted
+    50% overlap within the k=256 error envelope."""
+    from griddb_spark.pipeline.sketches import kmv_set_ops
+
+    rng = random.Random(5)
+    shared = rng.sample(range(10**9), 2000)
+    only_a = rng.sample(range(10**9, 2 * 10**9), 2000)
+    only_b = rng.sample(range(2 * 10**9, 3 * 10**9), 2000)
+    rows = ([("a", x) for x in shared + only_a]
+            + [("b", x) for x in shared + only_b])
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = kmv_set_ops(df, "g", "k", "a", "b", k=256).collect()[0]
+    assert abs(out.est_a - 4000) / 4000 < 0.25
+    assert abs(out.est_union - 6000) / 6000 < 0.25
+    assert abs(out.est_intersect - 2000) / 2000 < 0.4
+    assert abs(out.jaccard - 1 / 3) < 0.12
+
+
+def test_kmv_disjoint_and_identical_groups(spark):
+    """Edge cases: identical groups give Jaccard ~1; disjoint give ~0."""
+    from griddb_spark.pipeline.sketches import kmv_set_ops
+
+    rng = random.Random(11)
+    xs = rng.sample(range(10**9), 1500)
+    ys = rng.sample(range(10**9, 2 * 10**9), 1500)
+    same = [("a", x) for x in xs] + [("b", x) for x in xs]
+    dfs = spark.createDataFrame(same, "g string, k long")
+    r1 = kmv_set_ops(dfs, "g", "k", "a", "b", k=128).collect()[0]
+    assert r1.jaccard == 1.0
+    disj = [("a", x) for x in xs] + [("b", y) for y in ys]
+    dfd = spark.createDataFrame(disj, "g string, k long")
+    r2 = kmv_set_ops(dfd, "g", "k", "a", "b", k=128).collect()[0]
+    assert r2.jaccard < 0.05
