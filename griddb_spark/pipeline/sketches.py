@@ -184,6 +184,46 @@ def histogram_quantile(
     return cum.groupBy(*g).agg(*aggs)
 
 
+def hll_register_cols(key_col, p: int) -> tuple[F.Column, F.Column]:
+    """``(idx, rho)`` register columns of a key under the shared HLL
+    contract — used by the batch sketch and the streaming sketch so their
+    registers merge (register-wise max) across the two worlds."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    suffix_bits = 32 - p
+    h = _int_hash(key_col)
+    suffix = F.floor(h / F.lit(m)).cast("bigint")
+    rho = F.when(suffix == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.lit(suffix_bits + 1) - F.length(F.bin(suffix))
+    )
+    return F.pmod(h, F.lit(m)), rho
+
+
+def hll_alpha(m: int) -> float:
+    """Flajolet bias-correction constant for m registers."""
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: Sequence[str], p: int, mj_col: str = "__mj"
+) -> DataFrame:
+    """Finish the raw Flajolet estimator from materialized ``(group…,
+    idx, mj)`` register rows — the merge/read path shared by the batch
+    sketch and batch-side reads of the streaming sketch."""
+    m = 1 << p
+    g = list(group_cols)
+    summed = regs.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col(mj_col))).alias("__s_present"),
+    )
+    z = (F.lit(m) - F.col("n_registers")).cast("double") + F.col("__s_present")
+    raw = F.lit(hll_alpha(m)) * F.lit(float(m * m)) / z
+    return summed.select(*g, "n_registers", raw.alias("est_distinct"))
+
+
 def hll_distinct(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -224,40 +264,24 @@ def hll_distinct(
 
     Returns ``group_cols + (n_registers, est_distinct)``.
     """
-    if not 4 <= p <= 16:
-        raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
-    suffix_bits = 32 - p
     g = list(group_cols)
-    h = _int_hash(key_col)
-    suffix = F.floor(h / F.lit(m)).cast("bigint")
-    rho = F.when(suffix == 0, F.lit(suffix_bits + 1)).otherwise(
-        F.lit(suffix_bits + 1) - F.length(F.bin(suffix))
-    )
+    idx, rho = hll_register_cols(key_col, p)
     regs = (
-        df.select(*g, F.pmod(h, F.lit(m)).alias("__idx"), rho.alias("__rho"))
+        df.select(*g, idx.alias("__idx"), rho.alias("__rho"))
         .groupBy(*g, "__idx")
         .agg(F.max("__rho").alias("__mj"))
     )
-    if m >= 128:
-        alpha = 0.7213 / (1.0 + 1.079 / m)
-    else:
-        alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
-    summed = regs.groupBy(*g).agg(
-        F.count(F.lit(1)).alias("n_registers"),
-        F.sum(F.pow(F.lit(2.0), -F.col("__mj"))).alias("__s_present"),
-    )
-    z = (F.lit(m) - F.col("n_registers")).cast("double") + F.col("__s_present")
-    raw = F.lit(alpha) * F.lit(float(m * m)) / z
+    out = hll_estimate_from_registers(regs, g, p)
     if correct:
+        raw = F.col("est_distinct")
         v = F.lit(m) - F.col("n_registers")
         est = F.when(
             (raw <= F.lit(2.5 * m)) & (v > 0),
             F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
         ).otherwise(raw)
-    else:
-        est = raw
-    return summed.select(*g, "n_registers", est.alias("est_distinct"))
+        return out.select(*g, "n_registers", est.alias("est_distinct"))
+    return out
 
 
 def hll_oracle_sql(

@@ -19,6 +19,7 @@ from griddb_spark.streaming.stream_ops import (  # noqa: F401
     dedup_stream,
     embed_dedup_stream,
     distinct_sketch_stream,
+    hll_sketch_stream,
     freq_sketch_stream,
     quantile_sketch_stream,
     group_by_range_stream,

@@ -489,3 +489,40 @@ def embed_dedup_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def hll_sketch_stream(
+    stream: DataFrame,
+    key: str,
+    id_col: str,
+    every: int,
+    unit: str,
+    p: int = 8,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming windowed HyperLogLog registers: per event-time window,
+    the per-register max leading-zero rank (pipeline/sketches.py HLL
+    contract) as ONE streaming aggregation.
+
+    Emits the MERGEABLE SKETCH itself — ``(window_start, idx, mj)``, at
+    most ``2^p`` rows per open window no matter how many distinct keys
+    flow through (the fixed-budget streaming distinct state
+    ``distinct_sketch_stream``'s hit-set can't guarantee once n >> m) —
+    and, like ``freq_sketch_stream``, leaves the estimator read to the
+    batch side (``hll_estimate_from_registers``): registers from
+    streams, shards, and batch runs merge by register-wise max before
+    ONE estimate. ``max`` partials combine map-side, so the state-store
+    update per micro-batch is bounded by registers touched, not rows.
+    """
+    from griddb_spark.pipeline.sketches import hll_register_cols
+
+    unit_ms = UNIT_MS[unit.upper()]
+    win = F.window(F.col(key), f"{every * unit_ms} milliseconds")
+    idx, rho = hll_register_cols(F.col(id_col), p)
+    return (
+        stream.withWatermark(key, watermark)
+        .select(F.col(key), idx.alias("idx"), rho.alias("rho"))
+        .groupBy(win.alias("__w"), "idx")
+        .agg(F.max("rho").alias("mj"))
+        .select(F.col("__w.start").alias(key), "idx", "mj")
+    )

@@ -7151,3 +7151,57 @@ def pipe_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [(r.vec_id, list(r.embedding))
           for r in emb.filter(F.col("vec_id") < 3).collect()]
     return pq_adc_topk(codes, books, qs, topk=5)
+
+
+@query(
+    "stream_hll_sketch",
+    """
+    WITH h AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ts,
+             ((user_id % 4294967296) * 2654435761) % 4294967296 AS h
+      FROM events),
+    r AS (SELECT ts, h % 256 AS idx,
+                 CASE WHEN h // 256 = 0 THEN 25
+                      ELSE 25 - length(bin(h // 256)) END AS rho
+          FROM h),
+    mx AS (SELECT ts, idx, max(rho) AS mj FROM r GROUP BY ts, idx),
+    s AS (SELECT ts, count(*) AS n_registers,
+                 sum(power(2.0, -mj)) AS s_present
+          FROM mx GROUP BY ts)
+    SELECT ts, n_registers,
+           CAST(0.7182725932495458 AS DOUBLE) * CAST(65536 AS DOUBLE)
+             / (CAST(256 - n_registers AS DOUBLE) + s_present)
+             AS est_distinct
+    FROM s
+    """,
+)
+def stream_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-hour HyperLogLog cardinality over the event stream:
+    the stream materializes only the mergeable (window, register, max-rho)
+    sketch — ≤256 rows of state per open window at ANY user cardinality,
+    the guarantee the linear-counting hit-set loses once n >> m — and the
+    batch side finishes the Flajolet estimate from the materialized
+    registers (hll_estimate_from_registers; the same read path merges
+    stream + batch + shard sketches by register-wise max). Oracle replays
+    the identical register math per hour window."""
+    import uuid as _uuid
+
+    from griddb_spark.pipeline.sketches import hll_estimate_from_registers
+    from griddb_spark.streaming import hll_sketch_stream, run_to_memory
+
+    prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = raw
+    out = hll_sketch_stream(ev, "ts", "user_id", 1, "HOUR", p=8,
+                            watermark="10 minutes")
+    regs = run_to_memory(out, f"hll_{_uuid.uuid4().hex[:8]}",
+                         mode="complete", shuffle_partitions=8)
+    return hll_estimate_from_registers(regs, ["ts"], p=8, mj_col="mj")

@@ -246,3 +246,37 @@ def test_kmv_disjoint_and_identical_groups(spark):
     dfd = spark.createDataFrame(disj, "g string, k long")
     r2 = kmv_set_ops(dfd, "g", "k", "a", "b", k=128).collect()[0]
     assert r2.jaccard < 0.05
+
+
+def test_hll_stream_registers_merge_with_batch(spark, catalog):
+    """The streaming sketch's materialized registers must equal the batch
+    register set for the same window (the merge contract: stream ⊕ batch
+    by register-wise max), and the shared estimator read path must agree
+    with hll_distinct end-to-end."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_register_cols,
+    )
+
+    ev = catalog.load("events")
+    hour = F.date_trunc("hour", "ts").alias("w")
+    idx, rho = hll_register_cols(F.col("user_id"), 8)
+    batch_regs = (
+        ev.select(hour, idx.alias("idx"), rho.alias("rho"))
+        .groupBy("w", "idx").agg(F.max("rho").alias("mj"))
+    )
+    est = {
+        (r.w, r.n_registers): r.est_distinct
+        for r in hll_estimate_from_registers(batch_regs, ["w"], 8,
+                                             mj_col="mj").collect()
+    }
+    whole = {
+        (r.w, r.n_registers): r.est_distinct
+        for r in hll_distinct(
+            ev.select(hour, "user_id"), ["w"], "user_id", p=8
+        ).collect()
+    }
+    assert est == whole
