@@ -368,3 +368,63 @@ def test_bm25_broadcasts_stats_and_dfreq(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gopher_rules_scan_fused_no_shuffle(spark):
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_quality_gopher"](spark, SF_DIR))
+    # the whole rule battery is per-row column math: zero wide ops
+    assert "Exchange" not in plan
+
+
+def test_pq_encode_is_pure_projection(spark):
+    from griddb_spark import workload
+    from griddb_spark.pipeline import pq_encode, pq_train
+
+    emb = workload.cat(spark, SF_DIR).load("embeddings")
+    books = pq_train(emb, "vec_id", "embedding", in_dim=64, m=4, k=8)
+    plan = _plan(pq_encode(emb, "vec_id", "embedding", books))
+    # codebooks are literals: encoding must not shuffle or join
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_weighted_fixed_k_global_is_take_ordered(spark):
+    from griddb_spark import workload
+    from griddb_spark.pipeline import weighted_fixed_k
+
+    docs = workload.cat(spark, SF_DIR).load("documents")
+    plan = _plan(
+        weighted_fixed_k(docs.select("doc_id", "n_chars"), "doc_id",
+                         "n_chars", k=10)
+    )
+    # global top-k must be per-partition + merge, never a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_broadcasts_weight_table(spark):
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_dsir_select"](spark, SF_DIR))
+    # the 512-row bucket-weight table joins broadcast; top-k is
+    # TakeOrdered
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_random_project_gemm_no_shuffle(spark):
+    from griddb_spark import workload
+    from griddb_spark.pipeline import random_project
+
+    emb = workload.cat(spark, SF_DIR).load("embeddings")
+    plan = _plan(random_project(emb, "vec_id", "embedding", 64, 16))
+    assert "Exchange" not in plan
+
+
+def test_kmv_partial_max_combines_before_exchange(spark):
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_sketch_kmv"](spark, SF_DIR))
+    # the distinct on (group, hash) must partially aggregate map-side so
+    # the exchange carries combined registers, not raw rows
+    assert "partial" in plan.lower()
