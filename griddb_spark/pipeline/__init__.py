@@ -98,6 +98,7 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     l2_normalize,
     linear_probe_score,
     max_sim_vs_bench,
+    ivfpq_topk,
     mean_pool_vectors,
     pq_adc_topk,
     pq_encode,

@@ -1177,6 +1177,41 @@ def pq_encode(
     return df.select(F.col(id_col), F.array(*per_sub).alias(out_col))
 
 
+def _adc_dist_col(
+    codebooks: list[list[tuple[int, list[float]]]],
+    qv: list[float],
+    codes_col: str,
+    round_to: int,
+) -> Column:
+    """The per-document ADC distance Column for ONE query: each
+    (subspace, code) LUT entry is computed driver-side, HALF_UP-rounded
+    (matching F.round / SQL round, not Python's HALF_EVEN) and fixed as
+    DECIMAL(18,6) so the m-term sum is exact at any evaluation order."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d = len(codebooks[0][0][1])
+    quantum = Decimal(1).scaleb(-round_to)
+    luts = []
+    for j, book in enumerate(codebooks):
+        qs = [float(x) for x in qv[j * d : (j + 1) * d]]
+        lut = {
+            c: float(
+                Decimal(
+                    repr(sum((a - b) * (a - b) for a, b in zip(qs, cv)))
+                ).quantize(quantum, ROUND_HALF_UP)
+            )
+            for c, cv in book
+        }
+        dense = [lut.get(c, float("inf")) for c in range(max(lut) + 1)]
+        luts.append(
+            F.element_at(
+                F.array(*[F.lit(x).cast("decimal(18,6)") for x in dense]),
+                F.element_at(F.col(codes_col), j + 1) + 1,
+            )
+        )
+    return sum(luts[1:], luts[0]).cast("double")
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebooks: list[list[tuple[int, list[float]]]],
@@ -1199,40 +1234,100 @@ def pq_adc_topk(
 
     Returns ``(q_id, id_col, adc_dist, rn)`` with rn = 1..topk.
     """
-    from decimal import ROUND_HALF_UP, Decimal
-
     from pyspark.sql import Window
 
-    m = len(codebooks)
-    d = len(codebooks[0][0][1])
     id_type = codes.schema[id_col].dataType
-    quantum = Decimal(1).scaleb(-round_to)
-
-    def _round_half_up(x: float) -> float:
-        # match F.round / DuckDB round (HALF_UP), not Python's HALF_EVEN
-        return float(Decimal(repr(x)).quantize(quantum, ROUND_HALF_UP))
-
     per_q = []
     for q_id, qv in queries:
-        luts = []
-        for j, book in enumerate(codebooks):
-            qs = [float(x) for x in qv[j * d : (j + 1) * d]]
-            lut = {
-                c: _round_half_up(
-                    sum((a - b) * (a - b) for a, b in zip(qs, cv))
-                )
-                for c, cv in book
-            }
-            dense = [lut.get(c, float("inf")) for c in range(max(lut) + 1)]
-            luts.append(
-                F.element_at(
-                    F.array(*[F.lit(x).cast("decimal(18,6)") for x in dense]),
-                    F.element_at(F.col(codes_col), j + 1) + 1,
-                )
-            )
-        adc = sum(luts[1:], luts[0]).cast("double")
+        adc = _adc_dist_col(codebooks, qv, codes_col, round_to)
         per_q.append(
             codes.select(
+                F.lit(q_id).cast(id_type).alias("q_id"),
+                F.col(id_col),
+                adc.alias("adc_dist"),
+            )
+        )
+    allq = per_q[0]
+    for p in per_q[1:]:
+        allq = allq.unionAll(p)
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist"), F.col(id_col))
+    return (
+        allq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    queries: list[tuple[int, list[float]]],
+    coarse_k: int = 8,
+    m: int = 4,
+    k: int = 8,
+    nprobe: int = 2,
+    topk: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ — the standard billion-scale ANN index (FAISS's IVFx,PQy):
+    a trained coarse quantizer routes each query to its ``nprobe``
+    nearest cells, and candidates are scored in the COMPRESSED domain by
+    PQ-ADC — so a query touches nprobe/coarse_k of the corpus and reads
+    m bytes per candidate instead of the raw vector.
+
+    Composition of the repo's gated pieces under their shared
+    deterministic contracts: ``kmeans_fit`` + ``assign_clusters`` (coarse
+    cells), per-cell mean centroids ranked by 6dp-rounded cosine with
+    cell-id tie-break (the ``ann_ivf`` probe contract), ``pq_train`` +
+    ``pq_encode`` (codes), and the exact-decimal ADC LUT sum
+    (``_adc_dist_col``). Self-matches are excluded, mirroring
+    ``ann_ivf``.
+
+    At scale the encoded corpus is written Hive-partitioned by cell so a
+    probe is a partition-pruned scan of nprobe cells; the per-query cell
+    routing collects only nprobe·|queries| (cell, query) pairs to the
+    driver — bounded by the query batch, never the corpus.
+
+    Returns ``(q_id, id_col, adc_dist, rn)`` with rn = 1..topk.
+    """
+    from pyspark.sql import Window
+
+    cents = kmeans_fit(df, id_col, vec_col, k=coarse_k, iters=1)
+    assigned = assign_clusters(df, cents, vec_col=vec_col)
+    cellmeans = centroids_by(assigned, "cluster", vec_col)
+    books = pq_train(df, id_col, vec_col, in_dim, m=m, k=k, iters=1)
+    codes = pq_encode(df, id_col, vec_col, books).join(
+        assigned.select(F.col(id_col), F.col("cluster")), id_col
+    )
+    spark = df.sparkSession
+    q_rows = [(int(q_id), [float(x) for x in qv]) for q_id, qv in queries]
+    q_df = spark.createDataFrame(q_rows, "q_id long, qv array<double>")
+    qc = q_df.crossJoin(F.broadcast(cellmeans)).select(
+        "q_id", "__cell",
+        F.round(cosine(F.col("qv"), F.col("__centroid")), round_to)
+        .alias("__cc"),
+    )
+    w_cell = Window.partitionBy("q_id").orderBy(
+        F.col("__cc").desc(), F.col("__cell").asc()
+    )
+    probes = (
+        qc.withColumn("__pr", F.row_number().over(w_cell))
+        .filter(F.col("__pr") <= nprobe)
+        .select("q_id", "__cell")
+        .collect()  # bounded: nprobe rows per query
+    )
+    probed: dict[int, list[int]] = {}
+    for r in probes:
+        probed.setdefault(r["q_id"], []).append(r["__cell"])
+    id_type = codes.schema[id_col].dataType
+    per_q = []
+    for q_id, qv in q_rows:
+        adc = _adc_dist_col(books, qv, "codes", round_to)
+        per_q.append(
+            codes.filter(F.col("cluster").isin(probed[q_id]))
+            .filter(F.col(id_col) != q_id)
+            .select(
                 F.lit(q_id).cast(id_type).alias("q_id"),
                 F.col(id_col),
                 adc.alias("adc_dist"),

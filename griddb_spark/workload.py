@@ -7090,43 +7090,53 @@ def pipe_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=64)
 
 
+#: PQ train+encode replay (m=4 subspaces of 16 dims, k=8 codes, one Lloyd
+#: iteration) as a CTE continuation: expects ``v(vec_id, ev)`` to be
+#: defined upstream; exposes ``pu1`` (codebooks) and ``ps2`` (codes).
+_PQ_CTE = """
+    , psub AS (SELECT vec_id, j, ev[j*16+1 : j*16+16] AS sv
+               FROM v CROSS JOIN range(0, 4) r(j)),
+    pc0 AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1
+                     AS c, sv AS cv
+            FROM psub WHERE vec_id IN (SELECT vec_id FROM v
+                                       ORDER BY vec_id LIMIT 8)),
+    pa1 AS (SELECT s.vec_id, s.j, s.sv, pc0.c,
+              row_number() OVER (PARTITION BY s.vec_id, s.j
+                ORDER BY round((SELECT sum((s.sv[i]-pc0.cv[i])^2)
+                                FROM range(1,17) t(i)), 6) ASC,
+                         pc0.c ASC) AS rn
+            FROM psub s JOIN pc0 USING (j)),
+    ps1 AS (SELECT vec_id, j, sv, c FROM pa1 WHERE rn = 1),
+    pu1 AS (SELECT j, c, list(m ORDER BY pos) AS cv FROM (
+              SELECT j, c, pos, round(avg(x), 6) AS m FROM (
+                SELECT j, c, generate_subscripts(sv, 1) AS pos,
+                       unnest(sv) AS x FROM ps1) GROUP BY j, c, pos)
+            GROUP BY j, c),
+    pa2 AS (SELECT s.vec_id, s.j, pu1.c,
+              row_number() OVER (PARTITION BY s.vec_id, s.j
+                ORDER BY round((SELECT sum((s.sv[i]-pu1.cv[i])^2)
+                                FROM range(1,17) t(i)), 6) ASC,
+                         pu1.c ASC) AS rn
+            FROM psub s JOIN pu1 USING (j)),
+    ps2 AS (SELECT vec_id, j, c FROM pa2 WHERE rn = 1)
+"""
+
+
 @query(
     "pipe_ann_pq",
     """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-    sub AS (SELECT vec_id, j, ev[j*16+1 : j*16+16] AS sv
-            FROM v CROSS JOIN range(0, 4) r(j)),
-    c0 AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1
-                    AS c, sv AS cv
-           FROM sub WHERE vec_id IN (SELECT vec_id FROM v
-                                     ORDER BY vec_id LIMIT 8)),
-    a1 AS (SELECT s.vec_id, s.j, s.sv, c0.c,
-             row_number() OVER (PARTITION BY s.vec_id, s.j
-               ORDER BY round((SELECT sum((s.sv[i]-c0.cv[i])^2)
-                               FROM range(1,17) t(i)), 6) ASC,
-                        c0.c ASC) AS rn
-           FROM sub s JOIN c0 USING (j)),
-    s1 AS (SELECT vec_id, j, sv, c FROM a1 WHERE rn = 1),
-    u1 AS (SELECT j, c, list(m ORDER BY pos) AS cv FROM (
-             SELECT j, c, pos, round(avg(x), 6) AS m FROM (
-               SELECT j, c, generate_subscripts(sv, 1) AS pos,
-                      unnest(sv) AS x FROM s1) GROUP BY j, c, pos)
-           GROUP BY j, c),
-    a2 AS (SELECT s.vec_id, s.j, u1.c,
-             row_number() OVER (PARTITION BY s.vec_id, s.j
-               ORDER BY round((SELECT sum((s.sv[i]-u1.cv[i])^2)
-                               FROM range(1,17) t(i)), 6) ASC,
-                        u1.c ASC) AS rn
-           FROM sub s JOIN u1 USING (j)),
-    s2 AS (SELECT vec_id, j, c FROM a2 WHERE rn = 1),
-    q AS (SELECT vec_id AS q_id, ev AS qv FROM v WHERE vec_id < 3),
-    lut AS (SELECT q.q_id, u1.j, u1.c,
-              CAST(round((SELECT sum((q.qv[u1.j*16+i] - u1.cv[i])^2)
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+    """
+    + _PQ_CTE
+    + """
+    , q AS (SELECT vec_id AS q_id, ev AS qv FROM v WHERE vec_id < 3),
+    lut AS (SELECT q.q_id, pu1.j, pu1.c,
+              CAST(round((SELECT sum((q.qv[pu1.j*16+i] - pu1.cv[i])^2)
                           FROM range(1,17) t(i)), 6) AS DECIMAL(18,6)) AS ld
-            FROM q CROSS JOIN u1),
-    adc AS (SELECT l.q_id, s2.vec_id, CAST(sum(l.ld) AS DOUBLE) AS adc_dist
-            FROM s2 JOIN lut l ON s2.j = l.j AND s2.c = l.c
-            GROUP BY l.q_id, s2.vec_id)
+            FROM q CROSS JOIN pu1),
+    adc AS (SELECT l.q_id, ps2.vec_id, CAST(sum(l.ld) AS DOUBLE) AS adc_dist
+            FROM ps2 JOIN lut l ON ps2.j = l.j AND ps2.c = l.c
+            GROUP BY l.q_id, ps2.vec_id)
     SELECT q_id, vec_id, adc_dist, CAST(rn AS INT) AS rn FROM (
       SELECT *, row_number() OVER (PARTITION BY q_id
                                    ORDER BY adc_dist, vec_id) AS rn
@@ -7205,3 +7215,58 @@ def stream_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = run_to_memory(out, f"hll_{_uuid.uuid4().hex[:8]}",
                          mode="complete", shuffle_partitions=8)
     return hll_estimate_from_registers(regs, ["ts"], p=8, mj_col="mj")
+
+
+@query(
+    "pipe_ann_ivfpq",
+    _KMEANS_CTE + _PQ_CTE + """
+    , pos2 AS (SELECT cidx, generate_subscripts(ev, 1) AS p,
+                      unnest(ev) AS x FROM s2),
+    byp2 AS (SELECT cidx, p, avg(x) AS x FROM pos2 GROUP BY cidx, p),
+    cent2 AS (SELECT cidx, list(x ORDER BY p) AS centroid
+              FROM byp2 GROUP BY cidx),
+    q AS (SELECT vec_id AS q_id, ev AS qv FROM v WHERE vec_id < 3),
+    qc AS (SELECT q_id, qv, cidx,
+             round(list_dot_product(qv, centroid)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(centroid, centroid))), 6) AS cc
+           FROM q CROSS JOIN cent2),
+    probes AS (SELECT q_id, qv, cidx FROM
+                 (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cc DESC, cidx) AS pr FROM qc)
+               WHERE pr <= 2),
+    lut AS (SELECT q.q_id, pu1.j, pu1.c,
+              CAST(round((SELECT sum((q.qv[pu1.j*16+i] - pu1.cv[i])^2)
+                          FROM range(1,17) t(i)), 6) AS DECIMAL(18,6)) AS ld
+            FROM q CROSS JOIN pu1),
+    cand AS (SELECT DISTINCT p.q_id, e.vec_id
+             FROM probes p JOIN s2 e ON e.cidx = p.cidx
+             WHERE e.vec_id != p.q_id),
+    adc AS (SELECT c.q_id, c.vec_id, CAST(sum(l.ld) AS DOUBLE) AS adc_dist
+            FROM cand c
+            JOIN ps2 ON ps2.vec_id = c.vec_id
+            JOIN lut l ON l.q_id = c.q_id AND l.j = ps2.j AND l.c = ps2.c
+            GROUP BY c.q_id, c.vec_id)
+    SELECT q_id, vec_id, adc_dist, CAST(rn AS INT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY adc_dist, vec_id) AS rn
+      FROM adc) WHERE rn <= 5
+    """,
+)
+def pipe_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the standard billion-scale ANN index (FAISS IVFx,PQy;
+    pipeline/similarity.py ivfpq_topk): a trained k-means coarse
+    quantizer routes each query to its 2 nearest cells (the ann_ivf
+    probe contract), and only those cells' vectors are scored — in the
+    COMPRESSED domain via PQ-ADC lookup-table sums. A query touches
+    nprobe/coarse_k of the corpus and m bytes per candidate; at scale
+    the encoded corpus is Hive-partitioned by cell so the probe is a
+    partition-pruned scan. The oracle replays coarse k-means, PQ
+    train/encode, probe routing, and the exact-decimal ADC."""
+    from griddb_spark.pipeline import ivfpq_topk
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    qs = [(r.vec_id, list(r.embedding))
+          for r in emb.filter(F.col("vec_id") < 3).collect()]
+    return ivfpq_topk(emb, "vec_id", "embedding", in_dim=64, queries=qs,
+                      coarse_k=8, m=4, k=8, nprobe=2, topk=5)

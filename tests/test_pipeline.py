@@ -1303,3 +1303,49 @@ def test_pq_train_deterministic_across_partitionings(spark, emb):
     b1 = pq_train(emb.repartition(17), "vec_id", "embedding", 64, m=4, k=8)
     b2 = pq_train(emb.coalesce(1), "vec_id", "embedding", 64, m=4, k=8)
     assert b1 == b2
+
+
+def test_ivfpq_consistent_with_full_adc_on_probed_cells(spark, emb):
+    """IVF-PQ = the full-corpus ADC ranking restricted to the probed
+    cells: rebuild the pieces under the same contracts and check the
+    composition (and that self-matches are excluded)."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import (
+        assign_clusters,
+        ivfpq_topk,
+        kmeans_fit,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    qs = [(r.vec_id, list(r.embedding))
+          for r in emb.filter(F.col("vec_id") < 3).collect()]
+    got = ivfpq_topk(emb, "vec_id", "embedding", 64, qs,
+                     coarse_k=8, m=4, k=8, nprobe=2, topk=5).collect()
+    assert {r.q_id for r in got} == {0, 1, 2}
+    for r in got:
+        assert r.q_id != r.vec_id and 1 <= r.rn <= 5
+
+    # full ADC over every vector, then restrict to each query's probed
+    # cells: the top-5 must coincide
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=1)
+    cells = {r.vec_id: r.cluster
+             for r in assign_clusters(emb, cents).collect()}
+    books = pq_train(emb, "vec_id", "embedding", 64, m=4, k=8)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    full = pq_adc_topk(codes, books, qs, topk=10**9).collect()
+    by_q: dict[int, list] = {}
+    for r in full:
+        by_q.setdefault(r.q_id, []).append((r.rn, r.vec_id, r.adc_dist))
+    for q_id, _ in qs:
+        probed = {cells[r.vec_id] for r in got if r.q_id == q_id}
+        assert len(probed) <= 2
+        want = [
+            (v, dist) for _, v, dist in sorted(by_q[q_id])
+            if cells[v] in probed and v != q_id
+        ][:5]
+        have = [(r.vec_id, r.adc_dist)
+                for r in sorted(got, key=lambda r: r.rn) if r.q_id == q_id]
+        assert have == want, (q_id, have, want)
