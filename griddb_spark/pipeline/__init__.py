@@ -98,9 +98,12 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     l2_normalize,
     linear_probe_score,
     max_sim_vs_bench,
+    adc_lut_df,
     ivfpq_topk,
+    ivfpq_topk_batch,
     mean_pool_vectors,
     pq_adc_topk,
+    pq_adc_topk_batch,
     pq_encode,
     pq_train,
     prune_prototypes,

@@ -386,7 +386,11 @@ def weighted_fixed_k(
     ``u = (first-8-md5-hex + 0.5) / 2^32`` ∈ (0,1) — the repo's portable
     hash-uniform; the key is rounded to 6 decimals ONCE with the row id as
     tie-break, the same fixed-point contract the DSIR scores use, so the
-    rank order is identical in the SQL oracle. Weights must be > 0.
+    rank order is identical in the SQL oracle. Weights must be > 0:
+    rows with NULL, zero, or negative weight are EXCLUDED from the sample
+    (their A-ES key is nulled and null keys sort last) — without the
+    guard, Spark's nulls-first ascending sort would let invalid-weight
+    rows silently win every draw.
 
     Shape at scale: with strata, one shuffle on the stratum key and a
     windowed top-k; without, a global TakeOrdered top-k (no full sort).
@@ -397,8 +401,9 @@ def weighted_fixed_k(
         F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
         .cast("double") + F.lit(0.5)
     ) / F.lit(4294967296.0)
-    r = F.round(-F.log(u) / w.cast("double"), 6)
-    out = df.withColumn("__akey", r)
+    wd = w.cast("double")
+    r = F.when(wd > 0.0, F.round(-F.log(u) / wd, 6))
+    out = df.withColumn("__akey", r).filter(F.col("__akey").isNotNull())
     if stratum_col is not None:
         from pyspark.sql import Window
 

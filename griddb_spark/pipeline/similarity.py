@@ -23,6 +23,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def round_half_away(x: "np.ndarray", nd: int) -> "np.ndarray":
+    """Round half-away-from-zero, matching Spark ``F.round`` / DuckDB.
+
+    ``np.round`` is binary half-to-even (np.round(0.0078125, 6) =
+    0.007812, but F.round gives 0.007813) — every NumPy kernel that has
+    a JVM or DuckDB oracle twin must use this instead so all dispatch
+    paths share one rounding rule (same hazard documented in
+    ``_jaccard_bitmap.py``; sign-aware because cosine can be negative).
+    """
+    s = 10.0 ** nd
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double, element order (portable accumulation)."""
     return F.aggregate(
@@ -306,7 +319,7 @@ def cosine_pairs(
         ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
         mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
         sim = ma @ mb.T
-        ia, ib = np.nonzero(np.round(sim, round_to) >= threshold)
+        ia, ib = np.nonzero(round_half_away(sim, round_to) >= threshold)
         id_a = a["__id"].to_numpy()[ia]
         id_b = b["__id"].to_numpy()[ib]
         # normalize pair order (cross-block ids are not ordered by block);
@@ -314,7 +327,7 @@ def cosine_pairs(
         keep = id_a != id_b
         lo = np.minimum(id_a[keep], id_b[keep])
         hi = np.maximum(id_a[keep], id_b[keep])
-        cs = np.round(sim[ia, ib][keep], round_to)
+        cs = round_half_away(sim[ia, ib][keep], round_to)
         if same:
             first = lo == id_a[keep]
             lo, hi, cs = lo[first], hi[first], cs[first]
@@ -414,7 +427,7 @@ def cosine_pairs_ann(
             nb = np.linalg.norm(mb, axis=1)
             denom = na * nb
             denom[denom == 0.0] = 1.0
-            sim = np.round(np.einsum("ij,ij->i", ma, mb) / denom, round_to)
+            sim = round_half_away(np.einsum("ij,ij->i", ma, mb) / denom, round_to)
             keep = sim >= threshold
             yield pd.DataFrame(
                 {
@@ -474,7 +487,7 @@ def assign_clusters(
             vn = np.linalg.norm(m, axis=1)
             den = np.outer(vn, cn)
             den[den == 0.0] = np.inf  # zero norm → cos 0, matches JVM path
-            sim = np.round((m @ cm.T) / den, round_to)
+            sim = round_half_away((m @ cm.T) / den, round_to)
             am = np.argmax(sim, axis=1)
             return pd.DataFrame(
                 {"c": idxs[am].astype(np.int32),
@@ -607,7 +620,7 @@ def cosine_pairs_within(
         block = 4096
         for s in range(0, len(ua), block):
             e = min(s + block, len(ua))
-            sim = np.round(ua[s:e] @ ub.T, round_to)
+            sim = round_half_away(ua[s:e] @ ub.T, round_to)
             for i in range(s, e):
                 lo = i + 1 if triangular else 0
                 j = np.nonzero(sim[i - s, lo:] >= threshold)[0] + lo
@@ -821,7 +834,7 @@ def max_sim_vs_bench(
             sim = m @ bc.value
             yield pd.DataFrame({
                 id_col: pdf["__id"].to_numpy(),
-                "max_bench_sim": np.round(sim.max(axis=1), round_to),
+                "max_bench_sim": round_half_away(sim.max(axis=1), round_to),
             })
 
     para = corpus.sparkSession.sparkContext.defaultParallelism
@@ -1151,8 +1164,8 @@ def pq_encode(
                 for j in range(m):
                     xs = x[:, j * d : (j + 1) * d]
                     diff = xs[:, None, :] - mats[j][None, :, :]
-                    d2 = np.round(np.einsum("abk,abk->ab", diff, diff),
-                                  round_to)
+                    d2 = round_half_away(
+                        np.einsum("abk,abk->ab", diff, diff), round_to)
                     cols.append(code_ids[j][np.argmin(d2, axis=1)])
                 codes = np.stack(cols, axis=1)
                 yield pd.DataFrame(
@@ -1346,3 +1359,158 @@ def ivfpq_topk(
         allq.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= topk)
     )
+
+
+def adc_lut_df(
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+    round_to: int = 6,
+) -> DataFrame:
+    """The (q_id, subspace, code, distance) ADC lookup table as a
+    DataFrame — the batch-serving twin of :func:`_adc_dist_col`.
+
+    The loop path computes each LUT entry driver-side with Python Decimal
+    HALF_UP; here the identical value comes from JVM column algebra:
+    ``_sq_l2`` accumulates in element order (same IEEE result as the
+    Python sum), ``F.round`` is HALF_UP on the shortest-repr BigDecimal
+    (same convention as ``Decimal(repr(x)).quantize``), and the entry is
+    fixed as DECIMAL(18,6) so downstream sums are exact at any evaluation
+    order. |queries|·m·k rows — broadcast-sized for any realistic batch.
+    """
+    spark = queries.sparkSession
+    m = len(codebooks)
+    d = len(codebooks[0][0][1])
+    book_rows = [
+        (j, c, [float(x) for x in cv])
+        for j in range(m)
+        for c, cv in codebooks[j]
+    ]
+    bdf = spark.createDataFrame(book_rows, "__j int, __c int, __cv array<double>")
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("__qv"),
+    )
+    sv = F.slice(F.col("__qv"), F.col("__j") * F.lit(d) + F.lit(1), d)
+    return q.join(F.broadcast(bdf)).select(
+        "q_id", "__j", "__c",
+        F.round(_sq_l2(sv, F.col("__cv")), round_to)
+        .cast("decimal(18,6)").alias("__ld"),
+    )
+
+
+def _adc_topk_from_codes(
+    cand: DataFrame,
+    lut: DataFrame,
+    id_col: str,
+    codes_col: str,
+    topk: int,
+) -> DataFrame:
+    """Shared batch-ADC tail: explode candidate codes, join the broadcast
+    LUT on (q_id, subspace, code), sum exactly in decimal, window top-k.
+    ONE join tree for the whole query batch — no per-query plan branches
+    (`cand` must carry ``q_id``)."""
+    from pyspark.sql import Window
+
+    ex = cand.select(
+        "q_id", id_col, F.posexplode(codes_col).alias("__j", "__c")
+    )
+    adc = (
+        ex.join(F.broadcast(lut), ["q_id", "__j", "__c"])
+        .groupBy("q_id", id_col)
+        .agg(F.sum("__ld").cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist"), F.col(id_col))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+    )
+
+
+def pq_adc_topk_batch(
+    codes: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    queries: DataFrame,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch-serving ADC top-k: ``queries`` is a DataFrame, the LUT is a
+    broadcast join, and the whole batch is ONE plan — where
+    :func:`pq_adc_topk` (the TQL-style point-probe form) builds a plan
+    branch per query and folds them with unionAll, which is O(|queries|)
+    driver-built branches: correct at 3 queries, wrong at 10⁴.
+
+    Results are bit-identical to the loop path: both sum the same
+    DECIMAL(18,6) LUT entries (see :func:`adc_lut_df`).
+    """
+    lut = adc_lut_df(queries, codebooks, q_id_col, q_vec_col, round_to)
+    cand = codes.join(
+        F.broadcast(queries.select(F.col(q_id_col).alias("q_id")))
+    )
+    return _adc_topk_from_codes(cand, lut, id_col, codes_col, topk)
+
+
+def ivfpq_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    queries: DataFrame,
+    coarse_k: int = 8,
+    m: int = 4,
+    k: int = 8,
+    nprobe: int = 2,
+    topk: int = 5,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ with a DataFrame of queries: probed-cell routing and ADC as
+    cell-keyed joins — the batch-retrieval formulation (one join tree for
+    any batch size), vs :func:`ivfpq_topk`'s per-query plan branches
+    (the point-probe contract). Same deterministic contracts, identical
+    results to the loop path for the same inputs.
+
+    Plan shape: queries × (broadcast) cell-means → windowed nprobe
+    routing → broadcast (q_id, cell) probe join against the encoded
+    corpus (at scale: Hive-partitioned by cell, so this is a
+    partition-pruned scan) → broadcast LUT join → exact decimal sum →
+    per-query top-k window. Corpus-side cost is candidates·m LUT rows,
+    never |queries| plan branches.
+    """
+    from pyspark.sql import Window
+
+    cents = kmeans_fit(df, id_col, vec_col, k=coarse_k, iters=1)
+    assigned = assign_clusters(df, cents, vec_col=vec_col)
+    cellmeans = centroids_by(assigned, "cluster", vec_col)
+    books = pq_train(df, id_col, vec_col, in_dim, m=m, k=k, iters=1)
+    codes = pq_encode(df, id_col, vec_col, books).join(
+        assigned.select(F.col(id_col), F.col("cluster")), id_col
+    )
+    q_df = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("__qv"),
+    )
+    qc = q_df.join(F.broadcast(cellmeans)).select(
+        "q_id", "__qv", "__cell",
+        F.round(cosine(F.col("__qv"), F.col("__centroid")), round_to)
+        .alias("__cc"),
+    )
+    w_cell = Window.partitionBy("q_id").orderBy(
+        F.col("__cc").desc(), F.col("__cell").asc()
+    )
+    probes = (
+        qc.withColumn("__pr", F.row_number().over(w_cell))
+        .filter(F.col("__pr") <= nprobe)
+        .select("q_id", F.col("__cell").alias("cluster"))
+    )
+    lut = adc_lut_df(q_df, books, "q_id", "__qv", round_to)
+    cand = codes.join(F.broadcast(probes), "cluster").filter(
+        F.col(id_col) != F.col("q_id")
+    )
+    return _adc_topk_from_codes(cand, lut, id_col, "codes", topk)

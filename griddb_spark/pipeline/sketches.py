@@ -48,13 +48,22 @@ _M32 = 4294967296
 def _int_hash(col) -> F.Column:
     """Deterministic 32-bit multiplicative hash of an integer column.
 
-    ``(key * 2654435761) mod 2^32`` in BIGINT arithmetic — exact in any
-    engine with 64-bit integers (key is first masked to 32 bits so the
-    product stays below 2^63).
+    ``(key * 2654435761) mod 2^32``. The masked 32-bit key times the
+    constant can exceed 2^63, so the multiply is split 16/16:
+    ``k = hi·2^16 + lo``; only ``(hi·A) mod 2^16`` survives the final
+    mod 2^32, keeping every intermediate below 2^48 — exact BIGINT
+    arithmetic in any engine, ANSI-overflow-safe (the oracle twin casts
+    to HUGEINT instead; both compute the identical value).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.pmod(F.pmod(c.cast("bigint"), F.lit(_M32)) * F.lit(_KNUTH),
-                  F.lit(_M32))
+    k = F.pmod(c.cast("bigint"), F.lit(_M32))
+    lo = F.pmod(k, F.lit(65536))
+    hi = (k / F.lit(65536)).cast("bigint")  # k>=0 → trunc == floor
+    return F.pmod(
+        F.pmod(lo * F.lit(_KNUTH), F.lit(_M32))
+        + F.pmod(hi * F.lit(_KNUTH), F.lit(65536)) * F.lit(65536),
+        F.lit(_M32),
+    )
 
 
 def register_col(col, m: int) -> F.Column:
@@ -296,7 +305,7 @@ def hll_oracle_sql(
     g = ", ".join(group_cols)
     return f"""
     WITH h AS (
-      SELECT {g}, (({key_col} % {_M32}) * {_KNUTH}) % {_M32} AS h
+      SELECT {g}, ((({key_col} % {_M32})::HUGEINT * {_KNUTH}) % {_M32})::BIGINT AS h
       FROM {table}),
     r AS (
       SELECT {g}, h % {m} AS idx,

@@ -59,15 +59,27 @@ def _apply_leading(sql: str) -> str:
     """Reorder a comma-joined FROM list to a ``/*+ Leading(a b c) */``
     hint's order. Conservative: only fires on a plain comma list of named
     tables (optionally aliased) where every hinted name resolves; explicit
-    JOIN chains and subquery sources are left to Catalyst/AQE."""
+    JOIN chains and subquery sources are left to Catalyst/AQE.
+
+    The rewrite is ANCHORED to the hint's own SELECT scope: the FROM list
+    is searched forward from the hint's position, and if another SELECT
+    (a subquery) opens between the hint and that FROM, the hint is
+    dropped rather than applied to the wrong scope — without the anchor,
+    a hint in an outer query could silently reorder a CTE's or
+    subquery's FROM list (correct by inner-join commutativity, but the
+    hint would miss its target)."""
     m = _LEADING_RE.search(sql)
     if not m:
         return sql
     order = m.group(1).replace(",", " ").split()
     out = _LEADING_RE.sub("", sql)
-    fm = _FROM_LIST_RE.search(out)
+    # positions before the (first) hint are unchanged by the removal
+    fm = _FROM_LIST_RE.search(out, m.start())
     if not order or not fm:
         return out
+    between = out[m.start(): fm.start()]
+    if re.search(r"\bSELECT\b", between, re.IGNORECASE):
+        return out  # FROM belongs to a nested scope: drop the hint
     items = [i.strip() for i in fm.group(2).split(",")]
     by_name = {}
     for item in items:
@@ -101,17 +113,28 @@ _ROW_COUNT_RE = re.compile(
 
 
 def _apply_table_row_count(sql: str) -> str:
+    """Anchored like ``_apply_leading``: the BROADCAST hint is inserted
+    after the SELECT that CONTAINS the TableRowCount comment (nearest
+    SELECT before the hint), not the statement's first SELECT — so a hint
+    inside a CTE or subquery lands where its table name resolves."""
+    first = _ROW_COUNT_RE.search(sql)
     small = [m.group(1) for m in _ROW_COUNT_RE.finditer(sql)
              if int(m.group(2)) <= TABLE_ROW_COUNT_BROADCAST_ROWS]
     out = _ROW_COUNT_RE.sub("", sql)
     if not small:
         return out
-    sel = re.search(r"\bSELECT\b", out, re.IGNORECASE)
-    if not sel:
+    owner = None
+    for sel in re.finditer(r"\bSELECT\b", out, re.IGNORECASE):
+        if sel.start() > first.start():
+            break
+        owner = sel
+    if owner is None:  # hint precedes every SELECT: use the first one
+        owner = re.search(r"\bSELECT\b", out, re.IGNORECASE)
+    if not owner:
         return out
-    return (out[: sel.end()]
+    return (out[: owner.end()]
             + " /*+ BROADCAST(%s) */" % ", ".join(small)
-            + out[sel.end():])
+            + out[owner.end():])
 
 
 #: GridDB 5.8 time-unit frame boundary — ``RANGE BETWEEN (10, MINUTE)

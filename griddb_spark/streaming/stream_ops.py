@@ -459,7 +459,10 @@ def embed_dedup_stream(
                     den = na * nb
                     den[den == 0.0] = 1.0
                     sim = np.einsum("ij,ij->i", ma, mb) / den
-                    dup = np.round(sim, 6) >= threshold
+                    # half-away-from-zero like F.round (np.round is
+                    # half-to-even; see pipeline.similarity.round_half_away)
+                    r6 = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
+                    dup = r6 >= threshold
                     yield pd.DataFrame(
                         {id_col: pdf[id_col].to_numpy()[dup]}
                     )

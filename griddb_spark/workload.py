@@ -2665,11 +2665,21 @@ def pipe_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ties to the lowest cluster index, update = element-wise mean rounded to
 #: 6dp (the fixed-point contract that makes Spark and DuckDB agree
 #: bit-for-bit on every later comparison). s2 is the final assignment.
+def _adaptive_k(emb) -> int:
+    """The k-means scale knob shared by every gate built on _KMEANS_CTE:
+    cells stay ~250 vectors so the within-cell pairwise stage is bounded.
+    The oracle CTE computes the identical value in its LIMIT expression
+    (``greatest(8, count(*) // 250)``) — Spark and SQL can never disagree
+    on k at any scale factor."""
+    return max(8, emb.count() // 250)
+
+
 _KMEANS_CTE = """
     WITH RECURSIVE v AS (
       SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
     c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, ev AS cv
-           FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+           FROM (SELECT * FROM v ORDER BY vec_id
+                 LIMIT greatest(8, (SELECT count(*) FROM v) // 250))),
     a1 AS (SELECT vec_id, ev, cidx,
              row_number() OVER (PARTITION BY vec_id
                ORDER BY round(list_cosine_similarity(ev, cv), 6) DESC,
@@ -2703,7 +2713,7 @@ def pipe_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from griddb_spark.pipeline import assign_clusters, kmeans_fit
 
     emb = cat(spark, sf_dir).load("embeddings")
-    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=1)
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=_adaptive_k(emb), iters=1)
     return assign_clusters(emb, cents).select("vec_id", "cluster")
 
 
@@ -2738,9 +2748,9 @@ def pipe_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scale knob from the semdedup contract: k grows with the corpus
     # so cells stay ~250 vectors and the pairwise stage stays linear-ish
     # (measured 10x probe: 18x superlinear at fixed k=8 -> bounded with
-    # adaptive k). Resolves to k=8 at every driver/oracle sf (n <= 2000),
-    # so the SQL twin's LIMIT 8 init is exact where it runs.
-    k = max(8, emb.count() // 250)
+    # adaptive k). The oracle CTE computes the SAME count-derived k via
+    # its LIMIT expression, so Spark and SQL agree at every n.
+    k = _adaptive_k(emb)
     return semdedup(emb, "vec_id", "embedding", k=k, iters=1, threshold=0.4)
 
 
@@ -2782,7 +2792,7 @@ def pipe_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from griddb_spark.pipeline import ann_ivf, assign_clusters, kmeans_fit
 
     emb = cat(spark, sf_dir).load("embeddings")
-    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=1)
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=_adaptive_k(emb), iters=1)
     a = assign_clusters(emb, cents)
     return ann_ivf(
         a, a.filter(F.col("vec_id") < 5), cell_col="cluster", k=3, nprobe=2
@@ -2995,7 +3005,8 @@ def stream_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prepare(spark)
     static = cat(spark, sf_dir).load("embeddings")
-    cents = kmeans_fit(static, "vec_id", "embedding", k=8, iters=1)
+    cents = kmeans_fit(static, "vec_id", "embedding", k=_adaptive_k(static),
+                       iters=1)
     schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     raw = (
         spark.readStream.schema(schema)
@@ -3034,7 +3045,8 @@ def pipe_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = cat(spark, sf_dir).load("embeddings")
     return prune_prototypes(
-        emb, "vec_id", "embedding", k=8, iters=1, keep_frac=0.5, hardest=True
+        emb, "vec_id", "embedding", k=_adaptive_k(emb), iters=1,
+        keep_frac=0.5, hardest=True
     )
 
 
@@ -4763,7 +4775,7 @@ def nosql_multiput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH reg AS (
       SELECT event_type,
-             ((user_id % 4294967296) * 2654435761) % 4294967296 % 4096 AS r
+             (((user_id % 4294967296)::HUGEINT * 2654435761) % 4294967296)::BIGINT % 4096 AS r
       FROM events),
     hits AS (
       SELECT event_type, count(DISTINCT r) AS n_registers
@@ -4928,7 +4940,7 @@ def pipe_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH reg AS (
       SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ts,
-             ((user_id % 4294967296) * 2654435761) % 4294967296 % 1024 AS r
+             (((user_id % 4294967296)::HUGEINT * 2654435761) % 4294967296)::BIGINT % 1024 AS r
       FROM events),
     hits AS (SELECT ts, count(DISTINCT r) AS n_registers FROM reg GROUP BY ts)
     SELECT ts, n_registers,
@@ -6833,10 +6845,21 @@ def pipe_write_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from griddb_spark.pipeline.sampling import write_training_shards
 
+    from griddb_spark.pipeline.dedup import _anti_join_losers
+
     report = pipe_curation_report(spark, sf_dir)
-    keep = report.filter(F.col("keep") == 1).select("doc_id")
+    # Broadcast the DROP-set, never the keep-set: what curation keeps is
+    # by construction the majority of the corpus (billions of ids at
+    # 100 TB — a keep-side broadcast kills the driver), while what it
+    # drops is the small complement. The bench slice is excluded by
+    # predicate (pushed to the scan), matching the report's own corpus
+    # scope; the drop anti-join reuses the stats-guarded helper so a
+    # pathological mostly-dropped corpus degrades to SMJ instead of
+    # blowing the broadcast.
+    drop = report.filter(F.col("keep") == 0).select("doc_id")
     docs = cat(spark, sf_dir).load("documents")
-    kept = docs.join(F.broadcast(keep), "doc_id", "left_semi")
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    kept = _anti_join_losers(corpus, drop, "doc_id")
     out = tempfile.mkdtemp(prefix="curated_") + "/docs"
     return write_training_shards(
         kept, out, "doc_id", n_shards=4, max_records_per_file=100_000
@@ -7021,7 +7044,7 @@ def pipe_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
       SELECT DISTINCT event_type,
-             ((user_id % 4294967296) * 2654435761) % 4294967296 AS h
+             (((user_id % 4294967296)::HUGEINT * 2654435761) % 4294967296)::BIGINT AS h
       FROM events),
     r AS (SELECT event_type, h,
                  row_number() OVER (PARTITION BY event_type ORDER BY h) rk
@@ -7051,7 +7074,7 @@ def pipe_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
       SELECT DISTINCT event_type AS g,
-             ((user_id % 4294967296) * 2654435761) % 4294967296 AS h
+             (((user_id % 4294967296)::HUGEINT * 2654435761) % 4294967296)::BIGINT AS h
       FROM events WHERE event_type IN ('click', 'purchase')),
     per AS (SELECT g, h,
                    row_number() OVER (PARTITION BY g ORDER BY h) rk
@@ -7168,7 +7191,7 @@ def pipe_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
       SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ts,
-             ((user_id % 4294967296) * 2654435761) % 4294967296 AS h
+             (((user_id % 4294967296)::HUGEINT * 2654435761) % 4294967296)::BIGINT AS h
       FROM events),
     r AS (SELECT ts, h % 256 AS idx,
                  CASE WHEN h // 256 = 0 THEN 25
@@ -7269,4 +7292,61 @@ def pipe_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [(r.vec_id, list(r.embedding))
           for r in emb.filter(F.col("vec_id") < 3).collect()]
     return ivfpq_topk(emb, "vec_id", "embedding", in_dim=64, queries=qs,
-                      coarse_k=8, m=4, k=8, nprobe=2, topk=5)
+                      coarse_k=_adaptive_k(emb), m=4, k=8, nprobe=2, topk=5)
+
+
+@query(
+    "pipe_ann_ivfpq_batch",
+    _KMEANS_CTE + _PQ_CTE + """
+    , pos2 AS (SELECT cidx, generate_subscripts(ev, 1) AS p,
+                      unnest(ev) AS x FROM s2),
+    byp2 AS (SELECT cidx, p, avg(x) AS x FROM pos2 GROUP BY cidx, p),
+    cent2 AS (SELECT cidx, list(x ORDER BY p) AS centroid
+              FROM byp2 GROUP BY cidx),
+    q AS (SELECT vec_id AS q_id, ev AS qv FROM v WHERE vec_id < 100),
+    qc AS (SELECT q_id, qv, cidx,
+             round(list_dot_product(qv, centroid)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(centroid, centroid))), 6) AS cc
+           FROM q CROSS JOIN cent2),
+    probes AS (SELECT q_id, qv, cidx FROM
+                 (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cc DESC, cidx) AS pr FROM qc)
+               WHERE pr <= 2),
+    lut AS (SELECT q.q_id, pu1.j, pu1.c,
+              CAST(round((SELECT sum((q.qv[pu1.j*16+i] - pu1.cv[i])^2)
+                          FROM range(1,17) t(i)), 6) AS DECIMAL(18,6)) AS ld
+            FROM q CROSS JOIN pu1),
+    cand AS (SELECT DISTINCT p.q_id, e.vec_id
+             FROM probes p JOIN s2 e ON e.cidx = p.cidx
+             WHERE e.vec_id != p.q_id),
+    adc AS (SELECT c.q_id, c.vec_id, CAST(sum(l.ld) AS DOUBLE) AS adc_dist
+            FROM cand c
+            JOIN ps2 ON ps2.vec_id = c.vec_id
+            JOIN lut l ON l.q_id = c.q_id AND l.j = ps2.j AND l.c = ps2.c
+            GROUP BY c.q_id, c.vec_id)
+    SELECT q_id, vec_id, adc_dist, CAST(rn AS INT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY adc_dist, vec_id) AS rn
+      FROM adc) WHERE rn <= 5
+    """,
+)
+def pipe_ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ BATCH serving (VERDICT r5 #3): 100 queries arrive as a
+    DataFrame and the whole batch compiles to ONE join tree — windowed
+    nprobe cell routing, broadcast (q_id, cell) probe join against the
+    encoded corpus, broadcast DECIMAL(18,6) ADC-LUT join, exact decimal
+    sum, per-query top-k window — where the point-probe form
+    (pipe_ann_ivfpq) builds a plan branch per query. Same deterministic
+    contracts; results match the loop path bit-for-bit (parity-tested).
+    Reference capability analog: the multiGet/fetchAll batch-read
+    patterns (TimeSeries.java:136-617)."""
+    from griddb_spark.pipeline import ivfpq_topk_batch
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    qdf = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return ivfpq_topk_batch(emb, "vec_id", "embedding", in_dim=64,
+                            queries=qdf, coarse_k=_adaptive_k(emb), m=4,
+                            k=8, nprobe=2, topk=5)

@@ -1349,3 +1349,95 @@ def test_ivfpq_consistent_with_full_adc_on_probed_cells(spark, emb):
         have = [(r.vec_id, r.adc_dist)
                 for r in sorted(got, key=lambda r: r.rn) if r.q_id == q_id]
         assert have == want, (q_id, have, want)
+
+
+def test_weighted_fixed_k_excludes_invalid_weights(spark):
+    """ADVICE r5: NULL/zero/negative weights must be excluded, not win
+    the sample via nulls-first ascending sort."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import weighted_fixed_k
+
+    rows = [(1, 5.0), (2, None), (3, 0.0), (4, -2.0), (5, 9.0), (6, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    got = {r.doc_id for r in weighted_fixed_k(df, "doc_id", "w", k=4).collect()}
+    assert got == {1, 5, 6}  # only the 3 valid-weight rows, k=4 notwithstanding
+    # stratified branch: same exclusion
+    df2 = df.withColumn("s", F.lit("a"))
+    got2 = {r.doc_id
+            for r in weighted_fixed_k(df2, "doc_id", "w", k=4,
+                                      stratum_col="s").collect()}
+    assert got2 == {1, 5, 6}
+
+
+def test_round_half_away_matches_f_round(spark):
+    """ADVICE r5: NumPy kernels must round half-away-from-zero like
+    F.round / DuckDB, not numpy's half-to-even."""
+    import numpy as np
+
+    from griddb_spark.pipeline.similarity import round_half_away
+
+    vals = [0.0078125, -0.0078125, 0.1234565, -0.1234565, 1.0000005,
+            0.5e-6, -0.5e-6, 0.0, 0.25, -1.9999995]
+    got = round_half_away(np.array(vals), 6).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    from pyspark.sql import functions as F
+
+    want = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    assert got == want, list(zip(vals, got, want))
+
+
+def test_int_hash_exact_at_32bit_extremes(spark):
+    """ADVICE r5: the Knuth hash must be exact (no BIGINT overflow /
+    wraparound reliance) for masked keys >= 2^63/2654435761 ~ 3.47e9,
+    and the HUGEINT oracle twin must agree."""
+    import duckdb
+
+    from griddb_spark.pipeline.sketches import _KNUTH, _M32, _int_hash
+
+    keys = [0, 1, 3_470_000_000, 4_294_967_295, 4_294_967_296,
+            2**63 - 1, -17, 123_456_789_012]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = [r.h for r in df.select(_int_hash("k").alias("h")).collect()]
+    want = [((k % _M32) * _KNUTH) % _M32 for k in keys]
+    assert got == want
+    con = duckdb.connect()
+    for k, w in zip(keys, want):
+        if k < 0:
+            continue  # DuckDB % is remainder (sign-preserving), pmod differs
+        (o,) = con.execute(
+            f"SELECT ((({k} % {_M32})::HUGEINT * {_KNUTH}) % {_M32})::BIGINT"
+        ).fetchone()
+        assert o == w, (k, o, w)
+
+
+def test_batch_ann_matches_loop_path(spark, emb):
+    """The DataFrame-of-queries ADC/IVF-PQ paths must return bit-identical
+    results to the per-query loop paths (shared DECIMAL(18,6) LUT
+    contract)."""
+    from griddb_spark.pipeline import (
+        ivfpq_topk,
+        ivfpq_topk_batch,
+        pq_adc_topk,
+        pq_adc_topk_batch,
+        pq_encode,
+        pq_train,
+    )
+
+    books = pq_train(emb, "vec_id", "embedding", in_dim=64, m=4, k=8, iters=1)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    qs = [(r.vec_id, list(r.embedding))
+          for r in emb.filter(F.col("vec_id") < 5).collect()]
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    loop = sorted(map(tuple, pq_adc_topk(codes, books, qs, topk=5).collect()))
+    batch = sorted(map(tuple,
+                       pq_adc_topk_batch(codes, books, qdf, topk=5).collect()))
+    assert loop == batch and len(loop) == 25
+    loop2 = sorted(map(tuple, ivfpq_topk(
+        emb, "vec_id", "embedding", 64, qs,
+        coarse_k=8, m=4, k=8, nprobe=2, topk=5).collect()))
+    batch2 = sorted(map(tuple, ivfpq_topk_batch(
+        emb, "vec_id", "embedding", 64, qdf,
+        coarse_k=8, m=4, k=8, nprobe=2, topk=5).collect()))
+    assert loop2 == batch2 and len(loop2) == 25

@@ -428,3 +428,37 @@ def test_kmv_partial_max_combines_before_exchange(spark):
     # the distinct on (group, hash) must partially aggregate map-side so
     # the exchange carries combined registers, not raw rows
     assert "partial" in plan.lower()
+
+
+def test_write_curated_broadcasts_drop_set_not_keep_set(spark):
+    """VERDICT r5 #1: the curated-publish join must broadcast the small
+    DROP-set as a left-anti build side — broadcasting the keep-set (the
+    majority of the corpus) is a driver-killer at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark import workload
+    from griddb_spark.pipeline.dedup import _anti_join_losers
+
+    report = workload.QUERIES["pipe_curation_report"](spark, SF_DIR)
+    drop = report.filter(F.col("keep") == 0).select("doc_id")
+    docs = workload.cat(spark, SF_DIR).load("documents")
+    kept = _anti_join_losers(
+        docs.filter(F.col("doc_id") % 41 != 0), drop, "doc_id"
+    )
+    plan = _plan(kept)
+    # anti-join against the drop list, broadcast build side = drop side
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    # the old corpus-scale shape: a keep-set broadcast left-semi
+    assert "LeftSemi" not in plan
+
+
+def test_ivfpq_batch_single_join_tree_no_union(spark):
+    """VERDICT r5 #3: batch ANN serving must be ONE join tree — the
+    point-probe form folds a plan branch per query with unionAll, which
+    is O(|queries|) driver-built branches at a 10^4-query batch."""
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["pipe_ann_ivfpq_batch"](spark, SF_DIR))
+    assert "Union" not in plan
+    # probe routing and LUT both arrive as broadcast joins
+    assert "BroadcastHashJoin" in plan
