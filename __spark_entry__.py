@@ -88,10 +88,36 @@ _SAMPLED_R1_R4 = [
 ]
 
 
+#: Queries the round-5 driver sampled (CORRECTNESS_r05.json) — rotated
+#: behind the never-sampled tail like _SAMPLED_R1_R4.
+_SAMPLED_R5 = [
+    "meta_statement_resources", "nosql_fetch_all", "nosql_multiput",
+    "pipe_ann_ivf_trained", "pipe_bm25_search", "pipe_boilerplate_removal",
+    "pipe_bpe_pairs", "pipe_bpe_train", "pipe_ccnet_buckets",
+    "pipe_chunk_embed_pool", "pipe_classifier_score",
+    "pipe_cluster_kmeans", "pipe_curation_report", "pipe_decontam_bloom",
+    "pipe_decontam_semantic", "pipe_dedup_canonical_best",
+    "pipe_dedup_embed_canonical", "pipe_dedup_embed_canonical_ann",
+    "pipe_dedup_incremental", "pipe_dedup_spans", "pipe_dsir_select",
+    "pipe_embed_rp", "pipe_encode_tokens", "pipe_inverted_index",
+    "pipe_media_dedup", "pipe_media_neardup", "pipe_mix_budget",
+    "pipe_mix_temperature", "pipe_prune_prototypes",
+    "pipe_quality_threshold", "pipe_sample_fixed_k", "pipe_semdedup",
+    "pipe_sketch_cms", "pipe_sketch_distinct", "pipe_sketch_hll",
+    "pipe_sketch_quantile", "pipe_snapshot_diff", "pipe_tfidf_top_terms",
+    "pipe_train_split", "pipe_write_shards", "q3_shipping_priority",
+    "q5_local_supplier", "q6_forecast_revenue",
+    "sql_frontend_leading_hint", "sql_frontend_row_count_hint",
+    "stream_cluster_assign", "stream_distinct_sketch",
+    "stream_freq_sketch", "stream_quantile_sketch", "window_range_frames",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from griddb_spark import workload
 
-    seen = [n for n in _SAMPLED_R1_R4 if n in workload.QUERIES]
+    seen = [n for n in _SAMPLED_R1_R4 + _SAMPLED_R5
+            if n in workload.QUERIES]
     fresh = [n for n in workload.QUERIES if n not in set(seen)]
     return {n: workload.QUERIES[n] for n in fresh + seen}
 

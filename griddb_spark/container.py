@@ -92,17 +92,42 @@ class Collection:
         return cond
 
     def fetch(self, df: DataFrame | None = None, limit: int | None = None,
-              partial: bool = False):
+              partial: bool = False, fetch_size: int | None = None):
         """ResultSet fetch (result_set.cpp partial-execution mode).
 
         ``partial=True`` returns a row iterator (``toLocalIterator`` — the
         suspended-cursor analog: partitions stream to the driver on demand
         instead of one full collect); else a collected list.
+
+        ``fetch_size`` (with ``partial=True``) yields size-bounded PAGES
+        of rows instead of single rows — the ``ResultSet`` fetch-size page
+        contract (``result_set.cpp`` suspended-cursor sizing): each page
+        materializes at most ``fetch_size`` rows driver-side, and the
+        underlying partition stream is still pulled on demand, so a 10⁹-row
+        result is walked in bounded memory.
         """
         d = df if df is not None else self._df
         if limit is not None:
             d = d.limit(limit)
-        return d.toLocalIterator() if partial else d.collect()
+        if not partial:
+            return d.collect()
+        it = d.toLocalIterator()
+        if fetch_size is None:
+            return it
+        if fetch_size <= 0:
+            raise ValueError(f"fetch_size must be > 0, got {fetch_size}")
+
+        def pages():
+            page = []
+            for row in it:
+                page.append(row)
+                if len(page) >= fetch_size:
+                    yield page
+                    page = []
+            if page:
+                yield page
+
+        return pages()
 
     def multi_get_range(self, start=None, end=None) -> DataFrame:
         """multiGet with a RowKeyPredicate range."""

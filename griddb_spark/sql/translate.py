@@ -137,6 +137,42 @@ def _apply_table_row_count(sql: str) -> str:
             + out[owner.end():])
 
 
+#: GridDB's execution-resource hint ``MaxDegreeOfParallelism(n)``
+#: (sql_compiler.h:36-64 MAX_DEGREE_OF_PARALLELISM — caps a statement's
+#: task parallelism). Spark's statement-level analog is the
+#: ``REPARTITION(n)`` hint: it pins the shuffle partition count for the
+#: hinted SELECT, bounding the number of concurrent tasks the stage can
+#: occupy. Anchored to the hint's own SELECT like TableRowCount. The
+#: remaining resource hints (MAX_DEGREE_OF_TASK_INPUT,
+#: DISTRIBUTED_POLICY, index hints) stay deliberately Catalyst/AQE-owned
+#: and are stripped.
+_DOP_RE = re.compile(
+    r"MaxDegreeOfParallelism\s*\(\s*(\d+)\s*\)", re.IGNORECASE
+)
+
+
+def _apply_max_dop(sql: str) -> str:
+    first = _DOP_RE.search(sql)
+    out = _DOP_RE.sub("", sql)
+    if not first:
+        return out
+    n = int(first.group(1))
+    if n <= 0:
+        return out
+    owner = None
+    for sel in re.finditer(r"\bSELECT\b", out, re.IGNORECASE):
+        if sel.start() > first.start():
+            break
+        owner = sel
+    if owner is None:
+        owner = re.search(r"\bSELECT\b", out, re.IGNORECASE)
+    if not owner:
+        return out
+    return (out[: owner.end()]
+            + f" /*+ REPARTITION({n}) */"
+            + out[owner.end():])
+
+
 #: GridDB 5.8 time-unit frame boundary — ``RANGE BETWEEN (10, MINUTE)
 #: PRECEDING`` (GridDB-5.8-CE-RELEASE_NOTES.md FRAME-clause) → Spark's
 #: interval-literal range boundary over a timestamp ordering.
@@ -152,10 +188,11 @@ def rewrite_sql(sql: str) -> str:
     """Token-level GridDB SQL → Spark SQL rewrite (no structure change)."""
     out = sql
 
-    # TableRowCount first: stripping its token from a multi-hint comment
-    # (GridDB packs several hints per /*+ ... */) leaves a pure
-    # Leading(...) comment for _apply_leading to match.
+    # TableRowCount/MaxDegreeOfParallelism first: stripping their tokens
+    # from a multi-hint comment (GridDB packs several hints per
+    # /*+ ... */) leaves a pure Leading(...) comment for _apply_leading.
     out = _apply_table_row_count(out)
+    out = _apply_max_dop(out)
     out = _apply_leading(out)
 
     def _hint(m: re.Match) -> str:
@@ -503,15 +540,58 @@ def prepare(
     return PreparedStatement(spark, catalog, sql, tables)
 
 
+def _executed_plan_with_metrics(inner: DataFrame) -> list[tuple[int, str, str]]:
+    """EXECUTE the query and serialize the physical plan with per-node
+    runtime actuals (numOutputRows, shuffle bytes, peak memory, …) — the
+    EXPLAIN ANALYZE contract: GridDB runs the statement and serializes
+    the executed task plan with actual row counts
+    (``sql_execution.h:835-838``, ``sql_execution.cpp:3234-3241``).
+
+    The plan runs once via ``executedPlan().execute().count()`` (a job
+    over the InternalRow RDD — nothing is materialized to the driver),
+    which populates every node's SQLMetrics; the tree walk then descends
+    through AQE wrappers (AdaptiveSparkPlanExec → final plan, QueryStage
+    shells → their materialized subplans) so the emitted rows are the
+    plan that actually executed, not the initial static one.
+    """
+    qe = inner._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    rows: list[tuple[int, str, str]] = []
+
+    def walk(node, depth: int) -> None:
+        cls = node.getClass().getSimpleName()
+        pairs = []
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            pairs.append((kv._1(), kv._2().value()))
+        mets = ", ".join(f"{k}={v}" for k, v in sorted(pairs))
+        rows.append((len(rows), "  " * depth + node.nodeName(), mets))
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan(), depth + 1)
+            return
+        if "QueryStage" in cls:  # Shuffle/Broadcast/Result stage shells
+            walk(node.plan(), depth + 1)
+            return
+        cit = node.children().iterator()
+        while cit.hasNext():
+            walk(cit.next(), depth + 1)
+
+    walk(qe.executedPlan(), 0)
+    return rows
+
+
 def griddb_sql(
     spark: SparkSession, catalog: ContainerCatalog, sql: str,
     params: list | None = None,
 ) -> DataFrame:
     """Run a GridDB SQL statement on Spark.
 
-    ``EXPLAIN <sql>`` returns the optimized logical plan as rows,
-    ``EXPLAIN ANALYZE <sql>`` the physical plan (GridDB serializes its task
-    plan the same way — ``SyntaxTree::EXPLAIN_PLAN/EXPLAIN_ANALYZE``,
+    ``EXPLAIN <sql>`` returns the optimized logical plan as rows;
+    ``EXPLAIN ANALYZE <sql>`` EXECUTES the statement and returns the
+    physical plan with per-node runtime actuals (GridDB serializes its
+    executed task plan with actual row counts the same way —
+    ``SyntaxTree::EXPLAIN_PLAN/EXPLAIN_ANALYZE``,
     ``sql_execution.cpp:3234-3241``).
 
     ``params`` binds ``?`` placeholders positionally (GridDB prepared
@@ -521,13 +601,13 @@ def griddb_sql(
     me = _EXPLAIN_RE.match(sql)
     if me:
         inner = griddb_sql(spark, catalog, sql[me.end():], params=params)
+        if me.group("analyze"):
+            return spark.createDataFrame(
+                _executed_plan_with_metrics(inner),
+                "id int, plan string, metrics string",
+            )
         qe = inner._jdf.queryExecution()
-        text = (
-            qe.executedPlan().toString()
-            if me.group("analyze")
-            else qe.optimizedPlan().toString()
-        )
-        rows = list(enumerate(text.splitlines()))
+        rows = list(enumerate(qe.optimizedPlan().toString().splitlines()))
         return spark.createDataFrame(rows, "id int, plan string")
     if _RANGE_RE.search(sql):
         return _exec_group_by_range(spark, catalog, sql)

@@ -1259,6 +1259,32 @@ def sql_frontend_row_count_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_frontend_dop_hint",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders WHERE o_totalprice > 1000
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_frontend_dop_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridDB ``/*+ MaxDegreeOfParallelism(n) */`` execution-resource
+    hint (sql_compiler.h:36-64 MAX_DEGREE_OF_PARALLELISM — caps the
+    statement's task parallelism). Spark's statement-level lever is the
+    ``REPARTITION(n)`` hint, which pins the shuffle partition count for
+    the hinted SELECT; the plan test pins the partition count. Result
+    set identical either way."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    c = cat(spark, sf_dir)
+    return griddb_sql(
+        spark, c,
+        "SELECT /*+ MaxDegreeOfParallelism(4) */ o_orderpriority, "
+        "count(*) AS n FROM orders WHERE o_totalprice > 1000 "
+        "GROUP BY o_orderpriority",
+    )
+
+
+@query(
     "match_recognize_spikes",
     f"""
     WITH e AS ({_DUCK_EV}),
@@ -2244,11 +2270,28 @@ def partition_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query("sql_explain")  # no oracle: plan text is engine-specific by nature
 def sql_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXPLAIN / EXPLAIN ANALYZE (SyntaxTree::EXPLAIN_PLAN/EXPLAIN_ANALYZE,
-    sql_execution.h:835-838, sql_execution.cpp:3234-3241): the SQL
-    front-end maps EXPLAIN → optimized logical plan rows and EXPLAIN
-    ANALYZE → executed physical plan rows (df.explain surface). Rows-only
-    driver check — plan text differs per engine by design."""
+    """EXPLAIN (SyntaxTree::EXPLAIN_PLAN, sql_execution.h:835-838):
+    optimized logical plan rows, statement NOT executed. Rows-only driver
+    check — plan text differs per engine by design."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    c = cat(spark, sf_dir)
+    return griddb_sql(
+        spark, c,
+        "EXPLAIN SELECT o_orderpriority, count(*) AS n "
+        "FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderpriority",
+    )
+
+
+@query("sql_explain_analyze")  # no oracle: plan text + live metrics
+def sql_explain_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN ANALYZE (SyntaxTree::EXPLAIN_ANALYZE; GridDB executes the
+    statement and serializes the task plan with ACTUAL row counts,
+    sql_execution.cpp:3234-3241): the statement runs once and every
+    physical node is emitted with its populated SQLMetrics
+    (numOutputRows, shuffle bytes, peak memory, …) — executed-plan
+    actuals, not the static plan. Rows-only driver check — metric values
+    are live by nature."""
     from griddb_spark.sql.translate import griddb_sql
 
     c = cat(spark, sf_dir)

@@ -103,3 +103,23 @@ def test_point_lookup_prunes_to_one_hash_leaf(spark, catalog, tmp_path):
         "PartitionFilters")[1][:200]
     got = {r.user_id for r in df.select("user_id").distinct().collect()}
     assert got <= {3}
+
+
+def test_fetch_partial_pages_10k_rows_at_size_100(spark):
+    """ResultSet partial fetch with a fetch-size page contract
+    (result_set.cpp suspended-cursor sizing): a 10k-row container walked
+    at fetch_size=100 yields exactly 100 pages of 100, in order, without
+    a full collect."""
+    from griddb_spark.container import Collection
+
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS v")
+    c = Collection("pages", df, row_key="id")
+    pages = list(c.fetch(df=df.orderBy("id"), partial=True, fetch_size=100))
+    assert len(pages) == 100
+    assert all(len(p) == 100 for p in pages)
+    assert pages[0][0].id == 0 and pages[-1][-1].id == 9_999
+    # ragged tail: 250 rows at size 100 -> 100, 100, 50
+    tail = list(c.fetch(df=df.limit(250), partial=True, fetch_size=100))
+    assert [len(p) for p in tail] == [100, 100, 50]
+    with pytest.raises(ValueError):
+        c.fetch(partial=True, fetch_size=0)

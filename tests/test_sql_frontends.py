@@ -392,3 +392,49 @@ def test_tql_geometry_mbr_intersects_rect_and_wkt(spark):
         "ST_MBRINTERSECTS(geom, ST_MAKERECT(0, 0, 100, 100))"
     ).collect()}
     assert got3 == {2, 3, 4}
+
+
+def test_max_dop_hint_maps_to_repartition(spark, catalog):
+    """/*+ MaxDegreeOfParallelism(n) */ (sql_compiler.h:36-64) maps to
+    the REPARTITION(n) hint: the hinted SELECT's shuffle lands on exactly
+    n partitions."""
+    from griddb_spark.sql.translate import griddb_sql, rewrite_sql
+
+    out = rewrite_sql(
+        "SELECT /*+ MaxDegreeOfParallelism(4) */ o_orderpriority, count(*)"
+        " FROM orders GROUP BY o_orderpriority")
+    assert "/*+ REPARTITION(4) */" in out
+    assert "MaxDegreeOfParallelism" not in out
+    df = griddb_sql(
+        spark, catalog,
+        "SELECT /*+ MaxDegreeOfParallelism(4) */ o_orderpriority, "
+        "count(*) AS n FROM orders GROUP BY o_orderpriority")
+    assert df.rdd.getNumPartitions() == 4
+    # anchored: a hint inside a CTE body must not move, and an invalid
+    # n is dropped rather than crashing
+    out2 = rewrite_sql(
+        "SELECT /*+ MaxDegreeOfParallelism(0) */ 1 AS x FROM orders")
+    assert "REPARTITION" not in out2
+
+
+def test_explain_analyze_returns_runtime_metrics(spark, catalog):
+    """EXPLAIN ANALYZE executes the statement and returns per-node
+    SQLMetric actuals (sql_execution.cpp:3234-3241 serializes the
+    executed task plan with actual row counts)."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    rows = griddb_sql(
+        spark, catalog,
+        "EXPLAIN ANALYZE SELECT o_orderpriority, count(*) AS n "
+        "FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderpriority",
+    ).collect()
+    assert rows[0].__fields__ == ["id", "plan", "metrics"]
+    mets = " | ".join(r.metrics for r in rows)
+    assert "numOutputRows=" in mets  # actuals populated, not static plan
+    n_out = [int(m.split("numOutputRows=")[1].split(",")[0].strip())
+             for r in rows for m in [r.metrics] if "numOutputRows=" in m]
+    assert any(v > 0 for v in n_out)
+    # plain EXPLAIN stays the (non-executed) logical plan, 2 columns
+    plain = griddb_sql(spark, catalog,
+                       "EXPLAIN SELECT count(*) AS n FROM orders")
+    assert plain.columns == ["id", "plan"]
