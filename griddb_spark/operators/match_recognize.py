@@ -858,6 +858,205 @@ def _try_fast_path(
     return matched.select(*out_cols)
 
 
+def _try_fast_path_two_var(
+    df: DataFrame,
+    pattern: str,
+    define: Mapping[str, str],
+    measures: Mapping[str, str] | None,
+    partition_by: Sequence[str],
+    order_by: str,
+    all_rows: bool,
+    out_schema: T.StructType,
+) -> DataFrame | None:
+    """Compile a TWO-variable MATCH_RECOGNIZE (``A B``, ``A+ B``,
+    ``A B+``, ``A+ B+``) to pure window Columns — the common
+    spike-then-recover shape, JVM-side instead of the Python NFA.
+
+    Soundness rests on a runtime guard: when no row satisfies BOTH
+    DEFINEs (one cheap pre-scan of the two boolean columns), the greedy
+    NFA's matches under AFTER MATCH SKIP PAST LAST ROW are exactly
+    "run of A-rows (maximal for ``A+``, the single run-last row for
+    ``A``) followed immediately by a non-empty B-run" — backtracking
+    inside the A-run can never succeed (every interior next-row is an
+    A-row, hence not B), matches can't overlap, and a match can never
+    start mid-A-run (the scan pointer reaches a run's first row before
+    its interior). Rows where A∧B would make match selection genuinely
+    sequential — those frames fall back to the NFA, as do streaming
+    frames (the guard needs an action) and ALL ROWS PER MATCH.
+
+    MEASURES supported: plain column refs (value at the match's LAST
+    row, the NFA's evaluation point), FIRST(x)/LAST(x), MATCH_NUMBER(),
+    CLASSIFIER() (→ the B variable: the last row's label). Anything
+    else — PREV/NEXT in measures, match-dependent DEFINEs — falls back.
+    """
+    from pyspark.sql import Window
+
+    if all_rows or df.isStreaming:
+        return None
+    try:
+        tokens = _PatternParser._tokenize(pattern)
+    except ValueError:
+        return None
+    # accepted shapes: A B | A+ B | A B+ | A+ B+
+    vars_q: list[tuple[str, bool]] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if not (t[0].isalpha() or t[0] in "_$"):
+            return None
+        plus = i + 1 < len(tokens) and tokens[i + 1] == "+"
+        vars_q.append((t, plus))
+        i += 2 if plus else 1
+    if len(vars_q) != 2 or vars_q[0][0] == vars_q[1][0]:
+        return None
+    (var_a, a_plus), (var_b, b_plus) = vars_q
+
+    w = (
+        Window.partitionBy(*partition_by).orderBy(order_by)
+        if partition_by
+        else Window.partitionBy(F.lit(1)).orderBy(order_by)
+    )
+
+    def _cond(var: str):
+        if var not in define:
+            return F.lit(True)
+        c, _ = _jvm_translate(
+            ast.parse(define[var], mode="eval").body, w, var, False
+        )
+        return F.coalesce(c, F.lit(False))
+
+    # measures → (name, kind, payload): kind ∈ first|last|match_no|classifier
+    try:
+        cond_a, cond_b = _cond(var_a), _cond(var_b)
+        mspec: list[tuple[str, str, object]] = []
+        for name, text in (measures or {}).items():
+            tree = ast.parse(text, mode="eval").body
+            # match-dependent calls are only handled at the TOP level of a
+            # measure; nested (e.g. FIRST(x) + 1) the generic translator
+            # would collapse them to the current row — fall back instead
+            for sub in ast.walk(tree):
+                if (
+                    sub is not tree
+                    and isinstance(sub, ast.Call)
+                    and isinstance(sub.func, ast.Name)
+                    and sub.func.id in ("FIRST", "LAST", "CLASSIFIER",
+                                        "MATCH_NUMBER")
+                ):
+                    raise _NotFast("nested match-dependent call")
+            if isinstance(tree, ast.Call) and isinstance(tree.func, ast.Name):
+                fn = tree.func.id
+                if fn == "MATCH_NUMBER":
+                    mspec.append((name, "match_no", None))
+                    continue
+                if fn == "CLASSIFIER":
+                    mspec.append((name, "classifier", None))
+                    continue
+                if fn in ("FIRST", "LAST"):
+                    inner, ui = _jvm_translate(
+                        tree.args[0], w, var_b, True
+                    )
+                    if ui:
+                        raise _NotFast("window shift inside FIRST/LAST")
+                    mspec.append(
+                        (name, "first" if fn == "FIRST" else "last", inner)
+                    )
+                    continue
+            mc, um = _jvm_translate(tree, w, var_b, True)
+            if um:
+                raise _NotFast("PREV/NEXT in two-var measures")
+            mspec.append((name, "last", mc))  # NFA evals at rows[-1]
+    except _NotFast:
+        return None
+
+    first_exprs = {n: e for n, k, e in mspec if k == "first"}
+    last_exprs = {n: e for n, k, e in mspec if k == "last"}
+
+    staged = df.select(
+        "*",
+        cond_a.alias("__a"),
+        cond_b.alias("__b"),
+        *[e.alias(f"__fx_{n}") for n, e in first_exprs.items()],
+        *[e.alias(f"__lx_{n}") for n, e in last_exprs.items()],
+    )
+    # the soundness guard: any A∧B row → sequential match selection → NFA
+    if staged.filter(F.col("__a") & F.col("__b")).limit(1).count() > 0:
+        return None
+
+    a, b = F.col("__a"), F.col("__b")
+    run = staged.select(
+        "*",
+        F.row_number().over(w).alias("__rn"),
+        F.sum((a & ~F.coalesce(F.lag(a).over(w), F.lit(False))).cast("int"))
+        .over(w).alias("__arun"),
+        F.sum((b & ~F.coalesce(F.lag(b).over(w), F.lit(False))).cast("int"))
+        .over(w).alias("__brun"),
+    )
+    wa = (
+        Window.partitionBy(*partition_by, "__arun", "__a")
+        if partition_by
+        else Window.partitionBy(F.lit(1), "__arun", "__a")
+    ).orderBy("__rn").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wb = (
+        Window.partitionBy(*partition_by, "__brun", "__b")
+        if partition_by
+        else Window.partitionBy(F.lit(1), "__brun", "__b")
+    ).orderBy("__rn").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # per-row run aggregates (meaningful on the rows of that run)
+    run = run.select(
+        "*",
+        *[F.first(F.col(f"__fx_{n}")).over(wa).alias(f"__fv_{n}")
+          for n in first_exprs],
+        *[F.last(F.col(f"__lx_{n}")).over(wb).alias(f"__bend_{n}")
+          for n in last_exprs],
+    )
+    w2 = (
+        Window.partitionBy(*partition_by).orderBy("__rn")
+        if partition_by
+        else Window.partitionBy(F.lit(1)).orderBy("__rn")
+    )
+    anchor = a & F.coalesce(F.lead(b).over(w2), F.lit(False))
+    lastcols = {
+        n: (F.lead(F.col(f"__bend_{n}")).over(w2) if b_plus
+            else F.lead(F.col(f"__lx_{n}")).over(w2))
+        for n in last_exprs
+    }
+    firstcols = {
+        n: (F.col(f"__fv_{n}") if a_plus else F.col(f"__fx_{n}"))
+        for n in first_exprs
+    }
+    cand = run.select(
+        "*",
+        anchor.alias("__anchor"),
+        *[c.alias(f"__mv_{n}") for n, c in lastcols.items()],
+    )
+    w_no = (
+        Window.partitionBy(*partition_by).orderBy("__rn")
+        if partition_by
+        else Window.partitionBy(F.lit(1)).orderBy("__rn")
+    )
+    matched = cand.filter(F.col("__anchor")).withColumn(
+        "__match_no", F.row_number().over(w_no).cast("long")
+    )
+    type_of = {f.name: f.dataType for f in out_schema.fields}
+    out_cols: list = [F.col(c) for c in partition_by]
+    for name, kind, _payload in mspec:
+        if kind == "match_no":
+            src = F.col("__match_no")
+        elif kind == "classifier":
+            src = F.lit(var_b)  # measures evaluate at the last row (a B)
+        elif kind == "first":
+            src = firstcols[name]
+        else:
+            src = F.col(f"__mv_{name}")
+        out_cols.append(src.cast(type_of[name]).alias(name))
+    out_cols.append(F.col("__match_no").alias("match_no"))
+    return matched.select(*out_cols)
+
+
 def match_recognize(
     df: DataFrame,
     pattern: str,
@@ -895,6 +1094,14 @@ def match_recognize(
         df, pattern, define, measures, partition_by, order_by, all_rows,
         out_schema,
     )
+    if fast is None:
+        # two-variable sequences (A+ B+ spike-then-recover et al.) have
+        # their own window compilation, guarded by a runtime A∧B
+        # disjointness check (see _try_fast_path_two_var)
+        fast = _try_fast_path_two_var(
+            df, pattern, define, measures, partition_by, order_by,
+            all_rows, out_schema,
+        )
     if fast is not None:
         return fast
 

@@ -1315,6 +1315,58 @@ def match_recognize_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "match_recognize_two_var",
+    f"""
+    WITH e AS ({_DUCK_EV}),
+    r0 AS (SELECT user_id, ts, value,
+             value >= 150 AS a, value < 150 AS b,
+             row_number() OVER w AS rn,
+             coalesce(lag(value >= 150) OVER w, FALSE) AS pa,
+             coalesce(lag(value < 150) OVER w, FALSE) AS pb
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    r AS (SELECT user_id, ts, value, a, b, rn,
+            sum(CASE WHEN a AND NOT pa THEN 1 ELSE 0 END) OVER w AS arun,
+            sum(CASE WHEN b AND NOT pb THEN 1 ELSE 0 END) OVER w AS brun
+          FROM r0 WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+    r2 AS (SELECT *,
+             min(ts) OVER (PARTITION BY user_id, arun, a) AS run_start_ts,
+             max(ts) OVER (PARTITION BY user_id, brun, b) AS bend_ts,
+             last_value(value) OVER (
+               PARTITION BY user_id, brun, b ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS bend_value
+           FROM r),
+    anch AS (SELECT *, lead(bend_ts) OVER w2 AS end_ts,
+                    lead(bend_value) OVER w2 AS end_value,
+                    coalesce(lead(b) OVER w2, FALSE) AS nb
+             FROM r2 WINDOW w2 AS (PARTITION BY user_id ORDER BY rn))
+    SELECT user_id, run_start_ts AS start_ts, end_ts, end_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY rn) AS match_no
+    FROM anch WHERE a AND nb
+    """,
+)
+def match_recognize_two_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE two-variable sequence (OP_WINDOW_MATCH, 5.9): the
+    spike-then-recover shape ``A+ B+`` — a maximal run of high readings
+    followed by at least one recovery row, ONE ROW PER MATCH. The
+    row-disjoint DEFINEs put this on the JVM window fast path (no Python
+    NFA in the plan — plan-tested); the oracle replays the run/anchor
+    window algebra. AFTER MATCH SKIP PAST LAST ROW semantics throughout."""
+    from griddb_spark.operators import match_recognize
+
+    ev = cat(spark, sf_dir).load("events")
+    return match_recognize(
+        ev,
+        pattern="A+ B+",
+        define={"A": "value >= 150", "B": "value < 150"},
+        measures={"start_ts": "FIRST(ts)", "end_ts": "LAST(ts)",
+                  "end_value": "LAST(value)"},
+        partition_by=["user_id"],
+        order_by="ts",
+    )
+
+
 # ===========================================================================
 # pipeline operators — dedup / similarity / text analysis / multimodal
 # (beyond the reference surface; griddb_spark.pipeline)
