@@ -882,7 +882,13 @@ def _try_fast_path_two_var(
     start mid-A-run (the scan pointer reaches a run's first row before
     its interior). Rows where A∧B would make match selection genuinely
     sequential — those frames fall back to the NFA, as do streaming
-    frames (the guard needs an action) and ALL ROWS PER MATCH.
+    frames (the guard needs an action).
+
+    ALL ROWS PER MATCH is supported: membership and the match-level
+    measures/match_no propagate from the anchor row (the run-last A-row)
+    to its A-run via the run window and to the attached B-run via a
+    lag-then-first-value staging — a few extra passes over the same
+    partition sort, still zero Python.
 
     MEASURES supported: plain column refs (value at the match's LAST
     row, the NFA's evaluation point), FIRST(x)/LAST(x), MATCH_NUMBER(),
@@ -891,7 +897,7 @@ def _try_fast_path_two_var(
     """
     from pyspark.sql import Window
 
-    if all_rows or df.isStreaming:
+    if df.isStreaming:
         return None
     try:
         tokens = _PatternParser._tokenize(pattern)
@@ -1028,33 +1034,92 @@ def _try_fast_path_two_var(
         n: (F.col(f"__fv_{n}") if a_plus else F.col(f"__fx_{n}"))
         for n in first_exprs
     }
+    # every match-level measure value, materialized AT the anchor row
+    mv_at_anchor = dict(lastcols)
+    mv_at_anchor.update(firstcols)
     cand = run.select(
         "*",
         anchor.alias("__anchor"),
-        *[c.alias(f"__mv_{n}") for n, c in lastcols.items()],
-    )
-    w_no = (
-        Window.partitionBy(*partition_by).orderBy("__rn")
-        if partition_by
-        else Window.partitionBy(F.lit(1)).orderBy("__rn")
-    )
-    matched = cand.filter(F.col("__anchor")).withColumn(
-        "__match_no", F.row_number().over(w_no).cast("long")
+        *[c.alias(f"__mv_{n}") for n, c in mv_at_anchor.items()],
     )
     type_of = {f.name: f.dataType for f in out_schema.fields}
-    out_cols: list = [F.col(c) for c in partition_by]
+
+    if not all_rows:
+        matched = cand.filter(F.col("__anchor")).withColumn(
+            "__match_no", F.row_number().over(w2).cast("long")
+        )
+        out_cols: list = [F.col(c) for c in partition_by]
+        for name, kind, _payload in mspec:
+            if kind == "match_no":
+                src = F.col("__match_no")
+            elif kind == "classifier":
+                src = F.lit(var_b)  # measures evaluate at the last row (B)
+            else:
+                src = F.col(f"__mv_{name}")
+            out_cols.append(src.cast(type_of[name]).alias(name))
+        out_cols.append(F.col("__match_no").alias("match_no"))
+        return matched.select(*out_cols)
+
+    # ---- ALL ROWS PER MATCH: propagate anchor-level values to the run --
+    mnames = list(mv_at_anchor)
+    w_run = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s1 = cand.select(
+        "*",
+        F.sum(F.col("__anchor").cast("long")).over(w_run).alias("__running"),
+        # A-side: the anchor sits inside the same (arun, a) group
+        F.max(F.col("__anchor").cast("int")).over(wa).alias("__arun_hit"),
+        *[F.first(F.when(F.col("__anchor"), F.col(f"__mv_{n}")), True)
+          .over(wa).alias(f"__amv_{n}") for n in mnames],
+        # B-side staging: the anchor is the row right before the b-run
+        F.coalesce(F.lag(F.col("__anchor")).over(w2), F.lit(False))
+        .alias("__laganchor"),
+        *[F.lag(F.col(f"__mv_{n}")).over(w2).alias(f"__lagmv_{n}")
+          for n in mnames],
+    )
+    if b_plus:
+        s2 = s1.select(
+            "*",
+            F.first(F.col("__laganchor")).over(wb).alias("__batt"),
+            *[F.first(F.col(f"__lagmv_{n}")).over(wb).alias(f"__bmv_{n}")
+              for n in mnames],
+        )
+    else:
+        s2 = s1.select(
+            "*",
+            F.col("__laganchor").alias("__batt"),
+            *[F.col(f"__lagmv_{n}").alias(f"__bmv_{n}") for n in mnames],
+        )
+    amem = a & (
+        (F.col("__arun_hit") == 1) if a_plus else F.col("__anchor")
+    )
+    bmem = b & F.col("__batt")
+    if not b_plus:
+        # single B: only the run's first row (the one right after the
+        # anchor) joins the match
+        bmem = bmem & F.col("__laganchor")
+    mno = F.when(F.col("__anchor"), F.col("__running")).otherwise(
+        F.when(amem, F.col("__running") + 1).otherwise(F.col("__running"))
+    ).cast("long")
+    rows = s2.filter(amem | bmem).select(
+        "*", amem.alias("__amem"), mno.alias("__match_no")
+    )
+    out_cols = [F.col(f.name) for f in df.schema.fields]
+    out_cols.append(
+        F.when(F.col("__amem"), F.lit(var_a)).otherwise(F.lit(var_b))
+        .alias("classifier")
+    )
     for name, kind, _payload in mspec:
         if kind == "match_no":
             src = F.col("__match_no")
         elif kind == "classifier":
-            src = F.lit(var_b)  # measures evaluate at the last row (a B)
-        elif kind == "first":
-            src = firstcols[name]
+            src = F.lit(var_b)  # NFA evals measures once, at the last row
         else:
-            src = F.col(f"__mv_{name}")
+            src = F.when(
+                F.col("__amem"), F.col(f"__amv_{name}")
+            ).otherwise(F.col(f"__bmv_{name}"))
         out_cols.append(src.cast(type_of[name]).alias(name))
     out_cols.append(F.col("__match_no").alias("match_no"))
-    return matched.select(*out_cols)
+    return rows.select(*out_cols)
 
 
 def match_recognize(

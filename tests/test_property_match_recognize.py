@@ -207,20 +207,22 @@ def _two_var_spec(pattern):
     )
 
 
+@pytest.mark.parametrize("all_rows", [False, True])
 @pytest.mark.parametrize("pattern", ["A+ B+", "A B", "A+ B", "A B+"])
 def test_two_var_fast_path_row_identical_to_nfa(
-    spark, catalog, monkeypatch, pattern
+    spark, catalog, monkeypatch, pattern, all_rows
 ):
     """VERDICT r5 #7: two-variable sequences (the spike-then-recover
     shape) compile to pure window Columns when the DEFINEs are
-    row-disjoint; all four quantifier forms must be row-identical to
-    the NFA."""
+    row-disjoint; all four quantifier forms, in BOTH one-row and
+    all-rows modes, must be row-identical to the NFA."""
     import importlib
 
     mr = importlib.import_module("griddb_spark.operators.match_recognize")
 
     ev = catalog.load("events").limit(4000)
     spec = _two_var_spec(pattern)
+    spec["all_rows"] = all_rows
     fast = mr.match_recognize(ev, **spec)
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan, pattern
@@ -229,7 +231,11 @@ def test_two_var_fast_path_row_identical_to_nfa(
     slow = mr.match_recognize(ev, **spec)
     assert "FlatMapGroupsInPandas" in slow._jdf.queryExecution().executedPlan().toString()
 
-    key = lambda r: (r.user_id, r.m)  # noqa: E731
+    key = (
+        (lambda r: (r.user_id, r.m, r.ts))
+        if all_rows
+        else (lambda r: (r.user_id, r.m))
+    )
     got_f = sorted(fast.collect(), key=key)
     got_s = sorted(slow.collect(), key=key)
     assert fast.columns == slow.columns
