@@ -97,6 +97,7 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     knn_bruteforce,
     l2_normalize,
     linear_probe_score,
+    logreg_train,
     max_sim_vs_bench,
     adc_lut_df,
     ivfpq_topk,

@@ -156,6 +156,78 @@ def linear_probe_score(
     return df.withColumn(score_col, score)
 
 
+def logreg_train(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    iters: int = 2,
+    lr: float = 0.1,
+    round_to: int = 6,
+) -> list[tuple[int, float]]:
+    """Train the linear quality-filter head ON the cluster — the other
+    half of :func:`linear_probe_score`'s workflow (train on a labeled
+    sample, then score 100 TB with the broadcast weights).
+
+    Full-batch logistic gradient descent, deterministic by the repo's
+    fixed-point contract: per-row gradient contributions are rounded once
+    and fixed as DECIMAL(18,6), so the per-position sums are
+    order-independent (any partitioning, any engine — the DSIR trick),
+    and weight updates round half-away-from-zero at ``round_to``. The
+    dot product is the element-order ``zip_with`` fold (IEEE-identical to
+    DuckDB's ``list_dot_product``), so a SQL oracle replays training
+    bit-for-bit.
+
+    Scale shape per iteration: ONE scan → posexplode to (pos, contrib) →
+    one map-side-combinable sum shuffle of ``dim+1`` groups → a
+    ``dim+1``-scalar driver collect (the MLlib loop shape). The residual
+    is materialized through a projection boundary (multi-referenced
+    alias survives CollapseProject) so sigmoid is computed once per row,
+    not once per element.
+
+    Returns ``[(-1, bias), (0, w_0), …, (dim-1, w_{dim-1})]``.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quantum = Decimal(1).scaleb(-round_to)
+
+    def _r(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(quantum, ROUND_HALF_UP))
+
+    n = df.count()
+    dim = len(df.select(vec_col).first()[0])
+    w = [0.0] * dim
+    b = 0.0
+    base = df.select(
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    for _ in range(iters):
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        z = dot(F.col("__v"), warr) + F.lit(float(b))
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
+        staged = base.select(
+            "__v", (p - F.col("__y")).alias("__resid")
+        )
+        resid = F.col("__resid")
+        contrib = F.concat(
+            F.array(F.round(resid, round_to).cast("decimal(18,6)")),
+            F.transform(
+                F.col("__v"),
+                lambda x: F.round(x * resid, round_to).cast("decimal(18,6)"),
+            ),
+        )
+        grads = (
+            staged.select(resid, F.posexplode(contrib))
+            .groupBy("pos")
+            .agg(F.sum("col").alias("g"))
+            .collect()
+        )
+        g = {r["pos"]: float(r["g"]) for r in grads}
+        b = _r(b - lr * g[0] / n)
+        w = [_r(w[j] - lr * g[j + 1] / n) for j in range(dim)]
+    return [(-1, b)] + list(enumerate(w))
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,

@@ -5031,6 +5031,61 @@ def pipe_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_classifier_train",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                      CAST(vec_id % 2 AS DOUBLE) AS y FROM embeddings),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+    -- iteration 1: w = 0, b = 0 -> z = 0 -> p = 0.5 exactly
+    c1 AS (SELECT 0 AS pos, round(0.5 - y, 6)::DECIMAL(18,6) AS c FROM v
+           UNION ALL
+           SELECT generate_subscripts(ev, 1) AS pos,
+                  round(unnest(ev) * (0.5 - y), 6)::DECIMAL(18,6) AS c
+           FROM v),
+    g1 AS (SELECT pos, sum(c) AS g FROM c1 GROUP BY pos),
+    u1 AS (SELECT pos, round(0 - (0.1 * g::DOUBLE) / nn.n, 6) AS w
+           FROM g1, nn),
+    w1 AS (SELECT list(w ORDER BY pos) AS wl
+           FROM u1 WHERE pos >= 1),
+    b1 AS (SELECT w AS b FROM u1 WHERE pos = 0),
+    -- iteration 2
+    r2 AS (SELECT vec_id, ev, y,
+             round(1.0 / (1.0 + exp(-(list_dot_product(ev, w1.wl) + b1.b))),
+                   6) - y AS resid
+           FROM v, w1, b1),
+    c2 AS (SELECT 0 AS pos, round(resid, 6)::DECIMAL(18,6) AS c FROM r2
+           UNION ALL
+           SELECT generate_subscripts(ev, 1) AS pos,
+                  round(unnest(ev) * resid, 6)::DECIMAL(18,6) AS c
+           FROM r2),
+    g2 AS (SELECT pos, sum(c) AS g FROM c2 GROUP BY pos),
+    u2 AS (SELECT u1.pos,
+             round(u1.w - (0.1 * g2.g::DOUBLE) / nn.n, 6) AS w
+           FROM u1 JOIN g2 ON u1.pos = g2.pos, nn)
+    SELECT CAST(pos - 1 AS INT) AS pos, w AS weight FROM u2
+    """,
+)
+def pipe_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRAINING of the linear quality-filter head
+    (logreg_train, pipeline/similarity.py) — the other half of
+    pipe_classifier_score's workflow: full-batch logistic GD, one
+    map-side-combinable (position, contribution) shuffle + a dim+1-scalar
+    driver collect per iteration. Per-row gradient contributions are
+    6dp-fixed DECIMAL so the sums are order-independent, the dot product
+    is the element-order fold shared with DuckDB's list_dot_product, and
+    weight updates round HALF_UP — so the oracle replays both GD
+    iterations bit-for-bit. Labels derive from the data (vec_id parity)
+    to keep the gate deterministic."""
+    from griddb_spark.pipeline.similarity import logreg_train
+
+    emb = cat(spark, sf_dir).load("embeddings").select(
+        "embedding", (F.col("vec_id") % 2).alias("y")
+    )
+    res = logreg_train(emb, "embedding", "y", iters=2, lr=0.1)
+    return spark.createDataFrame(res, "pos int, weight double")
+
+
+@query(
     "stream_distinct_sketch",
     """
     WITH reg AS (

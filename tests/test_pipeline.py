@@ -1441,3 +1441,22 @@ def test_batch_ann_matches_loop_path(spark, emb):
         emb, "vec_id", "embedding", 64, qdf,
         coarse_k=8, m=4, k=8, nprobe=2, topk=5).collect()))
     assert loop2 == batch2 and len(loop2) == 25
+
+
+def test_logreg_train_learns_separating_direction(spark, emb):
+    """2 GD iterations on parity labels must move the average predicted
+    probability of the two classes apart (training sanity), and the
+    gradient aggregation must combine map-side (scale shape)."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import linear_probe_score, logreg_train
+
+    df = emb.select("embedding", (F.col("vec_id") % 2).alias("y"))
+    res = logreg_train(df, "embedding", "y", iters=2, lr=0.5)
+    assert len(res) == 65 and res[0][0] == -1
+    bias = res[0][1]
+    w = [x for _, x in res[1:]]
+    scored = linear_probe_score(df, "embedding", w, bias=bias)
+    means = {r.y: r.m for r in scored.groupBy("y")
+             .agg(F.avg("score").alias("m")).collect()}
+    assert means[1] > means[0]  # learned toward the labels
