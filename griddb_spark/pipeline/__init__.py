@@ -70,6 +70,7 @@ from griddb_spark.pipeline.sampling import (  # noqa: F401
     stratified_sample,
     temperature_mix,
     token_bucket,
+    leakage_safe_split,
     train_split,
     weighted_fixed_k,
 )

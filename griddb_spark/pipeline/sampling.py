@@ -229,6 +229,33 @@ def train_split(
     return df.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    key_col: str,
+    fractions: "dict[str, float]",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: membership hashes the document's dedup-COMPONENT id (the
+    cluster-min representative from ``connected_components``) instead of
+    its own id, so every member of a near-dup cluster lands in the same
+    split. Without this, a test document's near-twin sits in train and
+    the eval is contaminated — the standard failure mode of splitting a
+    deduplicated-but-not-collapsed corpus.
+
+    ``components`` is the (id, component) frame of CLUSTERED docs only —
+    small relative to the corpus, broadcast; unclustered docs hash their
+    own id. Same determinism contract as :func:`train_split`.
+    """
+    grp = components.select(
+        F.col("doc_id").alias(key_col), F.col("component")
+    )
+    joined = docs.join(F.broadcast(grp), key_col, "left")
+    gkey = F.coalesce(F.col("component"), F.col(key_col).cast("bigint"))
+    out = train_split(joined.withColumn("__gkey", gkey), "__gkey", fractions)
+    return out.drop("__gkey", "component")
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -1259,6 +1259,38 @@ def sql_frontend_row_count_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_csv_json_roundtrip",
+    """
+    SELECT 'csv' AS fmt, c_custkey, c_name, c_nationkey, c_acctbal,
+           c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT 'json' AS fmt, c_custkey, c_name, c_nationkey, c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON source/sink fidelity (GridDB's expimp interchange
+    formats): export the customer container to both formats with the
+    distributed writer, read each back through import_container with the
+    original schema (no inference pass at scale), and return the union —
+    the oracle reads the untouched parquet, so any value/dtype corruption
+    in either format's round-trip hash-mismatches."""
+    import tempfile
+
+    c = cat(spark, sf_dir)
+    src = c.load("customer")
+    out = tempfile.mkdtemp(prefix="srcfmt_")
+    parts = []
+    for fmt in ("csv", "json"):
+        path = c.export_container("customer", out, fmt=fmt)
+        back = c.import_container(path, fmt=fmt, schema=src.schema)
+        parts.append(back.select(F.lit(fmt).alias("fmt"), *src.columns))
+    return parts[0].unionByName(parts[1])
+
+
+@query(
     "sql_frontend_dop_hint",
     """
     SELECT o_orderpriority, count(*) AS n
@@ -1469,6 +1501,51 @@ def pipe_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cat(spark, sf_dir).load("documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
     return connected_components(pairs)
+
+
+@query(
+    "pipe_split_leakage_safe",
+    _DUCK_COMPONENTS
+    + """,
+    comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+             FROM reach GROUP BY src),
+    g AS (SELECT d.doc_id, d.source,
+            coalesce(c.component, d.doc_id) AS gk
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+    b AS (SELECT doc_id, source,
+            ('0x' || substr(md5(gk::VARCHAR), 1, 8))::BIGINT % 10000 AS bk
+          FROM g),
+    s AS (SELECT doc_id, source,
+            CASE WHEN bk >= 0 AND bk < 9000 THEN 'train'
+                 WHEN bk >= 9000 AND bk < 9500 THEN 'val'
+                 WHEN bk >= 9500 AND bk < 10000 THEN 'test'
+                 ELSE 'rest' END AS split
+          FROM b)
+    SELECT source, split, count(*) AS n, min(doc_id) AS min_id
+    FROM s GROUP BY source, split
+    """,
+)
+def pipe_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (leakage_safe_split, pipeline/sampling.py):
+    membership hashes the near-dup COMPONENT id, so a test document's
+    near-twin can never sit in train — the eval-contamination failure
+    mode of splitting a deduplicated-but-not-collapsed corpus. The
+    oracle recomputes the MinHash components and replays the bucketing
+    over the component key."""
+    from griddb_spark.pipeline import (
+        connected_components,
+        leakage_safe_split,
+        minhash_lsh_pairs,
+    )
+
+    docs = cat(spark, sf_dir).load("documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    comps = connected_components(pairs)
+    out = leakage_safe_split(docs, comps, "doc_id",
+                             {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
+    )
 
 
 @query(

@@ -1460,3 +1460,37 @@ def test_logreg_train_learns_separating_direction(spark, emb):
     means = {r.y: r.m for r in scored.groupBy("y")
              .agg(F.avg("score").alias("m")).collect()}
     assert means[1] > means[0]  # learned toward the labels
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, docs):
+    """Every member of a near-dup component must land in the SAME split
+    (the whole point); unclustered docs follow the plain content-hash
+    assignment."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import (
+        connected_components,
+        leakage_safe_split,
+        minhash_lsh_pairs,
+        train_split,
+    )
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    comps = connected_components(pairs)
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(docs, comps, "doc_id", frac)
+    spread = (
+        out.join(comps, "doc_id")
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k"))
+        .collect()[0][0]
+    )
+    assert spread == 1  # no component spans two splits
+    # unclustered rows: identical to the plain split
+    plain = train_split(docs, "doc_id", frac).select("doc_id", "split")
+    un = out.join(comps, "doc_id", "left_anti").select("doc_id", "split")
+    diff = un.exceptAll(
+        plain.join(comps, "doc_id", "left_anti")
+    ).count()
+    assert diff == 0
