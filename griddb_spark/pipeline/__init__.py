@@ -102,6 +102,8 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     max_sim_vs_bench,
     adc_lut_df,
     ivfpq_topk,
+    ivfpq_index_topk,
+    ivfpq_index_write,
     ivfpq_topk_batch,
     mean_pool_vectors,
     pq_adc_topk,

@@ -1586,3 +1586,124 @@ def ivfpq_topk_batch(
         F.col(id_col) != F.col("q_id")
     )
     return _adc_topk_from_codes(cand, lut, id_col, "codes", topk)
+
+
+def ivfpq_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    coarse_k: int = 8,
+    m: int = 4,
+    k: int = 8,
+    round_to: int = 6,
+) -> dict:
+    """Build and PERSIST an IVF-PQ index: the encoded corpus lands on
+    disk Hive-partitioned by coarse cell, so every later probe is a
+    partition-pruned scan of ``nprobe`` cell directories — the layout
+    that makes billion-vector serving a bounded read instead of a full
+    pass (FAISS's on-disk IVF shape, expressed as a parquet dataset).
+
+    Train (coarse k-means + PQ codebooks) happens once here; the
+    quantizers are written as a JSON sidecar (``_ivfpq_meta.json`` —
+    k·in_dim + m·k·(in_dim/m) scalars) that any session can reload
+    without touching the data. Encode is the projection-only
+    ``pq_encode`` path. Returns the sidecar dict.
+    """
+    import json
+    import os
+
+    cents = kmeans_fit(df, id_col, vec_col, k=coarse_k, iters=1)
+    assigned = assign_clusters(df, cents, vec_col=vec_col)
+    cellmeans = centroids_by(assigned, "cluster", vec_col)
+    books = pq_train(df, id_col, vec_col, in_dim, m=m, k=k, iters=1)
+    codes = pq_encode(df, id_col, vec_col, books).join(
+        assigned.select(F.col(id_col), F.col("cluster")), id_col
+    )
+    # one file per cell: cluster by the partition column before the
+    # dynamic-partition write (leaf-clustering, as DmlTable._write)
+    n_cells = max(1, coarse_k)
+    codes.repartition(min(n_cells, 32), F.col("cluster")).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(path)
+    meta = {
+        "in_dim": in_dim,
+        "m": m,
+        "k": k,
+        "round_to": round_to,
+        "id_col": id_col,
+        "cellmeans": [
+            (int(r["__cell"]), [float(x) for x in r["__centroid"]])
+            for r in cellmeans.collect()
+        ],
+        "codebooks": [
+            [(int(c), [float(x) for x in cv]) for c, cv in book]
+            for book in books
+        ],
+    }
+    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    topk: int = 5,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """Serve a query batch from a persisted IVF-PQ index
+    (:func:`ivfpq_index_write`): quantizers reload from the sidecar,
+    probed cells route as a broadcast (q_id, cluster) join, and the
+    index scan carries ``cluster IN (probed cells)`` — a PARTITION
+    filter on the Hive layout, so only the probed cell directories are
+    read (plan-tested). ADC and top-k are the shared batch formulation
+    (:func:`_adc_topk_from_codes`) — one join tree for any batch size,
+    results identical to the in-memory ``ivfpq_topk_batch``.
+    """
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    round_to = meta["round_to"]
+    books = [[(int(c), cv) for c, cv in book] for book in meta["codebooks"]]
+    cellmeans = spark.createDataFrame(
+        [(c, v) for c, v in meta["cellmeans"]],
+        "__cell int, __centroid array<double>",
+    )
+    q_df = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("__qv"),
+    )
+    qc = q_df.join(F.broadcast(cellmeans)).select(
+        "q_id", "__qv", "__cell",
+        F.round(cosine(F.col("__qv"), F.col("__centroid")), round_to)
+        .alias("__cc"),
+    )
+    w_cell = Window.partitionBy("q_id").orderBy(
+        F.col("__cc").desc(), F.col("__cell").asc()
+    )
+    probes = (
+        qc.withColumn("__pr", F.row_number().over(w_cell))
+        .filter(F.col("__pr") <= nprobe)
+        .select("q_id", F.col("__cell").alias("cluster"))
+        .localCheckpoint(eager=True)  # bounded: nprobe × |queries|
+    )
+    probe_cells = [int(r["cluster"]) for r in
+                   probes.select("cluster").distinct().collect()]
+    idx = spark.read.parquet(path).filter(
+        F.col("cluster").isin(probe_cells)  # partition-pruned read
+    )
+    lut = adc_lut_df(q_df, books, "q_id", "__qv", round_to)
+    cand = idx.join(F.broadcast(probes), "cluster").filter(
+        F.col(id_col) != F.col("q_id")
+    )
+    return _adc_topk_from_codes(cand, lut, id_col, "codes", topk)

@@ -462,3 +462,25 @@ def test_ivfpq_batch_single_join_tree_no_union(spark):
     assert "Union" not in plan
     # probe routing and LUT both arrive as broadcast joins
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_index_probe_is_partition_pruned(spark, tmp_path):
+    """A probe against the persisted IVF-PQ index must read only the
+    probed cell directories: the cluster filter lands in the scan's
+    PartitionFilters, not as a post-scan Filter over a full read."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark import workload
+    from griddb_spark.pipeline import ivfpq_index_topk, ivfpq_index_write
+
+    emb = workload.cat(spark, SF_DIR).load("embeddings")
+    path = str(tmp_path / "idx")
+    ivfpq_index_write(emb, path, "vec_id", "embedding", in_dim=64,
+                      coarse_k=8, m=4, k=8)
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    out = ivfpq_index_topk(spark, path, qdf, nprobe=2, topk=5)
+    plan = _plan(out)
+    seg = plan.split("PartitionFilters:")
+    assert len(seg) > 1 and "cluster" in seg[1].splitlines()[0]
+    assert "Union" not in plan  # one join tree, batch formulation
