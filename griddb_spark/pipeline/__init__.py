@@ -102,6 +102,7 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     max_sim_vs_bench,
     adc_lut_df,
     ivfpq_topk,
+    ivfpq_index_append,
     ivfpq_index_topk,
     ivfpq_index_write,
     ivfpq_topk_batch,

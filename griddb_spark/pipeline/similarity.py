@@ -1707,3 +1707,35 @@ def ivfpq_index_topk(
         F.col(id_col) != F.col("q_id")
     )
     return _adc_topk_from_codes(cand, lut, id_col, "codes", topk)
+
+
+def ivfpq_index_append(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted IVF-PQ index WITHOUT retraining:
+    the sidecar quantizers assign + encode the arrivals (projection-only,
+    no shuffle beyond the partitioned write) and the rows land in their
+    cell directories — the ingest-time shape where the index grows with
+    the corpus and probes stay partition-pruned. Quantizer drift is the
+    operator's call (FAISS semantics: retrain when the distribution
+    moves; the sidecar makes either choice explicit).
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    books = [[(int(c), cv) for c, cv in book] for book in meta["codebooks"]]
+    cents = [(int(c), v) for c, v in meta["cellmeans"]]
+    assigned = assign_clusters(df, cents, vec_col=vec_col,
+                               out_col="cluster")
+    codes = pq_encode(df, id_col, vec_col, books,
+                      round_to=meta["round_to"]).join(
+        assigned.select(F.col(id_col), F.col("cluster")), id_col
+    )
+    codes.repartition(
+        min(max(1, len(cents)), 32), F.col("cluster")
+    ).write.mode("append").partitionBy("cluster").parquet(path)

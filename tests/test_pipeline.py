@@ -1494,3 +1494,34 @@ def test_leakage_safe_split_keeps_clusters_together(spark, docs):
         plain.join(comps, "doc_id", "left_anti")
     ).count()
     assert diff == 0
+
+
+def test_ivfpq_index_append_serves_new_vectors(spark, emb, tmp_path):
+    """Appending encodes with the EXISTING sidecar quantizers (no
+    retrain) and appended vectors are immediately servable from their
+    cell partitions."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import (
+        ivfpq_index_append,
+        ivfpq_index_topk,
+        ivfpq_index_write,
+    )
+
+    path = str(tmp_path / "idx")
+    base = emb.filter(F.col("vec_id") < 400)
+    late = emb.filter(F.col("vec_id") >= 400)
+    ivfpq_index_write(base, path, "vec_id", "embedding", in_dim=64,
+                      coarse_k=8, m=4, k=8)
+    ivfpq_index_append(late, path)
+    qdf = late.limit(3).select(F.col("vec_id").alias("q_id"),
+                               F.col("embedding").alias("qv"))
+    got = ivfpq_index_topk(spark, path, qdf, nprobe=8, topk=10**9)
+    # with all cells probed and no k cap, every indexed vector except
+    # the query itself is a candidate — appended rows included
+    n_index = spark.read.parquet(path).count()
+    assert n_index == emb.count()
+    per_q = got.groupBy("q_id").count().collect()
+    assert all(r["count"] == n_index - 1 for r in per_q)
+    # appended vectors are ranked candidates like any indexed vector
+    assert got.filter(F.col("vec_id") >= 400).count() > 0
