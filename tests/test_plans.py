@@ -83,10 +83,23 @@ def test_match_recognize_nfa_fans_out_all_cores(spark, catalog):
     from griddb_spark.operators import match_recognize
 
     ev = catalog.load("events")
-    df = match_recognize(
+    # UP+ DOWN with PREV-based defines is row-DISJOINT, so since r6 it
+    # compiles to the two-var window fast path — no Python node at all
+    fast = match_recognize(
         ev,
         pattern="UP+ DOWN",
         define={"UP": "value > PREV(value)", "DOWN": "value < PREV(value)"},
+        measures={"peak": "LAST(value)"},
+        partition_by=["user_id"],
+        order_by="ts",
+    )
+    assert "FlatMapGroupsInPandas" not in _plan(fast)
+    # three-variable sequences stay on the NFA and must fan out
+    df = match_recognize(
+        ev,
+        pattern="UP+ DOWN+ UP2",
+        define={"UP": "value > PREV(value)", "DOWN": "value < PREV(value)",
+                "UP2": "value > PREV(value)"},
         measures={"peak": "LAST(value)"},
         partition_by=["user_id"],
         order_by="ts",

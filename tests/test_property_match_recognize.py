@@ -266,3 +266,34 @@ def test_two_var_overlapping_defines_fall_back_to_nfa(spark, catalog):
         out._jdf.queryExecution().executedPlan().toString()
     )
     assert out.count() >= 0  # executes through the NFA
+
+
+def test_two_var_fast_path_with_prev_defines_matches_nfa(
+    spark, catalog, monkeypatch
+):
+    """PREV-based defines (the classic rise-then-fall shape) are
+    row-disjoint, so they ride the fast path — values must still match
+    the NFA exactly."""
+    import importlib
+
+    mr = importlib.import_module("griddb_spark.operators.match_recognize")
+
+    ev = catalog.load("events").limit(3000)
+    spec = dict(
+        pattern="UP+ DOWN+",
+        define={"UP": "value > PREV(value)", "DOWN": "value < PREV(value)"},
+        measures={"start_ts": "FIRST(ts)", "peak": "FIRST(value)",
+                  "trough": "LAST(value)", "m": "MATCH_NUMBER()"},
+        measure_types={"m": "long"},
+        partition_by=["user_id"],
+        order_by="ts",
+    )
+    fast = mr.match_recognize(ev, **spec)
+    assert "FlatMapGroupsInPandas" not in (
+        fast._jdf.queryExecution().executedPlan().toString())
+    monkeypatch.setattr(mr, "_try_fast_path_two_var", lambda *a, **k: None)
+    slow = mr.match_recognize(ev, **spec)
+    key = lambda r: (r.user_id, r.m)  # noqa: E731
+    rf, rs = sorted(fast.collect(), key=key), sorted(slow.collect(), key=key)
+    assert len(rf) == len(rs) > 0
+    assert all(a == b for a, b in zip(rf, rs))

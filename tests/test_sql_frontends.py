@@ -177,8 +177,11 @@ def test_griddb_sql_explain(spark, catalog):
         spark, catalog,
         "EXPLAIN ANALYZE SELECT c_custkey FROM customer WHERE c_acctbal > 100",
     )
-    text2 = "\n".join(r.plan for r in out2.collect())
-    assert "PushedFilters" in text2
+    rows2 = out2.collect()
+    # r6: EXPLAIN ANALYZE executes and returns per-node runtime actuals
+    text2 = "\n".join(r.plan for r in rows2)
+    assert "Scan" in text2 or "FileScan" in text2
+    assert any("numOutputRows=" in r.metrics for r in rows2)
 
 
 def test_collection_partial_fetch(catalog):
