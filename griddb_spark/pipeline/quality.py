@@ -311,3 +311,41 @@ def with_gopher_keep(
         if k.startswith("r_"):
             keep = v if keep is None else keep & v
     return df.select(F.col(id_col), *flags, keep.alias("gopher_keep"))
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation, have at least ``min_words``
+    words, and contain neither "lorem ipsum" nor a curly brace (the
+    code/boilerplate tells); drop documents with fewer than
+    ``min_kept_lines`` surviving lines.
+
+    Pure JVM column algebra — one higher-order ``filter`` over the split
+    lines per row, no shuffle, no Python; scales with the scan like the
+    Gopher battery. Returns ``(id, clean_text, n_lines, n_kept, keep)``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(line: Column) -> Column:
+        words = F.size(F.split(F.trim(line), " +"))
+        return (
+            line.rlike("[.!?]$")
+            & (words >= min_words)
+            & ~F.lower(line).contains("lorem ipsum")
+            & ~line.contains("{")
+        )
+
+    kept = F.filter(lines, _keep)
+    return docs.select(
+        id_col,
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        (F.size(kept) >= min_kept_lines).cast("int").alias("keep"),
+    )

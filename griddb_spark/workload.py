@@ -1504,6 +1504,61 @@ def pipe_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_quality_c4",
+    """
+    WITH l AS (SELECT doc_id, doc_id // 5 AS gid,
+                 CASE WHEN doc_id % 3 = 0 THEN text || '.' ELSE text END
+                   AS line
+               FROM documents),
+    g AS (SELECT gid, string_agg(line, chr(10) ORDER BY doc_id) AS text
+          FROM l GROUP BY gid),
+    f AS (SELECT gid,
+            list_filter(string_split(text, chr(10)),
+              x -> regexp_matches(x, '[.!?]$')
+                   AND len(string_split_regex(trim(x), ' +')) >= 5
+                   AND NOT contains(lower(x), 'lorem ipsum')
+                   AND NOT contains(x, '{')) AS kept,
+            len(string_split(text, chr(10))) AS n_lines
+          FROM g)
+    SELECT gid, array_to_string(kept, chr(10)) AS clean_text,
+           CAST(n_lines AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept,
+           CAST(CASE WHEN len(kept) >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM f
+    """,
+)
+def pipe_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2; c4_line_filter,
+    pipeline/quality.py): terminal-punctuation + min-words + badword
+    line rules, then a min-surviving-lines document gate — one
+    higher-order filter per row, shuffle-free after the (test-only)
+    multi-line document construction. The synthetic corpus is
+    single-line, so the gate builds 5-line documents deterministically
+    (every 3rd source line gets terminal punctuation) and the oracle
+    replays both the construction and the rules."""
+    from pyspark.sql import Window as _W
+
+    from griddb_spark.pipeline.quality import c4_line_filter
+
+    docs = cat(spark, sf_dir).load("documents")
+    lines = docs.select(
+        (F.col("doc_id") / 5).cast("bigint").alias("gid"),
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit(".")))
+        .otherwise(F.col("text")).alias("line"),
+    )
+    g = lines.groupBy("gid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    return c4_line_filter(g, "gid", "text", min_words=5, min_kept_lines=2)
+
+
+@query(
     "pipe_split_leakage_safe",
     _DUCK_COMPONENTS
     + """,
