@@ -605,3 +605,76 @@ class DmlTable:
         os.rename(self.path, trash)
         os.rename(tmp, self.path)
         shutil.rmtree(trash, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering — multi-dimensional data layout for row-group skipping
+# ---------------------------------------------------------------------------
+
+
+def zorder_expr(
+    cols: "list[tuple]",
+    bits: int = 8,
+) -> "F.Column":
+    """Morton (Z-order) interleave of ``cols`` as a pure Column.
+
+    ``cols`` is ``[(column, min, max), …]`` — each dimension is bucketed
+    into ``2^bits`` equal-width integer cells with EXACT integer
+    arithmetic (``(v - min) * 2^bits // (max - min + 1)`` — no float
+    boundary hazards, bit-identical in any engine), then bit ``b`` of
+    dimension ``d`` lands at z-bit ``b·ndims + d``.
+
+    Why it matters at 100 TB: sorting by a single column clusters only
+    that column's min/max file stats; a Z-value sort clusters ALL the
+    interleaved dimensions at once, so parquet row-group/file skipping
+    works for predicates on any of them (the Delta/Iceberg OPTIMIZE
+    ZORDER capability, expressed as plain column math + a range
+    repartition). GridDB's analog is its multi-column composite
+    partitioning keys (sql_parser.h:300-303 NarrowingKey ranges).
+    """
+    ndims = len(cols)
+    scale = 1 << bits
+    z = F.lit(0).cast("bigint")
+    for d, (c, mn, mx) in enumerate(cols):
+        col = (c if isinstance(c, Column) else F.col(c)).cast("bigint")
+        width = int(mx) - int(mn) + 1
+        bucket = ((col - F.lit(int(mn))) * F.lit(scale) / F.lit(width)).cast(
+            "bigint"
+        )
+        bucket = F.least(F.greatest(bucket, F.lit(0)), F.lit(scale - 1))
+        for b in range(bits):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * ndims + d))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: "list[str]",
+    bits: int = 8,
+    n_files: int = 8,
+) -> "list[tuple]":
+    """Write ``df`` as parquet physically clustered by the Z-order of
+    ``cols``: per-dimension min/max come from one tiny aggregate, rows
+    range-repartition on the z-value (contiguous z-ranges per file) and
+    sort within partitions, so every file's min/max stats are tight in
+    EVERY clustered dimension — readers skip row groups for predicates
+    on any of them. Returns the ``(col, min, max)`` ranges used.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("bigint")).alias(f"__mn_{c}"),
+                 F.max(F.col(c).cast("bigint")).alias(f"__mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    ranges = [(c, row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols]
+    z = zorder_expr([(F.col(c), mn, mx) for c, mn, mx in ranges], bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return ranges

@@ -1503,6 +1503,57 @@ def pipe_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _zorder_oracle_sql(bits: int = 4) -> str:
+    """DuckDB replay of zorder_expr for (l_partkey, l_suppkey): the same
+    exact-integer bucket + bit-interleave, expanded textually."""
+    scale = 1 << bits
+    terms = []
+    for d, (col, mn, mx) in enumerate(
+        [("l_partkey", "mn1", "mx1"), ("l_suppkey", "mn2", "mx2")]
+    ):
+        b_expr = (f"least(greatest(({col} - {mn}) * {scale} "
+                  f"// ({mx} - {mn} + 1), 0), {scale - 1})")
+        for b in range(bits):
+            terms.append(f"((({b_expr}) >> {b}) & 1) << {b * 2 + d}")
+    z = " | ".join(f"({t})" for t in terms)
+    return f"""
+    WITH r AS (SELECT min(l_partkey) AS mn1, max(l_partkey) AS mx1,
+                      min(l_suppkey) AS mn2, max(l_suppkey) AS mx2
+               FROM lineitem)
+    SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+           CAST({z} AS BIGINT) AS zval
+    FROM lineitem, r WHERE l_orderkey < 200
+    """
+
+
+@query("pipe_zorder_layout", _zorder_oracle_sql())
+def pipe_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering value (zorder_expr, dml.py): exact-
+    integer bucketing + bit interleave of (l_partkey, l_suppkey) — the
+    multi-dimensional layout key that makes parquet row-group skipping
+    work for predicates on ANY clustered dimension (the Delta/Iceberg
+    OPTIMIZE ZORDER capability as plain column math; GridDB analog:
+    composite NarrowingKey partitioning, sql_parser.h:300-303). The
+    oracle replays the same bit algebra; write_zordered uses this value
+    with a range repartition for the physical layout (file-stats
+    tightness is pinned by test)."""
+    from griddb_spark.dml import zorder_expr
+
+    li = cat(spark, sf_dir).load("lineitem")
+    row = li.agg(
+        F.min("l_partkey").alias("mn1"), F.max("l_partkey").alias("mx1"),
+        F.min("l_suppkey").alias("mn2"), F.max("l_suppkey").alias("mx2"),
+    ).collect()[0]
+    z = zorder_expr(
+        [(F.col("l_partkey"), row["mn1"], row["mx1"]),
+         (F.col("l_suppkey"), row["mn2"], row["mx2"])],
+        bits=4,
+    )
+    return li.filter(F.col("l_orderkey") < 200).select(
+        "l_orderkey", "l_linenumber", z.alias("zval")
+    )
+
+
 @query(
     "pipe_quality_c4",
     """

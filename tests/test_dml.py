@@ -300,3 +300,52 @@ def test_scoped_delete_range_hash_leaf_and_empty_parent(spark, tmp_path):
         "1704067200000" in d for d in os.listdir(t.path) if "=" in d
     )
     assert t.read().count() == sum(1 for i in range(30) if i % 2 == 1)
+
+
+def test_write_zordered_tightens_file_stats_in_both_dims(
+    spark, catalog, tmp_path
+):
+    """The point of Z-order: after write_zordered on two dimensions,
+    EVERY file's min/max range is tight in BOTH dimensions — so parquet
+    stats skip files/row-groups for predicates on either column. A
+    single-column sort can only tighten one."""
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    from griddb_spark.dml import write_zordered
+
+    li = catalog.load("lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey")
+    zdir = str(tmp_path / "zordered")
+    write_zordered(li, zdir, ["l_partkey", "l_suppkey"], bits=8, n_files=8)
+    plaindir = str(tmp_path / "plain")
+    li.repartition(8).write.parquet(plaindir)
+
+    def mean_coverage(d, col):
+        spans, lo, hi = [], None, None
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            md = pq.read_metadata(f)
+
+            def stats(i):
+                rg = md.row_group(i)
+                j = next(j for j in range(rg.num_columns)
+                         if rg.column(j).path_in_schema == col)
+                return rg.column(j).statistics
+
+            fmn = min(stats(i).min for i in range(md.num_row_groups))
+            fmx = max(stats(i).max for i in range(md.num_row_groups))
+            spans.append((fmn, fmx))
+            lo = fmn if lo is None else min(lo, fmn)
+            hi = fmx if hi is None else max(hi, fmx)
+        full = hi - lo + 1
+        return sum((b - a + 1) for a, b in spans) / (len(spans) * full)
+
+    # 8 files on a 2-D Morton curve: each file ideally spans ~1/sqrt(8)
+    # of each dimension plus curve-boundary straddle — well under the
+    # plain layout's ~1.0 in BOTH dims (a single-column sort would be
+    # tight in one and ~1.0 in the other)
+    for col in ("l_partkey", "l_suppkey"):
+        zc = mean_coverage(zdir, col)
+        pc = mean_coverage(plaindir, col)
+        assert zc < 0.75 and pc > 0.9, (col, zc, pc)
