@@ -27,6 +27,7 @@ from griddb_spark.operators.continuous_agg import (  # noqa: F401
 )
 from griddb_spark.operators.group_range import group_by_range
 from griddb_spark.operators.match_recognize import match_recognize
+from griddb_spark.operators.range_join import range_join  # noqa: F401
 from griddb_spark.operators.skew import salted_join
 
 __all__ = [

@@ -1503,6 +1503,45 @@ def pipe_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@query(
+    "join_range_bucketed",
+    f"""
+    WITH e AS ({_DUCK_EV}),
+    w AS (SELECT event_id AS win_id, ts AS ws,
+                 ts + INTERVAL 2 HOUR AS we
+          FROM e WHERE event_id % 97 = 0)
+    SELECT w.win_id, count(*) AS n_events,
+           min(e.user_id) AS first_user
+    FROM w JOIN e ON e.ts >= w.ws AND e.ts <= w.we
+    GROUP BY w.win_id
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join WITHOUT the nested-loop trap (range_join,
+    operators/range_join.py): intervals explode into the hour buckets
+    they overlap, points bucket once, and the join is a plain hash
+    equi-join on the bucket with the exact BETWEEN as residual — where
+    the naive non-equi join plans as BroadcastNestedLoopJoin/cartesian
+    (O(points × intervals) at scale). Windows here are 2-hour spans
+    anchored at every 97th event; the oracle runs the naive BETWEEN
+    join, which is fine at oracle scale and proves the bucketing loses
+    no pairs."""
+    from griddb_spark.operators import range_join
+
+    ev = cat(spark, sf_dir).load("events")
+    wins = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("ws"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("we"),
+    )
+    j = range_join(ev.select("ts", "user_id"), wins, "ts", "ws", "we",
+                   bucket_sec=3600)
+    return j.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("user_id").alias("first_user"),
+    )
+
+
 def _zorder_oracle_sql(bits: int = 4) -> str:
     """DuckDB replay of zorder_expr for (l_partkey, l_suppkey): the same
     exact-integer bucket + bit-interleave, expanded textually."""

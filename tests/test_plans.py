@@ -497,3 +497,47 @@ def test_ivfpq_index_probe_is_partition_pruned(spark, tmp_path):
     seg = plan.split("PartitionFilters:")
     assert len(seg) > 1 and "cluster" in seg[1].splitlines()[0]
     assert "Union" not in plan  # one join tree, batch formulation
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, catalog):
+    """The bucketed interval join must plan as a hash equi-join on the
+    bucket key — never BroadcastNestedLoopJoin or a cartesian product
+    (the non-equi-join scale trap it exists to avoid). Left-join variant
+    included."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.operators import range_join
+
+    ev = catalog.load("events")
+    wins = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("ws"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("we"),
+    )
+    for how in ("inner", "left"):
+        j = range_join(ev.select("ts", "user_id"), wins, "ts", "ws", "we",
+                       bucket_sec=3600, how=how)
+        plan = _plan(j)
+        assert "BroadcastNestedLoopJoin" not in plan, how
+        assert "CartesianProduct" not in plan, how
+        assert "Join" in plan, how
+
+
+def test_range_join_left_keeps_unmatched_points(spark, catalog):
+    from pyspark.sql import functions as F
+
+    from griddb_spark.operators import range_join
+
+    ev = catalog.load("events").select("ts", "user_id").limit(2000)
+    n_points = ev.count()
+    wins = ev.limit(1).select(
+        F.lit(1).alias("win_id"),
+        F.col("ts").alias("ws"),
+        (F.col("ts") + F.expr("INTERVAL 1 MINUTE")).alias("we"),
+    )
+    inner = range_join(ev, wins, "ts", "ws", "we", how="inner")
+    left = range_join(ev, wins, "ts", "ws", "we", how="left")
+    n_inner, n_left = inner.count(), left.count()
+    assert n_points > 0 and n_left >= n_points  # every point survives
+    assert 0 < n_inner < n_points  # the 1-minute window matches a strict subset
+    assert left.filter(F.col("win_id").isNull()).count() == n_left - n_inner
