@@ -244,13 +244,21 @@ def leakage_safe_split(
     deduplicated-but-not-collapsed corpus.
 
     ``components`` is the (id, component) frame of CLUSTERED docs only —
-    small relative to the corpus, broadcast; unclustered docs hash their
-    own id. Same determinism contract as :func:`train_split`.
+    usually small relative to the corpus and broadcast, but on a
+    mostly-duplicate corpus it is O(corpus), so the hint is
+    stats-dispatched (the ``_anti_join_losers`` guard pattern): above
+    the threshold the planner degrades to a shuffle join instead of
+    blowing the driver. Unclustered docs hash their own id. Same
+    determinism contract as :func:`train_split`.
     """
+    from griddb_spark.pipeline.dedup import _BROADCAST_LOSERS_MAX
+
     grp = components.select(
         F.col("doc_id").alias(key_col), F.col("component")
-    )
-    joined = docs.join(F.broadcast(grp), key_col, "left")
+    ).localCheckpoint(eager=True)
+    if grp.count() <= _BROADCAST_LOSERS_MAX:
+        grp = F.broadcast(grp)
+    joined = docs.join(grp, key_col, "left")
     gkey = F.coalesce(F.col("component"), F.col(key_col).cast("bigint"))
     out = train_split(joined.withColumn("__gkey", gkey), "__gkey", fractions)
     return out.drop("__gkey", "component")
