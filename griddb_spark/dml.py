@@ -382,6 +382,12 @@ class DmlTable:
                 dropped += 1
         return dropped
 
+    def compact(self, max_records_per_file: int = 1_000_000):
+        """Small-file compaction over this table's partition directories
+        (see :func:`_compact_partitions`)."""
+        return _compact_partitions(self.spark, self.path,
+                                   max_records_per_file)
+
     def scan_range(self, start_ms: int, end_ms: int) -> DataFrame:
         """Partition-pruned range scan (range-partitioned tables)."""
         if not isinstance(
@@ -678,3 +684,48 @@ def write_zordered(
         .parquet(path)
     )
     return ranges
+
+
+def _compact_partitions(
+    spark: SparkSession, path: str, max_records_per_file: int = 1_000_000
+) -> "dict[str, tuple[int, int]]":
+    """Merge small files inside each partition directory of a
+    Hive-partitioned parquet table — the storage-compaction maintenance
+    op (reference analog: ``Chunk::compact()``, chunk.h:307, which
+    re-packs a chunk's live objects; the gs_backup/longArchive tooling
+    runs it offline). Incremental appends (DML inserts, streaming
+    micro-batches, index appends) each add a file per touched partition;
+    at 100 TB the resulting small-file population is what kills scan
+    task-scheduling, so compaction is the maintenance pass that
+    restores one-scan-task-per-row-group economics.
+
+    Per partition: read the leaf directory (partition values live in the
+    directory name, so files round-trip without the partition column),
+    rewrite into ``ceil(rows / max_records_per_file)`` files, and swap
+    atomically (tmp dir + rename — readers see old or new, never a mix).
+    Returns ``{partition: (files_before, files_after)}`` for every
+    partition actually rewritten.
+    """
+    import glob
+
+    out: dict[str, tuple[int, int]] = {}
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if not (os.path.isdir(full) and "=" in entry):
+            continue
+        files = glob.glob(os.path.join(full, "*.parquet"))
+        if len(files) <= 1:
+            continue
+        df = spark.read.parquet(full)
+        n = df.count()
+        n_files = max(1, -(-n // max_records_per_file))
+        if n_files >= len(files):
+            continue
+        tmp = f"{full}.compact-{uuid.uuid4().hex[:8]}"
+        df.coalesce(n_files).write.parquet(tmp)
+        trash = f"{full}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(full, trash)
+        os.rename(tmp, full)
+        shutil.rmtree(trash, ignore_errors=True)
+        out[entry] = (len(files), n_files)
+    return out

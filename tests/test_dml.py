@@ -349,3 +349,32 @@ def test_write_zordered_tightens_file_stats_in_both_dims(
         zc = mean_coverage(zdir, col)
         pc = mean_coverage(plaindir, col)
         assert zc < 0.75 and pc > 0.9, (col, zc, pc)
+
+
+def test_compact_merges_small_files_atomically(spark, catalog, tmp_path):
+    """Incremental inserts leave a file per touched partition per batch;
+    compact() must merge them without changing the data (Chunk::compact
+    analog, chunk.h:307)."""
+    from pyspark.sql import functions as F
+    import glob
+    import os
+
+    from griddb_spark.dml import DmlTable, hash_partition_expr
+
+    ev = catalog.load("events").select("event_id", "user_id", "value")
+    t = DmlTable(spark, str(tmp_path / "t"),
+                 hash_partition_expr("user_id", 4)).create(ev.limit(200))
+    for i in range(4):  # four insert batches -> many small files
+        t = t.insert(ev.filter(
+            (F.col("event_id") >= 200 + i * 100)
+            & (F.col("event_id") < 300 + i * 100)))
+    before = t.read().orderBy("event_id").collect()
+    n_files_before = len(glob.glob(os.path.join(str(tmp_path / "t"),
+                                                "*", "*.parquet")))
+    stats = t.compact(max_records_per_file=1_000_000)
+    n_files_after = len(glob.glob(os.path.join(str(tmp_path / "t"),
+                                               "*", "*.parquet")))
+    assert stats and n_files_after < n_files_before
+    assert all(a == 1 for _, a in stats.values())  # one file per partition
+    after = t.read().orderBy("event_id").collect()
+    assert after == before  # bit-identical data
