@@ -441,3 +441,22 @@ def test_explain_analyze_returns_runtime_metrics(spark, catalog):
     plain = griddb_sql(spark, catalog,
                        "EXPLAIN SELECT count(*) AS n FROM orders")
     assert plain.columns == ["id", "plan"]
+
+
+def test_three_hint_composition(spark, catalog):
+    """TableRowCount + MaxDegreeOfParallelism + Leading in ONE comment
+    (GridDB packs several hints per /*+ ... */) must all apply: broadcast
+    + pinned partition count + reordered FROM list."""
+    from griddb_spark.sql.translate import griddb_sql, rewrite_sql
+
+    sql = ("SELECT /*+ TableRowCount(nation, 25) MaxDegreeOfParallelism(4) "
+           "Leading(nation supplier) */ n_name, count(*) AS n "
+           "FROM supplier, nation WHERE s_nationkey = n_nationkey "
+           "GROUP BY n_name")
+    out = rewrite_sql(sql)
+    assert "REPARTITION(4)" in out and "BROADCAST(nation)" in out
+    assert "FROM nation, supplier" in out  # Leading applied
+    df = griddb_sql(spark, catalog, sql)
+    assert df.rdd.getNumPartitions() == 4
+    assert "BroadcastHashJoin" in (
+        df._jdf.queryExecution().executedPlan().toString())
