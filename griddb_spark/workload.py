@@ -7325,6 +7325,68 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_match_two_var",
+    f"""
+    WITH e AS ({_DUCK_EV}),
+    r0 AS (SELECT user_id, ts, value,
+             value >= 150 AS a, value < 150 AS b,
+             row_number() OVER w AS rn,
+             coalesce(lag(value >= 150) OVER w, FALSE) AS pa,
+             coalesce(lag(value < 150) OVER w, FALSE) AS pb
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    r AS (SELECT user_id, ts, value, a, b, rn,
+            sum(CASE WHEN a AND NOT pa THEN 1 ELSE 0 END) OVER w AS arun,
+            sum(CASE WHEN b AND NOT pb THEN 1 ELSE 0 END) OVER w AS brun
+          FROM r0 WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+    r2 AS (SELECT *,
+             min(ts) OVER (PARTITION BY user_id, arun, a) AS run_start_ts,
+             max(ts) OVER (PARTITION BY user_id, brun, b) AS bend_ts
+           FROM r),
+    anch AS (SELECT *, lead(bend_ts) OVER w2 AS end_ts,
+                    coalesce(lead(b) OVER w2, FALSE) AS nb
+             FROM r2 WINDOW w2 AS (PARTITION BY user_id ORDER BY rn))
+    SELECT user_id, run_start_ts AS start_ts, end_ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY rn) AS match_no
+    FROM anch WHERE a AND nb
+    """,
+)
+def stream_match_two_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TWO-variable MATCH_RECOGNIZE: the spike-then-recover
+    sequence ``A+ B+`` detected continuously at ingest — the pending-tail
+    state carries a still-open A-run (or an A-run whose B-run hasn't
+    closed) across micro-batch boundaries, so matches straddling batches
+    complete exactly once. The same batch window-algebra oracle as
+    ``match_recognize_two_var`` gates it: streaming availableNow replay
+    must equal the batch result row-for-row."""
+    import uuid as _uuid
+
+    from griddb_spark.streaming import run_to_memory
+    from griddb_spark.streaming.stateful import match_recognize_stream
+
+    prepare(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = raw
+    out = match_recognize_stream(
+        ev,
+        pattern="A+ B+",
+        define={"A": "value >= 150", "B": "value < 150"},
+        measures={"start_ts": "FIRST(ts)", "end_ts": "LAST(ts)"},
+        partition_by=["user_id"],
+        order_by="ts",
+    )
+    return run_to_memory(out, f"mr2_{_uuid.uuid4().hex[:8]}", mode="append",
+                         shuffle_partitions=32)
+
+
+@query(
     "pipe_quality_gopher",
     r"""
     WITH t AS (SELECT doc_id, text,
