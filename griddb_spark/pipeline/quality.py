@@ -349,3 +349,57 @@ def c4_line_filter(
         F.size(kept).alias("n_kept"),
         (F.size(kept) >= min_kept_lines).cast("int").alias("keep"),
     )
+
+
+def bigram_logprob(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+):
+    """Mean interpolated-bigram log-probability per document under the
+    corpus's own LM — one step up from :func:`unigram_logprob` toward
+    KenLM-style filtering: ``P(w|prev) = λ·c(prev,w)/c(prev) +
+    (1-λ)·c(w)/N`` (Jelinek-Mercer interpolation; the unigram floor
+    keeps unseen bigrams finite without discount bookkeeping).
+
+    Scale shape: tokens explode once with positions; the bigram stream
+    is a per-document ``lag`` window (one shuffle on the doc key); the
+    bigram and unigram tables are vocabulary-bounded counts (map-side
+    combinable) that re-join on their token keys — Zipf keeps both far
+    smaller than the corpus, so AQE broadcasts them. First tokens (no
+    context) are skipped, matching the conditional-LM convention.
+
+    Returns (id, n_bigrams, avg_logprob, ppl).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        id_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = toks.select(
+        id_col, "pos", "tok", F.lag("tok").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cu"))
+    total = uni.agg(F.sum("__cu").alias("__n"))
+    bcnt = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("__cb"))
+
+    scored = (
+        bg.join(bcnt, ["prev", "tok"])
+        .join(uni.select(F.col("tok").alias("prev"),
+                         F.col("__cu").alias("__cp")), "prev")
+        .join(uni, "tok")
+        .crossJoin(F.broadcast(total))
+    )
+    p = (
+        F.lit(float(lam)) * F.col("__cb") / F.col("__cp")
+        + F.lit(1.0 - float(lam)) * F.col("__cu") / F.col("__n")
+    )
+    avg_lp = F.round(F.avg(F.log(p)), 6)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        avg_lp.alias("avg_logprob"),
+        F.round(F.exp(-avg_lp), 2).alias("ppl"),
+    )

@@ -4427,6 +4427,47 @@ def pipe_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_lm_bigram",
+    """
+    WITH t AS (SELECT doc_id,
+                 generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+                   AS pos,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS tok
+               FROM documents),
+    bg AS (SELECT doc_id, tok,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM t),
+    b2 AS (SELECT * FROM bg WHERE prev IS NOT NULL),
+    uni AS (SELECT tok, count(*) AS cu FROM t GROUP BY tok),
+    tot AS (SELECT count(*) AS n FROM t),
+    bc AS (SELECT prev, tok, count(*) AS cb FROM b2 GROUP BY prev, tok)
+    SELECT b2.doc_id, count(*) AS n_bigrams,
+           round(avg(ln(0.7 * bc.cb / up.cu + (1 - 0.7) * uw.cu / tot.n)), 6)
+             AS avg_logprob,
+           round(exp(-round(avg(ln(0.7 * bc.cb / up.cu
+                                   + (1 - 0.7) * uw.cu / tot.n)), 6)), 2) AS ppl
+    FROM b2
+    JOIN bc ON bc.prev = b2.prev AND bc.tok = b2.tok
+    JOIN uni up ON up.tok = b2.prev
+    JOIN uni uw ON uw.tok = b2.tok
+    CROSS JOIN tot
+    GROUP BY b2.doc_id
+    """,
+)
+def pipe_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM scoring (bigram_logprob, pipeline/quality.py)
+    — Jelinek-Mercer λ=0.7 between the bigram MLE and the unigram floor,
+    one doc-keyed lag window + vocabulary-bounded count tables that AQE
+    broadcasts. The step from pipe_lm_score toward KenLM-style
+    perplexity filters. Oracle replays the same interpolation."""
+    from griddb_spark.pipeline.quality import bigram_logprob
+
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    return bigram_logprob(docs, "text", "doc_id", lam=0.7)
+
+
+@query(
     "pipe_ccnet_buckets",
     """
     WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) tok
