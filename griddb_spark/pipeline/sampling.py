@@ -449,3 +449,46 @@ def weighted_fixed_k(
             .drop("__rk", "__akey")
         )
     return out.orderBy(F.col("__akey"), key).limit(k).drop("__akey")
+
+
+def mix_epochs(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    epochs: "dict[str, float]",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Fractional-epoch upsampling — the data-recipe staple ("2.5 epochs
+    of wiki, 0.8 of web"): each stratum's rows repeat ``floor(e)`` whole
+    times plus a deterministic ``frac(e)`` content-hash slice, with an
+    ``epoch_col`` marking the repeat index (so shuffling/packing
+    downstream can interleave epochs).
+
+    Whole epochs are a per-row ``explode(sequence(...))`` — no shuffle,
+    no driver loop, output fan-out exactly ``e`` per row on average; the
+    fractional slice reuses the :func:`hash_bucket` decision, so the
+    SAME rows are chosen for the partial epoch on every run, engine, and
+    append (the reproducible-recipe property random sampling lacks).
+    Strata absent from ``epochs`` default to one epoch.
+    """
+    whole = F.lit(1)
+    frac_keep = F.lit(False)  # unlisted strata: exactly one whole epoch
+    for name, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs must be >= 0, got {name}={e}")
+        w, fr = int(e), round(e - int(e), 9)
+        is_s = F.col(stratum_col) == name
+        whole = F.when(is_s, F.lit(w)).otherwise(whole)
+        if fr > 0:
+            frac_keep = F.when(
+                is_s, hash_bucket(key_col) < int(fr * _BUCKETS)
+            ).otherwise(frac_keep)
+        else:
+            frac_keep = F.when(is_s, F.lit(False)).otherwise(frac_keep)
+    full = df.withColumn("__w", whole).filter(F.col("__w") >= 1).select(
+        "*", F.explode(F.sequence(F.lit(1), F.col("__w"))).alias(epoch_col)
+    ).drop("__w")
+    partial = df.filter(frac_keep).select(
+        "*", (whole + 1).alias(epoch_col)
+    )
+    return full.unionByName(partial)

@@ -4427,6 +4427,48 @@ def pipe_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_mix_epochs",
+    """
+    WITH b AS (SELECT doc_id, source,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 10000 AS bk
+               FROM documents),
+    whole AS (SELECT doc_id, source, unnest(range(1, CASE
+                 WHEN source = 'src0' THEN 2
+                 WHEN source = 'src1' THEN 0
+                 ELSE 1 END + 1)) AS epoch
+              FROM b),
+    partial AS (SELECT doc_id, source, CASE
+                  WHEN source = 'src0' THEN 3
+                  WHEN source = 'src1' THEN 1 END AS epoch
+                FROM b
+                WHERE (source = 'src0' AND bk < 5000)
+                   OR (source = 'src1' AND bk < 8000)),
+    u AS (SELECT * FROM whole UNION ALL SELECT * FROM partial)
+    SELECT source, CAST(epoch AS INT) AS epoch, count(*) AS n,
+           min(doc_id) AS min_id
+    FROM u GROUP BY source, epoch
+    """,
+)
+def pipe_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling (mix_epochs, pipeline/sampling.py) —
+    the data-recipe staple ("2.5 epochs of src0, 0.8 of src1, 1 of the
+    rest"): whole epochs explode per row (no shuffle, no driver loop);
+    the partial epoch is the deterministic content-hash slice, so the
+    SAME rows repeat on every run/engine/append. Epoch index is emitted
+    so packing can interleave epochs downstream. Oracle replays the
+    explode + hash slice."""
+    from griddb_spark.pipeline.sampling import mix_epochs
+
+    docs = cat(spark, sf_dir).load("documents")
+    out = mix_epochs(docs, "doc_id", "source",
+                     {"src0": 2.5, "src1": 0.8})
+    return out.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
+    )
+
+
+@query(
     "pipe_lm_bigram",
     """
     WITH t AS (SELECT doc_id,

@@ -1525,3 +1525,29 @@ def test_ivfpq_index_append_serves_new_vectors(spark, emb, tmp_path):
     assert all(r["count"] == n_index - 1 for r in per_q)
     # appended vectors are ranked candidates like any indexed vector
     assert got.filter(F.col("vec_id") >= 400).count() > 0
+
+
+def test_mix_epochs_fanout_and_determinism(spark, docs):
+    """2.5 epochs -> every row twice + a deterministic half; 0.8 -> a
+    deterministic 80% slice; unlisted strata exactly once; identical on
+    re-run (the reproducible-recipe property)."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline.sampling import mix_epochs
+
+    out = mix_epochs(docs, "doc_id", "source", {"src0": 2.5, "src1": 0.8})
+    n0 = docs.filter(F.col("source") == "src0").count()
+    n1 = docs.filter(F.col("source") == "src1").count()
+    per = {(r.source, r.epoch): r.n for r in
+           out.groupBy("source", "epoch").agg(
+               F.count(F.lit(1)).alias("n")).collect()}
+    assert per[("src0", 1)] == n0 and per[("src0", 2)] == n0
+    assert 0 < per[("src0", 3)] < n0      # ~half, hash-decided
+    assert 0 < per.get(("src1", 1), 0) < n1  # 0.8 = slice only, no whole epoch
+    assert per[("src2", 1)] == docs.filter(F.col("source") == "src2").count()
+    assert ("src2", 2) not in per
+    # determinism: bit-identical on re-run
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, mix_epochs(
+        docs, "doc_id", "source", {"src0": 2.5, "src1": 0.8}).collect()))
+    assert a == b
