@@ -68,6 +68,7 @@ from griddb_spark.pipeline.sampling import (  # noqa: F401
     snapshot_diff,
     stratified_fixed_k,
     stratified_sample,
+    mix_epochs,
     temperature_mix,
     token_bucket,
     leakage_safe_split,
