@@ -597,3 +597,130 @@ def decode_features(
     if batch_hint:
         src = src.repartition(batch_hint)
     return src.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL RIFF/WAV PCM codec (stdlib `wave` — no external libs) + the
+# Arrow-batched feature plumbing. Same philosophy as the PNG path: the
+# container format round-trips genuinely; only perceptual codecs (MP3 etc.)
+# stay behind NotImplementedError.
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples: "list[int]", rate: int = 8000) -> bytes:
+    """16-bit mono PCM WAV bytes from integer samples (stdlib wave)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def wav_decode(buf: bytes) -> "tuple[int, int, list[int]]":
+    """(sample_rate, n_channels, samples) from WAV bytes. 16-bit PCM
+    only — compressed audio raises NotImplementedError (honest codec
+    boundary, like non-PNG images)."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(buf), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError(
+                    f"only 16-bit PCM supported, got {w.getsampwidth() * 8}-bit"
+                )
+            n = w.getnframes()
+            raw = w.readframes(n)
+            samples = list(
+                struct.unpack(f"<{n * w.getnchannels()}h", raw)
+            )
+            return w.getframerate(), w.getnchannels(), samples
+    except wave.Error as e:  # non-PCM compression codes land here
+        raise NotImplementedError(f"unsupported WAV encoding: {e}") from None
+
+
+def wav_pack(
+    df: DataFrame,
+    samples_col: str,
+    rate_col: str,
+    id_col: str = "doc_id",
+    out_col: str = "media",
+) -> DataFrame:
+    """Encode an ``array<int>`` sample column into real WAV bytes —
+    Arrow-batched, binary out (the ingest step that turns raw signal
+    columns into an opaque media column + typed metadata)."""
+    import pandas as pd
+
+    def _pack(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: [
+                        wav_encode([int(x) for x in s], int(r))
+                        for s, r in zip(pdf[samples_col], pdf[rate_col])
+                    ],
+                }
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, samples_col, rate_col).mapInPandas(
+        _pack, schema=f"{id_col} {id_t}, {out_col} binary"
+    )
+
+
+def audio_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decode WAV media and emit the deterministic signal features a
+    corpus pipeline filters on: sample count/rate, duration, EXACT
+    integer sum-of-squares (RMS derives JVM-side — one IEEE sqrt, no
+    order-dependent float accumulation), zero-crossing count, and peak
+    amplitude. Arrow-batched mapInPandas; NumPy per batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _feat(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[media_col]):
+                rate, _ch, samples = wav_decode(bytes(buf))
+                a = np.asarray(samples, dtype=np.int64)
+                zc = int(((a[:-1] < 0) != (a[1:] < 0)).sum()) if len(a) > 1 else 0
+                rows.append(
+                    (i, len(a), rate, int((a * a).sum()), zc,
+                     int(np.abs(a).max()) if len(a) else 0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_samples", "sample_rate", "sum_sq",
+                         "zero_crossings", "peak"],
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    out = df.select(id_col, media_col).mapInPandas(
+        _feat,
+        schema=(f"{id_col} {id_t}, n_samples int, sample_rate int, "
+                "sum_sq bigint, zero_crossings int, peak int"),
+    )
+    return out.select(
+        id_col, "n_samples", "sample_rate",
+        F.round(F.col("n_samples") * 1000.0 / F.col("sample_rate"), 3)
+        .alias("duration_ms"),
+        F.round(F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6).alias("rms"),
+        "zero_crossings", "peak",
+    )

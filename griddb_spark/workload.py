@@ -4427,6 +4427,54 @@ def pipe_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_audio_features",
+    """
+    WITH e AS (SELECT event_id AS doc_id FROM events WHERE event_id < 500),
+    s AS (SELECT doc_id, j, ((doc_id * 7 + j * 13) % 256) - 128 AS v
+          FROM e CROSS JOIN range(0, 160) t(j)),
+    z AS (SELECT doc_id, v,
+            lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+          FROM s),
+    a AS (SELECT doc_id, count(*) AS n,
+            sum(v * v) AS sum_sq,
+            sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                THEN 1 ELSE 0 END) AS zc,
+            max(abs(v)) AS peak
+          FROM z GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS INT) AS n_samples, 8000 AS sample_rate,
+           round(n * 1000.0 / 8000, 3) AS duration_ms,
+           round(sqrt(sum_sq / n), 6) AS rms,
+           CAST(zc AS INT) AS zero_crossings, CAST(peak AS INT) AS peak
+    FROM a
+    """,
+)
+def pipe_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing with a REAL RIFF/WAV PCM codec (stdlib wave —
+    wav_pack/wav_decode/audio_features, pipeline/multimodal.py): integer
+    sample arrays derived from the data encode to genuine WAV bytes,
+    decode back through the real parser, and yield the filter features
+    (duration, RMS from an exact integer sum-of-squares + one IEEE sqrt,
+    zero-crossing count, peak). The oracle computes the same features
+    from the sample FORMULA alone — so a hash match proves the container
+    round-trip is lossless, the PNG-path methodology applied to audio.
+    Compressed codecs stay behind NotImplementedError."""
+    from griddb_spark.pipeline.multimodal import audio_features, wav_pack
+
+    ev = cat(spark, sf_dir).load("events").filter(F.col("event_id") < 500)
+    base = ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(159)),
+            lambda j: ((F.col("event_id") * 7 + j * 13) % 256 - 128)
+            .cast("int"),
+        ).alias("samples"),
+        F.lit(8000).alias("rate"),
+    )
+    media = wav_pack(base, "samples", "rate", id_col="doc_id")
+    return audio_features(media, "media", "doc_id")
+
+
+@query(
     "pipe_mix_epochs",
     """
     WITH b AS (SELECT doc_id, source,

@@ -1551,3 +1551,29 @@ def test_mix_epochs_fanout_and_determinism(spark, docs):
     b = sorted(map(tuple, mix_epochs(
         docs, "doc_id", "source", {"src0": 2.5, "src1": 0.8}).collect()))
     assert a == b
+
+
+def test_wav_codec_roundtrip_and_foreign_reader(spark):
+    """The WAV bytes are REAL RIFF PCM: our encode round-trips through
+    our decode, and the stdlib wave reader (the 'foreign decoder')
+    agrees on rate/frames; compressed widths fail honestly."""
+    import io
+    import wave
+
+    import pytest as _pytest
+
+    from griddb_spark.pipeline.multimodal import wav_decode, wav_encode
+
+    samples = [((i * 37) % 256) - 128 for i in range(321)]
+    buf = wav_encode(samples, rate=16000)
+    rate, ch, got = wav_decode(buf)
+    assert (rate, ch, got) == (16000, 1, samples)
+    with wave.open(io.BytesIO(buf), "rb") as w:  # independent reader
+        assert w.getframerate() == 16000 and w.getnframes() == 321
+    # 8-bit PCM is a different sample layout — must refuse, not garble
+    b8 = io.BytesIO()
+    with wave.open(b8, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+        w.writeframes(bytes([128, 130, 125]))
+    with _pytest.raises(NotImplementedError):
+        wav_decode(b8.getvalue())
