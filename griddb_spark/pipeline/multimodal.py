@@ -724,3 +724,48 @@ def audio_features(
         F.round(F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6).alias("rms"),
         "zero_crossings", "peak",
     )
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    out_col: str = "media_rs",
+) -> DataFrame:
+    """Resample WAV media to ``target_rate`` by linear interpolation and
+    re-encode — the audio analog of ``resize_media``. Output position i
+    samples the source at ``i · src/dst``; the interpolated value rounds
+    half-away-from-zero to int16 (the engine-portable rounding rule), so
+    the result is bit-deterministic. Arrow-batched; NumPy per batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _rs(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, outs, rates = [], [], []
+            for i, buf in zip(pdf[id_col], pdf[media_col]):
+                rate, _ch, samples = wav_decode(bytes(buf))
+                a = np.asarray(samples, dtype=np.float64)
+                n_out = max(1, int(len(a) * target_rate / rate))
+                pos = np.arange(n_out, dtype=np.float64) * rate / target_rate
+                lo = np.minimum(pos.astype(np.int64), len(a) - 1)
+                hi = np.minimum(lo + 1, len(a) - 1)
+                frac = pos - lo
+                v = a[lo] * (1.0 - frac) + a[hi] * frac
+                vi = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+                vi = np.clip(vi, -32768, 32767)
+                ids.append(i)
+                outs.append(wav_encode([int(x) for x in vi], target_rate))
+                rates.append(rate)
+            yield pd.DataFrame(
+                {id_col: ids, out_col: outs, "src_rate": rates}
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, media_col).mapInPandas(
+        _rs, schema=f"{id_col} {id_t}, {out_col} binary, src_rate int"
+    )

@@ -1577,3 +1577,32 @@ def test_wav_codec_roundtrip_and_foreign_reader(spark):
         w.writeframes(bytes([128, 130, 125]))
     with _pytest.raises(NotImplementedError):
         wav_decode(b8.getvalue())
+
+
+def test_resample_audio_halves_and_preserves_signal(spark):
+    """Downsampling 16k -> 8k halves the sample count; on-grid samples
+    (even positions) pass through exactly (linear interp at integer
+    positions is identity)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from griddb_spark.pipeline.multimodal import (
+        audio_features,
+        resample_audio,
+        wav_decode,
+        wav_encode,
+    )
+
+    samples = [((i * 91) % 512) - 256 for i in range(400)]
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_encode(samples, 16000)))], "doc_id int, media binary"
+    )
+    rs = resample_audio(df, 8000, "media", "doc_id")
+    row = rs.collect()[0]
+    rate, _ch, got = wav_decode(bytes(row.media_rs))
+    assert rate == 8000 and row.src_rate == 16000
+    assert len(got) == 200
+    assert got == samples[::2]  # on-grid positions identical
+    feats = audio_features(
+        rs.select("doc_id", F.col("media_rs").alias("media")), "media",
+        "doc_id").collect()[0]
+    assert feats.sample_rate == 8000 and feats.n_samples == 200
