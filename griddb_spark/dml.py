@@ -708,11 +708,21 @@ def _compact_partitions(
     """
     import glob
 
+    def _leaves(d: str) -> "list[str]":
+        # descend through nested partition levels (__part=…/__subpart=…,
+        # the RANGE_HASH layout) to the directories that hold data files
+        subs = [e for e in sorted(os.listdir(d))
+                if "=" in e and os.path.isdir(os.path.join(d, e))]
+        if not subs:
+            return [d] if d != path else []
+        out: list[str] = []
+        for e in subs:
+            out.extend(_leaves(os.path.join(d, e)))
+        return out
+
     out: dict[str, tuple[int, int]] = {}
-    for entry in sorted(os.listdir(path)):
-        full = os.path.join(path, entry)
-        if not (os.path.isdir(full) and "=" in entry):
-            continue
+    for full in _leaves(path):
+        entry = os.path.relpath(full, path)
         files = glob.glob(os.path.join(full, "*.parquet"))
         if len(files) <= 1:
             continue

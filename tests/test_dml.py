@@ -378,3 +378,37 @@ def test_compact_merges_small_files_atomically(spark, catalog, tmp_path):
     assert all(a == 1 for _, a in stats.values())  # one file per partition
     after = t.read().orderBy("event_id").collect()
     assert after == before  # bit-identical data
+
+
+def test_compact_preserves_nested_range_hash_layout(spark, catalog, tmp_path):
+    """RANGE_HASH tables nest partitions (__part=.../__subpart=...);
+    compaction must rewrite LEAF directories and never flatten the
+    sub-partition level (pruned scans depend on it)."""
+    import glob
+    import os
+    import re
+
+    from griddb_spark.dml import DmlTable, range_hash_partition_expr
+
+    ev = catalog.load("events")
+    t = DmlTable(
+        spark, str(tmp_path / "rh"),
+        range_hash_partition_expr("ts", 5, "DAY", "user_id", 2),
+    ).create(ev.limit(300))
+    t = t.insert(ev.limit(600).subtract(ev.limit(300)))
+    before = t.read().count()
+    stats = t.compact(max_records_per_file=1_000_000)
+    assert stats  # something was merged
+    # every stats key is a LEAF path containing both partition levels
+    assert all("__part=" in k and "__subpart=" in k for k in stats)
+    # nested layout intact: files live only under __part=*/__subpart=*
+    files = glob.glob(os.path.join(str(tmp_path / "rh"), "**", "*.parquet"),
+                      recursive=True)
+    assert files and all(
+        re.search(r"__part=[^/]+/__subpart=[^/]+/[^/]+\.parquet$", f)
+        for f in files)
+    assert t.read().count() == before
+    # pruned scan still works after compaction
+    day_ms = 86_400_000
+    start = 1704067200000
+    assert t.scan_key_range(start, start + 5 * day_ms, 1).count() >= 0
