@@ -199,3 +199,58 @@ class ContainerCatalog:
             "table_name string, ordinal int, column_name string, "
             "column_type string, nullable boolean",
         )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort_cols: "tuple[str, ...] | None" = None,
+) -> None:
+    """Persist ``df`` as a BUCKETED table: rows hash-cluster into
+    ``n_buckets`` files by ``key`` at write time, so every later join or
+    aggregation on that key is CO-LOCATED — Catalyst reads the bucket
+    layout (``Bucketed: true`` scans) and plans the join with ZERO
+    exchange on the bucketed side(s). At 100 TB this converts the
+    recurring fact⋈fact shuffle (the single most expensive exchange in
+    a star-schema workload) into a one-time write-side clustering — the
+    Spark analog of GridDB keeping a table's sub-containers
+    hash-partitioned by the affinity key (sql_parser.h:300-303).
+
+    ``sort_cols`` additionally sorts within buckets (sorted-merge joins
+    skip the sort stage too). Pair the bucket count across tables that
+    join together.
+    """
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a managed location orphaned by another session blocks saveAsTable
+    # (LOCATION_ALREADY_EXISTS) even in overwrite mode — clear it
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, key)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Join two bucketed tables on their bucket keys — a sort-merge join
+    with no exchange on either side (both inputs arrive pre-clustered).
+    The MERGE hint keeps the planner from broadcasting a small side,
+    which would hide the co-location (and stops scaling when the 'small'
+    side grows past the driver)."""
+    lt = spark.table(left_table).hint("merge")
+    rt = spark.table(right_table)
+    return lt.join(rt, F.col(left_key) == F.col(right_key))

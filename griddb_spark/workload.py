@@ -1504,6 +1504,40 @@ def pipe_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_bucketed_colocated",
+    """
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables (write_bucketed/bucketed_join,
+    catalog.py): orders and customer persist hash-clustered into matching
+    bucket counts on the join key, so the join is a sort-merge with ZERO
+    exchange on either side (Bucketed: true scans — plan-tested). The
+    write-once clustering that replaces the recurring fact-join shuffle
+    at 100 TB; GridDB analog: affinity-key sub-container partitioning.
+    Result identical to the plain shuffled join, which is the oracle."""
+    from griddb_spark.catalog import bucketed_join, write_bucketed
+
+    c = cat(spark, sf_dir)
+    write_bucketed(c.load("orders"), "bq_orders", "o_custkey", 8,
+                   sort_cols=("o_custkey",))
+    write_bucketed(c.load("customer"), "bq_customer", "c_custkey", 8,
+                   sort_cols=("c_custkey",))
+    j = bucketed_join(spark, "bq_orders", "bq_customer",
+                      "o_custkey", "c_custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    )
+
+
+@query(
     "join_range_bucketed",
     f"""
     WITH e AS ({_DUCK_EV}),

@@ -541,3 +541,16 @@ def test_range_join_left_keeps_unmatched_points(spark, catalog):
     assert n_points > 0 and n_left >= n_points  # every point survives
     assert 0 < n_inner < n_points  # the 1-minute window matches a strict subset
     assert left.filter(F.col("win_id").isNull()).count() == n_left - n_inner
+
+
+def test_bucketed_join_has_no_exchange_on_join_inputs(spark):
+    """Bucketed tables co-locate the join: both scans read Bucketed: true
+    and the sort-merge join takes ZERO exchange on either input — the
+    only Exchange left is the final groupBy on a different key."""
+    from griddb_spark import workload
+
+    plan = _plan(workload.QUERIES["join_bucketed_colocated"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    # exactly one exchange: the post-join aggregation on c_mktsegment
+    assert plan.count("Exchange") == 1, plan
