@@ -554,3 +554,65 @@ def test_bucketed_join_has_no_exchange_on_join_inputs(spark):
     assert plan.count("Bucketed: true") == 2
     # exactly one exchange: the post-join aggregation on c_mktsegment
     assert plan.count("Exchange") == 1, plan
+
+
+def test_range_join_matches_naive_on_random_intervals(spark):
+    """Property check: bucketed range_join == the naive nested-loop
+    BETWEEN join on random points/intervals (including empty, instant,
+    multi-bucket, and overlapping intervals)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from griddb_spark.operators import range_join
+
+    rng = random.Random(7)
+    base = 1_704_067_200  # epoch seconds
+    pts = [(i, base + rng.randint(0, 50_000)) for i in range(300)]
+    ivs = []
+    for w in range(40):
+        s = base + rng.randint(0, 50_000)
+        ivs.append((w, s, s + rng.choice([0, 30, 3_600, 10_000, 40_000])))
+    p = spark.createDataFrame(pts, "pid int, sec long").select(
+        "pid", F.timestamp_seconds("sec").alias("ts"))
+    iv = spark.createDataFrame(ivs, "win int, s long, e long").select(
+        "win", F.timestamp_seconds("s").alias("ws"),
+        F.timestamp_seconds("e").alias("we"))
+    got = sorted(
+        (r.pid, r.win)
+        for r in range_join(p, iv, "ts", "ws", "we", bucket_sec=3600).collect()
+    )
+    want = sorted(
+        (pid, w) for pid, sec in pts for w, s, e in ivs if s <= sec <= e
+    )
+    assert got == want and len(want) > 0
+
+
+def test_zorder_expr_matches_python_reference(spark):
+    """Property check: the Morton interleave Column == a plain-Python
+    bit-interleave on random values (including range extremes)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from griddb_spark.dml import zorder_expr
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(-50, 950), rng.randint(3, 77)) for i in range(400)]
+    rows += [(1000, -50, 3), (1001, 950, 77)]  # extremes
+    df = spark.createDataFrame(rows, "i int, x long, y long")
+    bits = 6
+    z = zorder_expr([(F.col("x"), -50, 950), (F.col("y"), 3, 77)], bits=bits)
+    got = {r.i: r.z for r in df.select("i", z.alias("z")).collect()}
+
+    def ref(x, y):
+        out = 0
+        for d, (v, mn, mx) in enumerate([(x, -50, 950), (y, 3, 77)]):
+            b = max(0, min((1 << bits) - 1,
+                           (v - mn) * (1 << bits) // (mx - mn + 1)))
+            for k in range(bits):
+                out |= ((b >> k) & 1) << (k * 2 + d)
+        return out
+
+    for i, x, y in rows:
+        assert got[i] == ref(x, y), (i, x, y, got[i], ref(x, y))
