@@ -4509,6 +4509,63 @@ def pipe_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_audio_features",
+    """
+    WITH e AS (SELECT event_id AS doc_id FROM events WHERE event_id < 500),
+    s AS (SELECT doc_id, j, ((doc_id * 7 + j * 13) % 256) - 128 AS v
+          FROM e CROSS JOIN range(0, 160) t(j)),
+    z AS (SELECT doc_id, v,
+            lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+          FROM s),
+    a AS (SELECT doc_id, count(*) AS n,
+            sum(v * v) AS sum_sq,
+            sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                THEN 1 ELSE 0 END) AS zc,
+            max(abs(v)) AS peak
+          FROM z GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS INT) AS n_samples, 8000 AS sample_rate,
+           round(n * 1000.0 / 8000, 3) AS duration_ms,
+           round(sqrt(sum_sq / n), 6) AS rms,
+           CAST(zc AS INT) AS zero_crossings, CAST(peak AS INT) AS peak
+    FROM a
+    """,
+)
+def stream_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction AT INGEST: real WAV media arrives as a
+    file stream and the codec + feature mapInPandas runs per micro-batch
+    — stateless, no watermark, the filter-on-write shape for an audio
+    corpus (drop silence/clipped clips before they land). Media bytes
+    are staged once batch-side (the same deterministic fixtures as
+    pipe_audio_features), so the identical formula-only oracle gates the
+    streaming path too."""
+    import tempfile
+    import uuid as _uuid
+
+    from griddb_spark.pipeline.multimodal import audio_features, wav_pack
+    from griddb_spark.streaming import run_to_memory
+
+    prepare(spark)
+    ev = cat(spark, sf_dir).load("events").filter(F.col("event_id") < 500)
+    base = ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(159)),
+            lambda j: ((F.col("event_id") * 7 + j * 13) % 256 - 128)
+            .cast("int"),
+        ).alias("samples"),
+        F.lit(8000).alias("rate"),
+    )
+    src = tempfile.mkdtemp(prefix="audio_src_")
+    wav_pack(base, "samples", "rate", id_col="doc_id").repartition(3).write \
+        .mode("overwrite").parquet(f"{src}/media")
+    schema = spark.read.parquet(f"{src}/media").schema
+    raw = spark.readStream.schema(schema).parquet(f"{src}/media")
+    out = audio_features(raw, "media", "doc_id")
+    return run_to_memory(out, f"af_{_uuid.uuid4().hex[:8]}", mode="append",
+                         shuffle_partitions=8)
+
+
+@query(
     "pipe_mix_epochs",
     """
     WITH b AS (SELECT doc_id, source,
@@ -4548,6 +4605,60 @@ def pipe_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("source", "epoch").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
     )
+
+
+@query(
+    "pipe_pack_epoch_mix",
+    """
+    WITH b AS (SELECT doc_id, source, text,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 10000 AS bk
+               FROM documents),
+    whole AS (SELECT doc_id, text, unnest(range(1, CASE
+                 WHEN source = 'src0' THEN 2
+                 WHEN source = 'src1' THEN 0
+                 ELSE 1 END + 1)) AS epoch
+              FROM b),
+    partial AS (SELECT doc_id, text, CASE
+                  WHEN source = 'src0' THEN 3
+                  WHEN source = 'src1' THEN 1 END AS epoch
+                FROM b
+                WHERE (source = 'src0' AND bk < 5000)
+                   OR (source = 'src1' AND bk < 8000)),
+    u AS (SELECT doc_id * 10 + epoch AS key, text
+          FROM (SELECT * FROM whole UNION ALL SELECT * FROM partial)),
+    t AS (SELECT key,
+            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+            ('0x'||substr(md5(cast(key AS varchar)),1,8))::BIGINT
+              % 10000 % 8 AS bucket
+          FROM u),
+    s AS (SELECT key, n_tokens, bucket,
+            coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY key
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS strt
+          FROM t)
+    SELECT key, n_tokens, bucket,
+           (strt // 256)::BIGINT AS pack_id,
+           (strt % 256)::BIGINT AS pack_offset
+    FROM s
+    """,
+)
+def pipe_pack_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end recipe → token stream: fractional-epoch mixing
+    (mix_epochs — 2.5 epochs of src0, 0.8 of src1) feeds sequence
+    packing keyed by (doc, epoch), so repeated epochs of a document land
+    at distinct, deterministic pack positions — the composition a
+    training loader actually consumes. Oracle replays mix + pack
+    end-to-end."""
+    from griddb_spark.pipeline.packing import pack_sequences
+    from griddb_spark.pipeline.sampling import mix_epochs
+
+    docs = cat(spark, sf_dir).load("documents")
+    mixed = mix_epochs(docs, "doc_id", "source", {"src0": 2.5, "src1": 0.8})
+    keyed = mixed.select(
+        (F.col("doc_id") * 10 + F.col("epoch")).alias("key"), "text"
+    )
+    return pack_sequences(keyed, "key", "text", budget=256, n_buckets=8)
 
 
 @query(
