@@ -168,3 +168,38 @@ def bloom_contamination(corpus: DataFrame, bench: DataFrame,
         .agg(F.count(F.lit(1)).alias("hits"))
         .filter(F.col("hits") >= min_hits)
     )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """SPAN-level decontamination: instead of dropping every document
+    that overlaps the benchmark (:func:`decontaminate` — wasteful on
+    long documents with one quoted snippet), cut only the k-token spans
+    whose exact text occurs among the benchmark's overlapping k-grams
+    and keep the rest of the document.
+
+    The benchmark gram set is vocabulary-bounded and broadcast (the
+    eval-suite-is-tiny contract shared with the other decontamination
+    forms); the corpus explodes once into non-overlapping positional
+    spans (the ``span_dedup`` unit), left-marks against the broadcast,
+    and one doc-keyed shuffle reassembles. Returns
+    ``(id, clean_text, n_spans, n_removed)``.
+    """
+    from griddb_spark.pipeline.dedup import _positional_spans, _reassemble
+
+    bspans = (
+        bench.select(F.explode(word_shingles(text_col, k)).alias("span"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    sp = _positional_spans(corpus, id_col, text_col, k)
+    marked = sp.join(F.broadcast(bspans), "span", "left")
+    kept = F.when(F.col("__hit").isNull(), F.struct("span_idx", "span"))
+    return _reassemble(
+        marked, id_col, kept, F.col("__hit").isNotNull().cast("long")
+    )

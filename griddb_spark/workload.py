@@ -4608,6 +4608,53 @@ def pipe_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_decontam_spans",
+    """
+    WITH corpus AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 41 != 0),
+    bench AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
+              FROM documents WHERE doc_id % 41 = 0),
+    bg AS (SELECT DISTINCT array_to_string(w[i : i+2], ' ') AS span
+           FROM (SELECT w, unnest(range(1, greatest(len(w)-2, 0)+1)) AS i
+                 FROM bench)),
+    t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
+          FROM corpus),
+    sp0 AS (SELECT doc_id,
+              [{'i': i - 1,
+                's': array_to_string(w[(i-1)*3+1 : (i-1)*3+3], ' ')}
+               FOR i IN range(1, greatest(ceil(len(w)/3.0)::int, 1) + 1)]
+                 spans
+            FROM t),
+    sp AS (SELECT doc_id, u.i AS span_idx, u.s AS span
+           FROM (SELECT doc_id, unnest(spans) u FROM sp0)),
+    mk AS (SELECT sp.doc_id, sp.span_idx, sp.span,
+                  bg.span IS NOT NULL AS hit
+           FROM sp LEFT JOIN bg ON bg.span = sp.span)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT hit THEN span END, ' '
+                               ORDER BY span_idx), '') AS clean_text,
+           count(*) AS n_spans,
+           sum(hit::int)::BIGINT AS n_removed
+    FROM mk GROUP BY doc_id
+    """,
+)
+def pipe_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (decontaminate_spans,
+    pipeline/decontaminate.py): cut only the 3-token spans whose exact
+    text occurs among the benchmark's overlapping 3-grams, keep the rest
+    of the document — the surgical alternative to doc-level dropping
+    (pipe_decontaminate) for long documents quoting one snippet. Bench
+    slice = doc_id % 41 (the curation-report eval split); the oracle
+    replays spans + overlapping bench grams + redaction."""
+    from griddb_spark.pipeline.decontaminate import decontaminate_spans
+
+    docs = cat(spark, sf_dir).load("documents")
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    return decontaminate_spans(corpus, bench, "doc_id", "text", k=3)
+
+
+@query(
     "pipe_pack_epoch_mix",
     """
     WITH b AS (SELECT doc_id, source, text,
