@@ -113,13 +113,34 @@ _SAMPLED_R5 = [
 ]
 
 
+#: VERDICT r5 item 2: the 32 queries no driver round has ever sampled
+#: lead the order OUTRIGHT (the driver samples the first ~50; round-6's
+#: own new gates follow them, already-sampled names last).
+_NEVER_SAMPLED_R1_R5 = [
+    "q10_returned_items", "q14_promo_effect", "q4_order_priority",
+    "q7_volume_shipping", "q13_customer_distribution", "q18_large_volume",
+    "q22_global_sales", "q2_min_cost_supplier", "q8_market_share",
+    "q9_product_profit", "q11_important_stock", "q12_shipmode_priority",
+    "q15_top_supplier", "q16_parts_supplier", "q17_small_quantity",
+    "q19_disjunctive_revenue", "q20_promotion_parts",
+    "q21_waiting_supplier", "pipe_corpus_checksum", "stream_gbr_fill_prev",
+    "join_salted_skew", "stream_quality_at_ingest", "pipe_write_curated",
+    "meta_table_partitions", "stream_match_recognize",
+    "pipe_quality_gopher", "pipe_sample_weighted", "pipe_sketch_kmv",
+    "pipe_sketch_kmv_setops", "pipe_ann_pq", "stream_hll_sketch",
+    "pipe_ann_ivfpq",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from griddb_spark import workload
 
+    lead = [n for n in _NEVER_SAMPLED_R1_R5 if n in workload.QUERIES]
     seen = [n for n in _SAMPLED_R1_R4 + _SAMPLED_R5
             if n in workload.QUERIES]
-    fresh = [n for n in workload.QUERIES if n not in set(seen)]
-    return {n: workload.QUERIES[n] for n in fresh + seen}
+    skip = set(lead) | set(seen)
+    fresh = [n for n in workload.QUERIES if n not in skip]
+    return {n: workload.QUERIES[n] for n in lead + fresh + seen}
 
 
 def oracle_sql() -> dict[str, str]:
