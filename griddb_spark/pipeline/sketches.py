@@ -143,6 +143,24 @@ def histogram_quantile(
     requested quantile (label = quantile with the dot stripped, e.g.
     ``q_50``, ``q_95`` for 0.50/0.95), rounded to 6 decimals.
     """
+    counts = histogram_counts(df, group_cols, value_col, lo, hi, n_buckets)
+    return quantiles_from_counts(counts, group_cols, quantiles, lo, hi,
+                                 n_buckets)
+
+
+def histogram_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The MERGEABLE sketch state behind :func:`histogram_quantile`:
+    ``group_cols + (__bucket, __n)``. Partials from different shards,
+    days, or groups merge by plain addition (:func:`merge_histograms`) —
+    store these per shard and any rollup quantile is sketch math, never
+    a rescan."""
     g = list(group_cols)
     w = (hi - lo) / float(n_buckets)
     v = F.col(value_col).cast("double")
@@ -150,10 +168,31 @@ def histogram_quantile(
         F.lit(n_buckets - 1),
         F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(w)).cast("int")),
     ).alias("__bucket")
-
-    counts = df.select(*g, bucket).groupBy(*g, "__bucket").agg(
+    return df.select(*g, bucket).groupBy(*g, "__bucket").agg(
         F.count(F.lit(1)).alias("__n"))
 
+
+def merge_histograms(
+    counts: DataFrame, out_group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge histogram partials down to ``out_group_cols`` (possibly
+    empty → one global sketch) by bucket-wise addition."""
+    g = list(out_group_cols)
+    return counts.groupBy(*g, "__bucket").agg(F.sum("__n").alias("__n"))
+
+
+def quantiles_from_counts(
+    counts: DataFrame,
+    group_cols: Sequence[str],
+    quantiles: Sequence[float],
+    lo: float,
+    hi: float,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Finish quantile estimates from (possibly merged) histogram state —
+    the shared read path of the batch sketch and any shard/stream rollup."""
+    g = list(group_cols)
+    w = (hi - lo) / float(n_buckets)
     from pyspark.sql import Window
 
     pw = Window.partitionBy(*g).orderBy("__bucket")

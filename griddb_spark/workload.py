@@ -4608,6 +4608,48 @@ def pipe_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_sketch_quantile_merge",
+    """
+    WITH b AS (
+      SELECT least(255, greatest(0, CAST(floor(value / 2.0) AS INT)))
+        AS bucket
+      FROM events),
+    c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+    cum AS (SELECT bucket,
+                   CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+                   CAST(sum(n) OVER () AS BIGINT) AS tot
+            FROM c)
+    SELECT max(tot) AS n_rows,
+           round(min(CASE WHEN cum >= 0.5 * tot
+                          THEN (bucket + 1) * 2.0 END), 6)::DOUBLE AS q_50,
+           round(min(CASE WHEN cum >= 0.95 * tot
+                          THEN (bucket + 1) * 2.0 END), 6)::DOUBLE AS q_95
+    FROM cum
+    """,
+)
+def pipe_sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE without rescan (histogram_counts/merge_histograms/
+    quantiles_from_counts, pipeline/sketches.py): per-event-type
+    histogram partials — the state a 100 TB pipeline stores per shard or
+    per day — roll up to a single GLOBAL quantile by bucket-wise
+    addition alone; the raw events are never touched again. The oracle
+    recomputes the global quantiles from raw under the same bucket math,
+    so the merge path must be lossless."""
+    from griddb_spark.pipeline.sketches import (
+        histogram_counts,
+        merge_histograms,
+        quantiles_from_counts,
+    )
+
+    ev = cat(spark, sf_dir).load("events")
+    partials = histogram_counts(ev, ["event_type"], "value",
+                                lo=0.0, hi=512.0, n_buckets=256)
+    merged = merge_histograms(partials, [])
+    return quantiles_from_counts(merged, [], [0.5, 0.95],
+                                 lo=0.0, hi=512.0, n_buckets=256)
+
+
+@query(
     "pipe_decontam_spans",
     """
     WITH corpus AS (SELECT doc_id, text FROM documents
