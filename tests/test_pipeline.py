@@ -1606,3 +1606,54 @@ def test_resample_audio_halves_and_preserves_signal(spark):
         rs.select("doc_id", F.col("media_rs").alias("media")), "media",
         "doc_id").collect()[0]
     assert feats.sample_rate == 8000 and feats.n_samples == 200
+
+
+def test_mix_epochs_invariant_under_repartitioning(spark, docs):
+    """The deterministic-recipe property: identical output rows at any
+    partitioning (hash decisions are content-based, never layout-based)."""
+    from griddb_spark.pipeline import mix_epochs
+
+    recipe = {"src0": 1.5, "src3": 0.4}
+    a = sorted(map(tuple, mix_epochs(
+        docs, "doc_id", "source", recipe).collect()))
+    b = sorted(map(tuple, mix_epochs(
+        docs.repartition(17), "doc_id", "source", recipe).collect()))
+    c = sorted(map(tuple, mix_epochs(
+        docs.coalesce(1), "doc_id", "source", recipe).collect()))
+    assert a == b == c and len(a) > 0
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """Property: interpolated bigram scoring == a pure-Python replay on a
+    tiny corpus (counts, interpolation, and rounding all exact)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from griddb_spark.pipeline.quality import bigram_logprob
+
+    corpus = [(1, "a b a b c"), (2, "b c a"), (3, "a a a b")]
+    df = spark.createDataFrame(corpus, "doc_id int, text string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob, r.ppl)
+           for r in bigram_logprob(df, "text", "doc_id", lam=0.7).collect()}
+
+    toks = {i: t.split() for i, t in corpus}
+    uni: dict = {}
+    for ws in toks.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+    n = sum(uni.values())
+    bc: dict = {}
+    for ws in toks.values():
+        for p, w in zip(ws, ws[1:]):
+            bc[(p, w)] = bc.get((p, w), 0) + 1
+
+    def r6d(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               ROUND_HALF_UP))
+
+    for i, ws in toks.items():
+        lps = [math.log(0.7 * bc[(p, w)] / uni[p] + (1.0 - 0.7) * uni[w] / n)
+               for p, w in zip(ws, ws[1:])]
+        avg = r6d(sum(lps) / len(lps))
+        assert got[i][0] == len(lps)
+        assert abs(got[i][1] - avg) < 2e-6, (i, got[i], avg)

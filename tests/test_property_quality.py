@@ -83,3 +83,82 @@ def test_pii_scrub_random_planted_counts(spark, seed):
         if r.em + r.ph + r.ip:
             assert "@" not in r.scrubbed or "<EMAIL>" in r.scrubbed
         assert "filler text only here" in r.scrubbed
+
+
+def test_c4_line_filter_matches_python_reference(spark):
+    """Property: c4_line_filter == a plain-Python replay of the C4 rules
+    on random multi-line documents (random punctuation, word counts,
+    badwords, braces)."""
+    import random
+
+    from griddb_spark.pipeline.quality import c4_line_filter
+
+    rng = random.Random(5)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = []
+    for i in range(120):
+        lines = []
+        for _ in range(rng.randint(0, 6)):
+            ws = [rng.choice(words) for _ in range(rng.randint(1, 8))]
+            line = " ".join(ws)
+            r = rng.random()
+            if r < 0.3:
+                line += "."
+            elif r < 0.4:
+                line += "!"
+            if rng.random() < 0.1:
+                line += " {"
+            if rng.random() < 0.1:
+                line = "lorem ipsum " + line + "."
+            lines.append(line)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r.doc_id: (r.clean_text, r.n_lines, r.n_kept, r.keep)
+           for r in c4_line_filter(df, "doc_id", "text",
+                                   min_words=3, min_kept_lines=2).collect()}
+
+    def ref(text):
+        lines = text.split("\n")
+        kept = [
+            ln for ln in lines
+            if ln and ln[-1] in ".!?"
+            and len([w for w in ln.strip().split(" ") if w]) >= 3
+            and "lorem ipsum" not in ln.lower()
+            and "{" not in ln
+        ]
+        return ("\n".join(kept), len(lines), len(kept),
+                1 if len(kept) >= 2 else 0)
+
+    for i, text in docs:
+        assert got[i] == ref(text), (i, text, got[i], ref(text))
+
+
+def test_decontaminate_spans_matches_python_reference(spark):
+    """Property: span-level decontamination == a Python replay (chunked
+    corpus spans vs overlapping bench k-grams) on random word soup."""
+    import random
+
+    from griddb_spark.pipeline.decontaminate import decontaminate_spans
+
+    rng = random.Random(9)
+    vocab = [f"w{j}" for j in range(12)]
+    corpus = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+              for i in range(80)]
+    bench = [(1000 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 9))))
+             for i in range(6)]
+    cdf = spark.createDataFrame(corpus, "doc_id int, text string")
+    bdf = spark.createDataFrame(bench, "doc_id int, text string")
+    got = {r.doc_id: (r.clean_text, r.n_spans, r.n_removed)
+           for r in decontaminate_spans(cdf, bdf, "doc_id", "text",
+                                        k=3).collect()}
+    bgrams = set()
+    for _, t in bench:
+        w = t.split()
+        for j in range(len(w) - 2):
+            bgrams.add(" ".join(w[j:j + 3]))
+    for i, t in corpus:
+        w = t.split()
+        spans = [" ".join(w[j:j + 3]) for j in range(0, len(w), 3)]
+        kept = [s for s in spans if s not in bgrams]
+        want = (" ".join(kept), len(spans), sum(s in bgrams for s in spans))
+        assert got[i] == want, (i, t, got[i], want)
