@@ -4509,6 +4509,60 @@ def pipe_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_audio_resample",
+    """
+    WITH e AS (SELECT event_id AS doc_id FROM events WHERE event_id < 500),
+    s AS (SELECT doc_id, j,
+            ((doc_id * 7 + (2 * j) * 13) % 256) - 128 AS v
+          FROM e CROSS JOIN range(0, 80) t(j)),
+    z AS (SELECT doc_id, v,
+            lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+          FROM s),
+    a AS (SELECT doc_id, count(*) AS n,
+            sum(v * v) AS sum_sq,
+            sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                THEN 1 ELSE 0 END) AS zc,
+            max(abs(v)) AS peak
+          FROM z GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS INT) AS n_samples, 4000 AS sample_rate,
+           round(n * 1000.0 / 4000, 3) AS duration_ms,
+           round(sqrt(sum_sq / n), 6) AS rms,
+           CAST(zc AS INT) AS zero_crossings, CAST(peak AS INT) AS peak
+    FROM a
+    """,
+)
+def pipe_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling through the real codec (resample_audio,
+    pipeline/multimodal.py): the 8 kHz fixtures downsample to 4 kHz —
+    linear interpolation at integer positions is the identity, so the
+    resampled stream is exactly the even-position samples and the oracle
+    scores THOSE from the formula alone: encode → resample → re-encode →
+    decode → features must round-trip losslessly end to end."""
+    from griddb_spark.pipeline.multimodal import (
+        audio_features,
+        resample_audio,
+        wav_pack,
+    )
+
+    ev = cat(spark, sf_dir).load("events").filter(F.col("event_id") < 500)
+    base = ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(159)),
+            lambda j: ((F.col("event_id") * 7 + j * 13) % 256 - 128)
+            .cast("int"),
+        ).alias("samples"),
+        F.lit(8000).alias("rate"),
+    )
+    media = wav_pack(base, "samples", "rate", id_col="doc_id")
+    rs = resample_audio(media, 4000, "media", "doc_id")
+    return audio_features(
+        rs.select("doc_id", F.col("media_rs").alias("media")),
+        "media", "doc_id",
+    )
+
+
+@query(
     "stream_audio_features",
     """
     WITH e AS (SELECT event_id AS doc_id FROM events WHERE event_id < 500),
