@@ -113,31 +113,53 @@ _SAMPLED_R5 = [
 ]
 
 
-#: VERDICT r5 item 2: the 32 queries no driver round has ever sampled
-#: lead the order OUTRIGHT (the driver samples the first ~50; round-6's
-#: own new gates follow them, already-sampled names last).
-_NEVER_SAMPLED_R1_R5 = [
-    "q10_returned_items", "q14_promo_effect", "q4_order_priority",
-    "q7_volume_shipping", "q13_customer_distribution", "q18_large_volume",
-    "q22_global_sales", "q2_min_cost_supplier", "q8_market_share",
-    "q9_product_profit", "q11_important_stock", "q12_shipmode_priority",
-    "q15_top_supplier", "q16_parts_supplier", "q17_small_quantity",
+#: VERDICT r6 item 1: the 7 queries whose official driver record is
+#: stale lead the order OUTRIGHT — the 4 last officially sampled in r04
+#: where they hash-FAILED (all since fixed and sim-verified green) plus
+#: the 3 r6 gates no driver round has ever sampled. A green r7 row for
+#: each makes the official CORRECTNESS record 209/209 cumulative.
+_DRIVER_UNCONFIRMED_R7 = [
+    "scalar_numeric_funcs", "pipe_profile_stats", "sessionize_events",
+    "pipe_embed_normalize", "stream_match_two_var",
+    "pipe_ann_ivfpq_batch", "pipe_ann_index_serve",
+]
+
+
+#: Queries the round-6 driver sampled (CORRECTNESS_r06.json keys) —
+#: freshest confirmations, rotated to the very back.
+_SAMPLED_R6 = [
+    "join_bucketed_colocated", "join_range_bucketed", "join_salted_skew",
+    "match_recognize_two_var", "meta_table_partitions", "pipe_ann_ivfpq",
+    "pipe_ann_pq", "pipe_audio_features", "pipe_audio_resample",
+    "pipe_classifier_train", "pipe_corpus_checksum", "pipe_decontam_spans",
+    "pipe_lm_bigram", "pipe_mix_epochs", "pipe_pack_epoch_mix",
+    "pipe_quality_c4", "pipe_quality_gopher", "pipe_sample_weighted",
+    "pipe_sketch_kmv", "pipe_sketch_kmv_setops",
+    "pipe_sketch_quantile_merge", "pipe_split_leakage_safe",
+    "pipe_write_curated", "pipe_zorder_layout", "q10_returned_items",
+    "q11_important_stock", "q12_shipmode_priority",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_parts_supplier", "q17_small_quantity", "q18_large_volume",
     "q19_disjunctive_revenue", "q20_promotion_parts",
-    "q21_waiting_supplier", "pipe_corpus_checksum", "stream_gbr_fill_prev",
-    "join_salted_skew", "stream_quality_at_ingest", "pipe_write_curated",
-    "meta_table_partitions", "stream_match_recognize",
-    "pipe_quality_gopher", "pipe_sample_weighted", "pipe_sketch_kmv",
-    "pipe_sketch_kmv_setops", "pipe_ann_pq", "stream_hll_sketch",
-    "pipe_ann_ivfpq",
+    "q21_waiting_supplier", "q22_global_sales", "q2_min_cost_supplier",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "source_csv_json_roundtrip",
+    "sql_explain_analyze", "sql_frontend_dop_hint",
+    "stream_audio_features", "stream_gbr_fill_prev", "stream_hll_sketch",
+    "stream_match_recognize", "stream_quality_at_ingest",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Order: 7 driver-unconfirmed, then round-7's new gates (auto:
+    anything in no list yet), then stalest-confirmation-first (r1-r4
+    sample fills the rest of the ~50-query window, refreshing the
+    oldest official records), r5 and r6 samples last."""
     from griddb_spark import workload
 
-    lead = [n for n in _NEVER_SAMPLED_R1_R5 if n in workload.QUERIES]
-    seen = [n for n in _SAMPLED_R1_R4 + _SAMPLED_R5
-            if n in workload.QUERIES]
+    lead = [n for n in _DRIVER_UNCONFIRMED_R7 if n in workload.QUERIES]
+    seen = [n for n in _SAMPLED_R1_R4 + _SAMPLED_R5 + _SAMPLED_R6
+            if n in workload.QUERIES and n not in lead]
     skip = set(lead) | set(seen)
     fresh = [n for n in workload.QUERIES if n not in skip]
     return {n: workload.QUERIES[n] for n in lead + fresh + seen}

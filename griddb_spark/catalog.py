@@ -41,6 +41,13 @@ KNOWN_TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+#: (session id, view name) → base_dir that currently owns the temp view.
+#: Catalogs over different base_dirs share one session view namespace; the
+#: owner map lets a catalog skip re-registering views it already owns while
+#: still re-asserting them after a catalog at another dir took the name.
+_VIEW_OWNER: dict = {}
+
+
 @dataclass
 class ContainerCatalog:
     """Maps container names → parquet paths; lazily registers temp views."""
@@ -49,6 +56,7 @@ class ContainerCatalog:
     base_dir: str
     _registered: set = field(default_factory=set)
     _nano_cache: dict = field(default_factory=dict)
+    _df_cache: dict = field(default_factory=dict)
     #: optional access control (security.AccessControl, user, database name):
     #: when set, every load() checks READ on the database — GridDB's
     #: database-level GRANT scheme (sql_parser.h:251-256)
@@ -61,6 +69,7 @@ class ContainerCatalog:
         c = ContainerCatalog(self.spark, self.base_dir, acl=acl, acl_user=user,
                              db_name=self.db_name)
         c._nano_cache = self._nano_cache
+        c._df_cache = self._df_cache
         return c
 
     def path(self, name: str) -> str:
@@ -141,15 +150,34 @@ class ContainerCatalog:
         raise ValueError(f"unsupported import format: {fmt}")
 
     def table(self, name: str) -> DataFrame:
-        """Load and register as a temp view (idempotent)."""
-        df = self.load(name)
-        if name not in self._registered:
+        """Load and register as a temp view (idempotent).
+
+        The loaded DataFrame is cached per instance: every ``griddb_sql``
+        call does a ``register_all()``, and re-reading parquet footers for
+        ten containers per statement is a real driver-side constant cost
+        (at 100 TB a footer/file listing spans many thousands of files).
+        The temp view is (re-)asserted only when this catalog's base_dir
+        does not currently own the session-global view name."""
+        if self.acl is not None:
+            self.acl.authorize(self.acl_user, self.db_name, "READ")
+        df = self._df_cache.get(name)
+        if df is None:
+            df = self.load(name)
+            self._df_cache[name] = df
+        key = (id(self.spark), name)
+        if _VIEW_OWNER.get(key) != self.base_dir:
             df.createOrReplaceTempView(name)
-            self._registered.add(name)
+            _VIEW_OWNER[key] = self.base_dir
+        self._registered.add(name)
         return df
 
     def register_all(self, names: tuple[str, ...] = KNOWN_TABLES) -> None:
         for name in names:
+            if (
+                name in self._df_cache
+                and _VIEW_OWNER.get((id(self.spark), name)) == self.base_dir
+            ):
+                continue
             if os.path.exists(self.path(name)):
                 self.table(name)
 

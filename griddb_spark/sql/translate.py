@@ -173,6 +173,36 @@ def _apply_max_dop(sql: str) -> str:
             + out[owner.end():])
 
 
+#: GridDB's index-scan hints (``sql_compiler.h:44-45`` SQLHint::INDEX_SCAN /
+#: NO_INDEX_SCAN; consumed at ``sql_compiler.cpp:10128-10138``
+#: applyScanOption — one table argument, sets/clears the scan node's
+#: CMD_OPT_SCAN_INDEX flag, i.e. forces index use vs. a full scan).
+#: Spark's scan-acceleration analog is parquet filter pushdown + file/
+#: row-group skipping: ``NoIndexScan(t)`` forces the full-scan posture by
+#: pinning a non-deterministic pushdown barrier over ``t`` for this
+#: statement — predicates stay ABOVE the scan (``PushedFilters: []``),
+#: every file of ``t`` is read, results unchanged. ``IndexScan(t)`` is
+#: Spark's default posture and is honored by stripping. Column pruning is
+#: NOT disabled (the barrier references no columns), matching GridDB where
+#: the hint governs row access, not projection. Table-granular and
+#: statement-wide (GridDB applies it to every scan node of the named
+#: table).
+_NO_INDEX_SCAN_RE = re.compile(
+    r"No_?Index_?Scan\s*\(\s*([A-Za-z_]\w*)\s*\)", re.IGNORECASE
+)
+_INDEX_SCAN_RE = re.compile(
+    r"(?<![A-Za-z_0-9])Index_?Scan\s*\(\s*([A-Za-z_]\w*)\s*\)", re.IGNORECASE
+)
+
+
+def _extract_index_scan_hints(sql: str) -> "tuple[str, list[str]]":
+    """Strip (No)IndexScan hints; return the full-scan-forced table names."""
+    full_scan = [m.group(1).lower() for m in _NO_INDEX_SCAN_RE.finditer(sql)]
+    out = _NO_INDEX_SCAN_RE.sub("", sql)
+    out = _INDEX_SCAN_RE.sub("", out)
+    return out, list(dict.fromkeys(full_scan))
+
+
 #: GridDB 5.8 time-unit frame boundary — ``RANGE BETWEEN (10, MINUTE)
 #: PRECEDING`` (GridDB-5.8-CE-RELEASE_NOTES.md FRAME-clause) → Spark's
 #: interval-literal range boundary over a timestamp ordering.
@@ -613,7 +643,23 @@ def griddb_sql(
         return _exec_group_by_range(spark, catalog, sql)
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
         return _exec_match_recognize(spark, catalog, sql)
+    sql, full_scan_tables = _extract_index_scan_hints(sql)
     catalog.register_all()
-    if params is not None:
-        return spark.sql(rewrite_sql(sql), args=params)
-    return spark.sql(rewrite_sql(sql))
+    # NoIndexScan(t): swap t's view for a pushdown-barrier plan for THIS
+    # statement only. spark.sql analyzes eagerly (view subtrees inline at
+    # call time), so restoring the plain view afterwards cannot affect the
+    # returned DataFrame, and later statements see the normal scan again.
+    restore = []
+    for t in full_scan_tables:
+        df = catalog.table(t)
+        # always-true but non-foldable: != dodges the optimizer's
+        # range-based simplification of ordered comparisons on rand()
+        df.where(F.rand(7) != F.lit(-1.0)).createOrReplaceTempView(t)
+        restore.append((t, df))
+    try:
+        if params is not None:
+            return spark.sql(rewrite_sql(sql), args=params)
+        return spark.sql(rewrite_sql(sql))
+    finally:
+        for t, df in restore:
+            df.createOrReplaceTempView(t)

@@ -68,9 +68,21 @@ def prepare(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
 
 
+#: (session id, sf_dir) → ContainerCatalog. One catalog per (session, dir)
+#: so its DataFrame/footer caches survive across queries — a fresh catalog
+#: per call made every griddb_sql() re-read ten parquet footers through
+#: register_all() (the r6→r7 sql_explain constant-cost creep).
+_CAT_CACHE: dict = {}
+
+
 def cat(spark: SparkSession, sf_dir: str) -> ContainerCatalog:
     prepare(spark)
-    return ContainerCatalog(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    c = _CAT_CACHE.get(key)
+    if c is None or c.spark is not spark:
+        c = ContainerCatalog(spark, sf_dir)
+        _CAT_CACHE[key] = c
+    return c
 
 
 def _dec(col, scale: int = 2):
@@ -1313,6 +1325,41 @@ def sql_frontend_dop_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT /*+ MaxDegreeOfParallelism(4) */ o_orderpriority, "
         "count(*) AS n FROM orders WHERE o_totalprice > 1000 "
         "GROUP BY o_orderpriority",
+    )
+
+
+@query(
+    "sql_frontend_index_hint",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders WHERE o_totalprice > 150000
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_frontend_index_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridDB ``/*+ NoIndexScan(t) */`` / ``/*+ IndexScan(t) */`` scan
+    hints (sql_compiler.h:44-45; applyScanOption sql_compiler.cpp:
+    10128-10138 sets/clears the scan node's CMD_OPT_SCAN_INDEX flag —
+    index use vs. full scan). Spark's scan-acceleration analog is parquet
+    filter pushdown + row-group/page skipping via min-max statistics (the
+    storage-side index), so NoIndexScan pins a pushdown barrier over the
+    hinted table for the statement: every file is read and the predicate
+    evaluates above the scan — the full-scan posture, results unchanged.
+    IndexScan is the default posture (stripped). The plan test pins
+    PushedFilters present without the hint / absent with it; this gate
+    proves value-identity against the oracle's plain scan."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    c = cat(spark, sf_dir)
+    return griddb_sql(
+        spark, c,
+        "SELECT /*+ NoIndexScan(orders) */ o_orderstatus, count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "  AS total_price "
+        "FROM orders WHERE o_totalprice > 150000 "
+        "GROUP BY o_orderstatus",
     )
 
 

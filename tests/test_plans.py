@@ -616,3 +616,37 @@ def test_zorder_expr_matches_python_reference(spark):
 
     for i, x, y in rows:
         assert got[i] == ref(x, y), (i, x, y, got[i], ref(x, y))
+
+
+def test_no_index_scan_hint_blocks_pushdown(spark, catalog):
+    """/*+ NoIndexScan(t) */ (sql_compiler.h:44-45, applyScanOption
+    sql_compiler.cpp:10128-10138) forces the full-scan posture: the
+    predicate must NOT reach the parquet scan (PushedFilters empty — no
+    row-group/page skipping), results identical, and the effect is
+    statement-scoped (the next plain statement pushes down again).
+    IndexScan(t) is the default posture and strips to a no-op."""
+    import re
+
+    from griddb_spark.sql.translate import griddb_sql
+
+    q = ("SELECT {hint}o_orderstatus, count(*) AS n FROM orders "
+         "WHERE o_totalprice > 150000 GROUP BY o_orderstatus")
+
+    def run(sql):
+        d = griddb_sql(spark, catalog, sql)
+        pushed = re.findall(
+            r"PushedFilters: \[([^\]]*)\]",
+            d._jdf.queryExecution().toString(),
+        )
+        return pushed, d
+
+    plain_f, plain = run(q.format(hint=""))
+    assert any("o_totalprice" in f for f in plain_f)
+    hint_f, hinted = run(q.format(hint="/*+ NoIndexScan(orders) */ "))
+    assert not any("o_totalprice" in f for f in hint_f)
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, hinted.collect()))
+    after_f, _ = run(q.format(hint=""))
+    assert any("o_totalprice" in f for f in after_f)
+    idx_f, _ = run(q.format(hint="/*+ IndexScan(orders) */ "))
+    assert any("o_totalprice" in f for f in idx_f)
