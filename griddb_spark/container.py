@@ -437,6 +437,22 @@ class GridStore:
                  user, app, "QUERY", start, 0, mem, 0, 0, 0, 0, para, None,
                  f"job {jid}: stages {list(ji.stageIds)}")
             )
+        # governed statements (5.7 /sql/totalMemoryLimit — governor.py):
+        # resource_restrictions carries the GridDB config keys + outcome,
+        # memory_use the observed per-statement working set
+        from griddb_spark.governor import statement_records
+
+        for rec in statement_records():
+            rows.append(
+                (rec.request_id, host, port, None, None, user, app, "SQL",
+                 _dt.datetime.fromtimestamp(rec.started_ms / 1000.0),
+                 (rec.finished_ms or now_ms) - rec.started_ms,
+                 rec.working_memory_bytes, 0, 0, 0, 0, para,
+                 "totalMemoryLimit=%d;failOnTotalMemoryLimit=%s;status=%s"
+                 % (rec.limit_bytes,
+                    "true" if rec.fail_on_limit else "false", rec.status),
+                 rec.statement or None)
+            )
         return self.spark.createDataFrame(
             rows,
             "request_id string, node_address string, node_port int, "

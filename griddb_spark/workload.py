@@ -6090,6 +6090,50 @@ def meta_statement_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_memory_governed",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_memory_governed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-statement working-memory governance (5.7
+    /sql/totalMemoryLimit + /sql/failOnTotalMemoryLimit —
+    GridDB-5.7-CE-RELEASE_NOTES.md:29-38; limiter armed per task at
+    sql_job_manager_priority.cpp:7218-7232). The statement runs under a
+    MemoryGovernor budget (job-group scope, status-store working-set
+    monitor): within budget it must return exactly the ungoverned result
+    — this gate value-hashes that. A starved budget is asserted to stop
+    the statement with the GridDB-style error (the unit battery covers
+    the cancel/monitor-only/meta-table surfaces)."""
+    from griddb_spark.governor import (
+        MemoryGovernor,
+        StatementMemoryLimitError,
+    )
+    from griddb_spark.sql.translate import griddb_sql
+
+    c = cat(spark, sf_dir)
+    q = ("SELECT o_orderpriority, count(*) AS n, "
+         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+         "  AS total_price "
+         "FROM orders GROUP BY o_orderpriority")
+    starved = MemoryGovernor(spark, total_memory_limit=1)
+    try:
+        starved.run(lambda: griddb_sql(spark, c, q).collect(), statement=q)
+        raise AssertionError("starved budget must stop the statement")
+    except StatementMemoryLimitError:
+        pass
+    gov = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3)
+    rows = gov.run(lambda: griddb_sql(spark, c, q).collect(), statement=q)
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n long, total_price double"
+    )
+
+
+@query(
     "pipe_dedup_embed_canonical",
     """
     WITH RECURSIVE j AS (

@@ -1,0 +1,110 @@
+"""Per-statement memory governance (GridDB 5.7 /sql/totalMemoryLimit +
+/sql/failOnTotalMemoryLimit — GridDB-5.7-CE-RELEASE_NOTES.md:29-38)."""
+
+import os
+
+import pytest
+
+from griddb_spark.governor import (
+    MemoryGovernor,
+    StatementMemoryLimitError,
+    statement_records,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _heavy(spark):
+    """A statement with a real shuffle working set (grouped aggregation
+    over a generated range — stable regardless of testdata SF)."""
+    return (
+        spark.range(0, 2_000_000)
+        .selectExpr("id", "id % 10000 AS k", "id * 2 AS v")
+        .groupBy("k")
+        .sum("v")
+    )
+
+
+def test_budget_breach_aborts_with_griddb_error(spark):
+    gov = MemoryGovernor(spark, total_memory_limit=64 * 1024,
+                         fail_on_limit=True)
+    df = _heavy(spark)
+    with pytest.raises(StatementMemoryLimitError) as ei:
+        gov.run(lambda: df.collect(), statement="SELECT heavy")
+    assert "totalMemoryLimit" in str(ei.value)
+    rec = statement_records()[-1]
+    assert rec.status == "CANCELLED_MEMORY_LIMIT"
+    assert rec.working_memory_bytes > 64 * 1024
+    assert rec.statement == "SELECT heavy"
+
+
+def test_statement_under_budget_completes(spark):
+    gov = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3,
+                         fail_on_limit=True)
+    out = gov.run(lambda: _heavy(spark).count(), statement="SELECT ok")
+    assert out == 10000
+    rec = statement_records()[-1]
+    assert rec.status == "DONE"
+    assert rec.working_memory_bytes > 0  # usage observed, not just zeroed
+
+
+def test_monitor_only_mode_records_without_killing(spark):
+    """failOnTotalMemoryLimit=false: the budget is monitoring-only — the
+    statement completes and the breach is visible in the record."""
+    gov = MemoryGovernor(spark, total_memory_limit=64 * 1024,
+                         fail_on_limit=False)
+    out = gov.run(lambda: _heavy(spark).count(), statement="SELECT watch")
+    assert out == 10000
+    rec = statement_records()[-1]
+    assert rec.status == "DONE"
+    assert rec.working_memory_bytes > 64 * 1024
+
+
+def test_statement_resources_serves_governed_rows(spark):
+    """#statement_resources (the 5.7 meta table this feature reports
+    through) must carry one row per governed statement with the GridDB
+    config keys in resource_restrictions and the working set in
+    memory_use."""
+    from griddb_spark.container import GridStore
+
+    gov = MemoryGovernor(spark, total_memory_limit=1024 ** 3,
+                         fail_on_limit=True)
+    gov.run(lambda: _heavy(spark).count(), statement="SELECT meta probe")
+    store = GridStore(spark, SF_DIR)
+    rows = store.statement_resources().where(
+        "statement_type = 'SQL'").collect()
+    assert rows, "governed statements missing from #statement_resources"
+    mine = [r for r in rows if r.statement == "SELECT meta probe"]
+    assert mine
+    r = mine[-1]
+    assert "totalMemoryLimit=" in r.resource_restrictions
+    assert "failOnTotalMemoryLimit=true" in r.resource_restrictions
+    assert "status=DONE" in r.resource_restrictions
+    assert r.memory_use > 0
+    # cancelled statements surface their outcome too
+    df = _heavy(spark)
+    bad = MemoryGovernor(spark, total_memory_limit=64 * 1024)
+    with pytest.raises(StatementMemoryLimitError):
+        bad.run(lambda: df.collect(), statement="SELECT killed")
+    rows = store.statement_resources().where(
+        "statement = 'SELECT killed'").collect()
+    assert rows and "status=CANCELLED_MEMORY_LIMIT" in \
+        rows[-1].resource_restrictions
+
+
+def test_governed_sql_frontend_statement(spark, catalog):
+    """End-to-end through the SQL front-end: griddb_sql under a governor
+    budget — generous budget returns correct rows, starved budget stops
+    the statement with the GridDB-style error."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    q = ("SELECT o_orderpriority, count(*) AS n FROM orders "
+         "GROUP BY o_orderpriority")
+    gov = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3)
+    rows = gov.run(lambda: griddb_sql(spark, catalog, q).collect(),
+                   statement=q)
+    assert len(rows) == 5
+    starved = MemoryGovernor(spark, total_memory_limit=1)
+    with pytest.raises(StatementMemoryLimitError):
+        starved.run(lambda: griddb_sql(spark, catalog, q).collect(),
+                    statement=q)
