@@ -1329,6 +1329,49 @@ def sql_frontend_dop_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_dbapi_cursor",
+    """
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_bal
+    FROM customer
+    WHERE c_acctbal > ?
+    GROUP BY c_mktsegment
+    """.replace("?", "1000"),
+)
+def sql_dbapi_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBAPI2 (PEP 249) access layer (5.7 Python DBAPI2 samples):
+    connect → cursor → execute with a qmark parameter → fetchmany paging
+    — the whole statement drives through the cursor surface, rows stream
+    through toLocalIterator (never a full collect), and the re-assembled
+    pages must value-hash against the oracle's plain SQL."""
+    from griddb_spark import dbapi
+
+    conn = dbapi.connect(spark, sf_dir)
+    cur = conn.cursor()
+    cur.arraysize = 2
+    cur.execute(
+        "SELECT c_mktsegment, count(*) AS n, "
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) "
+        "  AS total_bal "
+        "FROM customer WHERE c_acctbal > ? GROUP BY c_mktsegment",
+        (1000,),
+    )
+    rows = []
+    while True:
+        page = cur.fetchmany()
+        if not page:
+            break
+        assert len(page) <= 2
+        rows.extend(page)
+    cur.close()
+    conn.close()
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, n long, total_bal double"
+    )
+
+
+@query(
     "sql_frontend_index_hint",
     """
     SELECT o_orderstatus, count(*) AS n,
