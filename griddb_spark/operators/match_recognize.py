@@ -362,6 +362,11 @@ class _MatchContext:
 # --------------------------------------------------------------------------
 
 
+#: Kill switch for the vectorized two-variable frame matcher inside
+#: compile_matcher — parity tests flip it off to reach the pure NFA.
+_TWO_VAR_VECTOR_ENABLED = True
+
+
 def compile_matcher(
     in_schema,
     pattern: str,
@@ -472,6 +477,157 @@ def compile_matcher(
                 and nd.id in ("__match_no__", "__classifier__")
                 for nd in ast.walk(tree)
             )
+
+    # ---- vectorized two-variable shortcut (compile-time setup) ------------
+    # The streaming face of the JVM two-var window path (r6,
+    # _try_fast_path_two_var): A B / A+ B / A B+ / A+ B+ with the same
+    # row-disjointness guard, but evaluated per micro-batch frame inside
+    # applyInPandasWithState — NumPy run/anchor arithmetic instead of the
+    # per-match backtracking loop. Measures: top-level FIRST(x)/LAST(x)/
+    # MATCH_NUMBER()/CLASSIFIER(), or any vectorizable expression (NFA
+    # parity: evaluated at the match's LAST row); nested match-dependent
+    # calls fall back to the NFA.
+    two_var = None
+    if single_var is None and _sv_tokens and _TWO_VAR_VECTOR_ENABLED:
+        _vq: list[tuple[str, bool]] = []
+        _i, _ok = 0, True
+        while _i < len(_sv_tokens):
+            _t = _sv_tokens[_i]
+            if not (_t[0].isalpha() or _t[0] in "_$"):
+                _ok = False
+                break
+            _plus = _i + 1 < len(_sv_tokens) and _sv_tokens[_i + 1] == "+"
+            _vq.append((_t, _plus))
+            _i += 2 if _plus else 1
+        if _ok and len(_vq) == 2 and _vq[0][0] != _vq[1][0]:
+            _spec: list | None = []
+            for m, expr in compiled_measures.items():
+                tree = expr.tree
+                if any(
+                    sub is not tree
+                    and isinstance(sub, ast.Call)
+                    and isinstance(sub.func, ast.Name)
+                    and sub.func.id in ("FIRST", "LAST", "CLASSIFIER",
+                                        "MATCH_NUMBER")
+                    for sub in ast.walk(tree)
+                ):
+                    _spec = None
+                    break
+                if isinstance(tree, ast.Call) and isinstance(
+                    tree.func, ast.Name
+                ) and tree.func.id in ("FIRST", "LAST", "MATCH_NUMBER",
+                                       "CLASSIFIER"):
+                    fn = tree.func.id
+                    if fn == "MATCH_NUMBER":
+                        _spec.append((m, "match_no", None))
+                    elif fn == "CLASSIFIER":
+                        _spec.append((m, "classifier", None))
+                    else:
+                        _spec.append(
+                            (m, "first" if fn == "FIRST" else "last",
+                             tree.args[0])
+                        )
+                else:
+                    _spec.append((m, "last", tree))  # NFA evals at rows[-1]
+            if _spec is not None:
+                two_var = (_vq[0], _vq[1], _spec)
+
+    def _two_var_process(pdf, vec_conds, start_at: int, match_no_offset: int):
+        """Vectorized two-var matching over one sorted frame. Returns the
+        (out, consumed, pdf) triple, or None → run the NFA loop (a DEFINE
+        didn't vectorize, a measure didn't, or the disjointness guard —
+        some row satisfies BOTH DEFINEs — failed for THIS frame).
+
+        Soundness is the JVM path's argument verbatim: under SKIP PAST
+        LAST ROW with row-disjoint DEFINEs, greedy matches are exactly
+        "A-run (maximal for A+, the run-last row for A; clipped at
+        start_at) followed by a non-empty B-run (maximal for B+, one row
+        for B)" — anchors are the A-rows whose successor is a B-row, no
+        backtracking inside a run can succeed, and matches cannot
+        overlap."""
+        import numpy as np
+        import pandas as pd
+
+        (var_a, a_plus), (var_b, b_plus), spec = two_var
+        n = len(pdf)
+        if n == 0:
+            return [], start_at, pdf
+
+        def _mask(v):
+            if v in compiled_define:
+                return vec_conds.get(v)
+            return np.ones(n, dtype=bool)
+
+        a, b = _mask(var_a), _mask(var_b)
+        if a is None or b is None:
+            return None
+        if bool((a & b).any()):
+            return None  # sequential match selection → NFA
+        idx = np.arange(n)
+        b_next = np.zeros(n, dtype=bool)
+        b_next[:-1] = b[1:]
+        anchors = a & b_next
+        if start_at:
+            anchors[: min(start_at, n)] = False
+        anchor_idx = np.nonzero(anchors)[0]
+        if len(anchor_idx) == 0:
+            return [], start_at, pdf
+        if a_plus:
+            astart = a & ~np.concatenate(([False], a[:-1]))
+            run_start = np.maximum.accumulate(np.where(astart, idx, -1))
+            first_row = run_start[anchor_idx]
+            if start_at:
+                first_row = np.maximum(first_row, start_at)
+        else:
+            first_row = anchor_idx
+        if b_plus:
+            bend = b & ~np.concatenate((b[1:], [False]))
+            run_end = np.minimum.accumulate(
+                np.where(bend, idx, n)[::-1]
+            )[::-1]
+            last_row = run_end[anchor_idx + 1]
+        else:
+            last_row = anchor_idx + 1
+        k = len(anchor_idx)
+        nums = match_no_offset + np.arange(1, k + 1, dtype="int64")
+        try:
+            mdata = {}
+            for m, kind, tree in spec:
+                if kind == "match_no":
+                    mdata[m] = nums
+                elif kind == "classifier":
+                    mdata[m] = np.full(k, var_b, dtype=object)
+                else:
+                    s = _vectorize(tree, pdf)
+                    rowsel = first_row if kind == "first" else last_row
+                    mdata[m] = (
+                        s.to_numpy()[rowsel]
+                        if isinstance(s, pd.Series)
+                        else np.full(k, s)
+                    )
+        except (ValueError, KeyError):
+            return None
+        consumed = int(last_row[-1]) + 1
+        if not all_rows:
+            out = {c: pdf[c].to_numpy()[last_row] for c in partition_by}
+            out.update(mdata)
+            out["match_no"] = nums
+            frame = pd.DataFrame(out).reindex(columns=out_names)
+            return frame, consumed, pdf
+        lens = (last_row - first_row + 1).astype("int64")
+        total = int(lens.sum())
+        offs = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        row_pos = np.repeat(first_row, lens) + offs
+        mrep = np.repeat(np.arange(k), lens)
+        out = {c: pdf[c].to_numpy()[row_pos] for c in pdf.columns}
+        out["classifier"] = np.where(
+            row_pos <= np.repeat(anchor_idx, lens), var_a, var_b
+        ).astype(object)
+        for m, v in mdata.items():
+            out[m] = np.asarray(v)[mrep]
+        out["match_no"] = nums[mrep]
+        frame = pd.DataFrame(out).reindex(columns=out_names)
+        return frame, consumed, pdf
 
     class _AugView:
         """Read-only DataFrame facade exposing extra virtual columns to
@@ -626,6 +782,14 @@ def compile_matcher(
                 out["match_no"] = nums
                 frame = pd.DataFrame(out).reindex(columns=out_names)
                 return frame, int(idx[-1]) + 1, pdf
+
+        # vectorized two-variable shortcut (see compile-time setup): per
+        # frame — a frame where the disjointness guard fails (or an
+        # expression won't vectorize) falls through to the NFA below
+        if two_var is not None:
+            tv = _two_var_process(pdf, vec_conds, start_at, match_no_offset)
+            if tv is not None:
+                return tv
 
         ctx = _MatchContext(pdf, [], {}, 0)
         out_rows = []

@@ -297,3 +297,113 @@ def test_two_var_fast_path_with_prev_defines_matches_nfa(
     rf, rs = sorted(fast.collect(), key=key), sorted(slow.collect(), key=key)
     assert len(rf) == len(rs) > 0
     assert all(a == b for a, b in zip(rf, rs))
+
+
+# ---------------------------------------------------------------------------
+# vectorized two-variable frame matcher (compile_matcher's streaming face)
+# ---------------------------------------------------------------------------
+
+def _tv_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+
+def _tv_frame(seed: int, n: int):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "user_id": np.full(n, 1, dtype="int64"),
+        "ts": np.arange(n, dtype="int64"),
+        "value": rng.integers(0, 300, n).astype("float64"),
+    })
+
+
+def _tv_run(pattern, define, measures, all_rows, pdf, offset, start_at,
+            vectorized, monkeypatch):
+    import importlib
+
+    import pandas as pd
+
+    mr = importlib.import_module("griddb_spark.operators.match_recognize")
+    monkeypatch.setattr(mr, "_TWO_VAR_VECTOR_ENABLED", vectorized)
+    process, out_schema, out_names = mr.compile_matcher(
+        _tv_schema(), pattern, define, measures, ["user_id"], "ts",
+        all_rows, {"m": "long"},
+    )
+    out, consumed, _ = process(pdf.copy(), offset, start_at)
+    if isinstance(out, pd.DataFrame):
+        frame = out.reindex(columns=out_names)
+    else:
+        frame = pd.DataFrame(list(out), columns=out_names)
+    return frame.reset_index(drop=True), consumed
+
+
+@pytest.mark.parametrize("all_rows", [False, True])
+@pytest.mark.parametrize("pattern", ["A B", "A+ B", "A B+", "A+ B+"])
+def test_vectorized_two_var_matcher_parity_vs_nfa(
+    spark, monkeypatch, pattern, all_rows
+):
+    """The streaming-face vectorized two-var matcher (VERDICT r6 item 7)
+    must be row-identical to the pure NFA across every quantifier form,
+    both output modes, nonzero match_no offsets and start_at context
+    boundaries (the streaming resume parameters)."""
+    import pandas as pd
+
+    define = {"A": "value >= 150", "B": "value < 150"}
+    measures = {
+        "start_ts": "FIRST(ts)", "end_ts": "LAST(ts)", "v": "value",
+        "m": "MATCH_NUMBER()", "who": "CLASSIFIER()",
+    }
+    for seed in (0, 1, 2, 3):
+        for start_at, offset in ((0, 0), (3, 7), (11, 2)):
+            pdf = _tv_frame(seed, 120)
+            fast, cf = _tv_run(pattern, define, measures, all_rows, pdf,
+                               offset, start_at, True, monkeypatch)
+            slow, cs = _tv_run(pattern, define, measures, all_rows, pdf,
+                               offset, start_at, False, monkeypatch)
+            assert cf == cs, (pattern, seed, start_at)
+            assert len(fast) == len(slow), (pattern, seed, start_at)
+            pd.testing.assert_frame_equal(
+                fast, slow, check_dtype=False, check_exact=True,
+            )
+
+
+def test_vectorized_two_var_prev_defines_and_expr_measures(spark, monkeypatch):
+    """PREV-based DEFINEs (physical shift) and arithmetic measures ride
+    the vectorized path with NFA-exact values."""
+    import pandas as pd
+
+    define = {"UP": "value > PREV(value)", "DOWN": "value < PREV(value)"}
+    measures = {"peak": "FIRST(value)", "twice": "value * 2",
+                "m": "MATCH_NUMBER()"}
+    for seed in (5, 6):
+        pdf = _tv_frame(seed, 150)
+        fast, cf = _tv_run("UP+ DOWN+", define, measures, False, pdf,
+                           0, 0, True, monkeypatch)
+        slow, cs = _tv_run("UP+ DOWN+", define, measures, False, pdf,
+                           0, 0, False, monkeypatch)
+        assert cf == cs and len(fast) == len(slow) > 0
+        pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_vectorized_two_var_guard_falls_back_per_frame(spark, monkeypatch):
+    """A frame where some row satisfies BOTH DEFINEs must produce the
+    NFA's answer (the vectorized routine declines that frame)."""
+    import pandas as pd
+
+    define = {"A": "value > 10", "B": "value > 20"}  # overlapping
+    measures = {"m": "MATCH_NUMBER()", "v": "LAST(value)"}
+    pdf = _tv_frame(9, 80)
+    fast, cf = _tv_run("A+ B+", define, measures, False, pdf, 0, 0,
+                       True, monkeypatch)
+    slow, cs = _tv_run("A+ B+", define, measures, False, pdf, 0, 0,
+                       False, monkeypatch)
+    assert cf == cs
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
