@@ -46,6 +46,14 @@ _NUMERIC = (
 )
 
 
+#: Reference default for the fill-generation budget: a GROUP BY RANGE
+#: statement may emit at most this many GENERATED (empty-bucket) rows
+#: before erroring (``sql_operator_group.h:314`` ROW_GENERATION_LIMIT;
+#: thrown at ``sql_operator_group.cpp:1378`` "Too many groups filled").
+#: The ``/*+ MaxGeneratedRows(n) */`` hint overrides it per statement.
+ROW_GENERATION_LIMIT = 100_000
+
+
 def group_by_range(
     df: DataFrame,
     key: str,
@@ -57,6 +65,7 @@ def group_by_range(
     offset: int = 0,
     fill: str = "NONE",
     by: Sequence[str] = (),
+    generation_limit: "int | None" = ROW_GENERATION_LIMIT,
 ) -> DataFrame:
     """Aggregate ``df`` into fixed time buckets of ``every`` ``unit``.
 
@@ -64,6 +73,16 @@ def group_by_range(
     ``{"avg_value": F.avg("value")}``). The bucket start timestamp is
     returned under the key column's name. ``by`` adds series-key grouping
     (a GridDB PARTITION BY extension — one GROUP BY RANGE per series).
+
+    ``generation_limit`` is the statement's fill budget: if FILL
+    generates more than this many empty-bucket rows the query fails with
+    the reference's error ("Too many groups filled",
+    ``sql_operator_group.cpp:1378``; default 100k per
+    ``sql_operator_group.h:314``, hint-overridable). ``None`` disables
+    the guard. Enforcement is free when the lattice alone proves the
+    budget can't be exceeded (no series keys and ``n_buckets <= limit``
+    — the common case); otherwise it is a broadcast one-row fill count
+    folded into the plan JVM-side (``raise_error``), no extra action.
     """
     fill = fill.upper()
     if fill not in _FILL_MODES:
@@ -153,9 +172,31 @@ def group_by_range(
                     F.when(prev.isNotNull() & nxt.isNotNull(), interp)
                 )
             out_aggs.append(filled.alias(name))
-    return joined.select(
-        *by, F.timestamp_millis(F.col("__bucket")).alias(key), *out_aggs
+    out = joined.select(
+        *by, F.col("__present"),
+        F.timestamp_millis(F.col("__bucket")).alias(key), *out_aggs,
     )
+    if generation_limit is not None and (by or n_buckets > generation_limit):
+        # fill budget can actually be exceeded: guard with a broadcast
+        # one-row count of generated rows; raise_error keeps the check
+        # inside the JVM plan (no driver action, no Python)
+        fills = joined.filter(F.col("__present").isNull()).select(
+            F.count(F.lit(1)).alias("__fills")
+        )
+        out = (
+            out.crossJoin(F.broadcast(fills))
+            .filter(
+                F.when(
+                    F.col("__fills") > F.lit(int(generation_limit)),
+                    F.raise_error(F.lit(
+                        "Too many groups filled "
+                        f"(limit={int(generation_limit)})"
+                    )),
+                ).otherwise(F.lit(True))
+            )
+            .drop("__fills")
+        )
+    return out.drop("__present")
 
 
 def _agg_dtype(grouped: DataFrame, name: str) -> T.DataType:

@@ -173,6 +173,64 @@ def _apply_max_dop(sql: str) -> str:
             + out[owner.end():])
 
 
+#: GridDB's join-method hints (``sql_compiler.h:47-48``
+#: SQLHint::INDEX_JOIN / NO_INDEX_JOIN; consumed per table PAIR at
+#: ``sql_compiler.cpp:10217-10221`` findJoinMethodHint — force/forbid the
+#: index-nested-loop join for that pair). The index join probes the inner
+#: table through a transient lookup structure; Spark's physical analog of
+#: "hash-lookup join" vs "no lookup structure" is ShuffledHashJoin vs
+#: SortMergeJoin, so ``IndexJoin(a b)`` maps to ``SHUFFLE_HASH(b)`` and
+#: ``NoIndexJoin(a b)`` to ``MERGE(b)`` (b = the probed/inner side),
+#: anchored to the hint's own SELECT scope like TableRowCount. Results
+#: are identical either way; only the physical strategy flips (plan-
+#: pinned in tests/test_plans.py).
+_NO_INDEX_JOIN_RE = re.compile(
+    r"No_?Index_?Join\s*\(\s*([A-Za-z_]\w*)\s+([A-Za-z_]\w*)\s*\)",
+    re.IGNORECASE,
+)
+_INDEX_JOIN_RE = re.compile(
+    r"(?<![A-Za-z_0-9])Index_?Join\s*\(\s*([A-Za-z_]\w*)\s+([A-Za-z_]\w*)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _apply_index_join(sql: str) -> str:
+    out = sql
+    for pat, spark_hint in ((_NO_INDEX_JOIN_RE, "MERGE"),
+                            (_INDEX_JOIN_RE, "SHUFFLE_HASH")):
+        m = pat.search(out)
+        if not m:
+            continue
+        inner = m.group(2)
+        stripped = pat.sub("", out)
+        owner = None
+        for sel in re.finditer(r"\bSELECT\b", stripped, re.IGNORECASE):
+            if sel.start() > m.start():
+                break
+            owner = sel
+        if owner is None:
+            owner = re.search(r"\bSELECT\b", stripped, re.IGNORECASE)
+        if not owner:
+            out = stripped
+            continue
+        out = (stripped[: owner.end()]
+               + f" /*+ {spark_hint}({inner}) */"
+               + stripped[owner.end():])
+    return out
+
+
+#: GridDB's fill-generation budget hint ``MaxGeneratedRows(n)``
+#: (``sql_compiler.h:40`` MAX_GENERATED_ROWS; read at
+#: ``sql_compiler.cpp:13354-13363`` getMaxGeneratedRows and enforced by
+#: the GROUP BY RANGE merge operator — ``sql_operator_group.cpp:1378``
+#: throws "Too many groups filled" once the budget of generated
+#: (empty-filled) rows is spent; default 100k,
+#: ``sql_operator_group.h:314``). Threaded into ``group_by_range``'s
+#: ``generation_limit``.
+_MAX_GEN_ROWS_RE = re.compile(
+    r"Max_?Generated_?Rows\s*\(\s*(\d+)\s*\)", re.IGNORECASE
+)
+
 #: GridDB's index-scan hints (``sql_compiler.h:44-45`` SQLHint::INDEX_SCAN /
 #: NO_INDEX_SCAN; consumed at ``sql_compiler.cpp:10128-10138``
 #: applyScanOption — one table argument, sets/clears the scan node's
@@ -223,6 +281,7 @@ def rewrite_sql(sql: str) -> str:
     # /*+ ... */) leaves a pure Leading(...) comment for _apply_leading.
     out = _apply_table_row_count(out)
     out = _apply_max_dop(out)
+    out = _apply_index_join(out)
     out = _apply_leading(out)
 
     def _hint(m: re.Match) -> str:
@@ -271,6 +330,14 @@ _BETWEEN_RE = re.compile(
 def _exec_group_by_range(
     spark: SparkSession, catalog: ContainerCatalog, sql: str
 ) -> DataFrame:
+    from griddb_spark.operators.group_range import ROW_GENERATION_LIMIT
+
+    gen_limit = ROW_GENERATION_LIMIT
+    mg = _MAX_GEN_ROWS_RE.search(sql)
+    if mg:
+        gen_limit = int(mg.group(1))
+        sql = _MAX_GEN_ROWS_RE.sub("", sql)
+        sql = re.sub(r"/\*\+\s*\*/", "", sql)  # drop now-empty hint comment
     mq = _RANGE_QUERY_RE.match(sql)
     if not mq:
         raise ValueError(
@@ -310,7 +377,8 @@ def _exec_group_by_range(
     if not aggs:
         raise ValueError("GROUP BY RANGE needs at least one aggregate in SELECT")
     return group_by_range(
-        df, key, n, unit, aggs, start=lo, end=hi, offset=offset, fill=fill
+        df, key, n, unit, aggs, start=lo, end=hi, offset=offset, fill=fill,
+        generation_limit=gen_limit,
     )
 
 

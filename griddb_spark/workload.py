@@ -1407,6 +1407,132 @@ def sql_frontend_index_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_frontend_index_join_hint",
+    """
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 50000
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_frontend_index_join_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridDB ``/*+ NoIndexJoin(a b) */`` / ``/*+ IndexJoin(a b) */``
+    join-method hints (sql_compiler.h:47-48; consumed per table pair at
+    sql_compiler.cpp:10217-10221 findJoinMethodHint — force/forbid the
+    index-nested-loop join for that pair). Spark's physical analog of
+    "probe the inner through a lookup structure" vs "no lookup structure"
+    is ShuffledHashJoin vs SortMergeJoin, so NoIndexJoin(a b) maps to
+    MERGE(b) and IndexJoin(a b) to SHUFFLE_HASH(b). Same result set
+    either way; the plan test pins the physical strategy flip. This gate
+    proves value-identity under NoIndexJoin against the oracle's plain
+    join."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    c = cat(spark, sf_dir)
+    return griddb_sql(
+        spark, c,
+        "SELECT /*+ NoIndexJoin(orders customer) */ c_mktsegment, "
+        "count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "  AS total_price "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_totalprice > 50000 "
+        "GROUP BY c_mktsegment",
+    )
+
+
+@query(
+    "sql_frontend_gen_rows_hint",
+    _duck_fill_base(900_000)
+    + """
+    SELECT make_timestamp(b * 1000) AS ts,
+           round(av, 6) AS avg_value,
+           n
+    FROM joined
+    """,
+)
+def sql_frontend_gen_rows_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridDB ``/*+ MaxGeneratedRows(n) */`` (sql_compiler.h:40; read at
+    sql_compiler.cpp:13354-13363 and enforced by the GROUP BY RANGE merge
+    operator — "Too many groups filled", sql_operator_group.cpp:1378,
+    default 100k per sql_operator_group.h:314): the statement's budget of
+    FILL-generated empty-bucket rows. The front-end threads the hinted
+    budget into ``group_by_range``; here the lattice (2881 buckets)
+    provably fits the hinted 500k budget, so the guard costs nothing and
+    the result must value-hash against the plain FILL(NULL) oracle. The
+    runtime guard itself (broadcast one-row fill count + raise_error) is
+    exercised by ``gbr_generation_budget`` and unit-tested for the error
+    path."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    c = cat(spark, sf_dir)
+    out = griddb_sql(
+        spark, c,
+        "SELECT /*+ MaxGeneratedRows(500000) */ avg(value) AS av, "
+        "count(*) AS n FROM events "
+        f"WHERE ts BETWEEN TIMESTAMP('{EV_START.replace(' ', 'T')}Z') "
+        f"AND TIMESTAMP('{EV_END.replace(' ', 'T')}Z') "
+        "GROUP BY RANGE (ts) EVERY (15, MINUTE) FILL (NULL)",
+    )
+    return out.select(
+        "ts", _r6(F.col("av")).alias("avg_value"), "n"
+    )
+
+
+@query(
+    "gbr_generation_budget",
+    f"""
+    WITH ev AS (
+      SELECT user_id % 4 AS series, ts, value FROM events
+      WHERE epoch_ms(CAST(ts AS TIMESTAMP))
+            BETWEEN {EV_START_MS} AND {EV_END_MS}
+    ),
+    agg AS (
+      SELECT series,
+             ({EV_START_MS} + (epoch_ms(CAST(ts AS TIMESTAMP))
+              - {EV_START_MS}) // 3600000 * 3600000) AS b,
+             avg(value) AS av, count(*) AS cnt
+      FROM ev GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT {EV_START_MS} + s.g * 3600000 AS b
+      FROM generate_series(0, ({EV_END_MS} - {EV_START_MS}) // 3600000) s(g)
+    ),
+    series AS (SELECT DISTINCT series FROM ev)
+    SELECT series.series, make_timestamp(grid.b * 1000) AS ts,
+           round(agg.av, 6) AS avg_value, agg.cnt AS n
+    FROM series CROSS JOIN grid
+    LEFT JOIN agg ON agg.series = series.series AND agg.b = grid.b
+    """,
+)
+def gbr_generation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY RANGE fill-generation budget with the guard ACTIVE: a
+    per-series fill (series keys make the fill count data-dependent, so
+    the lattice alone can't prove the budget holds and the runtime guard
+    — broadcast one-row fill count + JVM-side raise_error, no extra
+    action, no Python — is built into the plan). The statement stays
+    within the reference's default 100k budget
+    (sql_operator_group.h:314), so it must return the plain filled
+    result; the error path is unit-tested
+    (tests/test_sql_frontends.py)."""
+    from griddb_spark.operators import group_by_range
+
+    ev = cat(spark, sf_dir).load("events").withColumn(
+        "series", F.col("user_id") % 4
+    )
+    out = group_by_range(
+        ev, "ts", 1, "HOUR",
+        {"av": F.avg("value"), "n": F.count(F.lit(1))},
+        start=EV_START, end=EV_END, fill="NULL", by=["series"],
+    )
+    return out.select(
+        "series", "ts", _r6(F.col("av")).alias("avg_value"), "n"
+    )
+
+
+@query(
     "match_recognize_spikes",
     f"""
     WITH e AS ({_DUCK_EV}),

@@ -650,3 +650,28 @@ def test_no_index_scan_hint_blocks_pushdown(spark, catalog):
     assert any("o_totalprice" in f for f in after_f)
     idx_f, _ = run(q.format(hint="/*+ IndexScan(orders) */ "))
     assert any("o_totalprice" in f for f in idx_f)
+
+
+def test_index_join_hint_flips_physical_strategy(spark, catalog):
+    """/*+ IndexJoin(a b) */ / /*+ NoIndexJoin(a b) */ (sql_compiler.h:
+    47-48, findJoinMethodHint sql_compiler.cpp:10217-10221): the
+    index-nested-loop analog is a hash-lookup join, so IndexJoin pins
+    ShuffledHashJoin on the inner side and NoIndexJoin pins SortMergeJoin
+    — both overriding the default broadcast choice for the pair, results
+    identical."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    q = ("SELECT {hint}c_mktsegment, count(*) AS n "
+         "FROM orders JOIN customer ON o_custkey = c_custkey "
+         "GROUP BY c_mktsegment")
+
+    def run(sql):
+        d = griddb_sql(spark, catalog, sql)
+        return d._jdf.queryExecution().executedPlan().toString(), d
+
+    merge_p, merge_d = run(q.format(hint="/*+ NoIndexJoin(orders customer) */ "))
+    assert "SortMergeJoin" in merge_p, merge_p
+    hash_p, hash_d = run(q.format(hint="/*+ IndexJoin(orders customer) */ "))
+    assert "ShuffledHashJoin" in hash_p, hash_p
+    assert sorted(map(tuple, merge_d.collect())) == \
+        sorted(map(tuple, hash_d.collect()))

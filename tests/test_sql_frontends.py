@@ -460,3 +460,80 @@ def test_three_hint_composition(spark, catalog):
     assert df.rdd.getNumPartitions() == 4
     assert "BroadcastHashJoin" in (
         df._jdf.queryExecution().executedPlan().toString())
+
+
+# ---------------------------------------------------------------------------
+# MaxGeneratedRows / generation budget (sql_operator_group.cpp:1378)
+# ---------------------------------------------------------------------------
+
+def test_generation_budget_exceeded_raises(spark):
+    """group_by_range enforces the fill budget with the reference's error
+    text once generated rows exceed the limit (guard active because
+    n_buckets > limit)."""
+    from griddb_spark.operators import group_by_range
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0), ("2024-01-02 00:00:00", 2.0)],
+        "ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = group_by_range(
+        df, "ts", 1, "MINUTE", {"av": F.avg("value")},
+        start="2024-01-01 00:00:00", end="2024-01-02 00:00:00",
+        fill="NULL", generation_limit=100,
+    )
+    with pytest.raises(Exception, match="Too many groups filled \\(limit=100\\)"):
+        out.collect()
+
+
+def test_generation_budget_static_pass_has_no_guard(spark):
+    """When the lattice alone proves the budget can't be exceeded
+    (no series keys, n_buckets <= limit), the guard must cost nothing —
+    no raise_error, no extra join in the plan."""
+    from griddb_spark.operators import group_by_range
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0)], "ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = group_by_range(
+        df, "ts", 1, "HOUR", {"av": F.avg("value")},
+        start="2024-01-01 00:00:00", end="2024-01-02 00:00:00",
+        fill="NULL",
+    )
+    assert "raise_error" not in out._jdf.queryExecution().toString()
+    assert out.count() == 25
+
+
+def test_generation_budget_with_series_keys_passes_within_budget(spark):
+    """Series keys force the runtime guard into the plan; a statement
+    within budget returns the plain filled result."""
+    from griddb_spark.operators import group_by_range
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 06:00:00", 2.0)],
+        "k long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = group_by_range(
+        df, "ts", 1, "HOUR", {"av": F.avg("value")},
+        start="2024-01-01 00:00:00", end="2024-01-01 23:00:00",
+        fill="NULL", by=["k"],
+    )
+    assert "raise_error" in out._jdf.queryExecution().toString()
+    rows = out.collect()
+    assert len(rows) == 48  # 2 series x 24 buckets
+    assert sum(r["av"] is not None for r in rows) == 2
+
+
+def test_front_end_max_generated_rows_hint(spark, catalog):
+    """/*+ MaxGeneratedRows(n) */ through the SQL front-end: a tiny
+    budget over a minute-grained 30-day grid must fail with the
+    reference's error; a generous budget returns the filled grid."""
+    base = (
+        "SELECT /*+ MaxGeneratedRows({n}) */ avg(value) AS av "
+        "FROM events WHERE ts BETWEEN TIMESTAMP('2024-01-01T00:00:00Z') "
+        "AND TIMESTAMP('2024-01-03T00:00:00Z') "
+        "GROUP BY RANGE (ts) EVERY (1, MINUTE) FILL (NULL)"
+    )
+    with pytest.raises(Exception, match="Too many groups filled \\(limit=5\\)"):
+        griddb_sql(spark, catalog, base.format(n=5)).collect()
+    ok = griddb_sql(spark, catalog, base.format(n=500000))
+    assert ok.count() == 2 * 24 * 60 + 1
