@@ -17,6 +17,7 @@ so partition pruning replaces GridDB's sub-container selection.
 from __future__ import annotations
 
 import os
+import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,11 +42,23 @@ KNOWN_TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
-#: (session id, view name) → base_dir that currently owns the temp view.
+#: session → {view name → base_dir that currently owns the temp view}.
 #: Catalogs over different base_dirs share one session view namespace; the
 #: owner map lets a catalog skip re-registering views it already owns while
 #: still re-asserting them after a catalog at another dir took the name.
-_VIEW_OWNER: dict = {}
+#: Weak-keyed by the live SparkSession object: a stopped/GC'd session's
+#: entries vanish with it, so a later session can never inherit stale
+#: ownership (``id()`` reuse after GC previously made table() skip
+#: createOrReplaceTempView in a fresh session → TABLE_OR_VIEW_NOT_FOUND).
+_VIEW_OWNER: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _owners(spark: SparkSession) -> dict:
+    m = _VIEW_OWNER.get(spark)
+    if m is None:
+        m = {}
+        _VIEW_OWNER[spark] = m
+    return m
 
 
 @dataclass
@@ -164,22 +177,38 @@ class ContainerCatalog:
         if df is None:
             df = self.load(name)
             self._df_cache[name] = df
-        key = (id(self.spark), name)
-        if _VIEW_OWNER.get(key) != self.base_dir:
+        owners = _owners(self.spark)
+        if owners.get(name) != self.base_dir:
             df.createOrReplaceTempView(name)
-            _VIEW_OWNER[key] = self.base_dir
+            owners[name] = self.base_dir
         self._registered.add(name)
         return df
 
     def register_all(self, names: tuple[str, ...] = KNOWN_TABLES) -> None:
+        # The cache skip below bypasses table()/load(), so the READ check
+        # must happen here too — _df_cache is shared across with_access()
+        # views, and a warm cache must never let an unauthorized user read.
+        if self.acl is not None:
+            self.acl.authorize(self.acl_user, self.db_name, "READ")
+        owners = _owners(self.spark)
         for name in names:
-            if (
-                name in self._df_cache
-                and _VIEW_OWNER.get((id(self.spark), name)) == self.base_dir
-            ):
+            if name in self._df_cache and owners.get(name) == self.base_dir:
                 continue
             if os.path.exists(self.path(name)):
                 self.table(name)
+
+    def invalidate(self, name: str | None = None) -> None:
+        """Drop cached DataFrames/view ownership for ``name`` (or all
+        containers) — call after a container directory is rewritten in
+        place so the next table()/load() re-reads the new file listing
+        (the cached plan pins the parquet files seen at first load)."""
+        owners = _owners(self.spark)
+        names = [name] if name is not None else list(KNOWN_TABLES)
+        for n in names:
+            self._df_cache.pop(n, None)
+            self._nano_cache.pop(n, None)
+            owners.pop(n, None)
+            self._registered.discard(n)
 
     def dim(self, name: str) -> DataFrame:
         """A dimension table, broadcast-hinted when it is known-small."""

@@ -180,7 +180,10 @@ class MemoryGovernor:
                     f"/sql/totalMemoryLimit={self.total_memory_limit} "
                     f"(failOnTotalMemoryLimit=true)"
                 ) from exc
-            rec.status = "DONE"
+            # a statement that raised for any non-memory reason is FAILED,
+            # not DONE — #statement_resources must not report crashed or
+            # externally-cancelled statements as successful
+            rec.status = "FAILED"
             raise
         finally:
             sc._jsc.clearJobGroup()

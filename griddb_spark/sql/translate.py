@@ -195,27 +195,35 @@ _INDEX_JOIN_RE = re.compile(
 
 
 def _apply_index_join(sql: str) -> str:
+    # One GridDB statement may carry several (No)IndexJoin hints (GridDB
+    # consumes one per table PAIR, sql_compiler.cpp:10217 findJoinMethodHint)
+    # — process occurrences one at a time so EVERY pair gets its Spark hint,
+    # each anchored to its own SELECT scope. Inserted Spark hints
+    # (SHUFFLE_HASH/MERGE) never re-match the GridDB patterns, so the loop
+    # strictly consumes.
     out = sql
     for pat, spark_hint in ((_NO_INDEX_JOIN_RE, "MERGE"),
                             (_INDEX_JOIN_RE, "SHUFFLE_HASH")):
-        m = pat.search(out)
-        if not m:
-            continue
-        inner = m.group(2)
-        stripped = pat.sub("", out)
-        owner = None
-        for sel in re.finditer(r"\bSELECT\b", stripped, re.IGNORECASE):
-            if sel.start() > m.start():
+        while True:
+            m = pat.search(out)
+            if not m:
                 break
-            owner = sel
-        if owner is None:
-            owner = re.search(r"\bSELECT\b", stripped, re.IGNORECASE)
-        if not owner:
-            out = stripped
-            continue
-        out = (stripped[: owner.end()]
-               + f" /*+ {spark_hint}({inner}) */"
-               + stripped[owner.end():])
+            inner = m.group(2)
+            stripped = out[: m.start()] + out[m.end():]
+            # SELECTs before the hint sit at unchanged offsets in `stripped`
+            owner = None
+            for sel in re.finditer(r"\bSELECT\b", stripped, re.IGNORECASE):
+                if sel.start() > m.start():
+                    break
+                owner = sel
+            if owner is None:
+                owner = re.search(r"\bSELECT\b", stripped, re.IGNORECASE)
+            if not owner:
+                out = stripped
+                continue
+            out = (stripped[: owner.end()]
+                   + f" /*+ {spark_hint}({inner}) */"
+                   + stripped[owner.end():])
     return out
 
 
@@ -258,7 +266,27 @@ def _extract_index_scan_hints(sql: str) -> "tuple[str, list[str]]":
     full_scan = [m.group(1).lower() for m in _NO_INDEX_SCAN_RE.finditer(sql)]
     out = _NO_INDEX_SCAN_RE.sub("", sql)
     out = _INDEX_SCAN_RE.sub("", out)
+    out = re.sub(r"/\*\+\s*\*/", "", out)  # drop a now-empty hint comment
     return out, list(dict.fromkeys(full_scan))
+
+
+def _scan_barrier(df: DataFrame) -> DataFrame:
+    """Pushdown barrier: an always-true but non-foldable predicate keeps
+    every later filter ABOVE the scan (``PushedFilters: []``) — the
+    NoIndexScan full-scan posture. ``!=`` dodges the optimizer's
+    range-based simplification of ordered comparisons on rand()."""
+    return df.where(F.rand(7) != F.lit(-1.0))
+
+
+def _replace_table_ref(sql: str, table: str, new: str) -> str:
+    """Substitute a statement-local view name for ``table`` everywhere
+    outside single-quoted string literals (word-bounded, case-insensitive)
+    — qualified column refs ``t.col`` rename consistently with FROM."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    pat = re.compile(r"\b%s\b" % re.escape(table), re.IGNORECASE)
+    return "".join(
+        p if i % 2 else pat.sub(new, p) for i, p in enumerate(parts)
+    )
 
 
 #: GridDB 5.8 time-unit frame boundary — ``RANGE BETWEEN (10, MINUTE)
@@ -328,7 +356,8 @@ _BETWEEN_RE = re.compile(
 
 
 def _exec_group_by_range(
-    spark: SparkSession, catalog: ContainerCatalog, sql: str
+    spark: SparkSession, catalog: ContainerCatalog, sql: str,
+    full_scan: "list[str] | None" = None,
 ) -> DataFrame:
     from griddb_spark.operators.group_range import ROW_GENERATION_LIMIT
 
@@ -358,6 +387,8 @@ def _exec_group_by_range(
     hi = _literal_ts(mb.group("hi"))
 
     df = catalog.load(mq.group("table"))
+    if full_scan and mq.group("table").lower() in full_scan:
+        df = _scan_barrier(df)
     extra_where = _BETWEEN_RE.sub("true", mq.group("where"))
     if extra_where.strip() not in ("true", ""):
         df = df.filter(F.expr(rewrite_sql(extra_where)))
@@ -445,7 +476,8 @@ def _sql_cond_to_python(cond: str) -> str:
 
 
 def _exec_match_recognize(
-    spark: SparkSession, catalog: ContainerCatalog, sql: str
+    spark: SparkSession, catalog: ContainerCatalog, sql: str,
+    full_scan: "list[str] | None" = None,
 ) -> DataFrame:
     mq = _MR_RE.match(sql)
     assert mq is not None
@@ -473,6 +505,8 @@ def _exec_match_recognize(
             define[dm.group(1)] = _sql_cond_to_python(dm.group(2))
 
     df = catalog.load(mq.group("table"))
+    if full_scan and mq.group("table").lower() in full_scan:
+        df = _scan_barrier(df)
     return match_recognize(
         df,
         pattern=mc.group("pattern"),
@@ -707,27 +741,37 @@ def griddb_sql(
         qe = inner._jdf.queryExecution()
         rows = list(enumerate(qe.optimizedPlan().toString().splitlines()))
         return spark.createDataFrame(rows, "id int, plan string")
-    if _RANGE_RE.search(sql):
-        return _exec_group_by_range(spark, catalog, sql)
-    if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
-        return _exec_match_recognize(spark, catalog, sql)
+    # (No)IndexScan hints extract BEFORE dispatch so a hinted GROUP BY
+    # RANGE / MATCH_RECOGNIZE statement parses (the comment would otherwise
+    # reach _RANGE_QUERY_RE/aggregate parsing); the exec paths honor the
+    # full-scan barrier on their own loads.
     sql, full_scan_tables = _extract_index_scan_hints(sql)
+    if _RANGE_RE.search(sql):
+        return _exec_group_by_range(spark, catalog, sql,
+                                    full_scan=full_scan_tables)
+    if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
+        return _exec_match_recognize(spark, catalog, sql,
+                                     full_scan=full_scan_tables)
     catalog.register_all()
-    # NoIndexScan(t): swap t's view for a pushdown-barrier plan for THIS
-    # statement only. spark.sql analyzes eagerly (view subtrees inline at
-    # call time), so restoring the plain view afterwards cannot affect the
-    # returned DataFrame, and later statements see the normal scan again.
-    restore = []
+    # NoIndexScan(t): register a STATEMENT-LOCAL barrier view under a
+    # unique name and point this statement's references at it — the
+    # session-global view is never touched, so a concurrent statement in
+    # the same session can never plan against the barrier.
+    import uuid as _uuid
+
+    barrier_views = []
     for t in full_scan_tables:
         df = catalog.table(t)
-        # always-true but non-foldable: != dodges the optimizer's
-        # range-based simplification of ordered comparisons on rand()
-        df.where(F.rand(7) != F.lit(-1.0)).createOrReplaceTempView(t)
-        restore.append((t, df))
+        bname = f"{t}__noidxscan_{_uuid.uuid4().hex[:8]}"
+        _scan_barrier(df).createOrReplaceTempView(bname)
+        sql = _replace_table_ref(sql, t, bname)
+        barrier_views.append(bname)
     try:
         if params is not None:
             return spark.sql(rewrite_sql(sql), args=params)
         return spark.sql(rewrite_sql(sql))
     finally:
-        for t, df in restore:
-            df.createOrReplaceTempView(t)
+        # spark.sql analyzes eagerly (view subtrees inline at call time),
+        # so dropping the barrier views cannot affect the returned DataFrame
+        for b in barrier_views:
+            spark.catalog.dropTempView(b)

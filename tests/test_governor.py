@@ -108,3 +108,20 @@ def test_governed_sql_frontend_statement(spark, catalog):
     with pytest.raises(StatementMemoryLimitError):
         starved.run(lambda: griddb_sql(spark, catalog, q).collect(),
                     statement=q)
+
+
+def test_non_memory_failure_records_failed_not_done(spark):
+    """A statement that raises for a non-memory reason must surface as
+    FAILED in the records — never DONE (a crashed statement is not a
+    successful one)."""
+    gov = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3)
+
+    def _boom():
+        raise ValueError("user error, not a memory breach")
+
+    with pytest.raises(ValueError):
+        gov.run(_boom, statement="SELECT crash probe")
+    rec = [r for r in statement_records()
+           if r.statement == "SELECT crash probe"][-1]
+    assert rec.status == "FAILED"
+    assert rec.finished_ms is not None

@@ -675,3 +675,60 @@ def test_index_join_hint_flips_physical_strategy(spark, catalog):
     assert "ShuffledHashJoin" in hash_p, hash_p
     assert sorted(map(tuple, merge_d.collect())) == \
         sorted(map(tuple, hash_d.collect()))
+
+
+def test_index_join_hint_multiple_pairs(spark, catalog):
+    """GridDB consumes one (No)IndexJoin hint per table PAIR
+    (sql_compiler.cpp:10217 findJoinMethodHint) — a statement carrying two
+    hints must map BOTH (ADVICE r7: pat.search took only the first)."""
+    from griddb_spark.sql.translate import _apply_index_join
+
+    q = ("SELECT /*+ IndexJoin(orders customer) */ "
+         "/*+ IndexJoin(lineitem orders) */ c_mktsegment, count(*) AS n "
+         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+         "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment")
+    out = _apply_index_join(q)
+    assert "SHUFFLE_HASH(customer)" in out
+    assert "SHUFFLE_HASH(orders)" in out
+    assert "IndexJoin" not in out.replace("SHUFFLE_HASH", "")
+
+
+def test_no_index_scan_hint_on_group_by_range(spark, catalog):
+    """A (No)IndexScan hint on a GROUP BY RANGE statement must parse
+    (hints now extract before dispatch) and honor the full-scan barrier,
+    values identical to the unhinted statement."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    q = ("SELECT {hint}avg(value) AS avg_value FROM events "
+         "WHERE ts BETWEEN TIMESTAMP('2024-01-01T00:00:00Z') AND "
+         "TIMESTAMP('2024-01-01T02:00:00Z') "
+         "GROUP BY RANGE(ts) EVERY(15, MINUTE)")
+    plain = griddb_sql(spark, catalog, q.format(hint=""))
+    hinted = griddb_sql(
+        spark, catalog, q.format(hint="/*+ NoIndexScan(events) */ "))
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, hinted.collect()))
+
+
+def test_no_index_scan_barrier_is_statement_local(spark, catalog):
+    """The NoIndexScan barrier must never replace the session-global view:
+    mid-flight and after, the plain view name still plans WITH pushdown,
+    and no barrier temp view survives the statement."""
+    import re
+
+    from griddb_spark.sql.translate import griddb_sql
+
+    griddb_sql(
+        spark, catalog,
+        "SELECT /*+ NoIndexScan(orders) */ count(*) AS n FROM orders "
+        "WHERE o_totalprice > 150000",
+    )
+    # session view untouched: a plain statement pushes the predicate down
+    d = spark.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > 150000")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]",
+                        d._jdf.queryExecution().toString())
+    assert any("o_totalprice" in f for f in pushed)
+    leftovers = [t.name for t in spark.catalog.listTables()
+                 if "__noidxscan_" in t.name]
+    assert not leftovers, leftovers

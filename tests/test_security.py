@@ -68,3 +68,21 @@ def test_meta_tables_shape(acl):
     acl.grant("ALL", "dbx", "alice")
     grants = [tuple(r) for r in acl.meta_access().collect()]
     assert ("alice", "dbx", "ALL") in grants
+
+
+def test_register_all_enforces_read_on_warm_cache(acl, spark, catalog):
+    """ADVICE r7 (high): register_all's cache skip must not bypass the READ
+    check — with_access() shares _df_cache, so once any catalog warms the
+    cache an unauthorized user's register_all (the griddb_sql path) must
+    still be refused."""
+    from griddb_spark.security import SecurityError
+
+    catalog.register_all()  # warm the shared cache as the unsecured owner
+    secured = catalog.with_access(acl, "bob")
+    with pytest.raises(SecurityError):
+        secured.register_all()
+    # and the full SQL front-end path stays closed too
+    from griddb_spark.sql.translate import griddb_sql
+
+    with pytest.raises(SecurityError):
+        griddb_sql(spark, secured, "SELECT count(*) AS n FROM region")

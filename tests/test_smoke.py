@@ -177,3 +177,28 @@ def test_collection_put_lineage_stays_bounded(spark):
     for gen in range(1, 101):
         want[gen % 25] = float(gen)
     assert got == want
+
+
+def test_catalog_invalidate_rereads_rewritten_container(spark, tmp_path,
+                                                        catalog):
+    """invalidate(name) drops the cached plan + view ownership so a
+    rewritten container directory serves the NEW rows (the cached
+    DataFrame pins the parquet file listing seen at first load)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from griddb_spark.catalog import ContainerCatalog
+
+    base = str(tmp_path)
+    pq.write_table(pa.table({"r_regionkey": [1, 2]}),
+                   f"{base}/region.parquet")
+    cat = ContainerCatalog(spark, base)
+    assert cat.table("region").count() == 2
+    pq.write_table(pa.table({"r_regionkey": [1, 2, 3]}),
+                   f"{base}/region.parquet")
+    cat.invalidate("region")
+    assert cat.table("region").count() == 3
+    assert spark.table("region").count() == 3  # view re-asserted too
+    # hand the session-global view back to the shared testdata catalog
+    catalog.table("region")
+    assert spark.table("region").count() == 5
