@@ -76,25 +76,27 @@ def replicate(k: int, dst: str) -> None:
         )
     for name, shifts in SHIFTS.items():
         t = pq.read_table(f"{SRC}/{name}.parquet")
-        parts = []
-        for i in range(k):
-            cols = []
-            for f in t.schema:
-                a = t[f.name]
-                if i > 0 and f.name in shifts:
-                    a = pc.cast(
-                        pc.add(a, i * strides[shifts[f.name]]), f.type
-                    )
-                cols.append(a)
-            parts.append(pa.table(cols, schema=t.schema))
-        out = pa.concat_tables(parts)
-        # small row groups: parquet scans split on ROW-GROUP boundaries, so
-        # pyarrow's 1M-row default would give the 10x events table a single
-        # row group = a single scan task — every scan-bound query would
-        # serialize and the probe would misreport linear ops as superlinear
-        # (measured: q1 7.9x, events queries ~6x, purely from this)
-        pq.write_table(out, f"{dst}/{name}.parquet", row_group_size=50_000)
-        print(f"  {name}: {t.num_rows} -> {out.num_rows} rows", file=sys.stderr)
+        # stream one replica at a time (100x replication must not hold K
+        # copies in memory); small row groups: parquet scans split on
+        # ROW-GROUP boundaries, so pyarrow's 1M-row default would give the
+        # 10x events table a single row group = a single scan task — every
+        # scan-bound query would serialize and the probe would misreport
+        # linear ops as superlinear (measured: q1 7.9x, events ~6x)
+        with pq.ParquetWriter(f"{dst}/{name}.parquet", t.schema) as w:
+            for i in range(k):
+                cols = []
+                for f in t.schema:
+                    a = t[f.name]
+                    if i > 0 and f.name in shifts:
+                        a = pc.cast(
+                            pc.add(a, i * strides[shifts[f.name]]), f.type
+                        )
+                    cols.append(a)
+                w.write_table(
+                    pa.table(cols, schema=t.schema), row_group_size=50_000
+                )
+        print(f"  {name}: {t.num_rows} -> {t.num_rows * k} rows",
+              file=sys.stderr)
 
 
 def main() -> None:
