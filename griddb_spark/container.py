@@ -448,9 +448,11 @@ class GridStore:
                  _dt.datetime.fromtimestamp(rec.started_ms / 1000.0),
                  (rec.finished_ms or now_ms) - rec.started_ms,
                  rec.working_memory_bytes, 0, 0, 0, 0, para,
-                 "totalMemoryLimit=%d;failOnTotalMemoryLimit=%s;status=%s"
+                 "totalMemoryLimit=%d;failOnTotalMemoryLimit=%s;"
+                 "resourceControlLevel=%d;pool=%s;status=%s"
                  % (rec.limit_bytes,
-                    "true" if rec.fail_on_limit else "false", rec.status),
+                    "true" if rec.fail_on_limit else "false",
+                    rec.control_level, rec.pool or "default", rec.status),
                  rec.statement or None)
             )
         return self.spark.createDataFrame(
@@ -499,6 +501,30 @@ class GridStore:
             "lead_time long, actual_time long, memory_use long, "
             "sql_store_use long, data_store_access long, "
             "network_transfer_size long, network_time long, plan string",
+        )
+
+    def statement_events(self) -> DataFrame:
+        """#statement_events: the 5.9 resource-monitoring event stream —
+        "The new scheduler can monitor detailed SQL resource usage ...
+        and output it to event logs or meta tables"
+        (GridDB-5.9-CE-RELEASE_NOTES.md, Resource Monitoring). One row per
+        governed-statement lifecycle event: STMT_START, STMT_DONE,
+        STMT_FAIL, and STMT_STOP_MEMORY_LIMIT (the event-log line GridDB
+        writes when a statement is forcibly stopped on the memory limit).
+        Driver-side history only — no distributed work to serve it."""
+        import datetime as _dt
+
+        from griddb_spark.governor import statement_events
+
+        rows = [
+            (_dt.datetime.fromtimestamp(e.ts_ms / 1000.0), e.request_id,
+             e.event_type, e.detail)
+            for e in statement_events()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "event_time timestamp, request_id string, event_type string, "
+            "detail string",
         )
 
     # -- batch query / batch mutation (GridStore.fetchAll / multiPut,

@@ -1,4 +1,5 @@
-"""Per-statement SQL working-memory governance (GridDB 5.7).
+"""Per-statement SQL working-memory governance (GridDB 5.7) and
+processing-order control (GridDB 5.9).
 
 GridDB 5.7 adds ``/sql/totalMemoryLimit`` (a working-memory budget for
 one SQL statement) and ``/sql/failOnTotalMemoryLimit`` (when true, a
@@ -31,6 +32,26 @@ Spark mapping — statement scope is the *job group*:
 At scale nothing here adds distributed work: the monitor reads driver-side
 status-store state (already maintained by Spark for the UI/history
 server), so governance costs one polling thread per running statement.
+
+GridDB 5.9 extends this into SQL resource scheduling
+(``GridDB-5.9-CE-RELEASE_NOTES.md`` "SQL Resource Scheduling"): a node
+config ``/sql/resourceControlLevel`` selects the scheduler —
+
+- 0: automatic (defaults to level 3, the new scheduler)
+- 1: legacy scheduler WITHOUT the SQL memory upper limit (V5.6 behavior)
+- 2: legacy scheduler WITH the memory limit (V5.7/V5.8 behavior)
+- 3: new scheduler — "assigns tasks as evenly as possible across SQL
+  statements", i.e. fair scheduling at statement granularity, plus the
+  memory limit
+
+Spark has a native seat for each level: level 3 maps to the FAIR job
+scheduler with ONE POOL PER GOVERNED STATEMENT (pools share the cluster's
+task slots evenly, weight 1 each — exactly "tasks distributed fairly at
+the SQL level"); levels 1/2 leave the statement in the default pool
+(FIFO within a pool), with level 1 additionally disarming the kill.
+5.9's resource monitoring ("output to event logs or meta tables") maps to
+the module-level statement event stream: breaches, failures, and
+completions are recorded and served via ``GridStore.statement_events()``.
 """
 
 from __future__ import annotations
@@ -56,19 +77,52 @@ class StatementRecord:
     limit_bytes: int
     fail_on_limit: bool
     started_ms: int
-    status: str = "RUNNING"  # RUNNING | DONE | CANCELLED_MEMORY_LIMIT
+    status: str = "RUNNING"  # RUNNING | DONE | FAILED | CANCELLED_MEMORY_LIMIT
     working_memory_bytes: int = 0
     finished_ms: int | None = None
     job_ids: list = field(default_factory=list)
+    #: 5.9 /sql/resourceControlLevel in effect (already auto-resolved)
+    control_level: int = 2
+    #: FAIR scheduler pool the statement ran in (level 3), else None
+    pool: str | None = None
+
+
+@dataclass
+class StatementEvent:
+    """One 5.9 resource-monitoring event-log line ("The new scheduler can
+    monitor detailed SQL resource usage ... and output it to event logs or
+    meta tables" — GridDB-5.9-CE-RELEASE_NOTES.md Resource Monitoring)."""
+
+    ts_ms: int
+    request_id: str
+    event_type: str  # STMT_START | STMT_DONE | STMT_FAIL | STMT_STOP_MEMORY_LIMIT
+    detail: str
 
 
 #: All governed statements this session, newest last — the
 #: #statement_resources meta table serves these rows.
 _RECORDS: list[StatementRecord] = []
 
+#: Statement lifecycle/breach event stream, newest last — served via
+#: GridStore.statement_events() (#statement_events).
+_EVENTS: list[StatementEvent] = []
+
 
 def statement_records() -> list[StatementRecord]:
     return list(_RECORDS)
+
+
+def statement_events() -> list[StatementEvent]:
+    return list(_EVENTS)
+
+
+def _emit(request_id: str, event_type: str, detail: str = "") -> None:
+    _EVENTS.append(StatementEvent(
+        ts_ms=int(time.time() * 1000),
+        request_id=request_id,
+        event_type=event_type,
+        detail=detail,
+    ))
 
 
 class MemoryGovernor:
@@ -86,11 +140,31 @@ class MemoryGovernor:
         total_memory_limit: int,
         fail_on_limit: bool = True,
         poll_interval: float = 0.05,
+        resource_control_level: int = 0,
     ):
+        if resource_control_level not in (0, 1, 2, 3):
+            raise ValueError(
+                "/sql/resourceControlLevel must be 0..3, got "
+                f"{resource_control_level}"
+            )
         self.spark = spark
         self.total_memory_limit = int(total_memory_limit)
         self.fail_on_limit = fail_on_limit
         self.poll_interval = poll_interval
+        self.resource_control_level = resource_control_level
+
+    @property
+    def effective_level(self) -> int:
+        """0 = automatic configuration → level 3, the new scheduler
+        (GridDB-5.9-CE-RELEASE_NOTES.md /sql/resourceControlLevel)."""
+        return 3 if self.resource_control_level == 0 \
+            else self.resource_control_level
+
+    @property
+    def _enforce(self) -> bool:
+        """Level 1 is the V5.6 legacy scheduler WITHOUT the SQL memory
+        upper limit — usage is still monitored/recorded, never killed."""
+        return self.fail_on_limit and self.effective_level >= 2
 
     # -- status-store polling (driver-side only) -------------------------
 
@@ -138,8 +212,11 @@ class MemoryGovernor:
             rec.job_ids = jobs
             if usage > rec.working_memory_bytes:
                 rec.working_memory_bytes = usage
-            if self.fail_on_limit and usage > self.total_memory_limit:
+            if self._enforce and usage > self.total_memory_limit:
                 rec.status = "CANCELLED_MEMORY_LIMIT"
+                _emit(rec.request_id, "STMT_STOP_MEMORY_LIMIT",
+                      f"workingMemory={usage};"
+                      f"totalMemoryLimit={self.total_memory_limit}")
                 sc.cancelJobGroup(group_id)
                 return
 
@@ -152,20 +229,31 @@ class MemoryGovernor:
         the budget is breached with fail-on-limit armed."""
         sc = self.spark.sparkContext
         group_id = f"griddb-stmt-{uuid.uuid4().hex[:12]}"
+        level = self.effective_level
         rec = StatementRecord(
             request_id=group_id,
             statement=statement,
             limit_bytes=self.total_memory_limit,
             fail_on_limit=self.fail_on_limit,
             started_ms=int(time.time() * 1000),
+            control_level=level,
+            # level 3 = the 5.9 new scheduler: one FAIR pool per statement,
+            # so concurrent statements' tasks interleave evenly instead of
+            # queueing FIFO behind each other (processing-order control)
+            pool=group_id if level == 3 else None,
         )
         _RECORDS.append(rec)
+        _emit(group_id, "STMT_START",
+              f"resourceControlLevel={level};"
+              f"totalMemoryLimit={self.total_memory_limit}")
         stop = threading.Event()
         mon = threading.Thread(
             target=self._monitor, args=(group_id, rec, stop), daemon=True
         )
         sc.setJobGroup(group_id, statement or "governed statement",
                        interruptOnCancel=True)
+        if rec.pool is not None:
+            sc.setLocalProperty("spark.scheduler.pool", rec.pool)
         mon.start()
         try:
             result = action()
@@ -184,9 +272,12 @@ class MemoryGovernor:
             # not DONE — #statement_resources must not report crashed or
             # externally-cancelled statements as successful
             rec.status = "FAILED"
+            _emit(group_id, "STMT_FAIL", f"{type(exc).__name__}: {exc}")
             raise
         finally:
             sc._jsc.clearJobGroup()
+            if rec.pool is not None:
+                sc.setLocalProperty("spark.scheduler.pool", None)
         stop.set()
         mon.join(timeout=5)
         rec.finished_ms = int(time.time() * 1000)
@@ -202,9 +293,15 @@ class MemoryGovernor:
         # a breach fails even when the action won the race against the
         # cancel (or finished between polls) — GridDB's limiter accounts
         # synchronously, so a breach is deterministic regardless of timing
-        if (self.fail_on_limit
+        if (self._enforce
                 and rec.working_memory_bytes > self.total_memory_limit):
             rec.status = "CANCELLED_MEMORY_LIMIT"
+            if not any(e.request_id == group_id
+                       and e.event_type == "STMT_STOP_MEMORY_LIMIT"
+                       for e in _EVENTS):
+                _emit(group_id, "STMT_STOP_MEMORY_LIMIT",
+                      f"workingMemory={rec.working_memory_bytes};"
+                      f"totalMemoryLimit={self.total_memory_limit}")
             raise StatementMemoryLimitError(
                 f"SQL statement stopped: working memory "
                 f"{rec.working_memory_bytes} exceeded "
@@ -212,4 +309,7 @@ class MemoryGovernor:
                 f"(failOnTotalMemoryLimit=true)"
             )
         rec.status = "DONE"
+        _emit(group_id, "STMT_DONE",
+              f"workingMemory={rec.working_memory_bytes};"
+              f"actualTimeMs={rec.finished_ms - rec.started_ms}")
         return result

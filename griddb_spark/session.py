@@ -69,6 +69,13 @@ def get_spark(
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # FAIR scheduling enables GridDB 5.9 processing-order control
+        # (/sql/resourceControlLevel level 3 — one scheduler pool per
+        # governed statement, tasks shared evenly across statements;
+        # governor.py). Ungoverned work lands in the single "default"
+        # pool, which schedules FIFO within itself — behaviorally
+        # identical to FIFO mode for one-statement-at-a-time workloads.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

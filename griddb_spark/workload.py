@@ -6303,6 +6303,71 @@ def sql_memory_governed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_resource_control",
+    """
+    SELECT 'status' AS stmt, o_orderstatus AS k, count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'priority' AS stmt, o_orderpriority AS k, count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_resource_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5.9 processing-order control (``/sql/resourceControlLevel``,
+    GridDB-5.9-CE-RELEASE_NOTES.md "Processing Order Control": the new
+    scheduler "assigns tasks as evenly as possible across SQL
+    statements"). Two statements run CONCURRENTLY under level 0 (auto →
+    level 3, the new scheduler): each gets its own FAIR scheduler pool,
+    so their tasks interleave evenly instead of queueing FIFO — Spark's
+    native seat for statement-fair scheduling. The result is the union
+    of both statements' outputs (deterministic under any interleaving;
+    this gate value-hashes it); the pool assignment itself is asserted
+    here and plan-pinned in tests/test_governor.py."""
+    import threading
+
+    from griddb_spark.governor import MemoryGovernor
+    from griddb_spark.sql.translate import griddb_sql
+
+    c = cat(spark, sf_dir)
+    c.register_all()
+    gov = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3,
+                         resource_control_level=0)
+    stmts = {
+        "status": ("SELECT o_orderstatus AS k, count(*) AS n "
+                   "FROM orders GROUP BY o_orderstatus"),
+        "priority": ("SELECT o_orderpriority AS k, count(*) AS n "
+                     "FROM orders GROUP BY o_orderpriority"),
+    }
+    out: dict[str, list] = {}
+    errs: list = []
+
+    def _run(tag: str, q: str) -> None:
+        try:
+            out[tag] = gov.run(
+                lambda: griddb_sql(spark, c, q).collect(), statement=q)
+        except Exception as e:  # surfaced below — a thread must not die silently
+            errs.append(e)
+
+    threads = [threading.Thread(target=_run, args=(t, q))
+               for t, q in stmts.items()]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    from griddb_spark.governor import statement_records
+
+    recs = [r for r in statement_records() if r.statement in stmts.values()]
+    pools = {r.pool for r in recs[-2:]}
+    assert len(pools) == 2 and None not in pools, (
+        "level 3 must give each concurrent statement its own FAIR pool")
+    rows = [(tag, r.k, r.n) for tag in ("status", "priority")
+            for r in out[tag]]
+    return spark.createDataFrame(rows, "stmt string, k string, n long")
+
+
+@query(
     "pipe_dedup_embed_canonical",
     """
     WITH RECURSIVE j AS (

@@ -125,3 +125,106 @@ def test_non_memory_failure_records_failed_not_done(spark):
            if r.statement == "SELECT crash probe"][-1]
     assert rec.status == "FAILED"
     assert rec.finished_ms is not None
+
+
+# -- 5.9 processing-order control (/sql/resourceControlLevel) ------------
+
+
+def test_resource_control_level_validation(spark):
+    with pytest.raises(ValueError):
+        MemoryGovernor(spark, total_memory_limit=1, resource_control_level=5)
+
+
+def test_level3_assigns_statement_pool(spark):
+    """Level 3 (and level 0 = auto -> 3) runs the statement in its own
+    FAIR scheduler pool; levels 1/2 leave the default pool."""
+    sc = spark.sparkContext
+
+    def _observed_pool():
+        # read the thread-local property the governor set for this statement
+        return [sc.getLocalProperty("spark.scheduler.pool"),
+                spark.range(10).count()][0]
+
+    for lvl in (0, 3):
+        gov = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3,
+                             resource_control_level=lvl)
+        pool = gov.run(_observed_pool, statement=f"SELECT lvl{lvl}")
+        rec = statement_records()[-1]
+        assert pool is not None and pool.startswith("griddb-stmt-")
+        assert rec.pool == pool and rec.control_level == 3
+    for lvl in (1, 2):
+        gov = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3,
+                             fail_on_limit=(lvl == 2),
+                             resource_control_level=lvl)
+        pool = gov.run(_observed_pool, statement=f"SELECT lvl{lvl}")
+        rec = statement_records()[-1]
+        assert pool is None and rec.pool is None
+        assert rec.control_level == lvl
+    # the pool property does not leak past the governed statement
+    assert sc.getLocalProperty("spark.scheduler.pool") is None
+
+
+def test_level1_disables_memory_kill(spark):
+    """Level 1 = V5.6 legacy scheduler WITHOUT the SQL memory upper
+    limit: a starved budget is monitored but never kills."""
+    gov = MemoryGovernor(spark, total_memory_limit=1, fail_on_limit=True,
+                         resource_control_level=1)
+    n = gov.run(lambda: _heavy(spark).count(), statement="SELECT lvl1 heavy")
+    assert n == 10000
+    rec = statement_records()[-1]
+    assert rec.status == "DONE"
+    assert rec.working_memory_bytes > 1  # breach observed, not enforced
+
+
+def test_killed_statement_leaves_event_row(spark):
+    """5.9 resource monitoring: a forcibly-stopped statement writes an
+    event-log line, served via GridStore.statement_events()."""
+    from griddb_spark.container import GridStore
+    from griddb_spark.governor import statement_events
+
+    gov = MemoryGovernor(spark, total_memory_limit=64 * 1024)
+    with pytest.raises(StatementMemoryLimitError):
+        gov.run(lambda: _heavy(spark).collect(),
+                statement="SELECT killed for events")
+    rec = statement_records()[-1]
+    evs = [e for e in statement_events() if e.request_id == rec.request_id]
+    kinds = [e.event_type for e in evs]
+    assert "STMT_START" in kinds
+    assert "STMT_STOP_MEMORY_LIMIT" in kinds
+    stop = [e for e in evs if e.event_type == "STMT_STOP_MEMORY_LIMIT"][-1]
+    assert "totalMemoryLimit=65536" in stop.detail
+    df = GridStore(spark, SF_DIR).statement_events()
+    got = df.where(f"request_id = '{rec.request_id}' AND "
+                   "event_type = 'STMT_STOP_MEMORY_LIMIT'").collect()
+    assert got and got[-1].detail == stop.detail
+
+
+def test_concurrent_statements_fair_pools(spark):
+    """Two concurrent level-3 statements get DISTINCT pools and both
+    complete with correct results (the processing-order-control gate
+    sql_resource_control value-hashes the data side)."""
+    import threading
+
+    gov = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3,
+                         resource_control_level=3)
+    results = {}
+
+    def _run(tag, mod):
+        results[tag] = gov.run(
+            lambda: spark.range(0, 500_000)
+            .selectExpr(f"id % {mod} AS k").groupBy("k").count().count(),
+            statement=f"SELECT fair {tag}",
+        )
+
+    ts = [threading.Thread(target=_run, args=("a", 97)),
+          threading.Thread(target=_run, args=("b", 61))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert results == {"a": 97, "b": 61}
+    recs = [r for r in statement_records()
+            if r.statement.startswith("SELECT fair")]
+    pools = {r.pool for r in recs[-2:]}
+    assert len(pools) == 2 and None not in pools
+    assert all(r.status == "DONE" for r in recs[-2:])
