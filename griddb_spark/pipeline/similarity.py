@@ -1472,24 +1472,42 @@ def adc_lut_df(
     )
 
 
+#: Above this many (q_id, subspace, code) LUT rows the per-executor
+#: broadcast copy stops being free (the LUT grows as m·k·|queries| — fine
+#: at serving batch sizes, ~10⁶-query batches would ship a multi-GB table
+#: to every executor). Past the bound the ADC join switches to a shuffle
+#: hash join co-partitioned on (q_id, subspace, code) — both sides large,
+#: one exchange each, no driver-side collect. Same stats-dispatch pattern
+#: as dedup's union-find small-edges bound.
+ADC_LUT_BROADCAST_MAX_ROWS = 2_000_000
+
+
 def _adc_topk_from_codes(
     cand: DataFrame,
     lut: DataFrame,
     id_col: str,
     codes_col: str,
     topk: int,
+    lut_rows: "int | None" = None,
 ) -> DataFrame:
-    """Shared batch-ADC tail: explode candidate codes, join the broadcast
-    LUT on (q_id, subspace, code), sum exactly in decimal, window top-k.
+    """Shared batch-ADC tail: explode candidate codes, join the LUT on
+    (q_id, subspace, code), sum exactly in decimal, window top-k.
     ONE join tree for the whole query batch — no per-query plan branches
-    (`cand` must carry ``q_id``)."""
+    (`cand` must carry ``q_id``). The LUT side broadcasts below
+    :data:`ADC_LUT_BROADCAST_MAX_ROWS` (``lut_rows``, driver-known as
+    |queries|·m·k) and shuffle-hash-joins above it — values identical
+    either way (plan-pinned in tests)."""
     from pyspark.sql import Window
 
     ex = cand.select(
         "q_id", id_col, F.posexplode(codes_col).alias("__j", "__c")
     )
+    if lut_rows is not None and lut_rows > ADC_LUT_BROADCAST_MAX_ROWS:
+        lut_side = lut.hint("shuffle_hash")
+    else:
+        lut_side = F.broadcast(lut)
     adc = (
-        ex.join(F.broadcast(lut), ["q_id", "__j", "__c"])
+        ex.join(lut_side, ["q_id", "__j", "__c"])
         .groupBy("q_id", id_col)
         .agg(F.sum("__ld").cast("double").alias("adc_dist"))
     )
@@ -1520,11 +1538,15 @@ def pq_adc_topk_batch(
     Results are bit-identical to the loop path: both sum the same
     DECIMAL(18,6) LUT entries (see :func:`adc_lut_df`).
     """
+    n_q = queries.count()  # one tiny job over the query batch
     lut = adc_lut_df(queries, codebooks, q_id_col, q_vec_col, round_to)
     cand = codes.join(
         F.broadcast(queries.select(F.col(q_id_col).alias("q_id")))
     )
-    return _adc_topk_from_codes(cand, lut, id_col, codes_col, topk)
+    return _adc_topk_from_codes(
+        cand, lut, id_col, codes_col, topk,
+        lut_rows=n_q * len(codebooks) * len(codebooks[0]),
+    )
 
 
 def ivfpq_topk_batch(
@@ -1581,11 +1603,16 @@ def ivfpq_topk_batch(
         .filter(F.col("__pr") <= nprobe)
         .select("q_id", F.col("__cell").alias("cluster"))
     )
+    n_q = q_df.count()  # one tiny job over the query batch
     lut = adc_lut_df(q_df, books, "q_id", "__qv", round_to)
-    cand = codes.join(F.broadcast(probes), "cluster").filter(
+    probe_side = (F.broadcast(probes)
+                  if n_q * nprobe <= ADC_LUT_BROADCAST_MAX_ROWS
+                  else probes.hint("shuffle_hash"))
+    cand = codes.join(probe_side, "cluster").filter(
         F.col(id_col) != F.col("q_id")
     )
-    return _adc_topk_from_codes(cand, lut, id_col, "codes", topk)
+    return _adc_topk_from_codes(cand, lut, id_col, "codes", topk,
+                                lut_rows=n_q * m * k)
 
 
 def ivfpq_index_write(
@@ -1702,11 +1729,17 @@ def ivfpq_index_topk(
     idx = spark.read.parquet(path).filter(
         F.col("cluster").isin(probe_cells)  # partition-pruned read
     )
+    n_q = q_df.count()  # one tiny job over the query batch
     lut = adc_lut_df(q_df, books, "q_id", "__qv", round_to)
-    cand = idx.join(F.broadcast(probes), "cluster").filter(
+    m, k = meta["m"], meta["k"]
+    probe_side = (F.broadcast(probes)
+                  if n_q * nprobe <= ADC_LUT_BROADCAST_MAX_ROWS
+                  else probes.hint("shuffle_hash"))
+    cand = idx.join(probe_side, "cluster").filter(
         F.col(id_col) != F.col("q_id")
     )
-    return _adc_topk_from_codes(cand, lut, id_col, "codes", topk)
+    return _adc_topk_from_codes(cand, lut, id_col, "codes", topk,
+                                lut_rows=n_q * m * k)
 
 
 def ivfpq_index_append(

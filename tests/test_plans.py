@@ -732,3 +732,29 @@ def test_no_index_scan_barrier_is_statement_local(spark, catalog):
     leftovers = [t.name for t in spark.catalog.listTables()
                  if "__noidxscan_" in t.name]
     assert not leftovers, leftovers
+
+
+def test_adc_lut_join_stats_dispatch(spark, catalog, monkeypatch):
+    """Batch ANN serving (VERDICT r7 item 5): the m·k·|queries| ADC LUT
+    broadcasts below ADC_LUT_BROADCAST_MAX_ROWS and switches to a
+    shuffle hash join above it (both sides co-partitioned on
+    (q_id, subspace, code)) — values identical either way."""
+    from griddb_spark.pipeline import similarity as S
+
+    emb = catalog.load("embeddings").filter("vec_id < 64")
+    qdf = emb.filter("vec_id < 8").selectExpr(
+        "vec_id AS q_id", "embedding AS qv")
+
+    def run():
+        d = S.ivfpq_topk_batch(
+            emb, "vec_id", "embedding", in_dim=64, queries=qdf,
+            coarse_k=2, m=4, k=4, nprobe=2, topk=3)
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        return plan, sorted(map(tuple, d.collect()))
+
+    bcast_plan, bcast_rows = run()
+    assert "BroadcastHashJoin" in bcast_plan
+    monkeypatch.setattr(S, "ADC_LUT_BROADCAST_MAX_ROWS", 1)
+    shuf_plan, shuf_rows = run()
+    assert "ShuffledHashJoin" in shuf_plan
+    assert bcast_rows == shuf_rows
