@@ -438,6 +438,34 @@ def hamming_pairs_int(
     )
 
 
+def union_find_min(pairs_iter) -> dict:
+    """Driver-side union-find with path compression over (a, b) edge
+    pairs; returns {node: component} with component = min id reachable
+    (the canonical-min contract shared by every dedup path). Bounded by
+    contract: callers dispatch here only for edge sets that fit the
+    driver (stats-dispatch in :func:`connected_components`, batch-local
+    pair sets in the streaming dedup)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs_iter:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min label → component = min reachable
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -481,30 +509,12 @@ def connected_components(
     n_edges = edges.count()
     if n_edges <= small_edges:
         spark = pairs.sparkSession
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
         pdf = edges.filter(F.col("a") < F.col("b")).toPandas()
-        for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:  # union by min label → component = min reachable
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        out = [(x, find(x)) for x in parent]
+        comp = union_find_min(zip(pdf["a"].tolist(), pdf["b"].tolist()))
         schema = edges.select(
             F.col("a").alias("doc_id"), F.col("a").alias("component")
         ).schema
-        return spark.createDataFrame(out, schema)
+        return spark.createDataFrame(list(comp.items()), schema)
 
     # fold the first propagation round into initialization: label = min of
     # self and direct neighbors. Most near-dup clusters are 2-node (a doc

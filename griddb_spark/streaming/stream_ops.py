@@ -376,7 +376,7 @@ def embed_dedup_stream(
     Returns the started StreamingQuery; the deduped corpus IS the index
     (``spark.read.parquet(index_path)``).
     """
-    from griddb_spark.pipeline.dedup import connected_components
+    from griddb_spark.pipeline.dedup import union_find_min
     from griddb_spark.pipeline.similarity import cosine_pairs_ann, sign_code
 
     def _batch(bdf: DataFrame, _bid: int) -> None:
@@ -390,31 +390,42 @@ def embed_dedup_stream(
             .withColumn("__cell", sign_code(F.col("__v"), sign_bits))
             .localCheckpoint(eager=True)
         )
-        pairs = cosine_pairs_ann(
+        # intra-batch near-dup pairs are bounded by the batch by
+        # construction, so the components + canonical-loser set resolve
+        # driver-side in ONE job (union-find over the collected pairs) —
+        # the distributed connected_components loop spends 4-5 small jobs
+        # per micro-batch on edge sets of a few thousand rows (measured
+        # 2.3 s/batch at bench sizes, pure job-latency, not data)
+        pairs_pdf = cosine_pairs_ann(
             b.select(F.col(id_col), F.col("__v").alias(vec_col)),
             id_col, vec_col, threshold, sign_bits,
-        ).select("id_a", "id_b").localCheckpoint(eager=True)
-        if pairs.isEmpty():
-            # no intra-batch near-dups (the steady-state common case):
-            # skip the components loop and the anti-join entirely
+        ).select("id_a", "id_b").toPandas()
+        if pairs_pdf.empty:
+            # no intra-batch near-dups (the steady-state common case)
             keep = b
         else:
-            comps = connected_components(pairs, src="id_a", dst="id_b")
-            # inline broadcast anti-join: losers are bounded by the batch
-            # by construction, so skip canonical_filter's stats-dispatch
-            losers = comps.filter(
-                F.col("component") < F.col("doc_id")
-            ).select(F.col("doc_id").alias(id_col))
-            keep = b.join(
-                F.broadcast(losers), id_col, "left_anti"
-            ).localCheckpoint(eager=True)
+            comp = union_find_min(zip(pairs_pdf["id_a"].tolist(),
+                                      pairs_pdf["id_b"].tolist()))
+            losers = [x for x, c in comp.items() if c < x]
+            if len(losers) <= 10_000:
+                # literal NOT IN — no join, no extra job
+                keep = b.filter(~F.col(id_col).isin(losers))
+            else:
+                keep = b.join(
+                    F.broadcast(spark.createDataFrame(
+                        [(x,) for x in losers],
+                        b.select(id_col).schema)),
+                    id_col, "left_anti",
+                )
+        keep_rows = None
         if os.path.isdir(index_path) and any(
             e.startswith("__cell=") for e in os.listdir(index_path)
         ):
-            cells = {
-                r[0]
-                for r in keep.select("__cell").distinct().collect()
-            }
+            # one job serves both the probe-cell set and the row count
+            # the append task-sizing needs below
+            cell_counts = keep.groupBy("__cell").count().collect()
+            cells = {r["__cell"] for r in cell_counts}
+            keep_rows = sum(r["count"] for r in cell_counts)
             probe = sorted(
                 {c ^ (1 << j) for c in cells for j in range(sign_bits)}
                 | cells
@@ -480,9 +491,11 @@ def embed_dedup_stream(
         # batch spends its time in per-task committer setup (measured
         # 4.5 s → 1.2 s at 1.3k rows × 256 cells), while huge batches
         # still fan out to the full parallelism.
+        if keep_rows is None:  # first batch: no index yet, no cell job ran
+            keep_rows = keep.count()
         n_tasks = max(1, min(
             spark.sparkContext.defaultParallelism,
-            (1 << sign_bits) // 64 + keep.count() // 100_000,
+            (1 << sign_bits) // 64 + keep_rows // 100_000,
         ))
         keep.select(id_col, "__v", "__cell").repartition(
             n_tasks, F.col("__cell")
