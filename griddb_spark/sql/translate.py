@@ -143,9 +143,9 @@ def _apply_table_row_count(sql: str) -> str:
 #: ``REPARTITION(n)`` hint: it pins the shuffle partition count for the
 #: hinted SELECT, bounding the number of concurrent tasks the stage can
 #: occupy. Anchored to the hint's own SELECT like TableRowCount. The
-#: remaining resource hints (MAX_DEGREE_OF_TASK_INPUT,
-#: DISTRIBUTED_POLICY, index hints) stay deliberately Catalyst/AQE-owned
-#: and are stripped.
+#: two remaining resource hints (MAX_DEGREE_OF_TASK_INPUT,
+#: DISTRIBUTED_POLICY) stay deliberately Catalyst/AQE-owned and are
+#: stripped — see _COST_HINT_RE for why they have no Spark seat.
 _DOP_RE = re.compile(
     r"MaxDegreeOfParallelism\s*\(\s*(\d+)\s*\)", re.IGNORECASE
 )
@@ -268,6 +268,67 @@ def _extract_index_scan_hints(sql: str) -> "tuple[str, list[str]]":
     out = _INDEX_SCAN_RE.sub("", out)
     out = re.sub(r"/\*\+\s*\*/", "", out)  # drop a now-empty hint comment
     return out, list(dict.fromkeys(full_scan))
+
+
+#: GridDB's cost-based-optimizer hint family (``sql_compiler.h:55-60``;
+#: consumed at ``sql_compiler.cpp:13382-13420`` isLegacyJoinReordering /
+#: isLegacyJoinDriving and the 5.9 cost-based index scan,
+#: ``GridDB-5.9-CE-RELEASE_NOTES.md``): each pair flips one optimizer
+#: strategy between cost-based and rule-based/legacy for THIS statement.
+#: Spark's statement-scoped seats:
+#:
+#: - (No)CostBasedIndexScan — 5.9: "determine the optimal index scan
+#:   method based on cost ... during joins". Spark's cost-based
+#:   join-time scan decision is DYNAMIC PARTITION PRUNING (a runtime
+#:   cost estimate decides whether the join's build side filters the
+#:   probe scan); rule-based = static pruning only.
+#: - (No)CostBasedJoin — join REORDERING by cost. Spark preserves the
+#:   syntactic join order unless CBO join reordering is on; the hint
+#:   toggles ``spark.sql.cbo.(joinReorder.)enabled`` (reordering then
+#:   engages exactly where table stats exist, as GridDB falls back
+#:   without statistics).
+#: - (No)CostBasedJoinDriving — driving/inner side selection by cost.
+#:   Spark picks build/broadcast sides from runtime stats via AQE;
+#:   rule-based = the static initial plan (AQE off).
+#:
+#: The remaining two execution hints stay accepted-and-stripped with no
+#: mapping: DISTRIBUTED_POLICY picks the reference's cross-node plan
+#: distribution shape (Catalyst/AQE own physical distribution end to
+#: end) and MAX_DEGREE_OF_TASK_INPUT bounds union-all task fan-in
+#: (``sql_compiler.cpp:13338`` getMaxInputCount — Spark's union
+#: concatenates partitions without a merge task, so there is no fan-in
+#: to bound).
+_COST_HINT_RE = re.compile(
+    r"\b(?P<no>No_?)?Cost_?Based_?"
+    r"(?P<what>Index_?Scan|Join_?Driving|Join)\s*\(\s*\)",
+    re.IGNORECASE,
+)
+
+_COST_HINT_CONFS = {
+    ("index_scan", False):
+        {"spark.sql.optimizer.dynamicPartitionPruning.enabled": "true"},
+    ("index_scan", True):
+        {"spark.sql.optimizer.dynamicPartitionPruning.enabled": "false"},
+    ("join", False): {"spark.sql.cbo.enabled": "true",
+                      "spark.sql.cbo.joinReorder.enabled": "true"},
+    ("join", True): {"spark.sql.cbo.enabled": "false",
+                     "spark.sql.cbo.joinReorder.enabled": "false"},
+    ("join_driving", False): {"spark.sql.adaptive.enabled": "true"},
+    ("join_driving", True): {"spark.sql.adaptive.enabled": "false"},
+}
+
+
+def _extract_cost_hints(sql: str) -> "tuple[str, dict]":
+    """Strip (No)CostBased* hints; return statement-scoped conf overrides."""
+    confs: dict = {}
+    for m in _COST_HINT_RE.finditer(sql):
+        what = m.group("what").lower().replace("_", "")
+        key = {"indexscan": "index_scan", "join": "join",
+               "joindriving": "join_driving"}[what]
+        confs.update(_COST_HINT_CONFS[(key, m.group("no") is not None)])
+    out = _COST_HINT_RE.sub("", sql)
+    out = re.sub(r"/\*\+\s*\*/", "", out)
+    return out, confs
 
 
 def _scan_barrier(df: DataFrame) -> DataFrame:
@@ -766,11 +827,28 @@ def griddb_sql(
         _scan_barrier(df).createOrReplaceTempView(bname)
         sql = _replace_table_ref(sql, t, bname)
         barrier_views.append(bname)
+    # (No)CostBased* hints: statement-scoped optimizer-strategy confs.
+    # Physical planning is pinned INSIDE the override scope (executedPlan
+    # is computed and cached on the QueryExecution), so restoring the
+    # session confs afterwards cannot change the returned plan.
+    sql, cost_confs = _extract_cost_hints(sql)
+    old_confs = {k: spark.conf.get(k, None) for k in cost_confs}
+    for k, v in cost_confs.items():
+        spark.conf.set(k, v)
     try:
         if params is not None:
-            return spark.sql(rewrite_sql(sql), args=params)
-        return spark.sql(rewrite_sql(sql))
+            out = spark.sql(rewrite_sql(sql), args=params)
+        else:
+            out = spark.sql(rewrite_sql(sql))
+        if cost_confs:
+            out._jdf.queryExecution().executedPlan()
+        return out
     finally:
+        for k, v in old_confs.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
         # spark.sql analyzes eagerly (view subtrees inline at call time),
         # so dropping the barrier views cannot affect the returned DataFrame
         for b in barrier_views:

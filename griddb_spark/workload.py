@@ -1444,6 +1444,47 @@ def sql_frontend_index_join_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_frontend_cost_hint",
+    """
+    SELECT n_name, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_totalprice > 100000
+    GROUP BY n_name
+    """,
+)
+def sql_frontend_cost_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridDB's cost-based-optimizer hint family (sql_compiler.h:55-60;
+    isLegacyJoinReordering/JoinDriving sql_compiler.cpp:13382-13420; 5.9
+    CostBasedIndexScan, GridDB-5.9-CE-RELEASE_NOTES.md): each pair flips
+    one optimizer strategy between cost-based and rule-based for the
+    statement. Spark seats: (No)CostBasedJoinDriving → AQE on/off
+    (runtime-stats driving-side selection vs the static initial plan),
+    (No)CostBasedJoin → CBO join-reorder conf, (No)CostBasedIndexScan →
+    dynamic partition pruning. This gate runs the rule-based trio —
+    NoCostBasedJoinDriving() NoCostBasedJoin() NoCostBasedIndexScan() —
+    and must return exactly the cost-based (default/oracle) values; the
+    plan test pins the AdaptiveSparkPlan presence flip and conf
+    restoration."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    c = cat(spark, sf_dir)
+    return griddb_sql(
+        spark, c,
+        "SELECT /*+ NoCostBasedJoinDriving() NoCostBasedJoin() "
+        "NoCostBasedIndexScan() */ n_name, count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "  AS total_price "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE o_totalprice > 100000 "
+        "GROUP BY n_name",
+    )
+
+
+@query(
     "sql_frontend_gen_rows_hint",
     _duck_fill_base(900_000)
     + """

@@ -758,3 +758,36 @@ def test_adc_lut_join_stats_dispatch(spark, catalog, monkeypatch):
     shuf_plan, shuf_rows = run()
     assert "ShuffledHashJoin" in shuf_plan
     assert bcast_rows == shuf_rows
+
+
+def test_cost_based_hint_family(spark, catalog):
+    """/*+ (No)CostBasedJoinDriving/Join/IndexScan() */
+    (sql_compiler.h:55-60, 5.9 cost-based index scan): statement-scoped
+    optimizer-strategy flips — NoCostBasedJoinDriving pins the static
+    (rule-based) plan with NO AdaptiveSparkPlan node, values identical,
+    and every session conf is restored afterwards."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    before = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.cbo.enabled",
+                  "spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    }
+    q = ("SELECT {h}c_mktsegment, count(*) AS n "
+         "FROM orders JOIN customer ON o_custkey = c_custkey "
+         "GROUP BY c_mktsegment")
+
+    def run(h):
+        d = griddb_sql(spark, catalog, q.format(h=h))
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        return plan, sorted(map(tuple, d.collect()))
+
+    plain_p, plain_r = run("")
+    assert "AdaptiveSparkPlan" in plain_p
+    rb_p, rb_r = run("/*+ NoCostBasedJoinDriving() */ ")
+    assert "AdaptiveSparkPlan" not in rb_p
+    assert rb_r == plain_r
+    cb_p, cb_r = run("/*+ CostBasedJoin() CostBasedIndexScan() */ ")
+    assert cb_r == plain_r
+    after = {k: spark.conf.get(k, None) for k in before}
+    assert after == before, (before, after)
