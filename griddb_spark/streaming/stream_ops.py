@@ -439,9 +439,19 @@ def embed_dedup_stream(
                     F.col("__cell").alias("__icell"),
                 )
             )
+            # per-cell GEMM verify: tag probe/index rows and group by
+            # probed cell, so each VECTOR ships through Arrow once per
+            # probed cell (probes ~9×, index rows 1×) instead of once per
+            # candidate PAIR — the pair-join form shipped two 64-dim
+            # vectors per candidate row (~16× the Arrow volume at bench
+            # density, measured as the bulk of batches ≥1's addBatch).
+            # Per-cell group size is bounded by sign-space occupancy —
+            # the same cell-bounded-quadratic contract as
+            # cosine_pairs_within; widen sign_bits as the corpus grows.
             probes = keep.select(
-                F.col(id_col),
-                F.col("__v"),
+                F.lit(0).alias("__side"),
+                F.col(id_col).alias("__vid"),
+                F.col("__v").alias("__vec"),
                 F.explode(
                     F.array(
                         F.col("__cell"),
@@ -452,35 +462,39 @@ def embed_dedup_stream(
                     )
                 ).alias("__pcell"),
             )
-            import pandas as pd  # noqa: F401  (mapInPandas below)
+            both = probes.unionByName(
+                idx.select(
+                    F.lit(1).alias("__side"),
+                    F.col("__iid").alias("__vid"),
+                    F.col("__iv").alias("__vec"),
+                    F.col("__icell").alias("__pcell"),
+                )
+            )
+            id_t = bdf.schema[id_col].dataType.simpleString()
 
-            cand = probes.join(idx, probes["__pcell"] == idx["__icell"])
-
-            def verify(batches):
+            def verify_cell(pdf):
                 import numpy as np
                 import pandas as pd
 
-                for pdf in batches:
-                    if len(pdf) == 0:
-                        continue
-                    ma = np.stack(pdf["__v"].to_numpy())
-                    mb = np.stack(pdf["__iv"].to_numpy())
-                    na = np.linalg.norm(ma, axis=1)
-                    nb = np.linalg.norm(mb, axis=1)
-                    den = na * nb
-                    den[den == 0.0] = 1.0
-                    sim = np.einsum("ij,ij->i", ma, mb) / den
-                    # half-away-from-zero like F.round (np.round is
-                    # half-to-even; see pipeline.similarity.round_half_away)
-                    r6 = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
-                    dup = r6 >= threshold
-                    yield pd.DataFrame(
-                        {id_col: pdf[id_col].to_numpy()[dup]}
-                    )
+                pr = pdf[pdf["__side"] == 0]
+                ix = pdf[pdf["__side"] == 1]
+                if len(pr) == 0 or len(ix) == 0:
+                    return pd.DataFrame({id_col: pd.Series([], dtype="object")})
+                ma = np.stack(pr["__vec"].to_numpy())
+                mb = np.stack(ix["__vec"].to_numpy())
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                den = np.outer(na, nb)
+                den[den == 0.0] = 1.0
+                sim = (ma @ mb.T) / den
+                # half-away-from-zero like F.round (np.round is
+                # half-to-even; see pipeline.similarity.round_half_away)
+                r6 = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
+                dup = (r6 >= threshold).any(axis=1)
+                return pd.DataFrame({id_col: pr["__vid"].to_numpy()[dup]})
 
-            id_t = bdf.schema[id_col].dataType.simpleString()
-            dup_ids = cand.select(id_col, "__v", "__iv").mapInPandas(
-                verify, f"{id_col} {id_t}"
+            dup_ids = both.groupBy("__pcell").applyInPandas(
+                verify_cell, f"{id_col} {id_t}"
             ).distinct()
             keep = keep.join(dup_ids, id_col, "left_anti")
         # cluster by cell before the partitioned append: one file per
