@@ -318,6 +318,13 @@ _COST_HINT_CONFS = {
 }
 
 
+import threading as _threading
+
+#: serializes cost-hinted statements: session confs are shared, so the
+#: override + plan-pinning must not interleave with another statement's
+_COST_CONF_LOCK = _threading.Lock()
+
+
 def _extract_cost_hints(sql: str) -> "tuple[str, dict]":
     """Strip (No)CostBased* hints; return statement-scoped conf overrides."""
     confs: dict = {}
@@ -830,8 +837,14 @@ def griddb_sql(
     # (No)CostBased* hints: statement-scoped optimizer-strategy confs.
     # Physical planning is pinned INSIDE the override scope (executedPlan
     # is computed and cached on the QueryExecution), so restoring the
-    # session confs afterwards cannot change the returned plan.
+    # session confs afterwards cannot change the returned plan. Session
+    # confs are process-global per session, so hinted statements
+    # serialize on a lock — a concurrent griddb_sql in another thread
+    # can never plan under this statement's overrides (the same
+    # statement-locality contract as the NoIndexScan barrier views).
     sql, cost_confs = _extract_cost_hints(sql)
+    if cost_confs:
+        _COST_CONF_LOCK.acquire()
     old_confs = {k: spark.conf.get(k, None) for k in cost_confs}
     for k, v in cost_confs.items():
         spark.conf.set(k, v)
@@ -849,6 +862,8 @@ def griddb_sql(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+        if cost_confs:
+            _COST_CONF_LOCK.release()
         # spark.sql analyzes eagerly (view subtrees inline at call time),
         # so dropping the barrier views cannot affect the returned DataFrame
         for b in barrier_views:
