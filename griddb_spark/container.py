@@ -180,6 +180,30 @@ class Collection:
         self._maybe_compact()
         return self
 
+    # -- pandas-facing surface (5.8 Python NoSQL interface enhancements:
+    #    the python_client gained DataFrame/NumPy integration —
+    #    GridDB-5.8-CE-RELEASE_NOTES.md "Python NoSQL Interface
+    #    Enhancements", github.com/griddb/python_client) ------------------
+
+    def put_rows(self, pdf) -> "Collection":
+        """Ingest a pandas DataFrame in ONE Arrow-backed conversion under
+        the container's own schema (never a per-row Python put loop —
+        the 5.8 python_client's DataFrame put shape)."""
+        spark = self._df.sparkSession
+        cols = [f.name for f in self._df.schema.fields]
+        missing = [c for c in cols if c not in pdf.columns]
+        if missing:
+            raise ValueError(f"pandas frame missing columns: {missing}")
+        return self.put(spark.createDataFrame(pdf[cols], schema=self._df.schema))
+
+    def fetch_rows(self, limit: int | None = None):
+        """The container's rows as a pandas DataFrame (Arrow transfer —
+        the 5.8 python_client's fetch-into-DataFrame shape). ``limit``
+        bounds the driver-side materialization; omit it only for
+        driver-sized containers."""
+        df = self._df.limit(limit) if limit is not None else self._df
+        return df.toPandas()
+
     # -- query ---------------------------------------------------------------
     def query(self, tql: str) -> DataFrame:
         """Run a TQL statement against this container."""

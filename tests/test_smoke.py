@@ -202,3 +202,27 @@ def test_catalog_invalidate_rereads_rewritten_container(spark, tmp_path,
     # hand the session-global view back to the shared testdata catalog
     catalog.table("region")
     assert spark.table("region").count() == 5
+
+
+def test_collection_pandas_roundtrip(spark):
+    """5.8 Python NoSQL interface enhancements (python_client DataFrame
+    integration): put_rows ingests a pandas frame under the container
+    schema (upserting by row key), fetch_rows reads back via Arrow."""
+    import pandas as pd
+
+    from griddb_spark.container import GridStore
+
+    store = GridStore(spark)
+    base = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, tag string, v double")
+    col = store.put_container("pd_rt", base, row_key="id")
+    col.put_rows(pd.DataFrame({"id": [2, 3], "tag": ["b2", "c"],
+                               "v": [9.9, 3.5]}))
+    out = col.fetch_rows().sort_values("id").reset_index(drop=True)
+    assert out["id"].tolist() == [1, 2, 3]
+    assert out["tag"].tolist() == ["a", "b2", "c"]  # key 2 upserted
+    assert col.fetch_rows(limit=2).shape[0] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        col.put_rows(pd.DataFrame({"id": [4]}))  # missing columns
