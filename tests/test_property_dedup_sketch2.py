@@ -295,3 +295,28 @@ def test_snapshot_diff_statuses(spark):
         [(2, "b"), (3, "c2"), (4, "d")], "k long, t string")
     got = {r.k: r.status for r in snapshot_diff(old, new, "k", "t").collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_union_find_matches_distributed_components(spark):
+    """union_find_min (the driver path shared by connected_components'
+    stats-dispatch and the streaming dedup) must agree with the
+    distributed Pregel loop on random graphs, including chains that need
+    multiple propagation rounds."""
+    import random
+
+    from griddb_spark.pipeline.dedup import connected_components, union_find_min
+
+    rng = random.Random(7)
+    for trial in range(5):
+        n = rng.randint(2, 60)
+        edges = [(rng.randint(0, n), rng.randint(0, n))
+                 for _ in range(rng.randint(1, 80))]
+        # long chain: worst case for min-label propagation
+        edges += [(i, i + 1) for i in range(20, 20 + rng.randint(3, 15))]
+        want = union_find_min(edges)
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs, small_edges=0).collect()
+        }
+        assert got == {int(k): int(v) for k, v in want.items()}, trial

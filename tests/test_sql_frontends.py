@@ -537,3 +537,27 @@ def test_front_end_max_generated_rows_hint(spark, catalog):
         griddb_sql(spark, catalog, base.format(n=5)).collect()
     ok = griddb_sql(spark, catalog, base.format(n=500000))
     assert ok.count() == 2 * 24 * 60 + 1
+
+
+def test_cost_hint_extraction_variants():
+    """Hint-name forms (underscored/camel), multiples, and table names
+    inside string literals must extract exactly."""
+    from griddb_spark.sql.translate import (
+        _extract_cost_hints,
+        _replace_table_ref,
+    )
+
+    sql = ("SELECT /*+ No_Cost_Based_Join_Driving() CostBasedJoin() */ 1 "
+           "FROM orders")
+    out, confs = _extract_cost_hints(sql)
+    assert "CostBased" not in out and "Cost_Based" not in out
+    assert confs["spark.sql.adaptive.enabled"] == "false"
+    assert confs["spark.sql.cbo.enabled"] == "true"
+    # no hints → no confs, sql unchanged
+    out2, confs2 = _extract_cost_hints("SELECT 1 FROM orders")
+    assert confs2 == {} and out2 == "SELECT 1 FROM orders"
+    # table-ref substitution never touches string literals
+    s = "SELECT * FROM orders WHERE note = 'orders pending' AND orders.id > 0"
+    r = _replace_table_ref(s, "orders", "orders__b")
+    assert r == ("SELECT * FROM orders__b WHERE note = 'orders pending' "
+                 "AND orders__b.id > 0")
