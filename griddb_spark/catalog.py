@@ -203,7 +203,10 @@ class ContainerCatalog:
         place so the next table()/load() re-reads the new file listing
         (the cached plan pins the parquet files seen at first load)."""
         owners = _owners(self.spark)
-        names = [name] if name is not None else list(KNOWN_TABLES)
+        names = [name] if name is not None else sorted(
+            set(self._df_cache) | set(self._nano_cache) | set(owners)
+            | self._registered
+        )
         for n in names:
             self._df_cache.pop(n, None)
             self._nano_cache.pop(n, None)

@@ -1729,11 +1729,16 @@ def ivfpq_index_topk(
     idx = spark.read.parquet(path).filter(
         F.col("cluster").isin(probe_cells)  # partition-pruned read
     )
-    n_q = q_df.count()  # one tiny job over the query batch
+    # batch size from the already-checkpointed probes (no extra pass over
+    # the possibly expensively-derived queries lineage); ceil-division is
+    # exact when every query routes to nprobe cells and a safe
+    # overestimate when the index has fewer cells than nprobe
+    n_probe_rows = probes.count()
+    n_q = max(1, -(-n_probe_rows // nprobe))
     lut = adc_lut_df(q_df, books, "q_id", "__qv", round_to)
     m, k = meta["m"], meta["k"]
     probe_side = (F.broadcast(probes)
-                  if n_q * nprobe <= ADC_LUT_BROADCAST_MAX_ROWS
+                  if n_probe_rows <= ADC_LUT_BROADCAST_MAX_ROWS
                   else probes.hint("shuffle_hash"))
     cand = idx.join(probe_side, "cluster").filter(
         F.col(id_col) != F.col("q_id")

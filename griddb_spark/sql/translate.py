@@ -338,6 +338,37 @@ def _extract_cost_hints(sql: str) -> "tuple[str, dict]":
     return out, confs
 
 
+def _with_cost_confs(spark: SparkSession, cost_confs: dict, thunk):
+    """Run ``thunk`` (→ DataFrame) under statement-scoped optimizer confs.
+
+    Physical planning is pinned INSIDE the override scope (executedPlan
+    is computed and cached on the QueryExecution), so restoring the
+    session confs afterwards cannot change the returned plan. Hinted
+    statements serialize on a lock, so two HINTED statements never plan
+    under each other's overrides; an UNHINTED statement issued
+    concurrently from another thread plans lazily at its first action
+    and can still observe the override window — GridDB's hint scope is
+    per-statement, so keep cost-hinted statements off hot concurrent
+    paths (the window is planning-only; executed results are unaffected
+    in either case, only the chosen strategy)."""
+    if not cost_confs:
+        return thunk()
+    with _COST_CONF_LOCK:
+        old = {k: spark.conf.get(k, None) for k in cost_confs}
+        try:
+            for k, v in cost_confs.items():
+                spark.conf.set(k, v)
+            out = thunk()
+            out._jdf.queryExecution().executedPlan()
+            return out
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
 def _scan_barrier(df: DataFrame) -> DataFrame:
     """Pushdown barrier: an always-true but non-foldable predicate keeps
     every later filter ABOVE the scan (``PushedFilters: []``) — the
@@ -346,15 +377,58 @@ def _scan_barrier(df: DataFrame) -> DataFrame:
     return df.where(F.rand(7) != F.lit(-1.0))
 
 
+#: keywords that can follow a table reference — their presence means the
+#: reference carries NO alias, so the rewrite must add one
+_AFTER_TABLE_KEYWORDS = frozenset({
+    "where", "group", "order", "limit", "having", "on", "join", "inner",
+    "left", "right", "full", "cross", "natural", "union", "intersect",
+    "except", "using", "match_recognize",
+})
+
+
 def _replace_table_ref(sql: str, table: str, new: str) -> str:
-    """Substitute a statement-local view name for ``table`` everywhere
-    outside single-quoted string literals (word-bounded, case-insensitive)
-    — qualified column refs ``t.col`` rename consistently with FROM."""
-    parts = re.split(r"('(?:[^']|'')*')", sql)
-    pat = re.compile(r"\b%s\b" % re.escape(table), re.IGNORECASE)
-    return "".join(
-        p if i % 2 else pat.sub(new, p) for i, p in enumerate(parts)
-    )
+    """Point this statement's TABLE REFERENCES of ``table`` at view
+    ``new``, keeping ``table`` as the alias (``FROM t`` → ``FROM new AS
+    t``; ``FROM t x`` → ``FROM new x``). Only FROM/JOIN positions and
+    comma-separated FROM lists rewrite — qualified column refs
+    (``t.col``) resolve through the alias, and a COLUMN that happens to
+    share the table's name is never touched (a blanket word-replace
+    would corrupt it). String literals never rewrite."""
+    lit_spans = [m.span() for m in re.finditer(r"'(?:[^']|'')*'", sql)]
+
+    def in_lit(i: int) -> bool:
+        return any(a <= i < b for a, b in lit_spans)
+
+    out, pos = [], 0
+    for m in re.finditer(r"\b%s\b" % re.escape(table), sql, re.IGNORECASE):
+        if in_lit(m.start()):
+            continue
+        before = sql[: m.start()]
+        mprev = re.search(r"(\bFROM\b|\bJOIN\b|,)\s*$", before, re.IGNORECASE)
+        if not mprev:
+            continue
+        if mprev.group(1) == ",":
+            # a comma only introduces a table ref inside a FROM list:
+            # the nearest clause keyword before it must be FROM
+            kws = re.findall(
+                r"\b(FROM|SELECT|WHERE|GROUP|ORDER|HAVING|ON)\b",
+                before, re.IGNORECASE,
+            )
+            if not kws or kws[-1].upper() != "FROM":
+                continue
+        ma = re.match(r"\s*([A-Za-z_]\w*|,|\))?", sql[m.end():])
+        nxt = (ma.group(1) or "").lower()
+        has_alias = (
+            nxt == "as"
+            or (nxt not in ("", ",", ")")
+                and nxt not in _AFTER_TABLE_KEYWORDS)
+        )
+        repl = new if has_alias else f"{new} AS {table}"
+        out.append(sql[pos: m.start()])
+        out.append(repl)
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 #: GridDB 5.8 time-unit frame boundary — ``RANGE BETWEEN (10, MINUTE)
@@ -809,17 +883,23 @@ def griddb_sql(
         qe = inner._jdf.queryExecution()
         rows = list(enumerate(qe.optimizedPlan().toString().splitlines()))
         return spark.createDataFrame(rows, "id int, plan string")
-    # (No)IndexScan hints extract BEFORE dispatch so a hinted GROUP BY
-    # RANGE / MATCH_RECOGNIZE statement parses (the comment would otherwise
-    # reach _RANGE_QUERY_RE/aggregate parsing); the exec paths honor the
-    # full-scan barrier on their own loads.
+    # (No)IndexScan and (No)CostBased* hints extract BEFORE dispatch so a
+    # hinted GROUP BY RANGE / MATCH_RECOGNIZE statement parses (the
+    # comment would otherwise reach _RANGE_QUERY_RE/aggregate parsing);
+    # the exec paths honor the full-scan barrier on their own loads and
+    # run under the same statement-scoped optimizer confs.
     sql, full_scan_tables = _extract_index_scan_hints(sql)
+    sql, cost_confs = _extract_cost_hints(sql)
     if _RANGE_RE.search(sql):
-        return _exec_group_by_range(spark, catalog, sql,
-                                    full_scan=full_scan_tables)
+        return _with_cost_confs(
+            spark, cost_confs,
+            lambda: _exec_group_by_range(spark, catalog, sql,
+                                         full_scan=full_scan_tables))
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
-        return _exec_match_recognize(spark, catalog, sql,
-                                     full_scan=full_scan_tables)
+        return _with_cost_confs(
+            spark, cost_confs,
+            lambda: _exec_match_recognize(spark, catalog, sql,
+                                          full_scan=full_scan_tables))
     catalog.register_all()
     # NoIndexScan(t): register a STATEMENT-LOCAL barrier view under a
     # unique name and point this statement's references at it — the
@@ -834,36 +914,14 @@ def griddb_sql(
         _scan_barrier(df).createOrReplaceTempView(bname)
         sql = _replace_table_ref(sql, t, bname)
         barrier_views.append(bname)
-    # (No)CostBased* hints: statement-scoped optimizer-strategy confs.
-    # Physical planning is pinned INSIDE the override scope (executedPlan
-    # is computed and cached on the QueryExecution), so restoring the
-    # session confs afterwards cannot change the returned plan. Session
-    # confs are process-global per session, so hinted statements
-    # serialize on a lock — a concurrent griddb_sql in another thread
-    # can never plan under this statement's overrides (the same
-    # statement-locality contract as the NoIndexScan barrier views).
-    sql, cost_confs = _extract_cost_hints(sql)
-    if cost_confs:
-        _COST_CONF_LOCK.acquire()
-    old_confs = {k: spark.conf.get(k, None) for k in cost_confs}
-    for k, v in cost_confs.items():
-        spark.conf.set(k, v)
-    try:
+    def _go() -> DataFrame:
         if params is not None:
-            out = spark.sql(rewrite_sql(sql), args=params)
-        else:
-            out = spark.sql(rewrite_sql(sql))
-        if cost_confs:
-            out._jdf.queryExecution().executedPlan()
-        return out
+            return spark.sql(rewrite_sql(sql), args=params)
+        return spark.sql(rewrite_sql(sql))
+
+    try:
+        return _with_cost_confs(spark, cost_confs, _go)
     finally:
-        for k, v in old_confs.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-        if cost_confs:
-            _COST_CONF_LOCK.release()
         # spark.sql analyzes eagerly (view subtrees inline at call time),
         # so dropping the barrier views cannot affect the returned DataFrame
         for b in barrier_views:

@@ -408,8 +408,12 @@ def embed_dedup_stream(
                                       pairs_pdf["id_b"].tolist()))
             losers = [x for x, c in comp.items() if c < x]
             if len(losers) <= 10_000:
-                # literal NOT IN — no join, no extra job
-                keep = b.filter(~F.col(id_col).isin(losers))
+                # literal NOT IN — no join, no extra job. NULL-id rows
+                # must survive like the anti-join branch keeps them
+                # (NOT IN alone is NULL for a NULL id → silently dropped)
+                keep = b.filter(
+                    ~F.col(id_col).isin(losers) | F.col(id_col).isNull()
+                )
             else:
                 keep = b.join(
                     F.broadcast(spark.createDataFrame(

@@ -791,3 +791,42 @@ def test_cost_based_hint_family(spark, catalog):
     assert cb_r == plain_r
     after = {k: spark.conf.get(k, None) for k in before}
     assert after == before, (before, after)
+
+
+def test_cost_hint_on_group_by_range(spark, catalog):
+    """A (No)CostBased* hint on a GROUP BY RANGE statement must parse
+    (extraction happens before dispatch) and return values identical to
+    the unhinted statement, with session confs restored."""
+    from griddb_spark.sql.translate import griddb_sql
+
+    before = spark.conf.get("spark.sql.adaptive.enabled", None)
+    q = ("SELECT {h}avg(value) AS avg_value FROM events "
+         "WHERE ts BETWEEN TIMESTAMP('2024-01-01T00:00:00Z') AND "
+         "TIMESTAMP('2024-01-01T02:00:00Z') "
+         "GROUP BY RANGE(ts) EVERY(15, MINUTE)")
+    plain = griddb_sql(spark, catalog, q.format(h=""))
+    hinted = griddb_sql(
+        spark, catalog, q.format(h="/*+ NoCostBasedJoinDriving() */ "))
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, hinted.collect()))
+    assert spark.conf.get("spark.sql.adaptive.enabled", None) == before
+
+
+def test_no_index_scan_hint_on_aliased_table(spark, catalog):
+    """NoIndexScan(t) with an aliased FROM t x reference: the barrier
+    applies (PushedFilters empty), qualified alias refs still resolve,
+    values identical."""
+    import re
+
+    from griddb_spark.sql.translate import griddb_sql
+
+    q = ("SELECT {h}o.o_orderstatus AS s, count(*) AS n FROM orders o "
+         "WHERE o.o_totalprice > 150000 GROUP BY o.o_orderstatus")
+    plain = griddb_sql(spark, catalog, q.format(h=""))
+    hinted = griddb_sql(spark, catalog,
+                        q.format(h="/*+ NoIndexScan(orders) */ "))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]",
+                        hinted._jdf.queryExecution().toString())
+    assert not any("o_totalprice" in f for f in pushed)
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, hinted.collect()))

@@ -556,8 +556,19 @@ def test_cost_hint_extraction_variants():
     # no hints → no confs, sql unchanged
     out2, confs2 = _extract_cost_hints("SELECT 1 FROM orders")
     assert confs2 == {} and out2 == "SELECT 1 FROM orders"
-    # table-ref substitution never touches string literals
+    # table-ref substitution: only FROM/JOIN positions rewrite (alias
+    # keeps qualified refs working), string literals never do, and a
+    # COLUMN named like the table is untouched
     s = "SELECT * FROM orders WHERE note = 'orders pending' AND orders.id > 0"
     r = _replace_table_ref(s, "orders", "orders__b")
-    assert r == ("SELECT * FROM orders__b WHERE note = 'orders pending' "
-                 "AND orders__b.id > 0")
+    assert r == ("SELECT * FROM orders__b AS orders WHERE note = "
+                 "'orders pending' AND orders.id > 0")
+    s2 = "SELECT o.orders FROM orders o JOIN part ON o.orders = p_partkey"
+    assert _replace_table_ref(s2, "orders", "b") == \
+        "SELECT o.orders FROM b o JOIN part ON o.orders = p_partkey"
+    s3 = "SELECT * FROM region, orders WHERE r_regionkey = o_custkey"
+    assert _replace_table_ref(s3, "orders", "b") == \
+        "SELECT * FROM region, b AS orders WHERE r_regionkey = o_custkey"
+    # a non-FROM comma (select list) never rewrites
+    s4 = "SELECT region, orders FROM lineitem"
+    assert _replace_table_ref(s4, "orders", "b") == s4
