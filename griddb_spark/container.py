@@ -471,7 +471,8 @@ class GridStore:
                 (rec.request_id, host, port, None, None, user, app, "SQL",
                  _dt.datetime.fromtimestamp(rec.started_ms / 1000.0),
                  (rec.finished_ms or now_ms) - rec.started_ms,
-                 rec.working_memory_bytes, 0, 0, 0, 0, para,
+                 rec.working_memory_bytes, 0,
+                 rec.io_bytes, rec.network_bytes, 0, para,
                  "totalMemoryLimit=%d;failOnTotalMemoryLimit=%s;"
                  "resourceControlLevel=%d;pool=%s;status=%s"
                  % (rec.limit_bytes,

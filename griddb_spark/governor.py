@@ -85,6 +85,11 @@ class StatementRecord:
     control_level: int = 2
     #: FAIR scheduler pool the statement ran in (level 3), else None
     pool: str | None = None
+    #: 5.9 resource monitoring ("memory, I/O, communication time, etc."):
+    #: bytes read from storage and bytes moved over the wire (shuffle
+    #: read+write), summed from the same status-store stages
+    io_bytes: int = 0
+    network_bytes: int = 0
 
 
 @dataclass
@@ -168,12 +173,15 @@ class MemoryGovernor:
 
     # -- status-store polling (driver-side only) -------------------------
 
-    def _group_usage(self, group_id: str) -> tuple[int, list]:
-        """Working-set bytes of every stage belonging to the group's jobs.
+    def _group_usage(self, group_id: str) -> tuple[int, int, int, list]:
+        """(working-set, io, network) bytes of the group's stages.
 
-        Counts each stage's peak execution memory + spill + shuffle write,
-        read from the driver's AppStatusStore (the store behind the UI —
-        no extra instrumentation, no executor round-trips)."""
+        Working set counts each stage's peak execution memory + spill +
+        shuffle write; io = input bytes read from storage; network =
+        shuffle read + write (the 5.9 resource-monitoring detail set —
+        "memory, I/O, communication time, etc."). All read from the
+        driver's AppStatusStore (the store behind the UI — no extra
+        instrumentation, no executor round-trips)."""
         sc = self.spark.sparkContext
         tracker = sc.statusTracker()
         jobs = tracker.getJobIdsForGroup(group_id) or []
@@ -184,7 +192,7 @@ class MemoryGovernor:
                 stage_ids.update(ji.stageIds)
         store = sc._jsc.sc().statusStore()
         empty = sc._jvm.java.util.Collections.emptyList()
-        total = 0
+        total = io = net = 0
         for sid in stage_ids:
             try:
                 seq = store.stageData(sid, False, empty, False, None)
@@ -199,17 +207,21 @@ class MemoryGovernor:
                     + s.diskBytesSpilled()
                     + s.shuffleWriteBytes()
                 )
-        return total, list(jobs)
+                io += int(s.inputBytes())
+                net += int(s.shuffleReadBytes() + s.shuffleWriteBytes())
+        return total, io, net, list(jobs)
 
     def _monitor(self, group_id: str, rec: StatementRecord,
                  stop: threading.Event) -> None:
         sc = self.spark.sparkContext
         while not stop.wait(self.poll_interval):
             try:
-                usage, jobs = self._group_usage(group_id)
+                usage, io, net, jobs = self._group_usage(group_id)
             except Exception:
                 continue
             rec.job_ids = jobs
+            rec.io_bytes = max(rec.io_bytes, io)
+            rec.network_bytes = max(rec.network_bytes, net)
             if usage > rec.working_memory_bytes:
                 rec.working_memory_bytes = usage
             if self._enforce and usage > self.total_memory_limit:
@@ -285,11 +297,14 @@ class MemoryGovernor:
         # GridDB's limiter accounts synchronously, so a breach must fail
         # deterministically regardless of monitor timing
         try:
-            usage, jobs = self._group_usage(group_id)
+            usage, io, net, jobs = self._group_usage(group_id)
         except Exception:
             usage, jobs = rec.working_memory_bytes, rec.job_ids
+            io, net = rec.io_bytes, rec.network_bytes
         rec.job_ids = jobs or rec.job_ids
         rec.working_memory_bytes = max(rec.working_memory_bytes, usage)
+        rec.io_bytes = max(rec.io_bytes, io)
+        rec.network_bytes = max(rec.network_bytes, net)
         # a breach fails even when the action won the race against the
         # cancel (or finished between polls) — GridDB's limiter accounts
         # synchronously, so a breach is deterministic regardless of timing

@@ -228,3 +228,27 @@ def test_concurrent_statements_fair_pools(spark):
     pools = {r.pool for r in recs[-2:]}
     assert len(pools) == 2 and None not in pools
     assert all(r.status == "DONE" for r in recs[-2:])
+
+
+def test_governed_statement_reports_io_and_network(spark):
+    """5.9 resource monitoring detail set ('memory, I/O, communication
+    time, etc.'): a governed statement that scans parquet and shuffles
+    reports nonzero data_store_access and network_transfer_size in
+    #statement_resources."""
+    import os as _os
+
+    from griddb_spark.container import GridStore
+
+    path = _os.path.join(SF_DIR, "orders.parquet")
+    gov = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3)
+    gov.run(
+        lambda: spark.read.parquet(path)
+        .groupBy("o_orderstatus").count().collect(),
+        statement="SELECT io probe",
+    )
+    rows = GridStore(spark, SF_DIR).statement_resources().where(
+        "statement = 'SELECT io probe'").collect()
+    assert rows
+    r = rows[-1]
+    assert r.data_store_access > 0, "parquet scan bytes missing"
+    assert r.network_transfer_size > 0, "shuffle bytes missing"
