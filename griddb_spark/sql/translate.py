@@ -325,9 +325,32 @@ import threading as _threading
 _COST_CONF_LOCK = _threading.Lock()
 
 
+#: GridDB's planning-version pin ``LegacyPlan(major, minor[, patch])``
+#: (``sql_compiler.cpp:13429`` isLegacyPlanning): planner strategies
+#: introduced AFTER the pinned version fall back to their legacy form —
+#: cost-based join reordering arrived after 5.4
+#: (LEGACY_JOIN_REORDERING_VERSION, ``sql_compiler.cpp:1335``) and
+#: cost-based driving-side selection after 5.7
+#: (LEGACY_JOIN_DRIVING_VERSION, ``:1336``). Explicit (No)CostBased*
+#: hints take precedence over the version pin, exactly as the
+#: reference's hasHint checks run first.
+_LEGACY_PLAN_RE = re.compile(
+    r"Legacy_?Plan\s*\(\s*(\d+)\s*,\s*(\d+)\s*(?:,\s*\d+\s*)?\)",
+    re.IGNORECASE,
+)
+
+
 def _extract_cost_hints(sql: str) -> "tuple[str, dict]":
-    """Strip (No)CostBased* hints; return statement-scoped conf overrides."""
+    """Strip (No)CostBased*/LegacyPlan hints; return statement-scoped
+    conf overrides (explicit CostBased* hints override LegacyPlan)."""
     confs: dict = {}
+    for m in _LEGACY_PLAN_RE.finditer(sql):
+        v = (int(m.group(1)), int(m.group(2)))
+        if v <= (5, 4):
+            confs.update(_COST_HINT_CONFS[("join", True)])
+        if v <= (5, 7):
+            confs.update(_COST_HINT_CONFS[("join_driving", True)])
+    sql = _LEGACY_PLAN_RE.sub("", sql)
     for m in _COST_HINT_RE.finditer(sql):
         what = m.group("what").lower().replace("_", "")
         key = {"indexscan": "index_scan", "join": "join",

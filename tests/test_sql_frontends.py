@@ -572,3 +572,26 @@ def test_cost_hint_extraction_variants():
     # a non-FROM comma (select list) never rewrites
     s4 = "SELECT region, orders FROM lineitem"
     assert _replace_table_ref(s4, "orders", "b") == s4
+
+
+def test_legacy_plan_hint_extraction():
+    """LegacyPlan(maj, min) pins the planning version: <=5.4 falls back
+    both join reordering and driving, <=5.7 driving only, >5.7 nothing;
+    an explicit CostBased* hint overrides the pin (reference checks
+    hasHint first)."""
+    from griddb_spark.sql.translate import _extract_cost_hints
+
+    out, c = _extract_cost_hints("SELECT /*+ LegacyPlan(5, 3) */ 1 FROM t")
+    assert "LegacyPlan" not in out
+    assert c["spark.sql.adaptive.enabled"] == "false"
+    assert c["spark.sql.cbo.enabled"] == "false"
+    _, c = _extract_cost_hints("SELECT /*+ LegacyPlan(5, 6) */ 1 FROM t")
+    assert c == {"spark.sql.adaptive.enabled": "false"}
+    _, c = _extract_cost_hints("SELECT /*+ LegacyPlan(5, 9) */ 1 FROM t")
+    assert c == {}
+    _, c = _extract_cost_hints(
+        "SELECT /*+ LegacyPlan(5, 3) CostBasedJoinDriving() */ 1 FROM t")
+    assert c["spark.sql.adaptive.enabled"] == "true"  # explicit hint wins
+    _, c = _extract_cost_hints(
+        "SELECT /*+ LegacyPlan(5, 0, 2) */ 1 FROM t")  # patch arg form
+    assert c["spark.sql.adaptive.enabled"] == "false"
