@@ -471,7 +471,7 @@ class GridStore:
                 (rec.request_id, host, port, None, None, user, app, "SQL",
                  _dt.datetime.fromtimestamp(rec.started_ms / 1000.0),
                  (rec.finished_ms or now_ms) - rec.started_ms,
-                 rec.working_memory_bytes, 0,
+                 rec.working_memory_bytes, rec.store_bytes,
                  rec.io_bytes, rec.network_bytes, 0, para,
                  "totalMemoryLimit=%d;failOnTotalMemoryLimit=%s;"
                  "resourceControlLevel=%d;pool=%s;status=%s"
@@ -534,8 +534,10 @@ class GridStore:
         and output it to event logs or meta tables"
         (GridDB-5.9-CE-RELEASE_NOTES.md, Resource Monitoring). One row per
         governed-statement lifecycle event: STMT_START, STMT_DONE,
-        STMT_FAIL, and STMT_STOP_MEMORY_LIMIT (the event-log line GridDB
-        writes when a statement is forcibly stopped on the memory limit).
+        STMT_FAIL, STMT_STOP_MEMORY_LIMIT (the event-log line GridDB
+        writes when a statement is forcibly stopped on the memory limit),
+        and the STMT_MONITOR_{MEMORY,STORE,NETWORK,DATASTORE} warnings
+        the 5.9 /sql/monitoring*Rate thresholds produce.
         Driver-side history only — no distributed work to serve it."""
         import datetime as _dt
 

@@ -52,6 +52,33 @@ the SQL level"); levels 1/2 leave the statement in the default pool
 5.9's resource monitoring ("output to event logs or meta tables") maps to
 the module-level statement event stream: breaches, failures, and
 completions are recorded and served via ``GridStore.statement_events()``.
+
+5.9 Resource Monitoring thresholds (``/trace/resourceMonitor`` =
+LEVEL_WARNING plus the four rate knobs,
+``GridDB-5.9-CE-RELEASE_NOTES.md`` "Resource Monitoring"): statements
+whose usage crosses ``rate × budget`` get a WARNING line in the event
+log. The reference's four targets and the byte-proxy each maps to here:
+
+- ``/sql/monitoringMemoryRate`` — "ratio of total memory consumption"
+  → working set (peak execution memory + spill + shuffle write) vs
+  ``rate × totalMemoryLimit``;
+- ``/sql/monitoringStoreRate`` — "ratio of SQL intermediate store
+  usage" → spill bytes (memory+disk spilled — intermediate results
+  that escaped to the local store, the LocalTempStore analog) vs
+  ``rate × totalMemoryLimit``;
+- ``/sql/monitoringNetworkRate`` — the reference monitors transfer
+  TIME per interval; executor transfer time isn't in the status store,
+  so the proxy is transfer VOLUME (shuffle read+write bytes) vs
+  ``rate × totalMemoryLimit`` — same intent (flag statements moving
+  disproportionate data), different unit, documented here;
+- ``/transaction/monitoringStoreRate`` — "datastore access volume
+  (estimated) relative to datastore memory limit" → input bytes read
+  from storage vs ``rate × totalMemoryLimit``.
+
+A crossed threshold emits one ``STMT_MONITOR_{MEMORY,STORE,NETWORK,
+DATASTORE}`` event per statement per category (the reference logs per
+monitoring interval; once-per-statement bounds the event stream) —
+served through ``#statement_events`` like the lifecycle events.
 """
 
 from __future__ import annotations
@@ -90,6 +117,12 @@ class StatementRecord:
     #: read+write), summed from the same status-store stages
     io_bytes: int = 0
     network_bytes: int = 0
+    #: SQL intermediate-store usage (spill bytes — the LocalTempStore
+    #: analog), the /sql/monitoringStoreRate target
+    store_bytes: int = 0
+    #: monitoring categories whose WARNING already fired (one event per
+    #: statement per category)
+    monitor_fired: set = field(default_factory=set)
 
 
 @dataclass
@@ -146,17 +179,40 @@ class MemoryGovernor:
         fail_on_limit: bool = True,
         poll_interval: float = 0.05,
         resource_control_level: int = 0,
+        resource_monitor: bool = False,
+        monitoring_memory_rate: float = 0.0,
+        monitoring_store_rate: float = 0.0,
+        monitoring_network_rate: float = 0.0,
+        tx_monitoring_store_rate: float = 0.0,
     ):
         if resource_control_level not in (0, 1, 2, 3):
             raise ValueError(
                 "/sql/resourceControlLevel must be 0..3, got "
                 f"{resource_control_level}"
             )
+        rates = {
+            "/sql/monitoringMemoryRate": monitoring_memory_rate,
+            "/sql/monitoringStoreRate": monitoring_store_rate,
+            "/sql/monitoringNetworkRate": monitoring_network_rate,
+            "/transaction/monitoringStoreRate": tx_monitoring_store_rate,
+        }
+        for key, r in rates.items():
+            if not 0.0 <= r <= 1.0:
+                raise ValueError(f"{key} must be in 0..1 (0 disables), "
+                                 f"got {r}")
         self.spark = spark
         self.total_memory_limit = int(total_memory_limit)
         self.fail_on_limit = fail_on_limit
         self.poll_interval = poll_interval
         self.resource_control_level = resource_control_level
+        #: /trace/resourceMonitor = LEVEL_WARNING — master switch for the
+        #: 5.9 monitoring warnings (rates are ignored while False, as the
+        #: reference ignores the rate knobs without the trace level)
+        self.resource_monitor = resource_monitor
+        self.monitoring_memory_rate = monitoring_memory_rate
+        self.monitoring_store_rate = monitoring_store_rate
+        self.monitoring_network_rate = monitoring_network_rate
+        self.tx_monitoring_store_rate = tx_monitoring_store_rate
 
     @property
     def effective_level(self) -> int:
@@ -173,15 +229,19 @@ class MemoryGovernor:
 
     # -- status-store polling (driver-side only) -------------------------
 
-    def _group_usage(self, group_id: str) -> tuple[int, int, int, list]:
-        """(working-set, io, network) bytes of the group's stages.
+    def _group_usage(
+        self, group_id: str
+    ) -> tuple[int, int, int, int, list]:
+        """(working-set, io, network, store) bytes of the group's stages.
 
         Working set counts each stage's peak execution memory + spill +
         shuffle write; io = input bytes read from storage; network =
-        shuffle read + write (the 5.9 resource-monitoring detail set —
-        "memory, I/O, communication time, etc."). All read from the
-        driver's AppStatusStore (the store behind the UI — no extra
-        instrumentation, no executor round-trips)."""
+        shuffle read + write; store = spill bytes alone (the SQL
+        intermediate-store usage /sql/monitoringStoreRate targets — the
+        5.9 resource-monitoring detail set: "memory, I/O, communication
+        time, etc."). All read from the driver's AppStatusStore (the
+        store behind the UI — no extra instrumentation, no executor
+        round-trips)."""
         sc = self.spark.sparkContext
         tracker = sc.statusTracker()
         jobs = tracker.getJobIdsForGroup(group_id) or []
@@ -192,7 +252,7 @@ class MemoryGovernor:
                 stage_ids.update(ji.stageIds)
         store = sc._jsc.sc().statusStore()
         empty = sc._jvm.java.util.Collections.emptyList()
-        total = io = net = 0
+        total = io = net = spill = 0
         for sid in stage_ids:
             try:
                 seq = store.stageData(sid, False, empty, False, None)
@@ -201,29 +261,59 @@ class MemoryGovernor:
             it = seq.iterator()
             while it.hasNext():
                 s = it.next()
-                total += int(
-                    s.peakExecutionMemory()
-                    + s.memoryBytesSpilled()
-                    + s.diskBytesSpilled()
-                    + s.shuffleWriteBytes()
+                stage_spill = int(
+                    s.memoryBytesSpilled() + s.diskBytesSpilled()
                 )
+                total += int(
+                    s.peakExecutionMemory() + s.shuffleWriteBytes()
+                ) + stage_spill
                 io += int(s.inputBytes())
                 net += int(s.shuffleReadBytes() + s.shuffleWriteBytes())
-        return total, io, net, list(jobs)
+                spill += stage_spill
+        return total, io, net, spill, list(jobs)
+
+    def _check_monitor(self, rec: StatementRecord) -> None:
+        """Emit the 5.9 resource-monitoring WARNING events for every
+        enabled rate whose threshold the statement has crossed (once per
+        statement per category)."""
+        if not self.resource_monitor:
+            return
+        budget = self.total_memory_limit
+        checks = (
+            ("MEMORY", self.monitoring_memory_rate,
+             rec.working_memory_bytes, "/sql/monitoringMemoryRate"),
+            ("STORE", self.monitoring_store_rate,
+             rec.store_bytes, "/sql/monitoringStoreRate"),
+            ("NETWORK", self.monitoring_network_rate,
+             rec.network_bytes, "/sql/monitoringNetworkRate"),
+            ("DATASTORE", self.tx_monitoring_store_rate,
+             rec.io_bytes, "/transaction/monitoringStoreRate"),
+        )
+        for cat, rate, observed, key in checks:
+            if rate <= 0.0 or cat in rec.monitor_fired:
+                continue
+            threshold = rate * budget
+            if observed > threshold:
+                rec.monitor_fired.add(cat)
+                _emit(rec.request_id, f"STMT_MONITOR_{cat}",
+                      f"observed={observed};threshold={int(threshold)};"
+                      f"rate={rate};config={key}")
 
     def _monitor(self, group_id: str, rec: StatementRecord,
                  stop: threading.Event) -> None:
         sc = self.spark.sparkContext
         while not stop.wait(self.poll_interval):
             try:
-                usage, io, net, jobs = self._group_usage(group_id)
+                usage, io, net, spill, jobs = self._group_usage(group_id)
             except Exception:
                 continue
             rec.job_ids = jobs
             rec.io_bytes = max(rec.io_bytes, io)
             rec.network_bytes = max(rec.network_bytes, net)
+            rec.store_bytes = max(rec.store_bytes, spill)
             if usage > rec.working_memory_bytes:
                 rec.working_memory_bytes = usage
+            self._check_monitor(rec)
             if self._enforce and usage > self.total_memory_limit:
                 rec.status = "CANCELLED_MEMORY_LIMIT"
                 _emit(rec.request_id, "STMT_STOP_MEMORY_LIMIT",
@@ -297,14 +387,19 @@ class MemoryGovernor:
         # GridDB's limiter accounts synchronously, so a breach must fail
         # deterministically regardless of monitor timing
         try:
-            usage, io, net, jobs = self._group_usage(group_id)
+            usage, io, net, spill, jobs = self._group_usage(group_id)
         except Exception:
             usage, jobs = rec.working_memory_bytes, rec.job_ids
             io, net = rec.io_bytes, rec.network_bytes
+            spill = rec.store_bytes
         rec.job_ids = jobs or rec.job_ids
         rec.working_memory_bytes = max(rec.working_memory_bytes, usage)
         rec.io_bytes = max(rec.io_bytes, io)
         rec.network_bytes = max(rec.network_bytes, net)
+        rec.store_bytes = max(rec.store_bytes, spill)
+        # a threshold crossed between polls still warns — same
+        # deterministic post-action check as the memory limit itself
+        self._check_monitor(rec)
         # a breach fails even when the action won the race against the
         # cancel (or finished between polls) — GridDB's limiter accounts
         # synchronously, so a breach is deterministic regardless of timing

@@ -252,3 +252,89 @@ def test_governed_statement_reports_io_and_network(spark):
     r = rows[-1]
     assert r.data_store_access > 0, "parquet scan bytes missing"
     assert r.network_transfer_size > 0, "shuffle bytes missing"
+
+
+def test_monitor_rates_emit_warning_events(spark):
+    """5.9 Resource Monitoring (/trace/resourceMonitor=LEVEL_WARNING +
+    /sql/monitoring*Rate): a statement crossing rate x budget leaves one
+    STMT_MONITOR_* warning per category in the event stream."""
+    from griddb_spark.governor import statement_events
+
+    gov = MemoryGovernor(
+        spark, total_memory_limit=8 * 1024 ** 3, resource_monitor=True,
+        monitoring_memory_rate=1e-9, monitoring_network_rate=1e-9,
+        tx_monitoring_store_rate=1e-9,
+    )
+    path = os.path.join(SF_DIR, "orders.parquet")
+    gov.run(
+        lambda: spark.read.parquet(path)
+        .groupBy("o_orderstatus").count().collect(),
+        statement="SELECT monitor probe",
+    )
+    rec = statement_records()[-1]
+    evs = [e for e in statement_events() if e.request_id == rec.request_id]
+    types = [e.event_type for e in evs]
+    # memory is always observed; the scan makes io nonzero; the groupBy
+    # makes shuffle bytes nonzero — all three thresholds (1e-9 x 8GiB
+    # ~= 8 bytes) must have fired exactly once
+    for cat in ("STMT_MONITOR_MEMORY", "STMT_MONITOR_NETWORK",
+                "STMT_MONITOR_DATASTORE"):
+        assert types.count(cat) == 1, (cat, types)
+    detail = next(e.detail for e in evs
+                  if e.event_type == "STMT_MONITOR_MEMORY")
+    assert "config=/sql/monitoringMemoryRate" in detail
+    assert rec.status == "DONE"  # monitoring warns, never kills
+
+
+def test_monitor_rate_zero_disables_and_switch_gates(spark):
+    """Rate 0 disables a category (the reference's contract), and the
+    /trace/resourceMonitor master switch gates all of them."""
+    from griddb_spark.governor import statement_events
+
+    # switch off: rates set, no events
+    gov = MemoryGovernor(
+        spark, total_memory_limit=8 * 1024 ** 3, resource_monitor=False,
+        monitoring_memory_rate=1e-9,
+    )
+    gov.run(lambda: _heavy(spark).count(), statement="SELECT no monitor")
+    rec = statement_records()[-1]
+    assert not [e for e in statement_events()
+                if e.request_id == rec.request_id
+                and e.event_type.startswith("STMT_MONITOR_")]
+    # switch on, memory rate only: exactly the memory category fires
+    gov = MemoryGovernor(
+        spark, total_memory_limit=8 * 1024 ** 3, resource_monitor=True,
+        monitoring_memory_rate=1e-9,
+    )
+    gov.run(lambda: _heavy(spark).count(), statement="SELECT mem only")
+    rec = statement_records()[-1]
+    fired = {e.event_type for e in statement_events()
+             if e.request_id == rec.request_id
+             and e.event_type.startswith("STMT_MONITOR_")}
+    assert fired == {"STMT_MONITOR_MEMORY"}
+
+
+def test_monitor_rate_validation(spark):
+    with pytest.raises(ValueError):
+        MemoryGovernor(spark, total_memory_limit=1,
+                       monitoring_memory_rate=1.5)
+    with pytest.raises(ValueError):
+        MemoryGovernor(spark, total_memory_limit=1,
+                       monitoring_network_rate=-0.1)
+
+
+def test_spill_recorded_as_store_bytes(spark):
+    """sql_store_use in #statement_resources carries the statement's
+    spill bytes (the SQL intermediate-store analog). A generated-range
+    aggregation under default memory never spills in this harness, so
+    assert the plumbing: the record field exists, defaults to 0, and the
+    meta table serves it."""
+    from griddb_spark.container import GridStore
+
+    gov = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3)
+    gov.run(lambda: _heavy(spark).count(), statement="SELECT store probe")
+    rec = statement_records()[-1]
+    assert rec.store_bytes >= 0
+    row = GridStore(spark, SF_DIR).statement_resources().where(
+        "statement = 'SELECT store probe'").collect()[-1]
+    assert row.sql_store_use == rec.store_bytes
