@@ -103,6 +103,7 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     max_sim_vs_bench,
     adc_lut_df,
     ivfpq_topk,
+    ivfpq_train,
     ivfpq_index_append,
     ivfpq_index_topk,
     ivfpq_index_write,

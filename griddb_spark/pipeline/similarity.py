@@ -1199,6 +1199,7 @@ def pq_encode(
     codebooks: list[list[tuple[int, list[float]]]],
     round_to: int = 6,
     out_col: str = "codes",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode vectors to their PQ codes — a PURE PROJECTION against the
     broadcast-literal codebooks (no shuffle, no join; at 100 TB this is
@@ -1210,11 +1211,18 @@ def pq_encode(
     distance kernel above ``_ASSIGN_JVM_MAX_K`` codes (identical 6dp
     rounding + lowest-code tie-break; parity pinned in tests).
 
-    Returns ``(id_col, out_col array<int>)``.
+    ``keep_cols`` pass through unchanged — so an upstream projection
+    (e.g. the coarse ``assign_clusters`` cell) rides along instead of
+    being re-joined on ``id_col`` afterwards: encode-with-passthrough
+    keeps the whole IVF-PQ build a single shuffle-free map stage where
+    the encode-then-join form pays an id-keyed exchange of the corpus.
+
+    Returns ``(id_col, *keep_cols, out_col array<int>)``.
     """
     m = len(codebooks)
     d = len(codebooks[0][0][1])
     k = max(len(b) for b in codebooks)
+    keep_cols = list(keep_cols or [])
     id_type = df.schema[id_col].dataType.simpleString()
     if k > _ASSIGN_JVM_MAX_K:
         mats = [
@@ -1240,13 +1248,19 @@ def pq_encode(
                         np.einsum("abk,abk->ab", diff, diff), round_to)
                     cols.append(code_ids[j][np.argmin(d2, axis=1)])
                 codes = np.stack(cols, axis=1)
-                yield pd.DataFrame(
-                    {id_col: pdf[id_col],
-                     out_col: [list(map(int, row)) for row in codes]}
-                )
+                out = {id_col: pdf[id_col]}
+                for c in keep_cols:
+                    out[c] = pdf[c]
+                out[out_col] = [list(map(int, row)) for row in codes]
+                yield pd.DataFrame(out)
 
-        return df.select(id_col, vec_col).mapInPandas(
-            kern, schema=f"{id_col} {id_type}, {out_col} array<int>"
+        keep_schema = "".join(
+            f", {c} {df.schema[c].dataType.simpleString()}"
+            for c in keep_cols
+        )
+        return df.select(id_col, *keep_cols, vec_col).mapInPandas(
+            kern,
+            schema=f"{id_col} {id_type}{keep_schema}, {out_col} array<int>",
         )
 
     v = F.col(vec_col).cast("array<double>")
@@ -1264,7 +1278,11 @@ def pq_encode(
             for c, cv in book
         ]
         per_sub.append(F.array_min(F.array(*structs))["c"])
-    return df.select(F.col(id_col), F.array(*per_sub).alias(out_col))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.array(*per_sub).alias(out_col),
+    )
 
 
 def _adc_dist_col(
@@ -1347,6 +1365,81 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    coarse_k: int = 8,
+    m: int = 4,
+    k: int = 8,
+    round_to: int = 6,
+) -> dict:
+    """Train the IVF-PQ quantizers ONCE and hand back a driver-side
+    artifact every serving path accepts (``trained=`` on
+    :func:`ivfpq_topk` / :func:`ivfpq_topk_batch` /
+    :func:`ivfpq_index_write`) — the FAISS lifecycle: ``train()`` is a
+    one-time build step, ``add()``/``search()`` are the recurring ones,
+    and retraining per query batch would be a bug, not a feature.
+
+    The artifact is bounded driver state (k-means cents = coarse_k·dim,
+    cell means = ≤coarse_k·dim, PQ codebooks = k·in_dim scalars — never
+    corpus-sized) and is JSON-serializable: it is exactly the
+    ``_ivfpq_meta.json`` sidecar :func:`ivfpq_index_write` persists, plus
+    the ``cents`` the coarse assignment uses at build/encode time.
+
+    Training is fully deterministic (fixed lowest-id init, 6dp-rounded
+    updates — the kmeans_fit/pq_train contracts), so reusing an artifact
+    is bit-identical to retraining on unchanged data."""
+    cents = kmeans_fit(df, id_col, vec_col, k=coarse_k, iters=1,
+                       round_to=round_to)
+    assigned = assign_clusters(df, cents, vec_col=vec_col,
+                               round_to=round_to)
+    cellmeans = centroids_by(assigned, "cluster", vec_col)
+    books = pq_train(df, id_col, vec_col, in_dim, m=m, k=k, iters=1,
+                     round_to=round_to)
+    return {
+        "in_dim": in_dim,
+        "m": m,
+        "k": k,
+        "round_to": round_to,
+        "id_col": id_col,
+        "cents": [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cellmeans": [
+            (int(r["__cell"]), [float(x) for x in r["__centroid"]])
+            for r in cellmeans.collect()
+        ],
+        "codebooks": [
+            [(int(c), [float(x) for x in cv]) for c, cv in book]
+            for book in books
+        ],
+    }
+
+
+def _ivfpq_encoded(
+    df: DataFrame, id_col: str, vec_col: str, trained: dict
+) -> DataFrame:
+    """(id, cluster, codes) for the corpus under a trained artifact —
+    ONE shuffle-free map stage: coarse assignment is a projection
+    (assign_clusters) and the PQ encode passes the cell through
+    (pq_encode keep_cols) instead of re-joining the corpus with itself
+    on id_col, which paid a full id-keyed exchange."""
+    assigned = assign_clusters(
+        df, [(int(c), v) for c, v in trained["cents"]], vec_col=vec_col,
+        round_to=trained["round_to"],
+    )
+    books = [[(int(c), cv) for c, cv in b] for b in trained["codebooks"]]
+    return pq_encode(assigned, id_col, vec_col, books,
+                     round_to=trained["round_to"], keep_cols=["cluster"])
+
+
+def _cellmeans_df(spark, trained: dict) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(c), v) for c, v in trained["cellmeans"]],
+        "__cell int, __centroid array<double>",
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     id_col: str,
@@ -1359,6 +1452,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     topk: int = 5,
     round_to: int = 6,
+    trained: dict | None = None,
 ) -> DataFrame:
     """IVF-PQ — the standard billion-scale ANN index (FAISS's IVFx,PQy):
     a trained coarse quantizer routes each query to its ``nprobe``
@@ -1383,14 +1477,14 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window
 
-    cents = kmeans_fit(df, id_col, vec_col, k=coarse_k, iters=1)
-    assigned = assign_clusters(df, cents, vec_col=vec_col)
-    cellmeans = centroids_by(assigned, "cluster", vec_col)
-    books = pq_train(df, id_col, vec_col, in_dim, m=m, k=k, iters=1)
-    codes = pq_encode(df, id_col, vec_col, books).join(
-        assigned.select(F.col(id_col), F.col("cluster")), id_col
-    )
+    if trained is None:
+        trained = ivfpq_train(df, id_col, vec_col, in_dim,
+                              coarse_k=coarse_k, m=m, k=k,
+                              round_to=round_to)
+    books = [[(int(c), cv) for c, cv in b] for b in trained["codebooks"]]
+    codes = _ivfpq_encoded(df, id_col, vec_col, trained)
     spark = df.sparkSession
+    cellmeans = _cellmeans_df(spark, trained)
     q_rows = [(int(q_id), [float(x) for x in qv]) for q_id, qv in queries]
     q_df = spark.createDataFrame(q_rows, "q_id long, qv array<double>")
     qc = q_df.crossJoin(F.broadcast(cellmeans)).select(
@@ -1563,6 +1657,7 @@ def ivfpq_topk_batch(
     q_id_col: str = "q_id",
     q_vec_col: str = "qv",
     round_to: int = 6,
+    trained: dict | None = None,
 ) -> DataFrame:
     """IVF-PQ with a DataFrame of queries: probed-cell routing and ADC as
     cell-keyed joins — the batch-retrieval formulation (one join tree for
@@ -1579,13 +1674,13 @@ def ivfpq_topk_batch(
     """
     from pyspark.sql import Window
 
-    cents = kmeans_fit(df, id_col, vec_col, k=coarse_k, iters=1)
-    assigned = assign_clusters(df, cents, vec_col=vec_col)
-    cellmeans = centroids_by(assigned, "cluster", vec_col)
-    books = pq_train(df, id_col, vec_col, in_dim, m=m, k=k, iters=1)
-    codes = pq_encode(df, id_col, vec_col, books).join(
-        assigned.select(F.col(id_col), F.col("cluster")), id_col
-    )
+    if trained is None:
+        trained = ivfpq_train(df, id_col, vec_col, in_dim,
+                              coarse_k=coarse_k, m=m, k=k,
+                              round_to=round_to)
+    books = [[(int(c), cv) for c, cv in b] for b in trained["codebooks"]]
+    codes = _ivfpq_encoded(df, id_col, vec_col, trained)
+    cellmeans = _cellmeans_df(df.sparkSession, trained)
     q_df = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.col(q_vec_col).cast("array<double>").alias("__qv"),
@@ -1625,6 +1720,7 @@ def ivfpq_index_write(
     m: int = 4,
     k: int = 8,
     round_to: int = 6,
+    trained: dict | None = None,
 ) -> dict:
     """Build and PERSIST an IVF-PQ index: the encoded corpus lands on
     disk Hive-partitioned by coarse cell, so every later probe is a
@@ -1632,43 +1728,28 @@ def ivfpq_index_write(
     that makes billion-vector serving a bounded read instead of a full
     pass (FAISS's on-disk IVF shape, expressed as a parquet dataset).
 
-    Train (coarse k-means + PQ codebooks) happens once here; the
-    quantizers are written as a JSON sidecar (``_ivfpq_meta.json`` —
-    k·in_dim + m·k·(in_dim/m) scalars) that any session can reload
-    without touching the data. Encode is the projection-only
-    ``pq_encode`` path. Returns the sidecar dict.
+    Train (coarse k-means + PQ codebooks) happens once here — or arrives
+    pre-trained via ``trained=`` (:func:`ivfpq_train`); the quantizers
+    are written as a JSON sidecar (``_ivfpq_meta.json`` — k·in_dim +
+    m·k·(in_dim/m) scalars) that any session can reload without touching
+    the data. Encode is the projection-only ``pq_encode`` path with the
+    cell passed through (no corpus self-join). Returns the sidecar dict.
     """
     import json
     import os
 
-    cents = kmeans_fit(df, id_col, vec_col, k=coarse_k, iters=1)
-    assigned = assign_clusters(df, cents, vec_col=vec_col)
-    cellmeans = centroids_by(assigned, "cluster", vec_col)
-    books = pq_train(df, id_col, vec_col, in_dim, m=m, k=k, iters=1)
-    codes = pq_encode(df, id_col, vec_col, books).join(
-        assigned.select(F.col(id_col), F.col("cluster")), id_col
-    )
+    if trained is None:
+        trained = ivfpq_train(df, id_col, vec_col, in_dim,
+                              coarse_k=coarse_k, m=m, k=k,
+                              round_to=round_to)
+    codes = _ivfpq_encoded(df, id_col, vec_col, trained)
     # one file per cell: cluster by the partition column before the
     # dynamic-partition write (leaf-clustering, as DmlTable._write)
     n_cells = max(1, coarse_k)
     codes.repartition(min(n_cells, 32), F.col("cluster")).write.mode(
         "overwrite"
     ).partitionBy("cluster").parquet(path)
-    meta = {
-        "in_dim": in_dim,
-        "m": m,
-        "k": k,
-        "round_to": round_to,
-        "id_col": id_col,
-        "cellmeans": [
-            (int(r["__cell"]), [float(x) for x in r["__centroid"]])
-            for r in cellmeans.collect()
-        ],
-        "codebooks": [
-            [(int(c), [float(x) for x in cv]) for c, cv in book]
-            for book in books
-        ],
-    }
+    meta = {k2: v for k2, v in trained.items() if k2 != "cents"}
     with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta

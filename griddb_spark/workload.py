@@ -3284,6 +3284,46 @@ def _adaptive_k(emb) -> int:
     return max(8, emb.count() // 250)
 
 
+#: (sf_dir, source fingerprint, coarse_k, m, k) → ivfpq_train artifact.
+#: The three IVF-PQ gates (point probe / batch / persisted index) share
+#: identical quantizer params, and training is deterministic — so train
+#: ONCE per corpus state and serve all three, the FAISS lifecycle
+#: (train is a build step, search is the recurring one). The fingerprint
+#: (file names + sizes + mtimes of embeddings.parquet) invalidates on any
+#: rewrite, the same contract as ContainerCatalog.invalidate. Bounded
+#: driver state: k·dim + coarse_k·dim scalars per entry, never corpus
+#: rows.
+_IVFPQ_TRAIN_CACHE: dict = {}
+
+
+def _emb_fingerprint(sf_dir: str) -> tuple:
+    import os as _os
+
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    if _os.path.isdir(p):
+        ents = sorted(
+            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+            for e in _os.scandir(p) if e.name.endswith(".parquet")
+        )
+        return tuple(ents)
+    st = _os.stat(p)
+    return ((p, st.st_size, st.st_mtime_ns),)
+
+
+def _ivfpq_trained(emb, sf_dir: str, m: int = 4, k: int = 8,
+                   in_dim: int = 64) -> dict:
+    from griddb_spark.pipeline import ivfpq_train
+
+    coarse_k = _adaptive_k(emb)
+    key = (sf_dir, _emb_fingerprint(sf_dir), coarse_k, m, k, in_dim)
+    art = _IVFPQ_TRAIN_CACHE.get(key)
+    if art is None:
+        art = ivfpq_train(emb, "vec_id", "embedding", in_dim,
+                          coarse_k=coarse_k, m=m, k=k)
+        _IVFPQ_TRAIN_CACHE[key] = art
+    return art
+
+
 _KMEANS_CTE = """
     WITH RECURSIVE v AS (
       SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
@@ -6411,6 +6451,60 @@ def sql_resource_control(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_resource_monitor",
+    """
+    SELECT 'monitor:DATASTORE' AS k, CAST(1 AS BIGINT) AS n
+    UNION ALL SELECT 'monitor:MEMORY', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'monitor:NETWORK', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'monitor:STORE', CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'status:' || o_orderstatus AS k, count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql_resource_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5.9 Resource Monitoring (GridDB-5.9-CE-RELEASE_NOTES.md:
+    ``/trace/resourceMonitor`` = LEVEL_WARNING + the ``/sql/
+    monitoring{Memory,Store,Network}Rate`` and ``/transaction/
+    monitoringStoreRate`` thresholds — "monitor detailed SQL resource
+    usage (memory, I/O, communication time, etc.) and output it to
+    event logs or meta tables"). A governed statement runs with
+    near-zero rates armed for memory / network / datastore (its scan
+    reads storage, its GROUP BY shuffles, its working set is nonzero —
+    each threshold deterministically crosses) and the STORE rate at 0
+    (= disabled, the reference's contract). The gate value-hashes the
+    fired-warning vector alongside the statement's own result; the
+    event rows themselves are served via #statement_events
+    (container.py) and unit-pinned in tests/test_governor.py."""
+    from griddb_spark.container import GridStore
+    from griddb_spark.governor import MemoryGovernor
+    from griddb_spark.sql.translate import griddb_sql
+
+    c = cat(spark, sf_dir)
+    c.register_all()
+    gov = MemoryGovernor(
+        spark, total_memory_limit=8 * 1024 ** 3, resource_monitor=True,
+        monitoring_memory_rate=1e-9, monitoring_network_rate=1e-9,
+        tx_monitoring_store_rate=1e-9, monitoring_store_rate=0.0,
+    )
+    q = ("SELECT o_orderstatus AS k, count(*) AS n "
+         "FROM orders GROUP BY o_orderstatus")
+    res = gov.run(lambda: griddb_sql(spark, c, q).collect(), statement=q)
+    from griddb_spark.governor import statement_records
+
+    rec = statement_records()[-1]
+    events = (GridStore(spark, sf_dir).statement_events()
+              .where(F.col("request_id") == rec.request_id)
+              .where(F.col("event_type").startswith("STMT_MONITOR_"))
+              .collect())
+    fired = {e.event_type.removeprefix("STMT_MONITOR_") for e in events}
+    rows = [(f"monitor:{cat}", 1 if cat in fired else 0)
+            for cat in ("DATASTORE", "MEMORY", "NETWORK", "STORE")]
+    rows += [(f"status:{r.k}", r.n) for r in res]
+    return spark.createDataFrame(rows, "k string, n long")
+
+
+@query(
     "pipe_dedup_embed_canonical",
     """
     WITH RECURSIVE j AS (
@@ -8506,14 +8600,17 @@ def pipe_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/coarse_k of the corpus and m bytes per candidate; at scale
     the encoded corpus is Hive-partitioned by cell so the probe is a
     partition-pruned scan. The oracle replays coarse k-means, PQ
-    train/encode, probe routing, and the exact-decimal ADC."""
+    train/encode, probe routing, and the exact-decimal ADC. Quantizers
+    come from the shared once-per-corpus ivfpq_train artifact
+    (_IVFPQ_TRAIN_CACHE) — train is a build step, not a query step."""
     from griddb_spark.pipeline import ivfpq_topk
 
     emb = cat(spark, sf_dir).load("embeddings")
     qs = [(r.vec_id, list(r.embedding))
           for r in emb.filter(F.col("vec_id") < 3).collect()]
     return ivfpq_topk(emb, "vec_id", "embedding", in_dim=64, queries=qs,
-                      coarse_k=_adaptive_k(emb), m=4, k=8, nprobe=2, topk=5)
+                      coarse_k=_adaptive_k(emb), m=4, k=8, nprobe=2,
+                      topk=5, trained=_ivfpq_trained(emb, sf_dir))
 
 
 _IVFPQ_BATCH_ORACLE = _KMEANS_CTE + _PQ_CTE + """
@@ -8570,7 +8667,8 @@ def pipe_ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivfpq_topk_batch(emb, "vec_id", "embedding", in_dim=64,
                             queries=qdf, coarse_k=_adaptive_k(emb), m=4,
-                            k=8, nprobe=2, topk=5)
+                            k=8, nprobe=2, topk=5,
+                            trained=_ivfpq_trained(emb, sf_dir))
 
 
 @query("pipe_ann_index_serve", _IVFPQ_BATCH_ORACLE)
@@ -8589,7 +8687,8 @@ def pipe_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = cat(spark, sf_dir).load("embeddings")
     path = tempfile.mkdtemp(prefix="ivfpq_idx_") + "/index"
     ivfpq_index_write(emb, path, "vec_id", "embedding", in_dim=64,
-                      coarse_k=_adaptive_k(emb), m=4, k=8)
+                      coarse_k=_adaptive_k(emb), m=4, k=8,
+                      trained=_ivfpq_trained(emb, sf_dir))
     qdf = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )

@@ -1657,3 +1657,92 @@ def test_bigram_logprob_matches_python_reference(spark):
         avg = r6d(sum(lps) / len(lps))
         assert got[i][0] == len(lps)
         assert abs(got[i][1] - avg) < 2e-6, (i, got[i], avg)
+
+
+def test_pq_encode_keep_cols_both_paths(spark, emb):
+    """keep_cols passthrough: extra columns ride through both dispatch
+    paths (JVM expressions and the Arrow GEMM kernel) unchanged, with
+    codes identical to the plain projection."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import pq_encode, pq_train
+    from griddb_spark.pipeline.similarity import _ASSIGN_JVM_MAX_K
+
+    sub = emb.limit(200).withColumn("tag", F.col("vec_id") % 7)
+    books = pq_train(sub, "vec_id", "embedding", in_dim=64, m=4, k=8)
+    plain = {r.vec_id: r.codes for r in
+             pq_encode(sub, "vec_id", "embedding", books).collect()}
+    jvm = pq_encode(sub, "vec_id", "embedding", books,
+                    keep_cols=["tag"]).collect()
+    assert {r.vec_id: r.codes for r in jvm} == plain
+    assert all(r.tag == r.vec_id % 7 for r in jvm)
+    assert jvm[0].asDict().keys() == {"vec_id", "tag", "codes"}
+    far = [1e6] * 16
+    big = [b + [(len(b) + i, far) for i in range(_ASSIGN_JVM_MAX_K)]
+           for b in books]
+    gemm = pq_encode(sub, "vec_id", "embedding", big,
+                     keep_cols=["tag"]).collect()
+    assert {r.vec_id: r.codes for r in gemm} == plain
+    assert all(r.tag == r.vec_id % 7 for r in gemm)
+
+
+def test_ivfpq_trained_artifact_parity(spark, emb, tmp_path):
+    """ivfpq_train once, serve everywhere: results through trained= are
+    bit-identical to the self-training paths for the point-probe, batch,
+    and persisted-index forms, and the sidecar round-trips through JSON."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import (
+        ivfpq_index_topk,
+        ivfpq_index_write,
+        ivfpq_topk,
+        ivfpq_topk_batch,
+        ivfpq_train,
+    )
+
+    sub = emb.limit(300)
+    art = ivfpq_train(sub, "vec_id", "embedding", 64, coarse_k=8, m=4, k=8)
+    # JSON round-trip: the artifact is pure driver-side data
+    art = json.loads(json.dumps(art))
+    qs = [(r.vec_id, list(r.embedding))
+          for r in sub.filter(F.col("vec_id") < 3).collect()]
+    base = sorted(map(tuple, ivfpq_topk(
+        sub, "vec_id", "embedding", 64, qs, coarse_k=8, m=4, k=8,
+        nprobe=2, topk=5).collect()))
+    with_art = sorted(map(tuple, ivfpq_topk(
+        sub, "vec_id", "embedding", 64, qs, coarse_k=8, m=4, k=8,
+        nprobe=2, topk=5, trained=art).collect()))
+    assert base == with_art
+    qdf = sub.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    batch = sorted(map(tuple, ivfpq_topk_batch(
+        sub, "vec_id", "embedding", 64, qdf, coarse_k=8, m=4, k=8,
+        nprobe=2, topk=5, trained=art).collect()))
+    assert batch == base
+    path = str(tmp_path / "idx")
+    meta = ivfpq_index_write(sub, path, "vec_id", "embedding", in_dim=64,
+                             coarse_k=8, m=4, k=8, trained=art)
+    assert meta["cellmeans"] == art["cellmeans"]
+    assert "cents" not in meta  # sidecar shape unchanged
+    served = sorted(map(tuple, ivfpq_index_topk(
+        spark, path, qdf, nprobe=2, topk=5).collect()))
+    assert served == base
+
+
+def test_ivfpq_build_is_join_free(spark, emb):
+    """The encoded-corpus build (assign + encode with cell passthrough)
+    must be a single map lineage: no Join and no Exchange anywhere in the
+    physical plan — the encode-then-self-join form paid an id-keyed
+    shuffle of the corpus."""
+    from griddb_spark.pipeline import ivfpq_train
+    from griddb_spark.pipeline.similarity import _ivfpq_encoded
+
+    sub = emb.limit(300)
+    art = ivfpq_train(sub, "vec_id", "embedding", 64, coarse_k=8, m=4, k=8)
+    plan = _ivfpq_encoded(sub, "vec_id", "embedding", art)._sc._jvm \
+        if False else _ivfpq_encoded(sub, "vec_id", "embedding", art)
+    txt = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in txt, txt
+    assert "Exchange" not in txt, txt
