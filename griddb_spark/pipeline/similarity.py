@@ -789,6 +789,7 @@ def semdedup(
     iters: int = 1,
     threshold: float = 0.9,
     round_to: int = 6,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     k-means-cluster the embeddings, find near-duplicate pairs ONLY within
@@ -802,10 +803,16 @@ def semdedup(
     ``assign_clusters`` (no-shuffle projection) → ``cosine_pairs_within``
     (cluster-keyed self-join + vectorized verify) →
     ``connected_components`` → broadcast anti-join of the losers.
-    Returns (id_col, cluster) for every kept row."""
+    Returns (id_col, cluster) for every kept row.
+
+    ``cents`` short-circuits the clustering with pre-trained centroids
+    (the train-once lifecycle — a pipeline that already clustered the
+    corpus feeds the same centroids to every dependent stage)."""
     from griddb_spark.pipeline.dedup import _anti_join_losers, connected_components
 
-    cents = kmeans_fit(df, id_col, vec_col, k=k, iters=iters, round_to=round_to)
+    if cents is None:
+        cents = kmeans_fit(df, id_col, vec_col, k=k, iters=iters,
+                           round_to=round_to)
     a = assign_clusters(
         df.select(F.col(id_col), F.col(vec_col)), cents,
         vec_col=vec_col, round_to=round_to,
@@ -829,6 +836,7 @@ def prune_prototypes(
     keep_frac: float = 0.5,
     hardest: bool = True,
     round_to: int = 6,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Prototype-based data pruning (Sorscher et al. 2022,
     arXiv:2206.14486): cluster the embeddings, score every example by
@@ -842,10 +850,13 @@ def prune_prototypes(
     clusters (the paper's class-balance concern). Cost: the k-means fit +
     one projection + ONE window shuffle keyed by cluster; ties broken by
     (score, id) so the keep-set is reproducible. Returns
-    (id_col, cluster, proto_sim)."""
+    (id_col, cluster, proto_sim). ``cents`` short-circuits the
+    clustering with pre-trained centroids (train-once lifecycle)."""
     from pyspark.sql import Window
 
-    cents = kmeans_fit(df, id_col, vec_col, k=k, iters=iters, round_to=round_to)
+    if cents is None:
+        cents = kmeans_fit(df, id_col, vec_col, k=k, iters=iters,
+                           round_to=round_to)
     a = assign_clusters(
         df.select(F.col(id_col), F.col(vec_col)), cents,
         vec_col=vec_col, round_to=round_to, score_col="proto_sim",
@@ -1374,6 +1385,8 @@ def ivfpq_train(
     m: int = 4,
     k: int = 8,
     round_to: int = 6,
+    cents: list[tuple[int, list[float]]] | None = None,
+    books: list[list[tuple[int, list[float]]]] | None = None,
 ) -> dict:
     """Train the IVF-PQ quantizers ONCE and hand back a driver-side
     artifact every serving path accepts (``trained=`` on
@@ -1390,14 +1403,18 @@ def ivfpq_train(
 
     Training is fully deterministic (fixed lowest-id init, 6dp-rounded
     updates — the kmeans_fit/pq_train contracts), so reusing an artifact
-    is bit-identical to retraining on unchanged data."""
-    cents = kmeans_fit(df, id_col, vec_col, k=coarse_k, iters=1,
-                       round_to=round_to)
+    is bit-identical to retraining on unchanged data. ``cents`` /
+    ``books`` accept pre-trained pieces (FAISS's pre-trained coarse
+    quantizer shape) and skip the corresponding training pass."""
+    if cents is None:
+        cents = kmeans_fit(df, id_col, vec_col, k=coarse_k, iters=1,
+                           round_to=round_to)
     assigned = assign_clusters(df, cents, vec_col=vec_col,
                                round_to=round_to)
     cellmeans = centroids_by(assigned, "cluster", vec_col)
-    books = pq_train(df, id_col, vec_col, in_dim, m=m, k=k, iters=1,
-                     round_to=round_to)
+    if books is None:
+        books = pq_train(df, id_col, vec_col, in_dim, m=m, k=k, iters=1,
+                         round_to=round_to)
     return {
         "in_dim": in_dim,
         "m": m,

@@ -1746,3 +1746,34 @@ def test_ivfpq_build_is_join_free(spark, emb):
     txt = plan._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in txt, txt
     assert "Exchange" not in txt, txt
+
+
+def test_shared_trainer_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The workload trainer memo keys on a source fingerprint (names +
+    sizes + mtimes), so a rewritten corpus retrains instead of serving
+    stale quantizers — the ContainerCatalog.invalidate contract."""
+    import os
+    import shutil
+    import time
+
+    from griddb_spark import workload
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    sf_dir = str(tmp_path)
+    dst = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copy2(src, dst)
+    emb = spark.read.parquet(dst)
+    c1 = workload._shared_cents(emb, sf_dir)
+    assert workload._shared_cents(emb, sf_dir) is c1  # memo hit
+    # rewrite: drop half the vectors -> different fingerprint AND model
+    # (read from the pristine source, never from the path being replaced)
+    spark.read.parquet(src).filter("vec_id % 2 = 0").write.mode(
+        "overwrite").parquet(dst)
+    time.sleep(0.01)
+    emb2 = spark.read.parquet(dst)
+    c2 = workload._shared_cents(emb2, sf_dir)
+    assert c2 is not c1
+    assert c2 != c1  # retrained on the rewritten corpus
