@@ -79,6 +79,22 @@ A crossed threshold emits one ``STMT_MONITOR_{MEMORY,STORE,NETWORK,
 DATASTORE}`` event per statement per category (the reference logs per
 monitoring interval; once-per-statement bounds the event stream) —
 served through ``#statement_events`` like the lifecycle events.
+
+Node-scoped budget (``node_scope=True``): the reference's
+``/sql/totalMemoryLimit`` is "Total SQL processing memory limit per
+node" — ONE budget shared by every statement on the node, not a
+per-statement allowance (GridDB-5.9-CE-RELEASE_NOTES.md "Execution
+Control Based on Memory Usage"). A node-scoped governor compares the
+SUM of its running statements' working sets to the limit; on breach,
+the 5.9 new scheduler (level 3) "automatically determines which SQL
+statements to stop" — mapped as stop-the-largest-consumer, the choice
+that frees the most memory per statement stopped — while the legacy
+level 2 stops the statement whose growth tripped the total (V5.7
+behavior: the statement "determined to require memory beyond the
+limit" is terminated). Statements not selected continue unharmed.
+The default (``node_scope=False``) keeps the per-statement allowance,
+which doubles as the per-statement working-memory contract the 5.7
+limiter arms around each processor operation.
 """
 
 from __future__ import annotations
@@ -184,6 +200,7 @@ class MemoryGovernor:
         monitoring_store_rate: float = 0.0,
         monitoring_network_rate: float = 0.0,
         tx_monitoring_store_rate: float = 0.0,
+        node_scope: bool = False,
     ):
         if resource_control_level not in (0, 1, 2, 3):
             raise ValueError(
@@ -213,6 +230,11 @@ class MemoryGovernor:
         self.monitoring_store_rate = monitoring_store_rate
         self.monitoring_network_rate = monitoring_network_rate
         self.tx_monitoring_store_rate = tx_monitoring_store_rate
+        #: True = the budget is the reference's per-NODE total across all
+        #: of this governor's statements; False = per-statement allowance
+        self.node_scope = node_scope
+        self._running: dict[str, StatementRecord] = {}
+        self._node_lock = threading.Lock()
 
     @property
     def effective_level(self) -> int:
@@ -314,13 +336,48 @@ class MemoryGovernor:
             if usage > rec.working_memory_bytes:
                 rec.working_memory_bytes = usage
             self._check_monitor(rec)
-            if self._enforce and usage > self.total_memory_limit:
+            if not self._enforce:
+                continue
+            if self.node_scope:
+                if self._enforce_node(rec, sc):
+                    return  # this statement was the one stopped
+                continue
+            if usage > self.total_memory_limit:
                 rec.status = "CANCELLED_MEMORY_LIMIT"
                 _emit(rec.request_id, "STMT_STOP_MEMORY_LIMIT",
                       f"workingMemory={usage};"
                       f"totalMemoryLimit={self.total_memory_limit}")
                 sc.cancelJobGroup(group_id)
                 return
+
+    def _enforce_node(self, rec: StatementRecord, sc) -> bool:
+        """Node-scoped budget check: when the SUM of running statements'
+        working sets exceeds /sql/totalMemoryLimit, stop ONE statement —
+        the largest consumer under the 5.9 new scheduler ("automatically
+        determines which SQL statements to stop"), or the statement whose
+        growth tripped the total under legacy level 2 (V5.7: the
+        statement needing memory beyond the limit is terminated).
+        Returns True when the stopped statement is ``rec`` itself."""
+        with self._node_lock:
+            live = [r for r in self._running.values()
+                    if r.status == "RUNNING"]
+            total = sum(r.working_memory_bytes for r in live)
+            if total <= self.total_memory_limit or not live:
+                return False
+            if self.effective_level >= 3:
+                victim = max(live, key=lambda r: (r.working_memory_bytes,
+                                                  r.request_id))
+            else:
+                victim = rec
+            victim.status = "CANCELLED_MEMORY_LIMIT"
+            _emit(victim.request_id, "STMT_STOP_MEMORY_LIMIT",
+                  f"workingMemory={victim.working_memory_bytes};"
+                  f"nodeTotal={total};"
+                  f"totalMemoryLimit={self.total_memory_limit};"
+                  f"scope=node;selection="
+                  + ("largest" if self.effective_level >= 3 else "breaching"))
+        sc.cancelJobGroup(victim.request_id)
+        return victim is rec
 
     # -- statement execution --------------------------------------------
 
@@ -345,9 +402,12 @@ class MemoryGovernor:
             pool=group_id if level == 3 else None,
         )
         _RECORDS.append(rec)
+        with self._node_lock:
+            self._running[group_id] = rec
         _emit(group_id, "STMT_START",
               f"resourceControlLevel={level};"
-              f"totalMemoryLimit={self.total_memory_limit}")
+              f"totalMemoryLimit={self.total_memory_limit};"
+              f"scope={'node' if self.node_scope else 'statement'}")
         stop = threading.Event()
         mon = threading.Thread(
             target=self._monitor, args=(group_id, rec, stop), daemon=True
@@ -380,6 +440,8 @@ class MemoryGovernor:
             sc._jsc.clearJobGroup()
             if rec.pool is not None:
                 sc.setLocalProperty("spark.scheduler.pool", None)
+            with self._node_lock:
+                self._running.pop(group_id, None)
         stop.set()
         mon.join(timeout=5)
         rec.finished_ms = int(time.time() * 1000)
@@ -400,9 +462,21 @@ class MemoryGovernor:
         # a threshold crossed between polls still warns — same
         # deterministic post-action check as the memory limit itself
         self._check_monitor(rec)
+        # a node-scope victim whose action won the race against the
+        # cancel still fails — it WAS selected to stop
+        if rec.status == "CANCELLED_MEMORY_LIMIT":
+            raise StatementMemoryLimitError(
+                f"SQL statement stopped: node SQL memory exceeded "
+                f"/sql/totalMemoryLimit={self.total_memory_limit} "
+                f"(failOnTotalMemoryLimit=true; this statement selected)"
+            )
         # a breach fails even when the action won the race against the
         # cancel (or finished between polls) — GridDB's limiter accounts
-        # synchronously, so a breach is deterministic regardless of timing
+        # synchronously, so a breach is deterministic regardless of
+        # timing. Holds in BOTH scopes: under node scope a statement
+        # exceeding the whole node budget single-handedly is itself a
+        # node breach (V5.7 semantics: the statement requiring memory
+        # beyond the limit is the one terminated).
         if (self._enforce
                 and rec.working_memory_bytes > self.total_memory_limit):
             rec.status = "CANCELLED_MEMORY_LIMIT"

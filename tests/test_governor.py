@@ -338,3 +338,96 @@ def test_spill_recorded_as_store_bytes(spark):
     row = GridStore(spark, SF_DIR).statement_resources().where(
         "statement = 'SELECT store probe'").collect()[-1]
     assert row.sql_store_use == rec.store_bytes
+
+
+def _sized(spark, rows: int, distinct: bool = False):
+    """A statement whose working set scales with ``rows`` when
+    ``distinct`` (per-key hash-agg entries = rows); a 10k-key map-side
+    combine otherwise (working set ~10 MB at any row count)."""
+    key = "id AS k" if distinct else "id % 10000 AS k"
+    return (
+        spark.range(0, rows)
+        .selectExpr(key, "id * 2 AS v")
+        .groupBy("k")
+        .sum("v")
+    )
+
+
+def test_node_scope_stops_largest_consumer(spark):
+    """5.9 node-scoped budget: /sql/totalMemoryLimit is the node TOTAL;
+    on breach the new scheduler 'automatically determines which SQL
+    statements to stop' — the largest consumer dies, the smaller
+    statement completes. (Measured working sets: the distinct-key agg
+    holds ~2.7 GB, the 10k-key agg ~10 MB — a 256 MiB node budget is
+    generous for the small statement and hopeless for the pair.)"""
+    import threading
+
+    gov = MemoryGovernor(spark, total_memory_limit=256 * 1024 * 1024,
+                         node_scope=True, resource_control_level=3,
+                         poll_interval=0.02)
+    results: dict = {}
+
+    def _run(tag, rows, distinct):
+        try:
+            results[tag] = gov.run(
+                lambda: _sized(spark, rows, distinct).count(),
+                statement=f"SELECT node {tag}")
+        except StatementMemoryLimitError as e:
+            results[tag] = e
+
+    big = threading.Thread(target=_run, args=("big", 16_000_000, True))
+    small = threading.Thread(target=_run, args=("small", 2_000_000, False))
+    big.start()
+    small.start()
+    big.join()
+    small.join()
+    assert isinstance(results["big"], StatementMemoryLimitError), results
+    assert results["small"] == 10000, results
+    recs = {r.statement: r for r in statement_records()
+            if r.statement.startswith("SELECT node ")}
+    assert recs["SELECT node big"].status == "CANCELLED_MEMORY_LIMIT"
+    assert recs["SELECT node small"].status == "DONE"
+    from griddb_spark.governor import statement_events
+
+    ev = [e for e in statement_events()
+          if e.request_id == recs["SELECT node big"].request_id
+          and e.event_type == "STMT_STOP_MEMORY_LIMIT"]
+    assert ev, "stop must be event-logged"
+    if "scope=node" in ev[-1].detail:  # mid-run node selection
+        assert "selection=largest" in ev[-1].detail
+    # else: the statement out-raced the poll and failed the deterministic
+    # post-action check — same outcome, per-statement event detail
+
+
+def test_node_scope_lone_statement_breach(spark):
+    """A single statement exceeding the whole node budget is itself a
+    node breach (V5.7: the statement requiring memory beyond the limit
+    is terminated)."""
+    gov = MemoryGovernor(spark, total_memory_limit=64 * 1024,
+                         node_scope=True)
+    with pytest.raises(StatementMemoryLimitError):
+        gov.run(lambda: _heavy(spark).collect(),
+                statement="SELECT lone node breach")
+    assert statement_records()[-1].status == "CANCELLED_MEMORY_LIMIT"
+
+
+def test_node_scope_under_budget_both_complete(spark):
+    """Concurrent statements whose joint working set stays under the
+    node budget both complete — the shared budget only bites on the
+    actual sum."""
+    import threading
+
+    gov = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3,
+                         node_scope=True, resource_control_level=3)
+    results: dict = {}
+
+    def _run(tag):
+        results[tag] = gov.run(lambda: _sized(spark, 1_000_000).count(),
+                               statement=f"SELECT under {tag}")
+
+    ts = [threading.Thread(target=_run, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert results == {"a": 10000, "b": 10000}
