@@ -312,11 +312,17 @@ class MemoryGovernor:
              rec.io_bytes, "/transaction/monitoringStoreRate"),
         )
         for cat, rate, observed, key in checks:
-            if rate <= 0.0 or cat in rec.monitor_fired:
+            if rate <= 0.0:
                 continue
             threshold = rate * budget
             if observed > threshold:
-                rec.monitor_fired.add(cat)
+                # check-and-mark under the lock: a monitor thread that
+                # outlived its join timeout must not double-emit against
+                # run()'s own post-action check
+                with self._node_lock:
+                    if cat in rec.monitor_fired:
+                        continue
+                    rec.monitor_fired.add(cat)
                 _emit(rec.request_id, f"STMT_MONITOR_{cat}",
                       f"observed={observed};threshold={int(threshold)};"
                       f"rate={rate};config={key}")
@@ -333,13 +339,14 @@ class MemoryGovernor:
             rec.io_bytes = max(rec.io_bytes, io)
             rec.network_bytes = max(rec.network_bytes, net)
             rec.store_bytes = max(rec.store_bytes, spill)
-            if usage > rec.working_memory_bytes:
+            grew = usage > rec.working_memory_bytes
+            if grew:
                 rec.working_memory_bytes = usage
             self._check_monitor(rec)
             if not self._enforce:
                 continue
             if self.node_scope:
-                if self._enforce_node(rec, sc):
+                if self._enforce_node(rec, sc, grew):
                     return  # this statement was the one stopped
                 continue
             if usage > self.total_memory_limit:
@@ -350,13 +357,17 @@ class MemoryGovernor:
                 sc.cancelJobGroup(group_id)
                 return
 
-    def _enforce_node(self, rec: StatementRecord, sc) -> bool:
+    def _enforce_node(self, rec: StatementRecord, sc,
+                      grew: bool) -> bool:
         """Node-scoped budget check: when the SUM of running statements'
         working sets exceeds /sql/totalMemoryLimit, stop ONE statement —
         the largest consumer under the 5.9 new scheduler ("automatically
         determines which SQL statements to stop"), or the statement whose
-        growth tripped the total under legacy level 2 (V5.7: the
-        statement needing memory beyond the limit is terminated).
+        GROWTH tripped the total under legacy level 2 (V5.7 allocator
+        semantics: the allocation that pushes past the limit is the one
+        that fails — so a steady-state statement polling after someone
+        else's growth is never the victim; ``grew`` says whether this
+        poll observed rec's own working set increase).
         Returns True when the stopped statement is ``rec`` itself."""
         with self._node_lock:
             live = [r for r in self._running.values()
@@ -367,8 +378,12 @@ class MemoryGovernor:
             if self.effective_level >= 3:
                 victim = max(live, key=lambda r: (r.working_memory_bytes,
                                                   r.request_id))
-            else:
+            elif grew:
                 victim = rec
+            else:
+                # legacy scope: rec didn't grow this poll — the grower's
+                # own monitor will take the failure, as its allocation did
+                return False
             victim.status = "CANCELLED_MEMORY_LIMIT"
             _emit(victim.request_id, "STMT_STOP_MEMORY_LIMIT",
                   f"workingMemory={victim.working_memory_bytes};"
@@ -463,8 +478,10 @@ class MemoryGovernor:
         # deterministic post-action check as the memory limit itself
         self._check_monitor(rec)
         # a node-scope victim whose action won the race against the
-        # cancel still fails — it WAS selected to stop
-        if rec.status == "CANCELLED_MEMORY_LIMIT":
+        # cancel still fails — it WAS selected to stop. (Statement scope
+        # falls through to the per-statement check below, which raises
+        # with the per-statement working-memory message.)
+        if self.node_scope and rec.status == "CANCELLED_MEMORY_LIMIT":
             raise StatementMemoryLimitError(
                 f"SQL statement stopped: node SQL memory exceeded "
                 f"/sql/totalMemoryLimit={self.total_memory_limit} "

@@ -1498,6 +1498,11 @@ def ivfpq_topk(
         trained = ivfpq_train(df, id_col, vec_col, in_dim,
                               coarse_k=coarse_k, m=m, k=k,
                               round_to=round_to)
+    else:
+        # the artifact is authoritative: a trained quantizer fixes the
+        # precision/codebook geometry — mixing a different round_to/m/k
+        # parameter would silently diverge from the self-trained result
+        round_to = trained["round_to"]
     books = [[(int(c), cv) for c, cv in b] for b in trained["codebooks"]]
     codes = _ivfpq_encoded(df, id_col, vec_col, trained)
     spark = df.sparkSession
@@ -1695,6 +1700,9 @@ def ivfpq_topk_batch(
         trained = ivfpq_train(df, id_col, vec_col, in_dim,
                               coarse_k=coarse_k, m=m, k=k,
                               round_to=round_to)
+    else:
+        round_to = trained["round_to"]  # the artifact is authoritative
+        m, k = trained["m"], trained["k"]
     books = [[(int(c), cv) for c, cv in b] for b in trained["codebooks"]]
     codes = _ivfpq_encoded(df, id_col, vec_col, trained)
     cellmeans = _cellmeans_df(df.sparkSession, trained)
@@ -1761,8 +1769,11 @@ def ivfpq_index_write(
                               round_to=round_to)
     codes = _ivfpq_encoded(df, id_col, vec_col, trained)
     # one file per cell: cluster by the partition column before the
-    # dynamic-partition write (leaf-clustering, as DmlTable._write)
-    n_cells = max(1, coarse_k)
+    # dynamic-partition write (leaf-clustering, as DmlTable._write).
+    # Cell count comes from the artifact, not the coarse_k parameter —
+    # a pre-trained quantizer may carry a different k (and may have
+    # dropped empty cells).
+    n_cells = max(1, len(trained["cellmeans"]))
     codes.repartition(min(n_cells, 32), F.col("cluster")).write.mode(
         "overwrite"
     ).partitionBy("cluster").parquet(path)

@@ -3301,6 +3301,19 @@ def _adaptive_k(emb) -> int:
 _ANN_TRAIN_CACHE: dict = {}
 
 
+def _ann_cache_put(key: tuple, value):
+    """Insert keeping ONE generation per (kind, sf_dir): entries whose
+    fingerprint was superseded by a corpus rewrite are evicted, so the
+    memo stays bounded even in a session that rewrites the corpus
+    repeatedly. Key shape: (kind, sf_dir, fingerprint, *params)."""
+    kind, sf_dir = key[0], key[1]
+    stale = [k for k in _ANN_TRAIN_CACHE
+             if k[0] == kind and k[1] == sf_dir and k[2] != key[2]]
+    for k in stale:
+        del _ANN_TRAIN_CACHE[k]
+    _ANN_TRAIN_CACHE[key] = value
+
+
 def _emb_fingerprint(sf_dir: str) -> tuple:
     import os as _os
 
@@ -3322,7 +3335,7 @@ def _adaptive_k_cached(emb, sf_dir: str) -> int:
     kv = _ANN_TRAIN_CACHE.get(key)
     if kv is None:
         kv = _adaptive_k(emb)
-        _ANN_TRAIN_CACHE[key] = kv
+        _ann_cache_put(key, kv)
     return kv
 
 
@@ -3337,7 +3350,7 @@ def _shared_cents(emb, sf_dir: str) -> list:
     cents = _ANN_TRAIN_CACHE.get(key)
     if cents is None:
         cents = kmeans_fit(emb, "vec_id", "embedding", k=coarse_k, iters=1)
-        _ANN_TRAIN_CACHE[key] = cents
+        _ann_cache_put(key, cents)
     return cents
 
 
@@ -3352,7 +3365,7 @@ def _shared_books(emb, sf_dir: str, m: int = 4, k: int = 8,
     if books is None:
         books = pq_train(emb, "vec_id", "embedding", in_dim, m=m, k=k,
                          iters=1)
-        _ANN_TRAIN_CACHE[key] = books
+        _ann_cache_put(key, books)
     return books
 
 
@@ -3369,7 +3382,7 @@ def _ivfpq_trained(emb, sf_dir: str, m: int = 4, k: int = 8,
                           coarse_k=coarse_k, m=m, k=k,
                           cents=_shared_cents(emb, sf_dir),
                           books=_shared_books(emb, sf_dir, m, k, in_dim))
-        _ANN_TRAIN_CACHE[key] = art
+        _ann_cache_put(key, art)
     return art
 
 

@@ -431,3 +431,58 @@ def test_node_scope_under_budget_both_complete(spark):
     for t in ts:
         t.join()
     assert results == {"a": 10000, "b": 10000}
+
+
+def test_node_scope_level2_victim_is_the_grower(spark):
+    """Legacy level 2 under node scope maps V5.7 allocator semantics:
+    the allocation that pushes past the limit fails — a steady-state
+    statement polling after someone else's growth is never the victim.
+    White-box check of the selection rule (no Spark jobs needed)."""
+    from griddb_spark.governor import StatementRecord
+
+    gov = MemoryGovernor(spark, total_memory_limit=100,
+                         node_scope=True, resource_control_level=2)
+    cancelled = []
+
+    class _SC:
+        def cancelJobGroup(self, gid):
+            cancelled.append(gid)
+
+    grower = StatementRecord("g1", "grower", 100, True, 0,
+                             working_memory_bytes=90)
+    steady = StatementRecord("g2", "steady", 100, True, 0,
+                             working_memory_bytes=30)
+    gov._running = {"g1": grower, "g2": steady}
+    # steady polls first, did NOT grow: nobody dies on its poll
+    assert gov._enforce_node(steady, _SC(), grew=False) is False
+    assert steady.status == "RUNNING" and grower.status == "RUNNING"
+    assert not cancelled
+    # the grower's own poll takes the failure
+    assert gov._enforce_node(grower, _SC(), grew=True) is True
+    assert grower.status == "CANCELLED_MEMORY_LIMIT"
+    assert steady.status == "RUNNING"
+    assert cancelled == ["g1"]
+
+
+def test_node_scope_level3_victim_is_largest(spark):
+    """Level 3 stops the largest consumer regardless of who polls."""
+    from griddb_spark.governor import StatementRecord
+
+    gov = MemoryGovernor(spark, total_memory_limit=100,
+                         node_scope=True, resource_control_level=3)
+    cancelled = []
+
+    class _SC:
+        def cancelJobGroup(self, gid):
+            cancelled.append(gid)
+
+    big = StatementRecord("b", "big", 100, True, 0,
+                          working_memory_bytes=90)
+    small = StatementRecord("s", "small", 100, True, 0,
+                            working_memory_bytes=30)
+    gov._running = {"b": big, "s": small}
+    # the SMALL statement's poll still selects the big one
+    assert gov._enforce_node(small, _SC(), grew=True) is False
+    assert big.status == "CANCELLED_MEMORY_LIMIT"
+    assert small.status == "RUNNING"
+    assert cancelled == ["b"]

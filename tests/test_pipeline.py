@@ -1741,8 +1741,7 @@ def test_ivfpq_build_is_join_free(spark, emb):
 
     sub = emb.limit(300)
     art = ivfpq_train(sub, "vec_id", "embedding", 64, coarse_k=8, m=4, k=8)
-    plan = _ivfpq_encoded(sub, "vec_id", "embedding", art)._sc._jvm \
-        if False else _ivfpq_encoded(sub, "vec_id", "embedding", art)
+    plan = _ivfpq_encoded(sub, "vec_id", "embedding", art)
     txt = plan._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in txt, txt
     assert "Exchange" not in txt, txt
@@ -1758,7 +1757,9 @@ def test_shared_trainer_cache_invalidates_on_rewrite(spark, tmp_path):
 
     from griddb_spark import workload
 
-    src = "/root/testdata/sf0.001/embeddings.parquet"
+    src = os.path.join(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+        "embeddings.parquet")
     sf_dir = str(tmp_path)
     dst = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.isdir(src):
@@ -1777,3 +1778,58 @@ def test_shared_trainer_cache_invalidates_on_rewrite(spark, tmp_path):
     c2 = workload._shared_cents(emb2, sf_dir)
     assert c2 is not c1
     assert c2 != c1  # retrained on the rewritten corpus
+
+
+def test_ivfpq_trained_artifact_is_authoritative(spark, emb):
+    """A trained artifact fixes the precision and codebook geometry:
+    serving with mismatched round_to/m/k parameters must follow the
+    ARTIFACT, producing results identical to a self-trained run at the
+    artifact's own params."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import ivfpq_topk, ivfpq_train
+
+    sub = emb.limit(200)
+    art = ivfpq_train(sub, "vec_id", "embedding", 64, coarse_k=8, m=4,
+                      k=8, round_to=5)
+    qs = [(r.vec_id, list(r.embedding))
+          for r in sub.filter(F.col("vec_id") < 2).collect()]
+    self_trained = sorted(map(tuple, ivfpq_topk(
+        sub, "vec_id", "embedding", 64, qs, coarse_k=8, m=4, k=8,
+        nprobe=2, topk=5, round_to=5).collect()))
+    # defaults (round_to=6) passed alongside the 5dp artifact: the
+    # artifact wins
+    served = sorted(map(tuple, ivfpq_topk(
+        sub, "vec_id", "embedding", 64, qs, coarse_k=8, m=4, k=8,
+        nprobe=2, topk=5, trained=art).collect()))
+    assert served == self_trained
+
+
+def test_ann_cache_keeps_one_generation(spark, tmp_path):
+    """A corpus rewrite evicts the superseded fingerprint's entries —
+    the memo holds exactly one generation per (kind, corpus)."""
+    import os
+    import shutil
+
+    from griddb_spark import workload
+
+    src = os.path.join(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+        "embeddings.parquet")
+    sf_dir = str(tmp_path)
+    dst = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copy2(src, dst)
+    emb = spark.read.parquet(dst)
+    workload._shared_cents(emb, sf_dir)
+    n0 = sum(1 for k in workload._ANN_TRAIN_CACHE
+             if k[0] == "cents" and k[1] == sf_dir)
+    assert n0 == 1
+    spark.read.parquet(src).filter("vec_id % 2 = 0").write.mode(
+        "overwrite").parquet(dst)
+    workload._shared_cents(spark.read.parquet(dst), sf_dir)
+    n1 = sum(1 for k in workload._ANN_TRAIN_CACHE
+             if k[0] == "cents" and k[1] == sf_dir)
+    assert n1 == 1  # old generation evicted, not accumulated
