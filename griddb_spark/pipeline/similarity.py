@@ -1421,6 +1421,9 @@ def ivfpq_train(
         "k": k,
         "round_to": round_to,
         "id_col": id_col,
+        # lets index readers pass the full schema instead of running a
+        # footer-reading inference job over every index file
+        "id_type": df.schema[id_col].dataType.simpleString(),
         "cents": [(int(c), [float(x) for x in v]) for c, v in cents],
         "cellmeans": [
             (int(r["__cell"]), [float(x) for x in r["__centroid"]])
@@ -1835,7 +1838,12 @@ def ivfpq_index_topk(
     )
     probe_cells = [int(r["cluster"]) for r in
                    probes.select("cluster").distinct().collect()]
-    idx = spark.read.parquet(path).filter(
+    reader = spark.read
+    if "id_type" in meta:  # skip the footer schema-inference job
+        reader = reader.schema(
+            f"{id_col} {meta['id_type']}, codes array<int>, cluster int"
+        )
+    idx = reader.parquet(path).filter(
         F.col("cluster").isin(probe_cells)  # partition-pruned read
     )
     # batch size from the already-checkpointed probes (no extra pass over

@@ -268,7 +268,12 @@ def upsert_by_key(
         if os.path.isdir(target_dir) and any(
             f.endswith(".parquet") for f in os.listdir(target_dir)
         ):
-            current = spark.read.parquet(target_dir).withColumn("__new", F.lit(0))
+            # the target's schema IS the batch schema minus the __new tag
+            # (every file was written from prior merged batches) — passing
+            # it skips the footer-reading schema-inference job
+            current = spark.read.schema(
+                batch.drop("__new").schema
+            ).parquet(target_dir).withColumn("__new", F.lit(0))
             unioned = current.unionByName(batch)
         else:
             unioned = batch
@@ -377,7 +382,7 @@ def embed_dedup_stream(
     (``spark.read.parquet(index_path)``).
     """
     from griddb_spark.pipeline.dedup import union_find_min
-    from griddb_spark.pipeline.similarity import cosine_pairs_ann, sign_code
+    from griddb_spark.pipeline.similarity import sign_code
 
     def _batch(bdf: DataFrame, _bid: int) -> None:
         if bdf.isEmpty():
@@ -390,117 +395,151 @@ def embed_dedup_stream(
             .withColumn("__cell", sign_code(F.col("__v"), sign_bits))
             .localCheckpoint(eager=True)
         )
-        # intra-batch near-dup pairs are bounded by the batch by
-        # construction, so the components + canonical-loser set resolve
-        # driver-side in ONE job (union-find over the collected pairs) —
-        # the distributed connected_components loop spends 4-5 small jobs
-        # per micro-batch on edge sets of a few thousand rows (measured
-        # 2.3 s/batch at bench sizes, pure job-latency, not data)
-        pairs_pdf = cosine_pairs_ann(
-            b.select(F.col(id_col), F.col("__v").alias(vec_col)),
-            id_col, vec_col, threshold, sign_bits,
-        ).select("id_a", "id_b").toPandas()
-        if pairs_pdf.empty:
-            # no intra-batch near-dups (the steady-state common case)
-            keep = b
-        else:
-            comp = union_find_min(zip(pairs_pdf["id_a"].tolist(),
-                                      pairs_pdf["id_b"].tolist()))
-            losers = [x for x, c in comp.items() if c < x]
-            if len(losers) <= 10_000:
-                # literal NOT IN — no join, no extra job. NULL-id rows
-                # must survive like the anti-join branch keeps them
-                # (NOT IN alone is NULL for a NULL id → silently dropped)
-                keep = b.filter(
-                    ~F.col(id_col).isin(losers) | F.col(id_col).isNull()
-                )
-            else:
-                keep = b.join(
-                    F.broadcast(spark.createDataFrame(
-                        [(x,) for x in losers],
-                        b.select(id_col).schema)),
-                    id_col, "left_anti",
-                )
-        keep_rows = None
-        if os.path.isdir(index_path) and any(
+        # one tiny job serves the probe-cell set, the batch size, and the
+        # append task sizing
+        cell_counts = b.groupBy("__cell").count().collect()
+        cells = {r["__cell"] for r in cell_counts}
+        batch_rows = sum(r["count"] for r in cell_counts)
+        has_index = os.path.isdir(index_path) and any(
             e.startswith("__cell=") for e in os.listdir(index_path)
-        ):
-            # one job serves both the probe-cell set and the row count
-            # the append task-sizing needs below
-            cell_counts = keep.groupBy("__cell").count().collect()
-            cells = {r["__cell"] for r in cell_counts}
-            keep_rows = sum(r["count"] for r in cell_counts)
-            probe = sorted(
+        )
+        # ONE fused per-cell GEMM finds BOTH the intra-batch near-dup
+        # pairs and the duplicates of already-indexed data: batch vectors
+        # probe their own + Hamming-1 cells; each probed-cell group holds
+        # the batch members OF that cell (intra pair targets) and — when
+        # the index exists — the indexed rows of that cell, read
+        # PARTITION-PRUNED. The r7 form ran these as two separate job
+        # chains (cosine_pairs_ann + a verify pass over survivors); the
+        # fused kernel halves the per-micro-batch job count. Each vector
+        # ships through Arrow once per probed cell (never per candidate
+        # pair); per-cell group size is bounded by sign-space occupancy —
+        # the cell-bounded-quadratic contract of cosine_pairs_within;
+        # widen sign_bits as the corpus grows. Dropping intra losers and
+        # index dups from the FULL batch equals dedup-then-probe: the
+        # removed sets union identically (an intra loser matching the
+        # index dies either way).
+        probes = b.select(
+            F.lit(0).alias("__side"),
+            F.col(id_col).alias("__vid"),
+            F.col("__v").alias("__vec"),
+            F.col("__cell").alias("__ocell"),
+            F.explode(
+                F.array(
+                    F.col("__cell"),
+                    *[
+                        F.col("__cell").bitwiseXOR(F.lit(1 << j))
+                        for j in range(sign_bits)
+                    ],
+                )
+            ).alias("__pcell"),
+        )
+        both = probes
+        if has_index:
+            probe_cells = sorted(
                 {c ^ (1 << j) for c in cells for j in range(sign_bits)}
                 | cells
             )
-            idx = (
-                spark.read.parquet(index_path)
-                .filter(F.col("__cell").isin(probe))
-                .select(
-                    F.col(id_col).alias("__iid"),
-                    F.col("__v").alias("__iv"),
-                    F.col("__cell").alias("__icell"),
-                )
-            )
-            # per-cell GEMM verify: tag probe/index rows and group by
-            # probed cell, so each VECTOR ships through Arrow once per
-            # probed cell (probes ~9×, index rows 1×) instead of once per
-            # candidate PAIR — the pair-join form shipped two 64-dim
-            # vectors per candidate row (~16× the Arrow volume at bench
-            # density, measured as the bulk of batches ≥1's addBatch).
-            # Per-cell group size is bounded by sign-space occupancy —
-            # the same cell-bounded-quadratic contract as
-            # cosine_pairs_within; widen sign_bits as the corpus grows.
-            probes = keep.select(
-                F.lit(0).alias("__side"),
-                F.col(id_col).alias("__vid"),
-                F.col("__v").alias("__vec"),
-                F.explode(
-                    F.array(
-                        F.col("__cell"),
-                        *[
-                            F.col("__cell").bitwiseXOR(F.lit(1 << j))
-                            for j in range(sign_bits)
-                        ],
-                    )
-                ).alias("__pcell"),
+            # the index accretes one small file per touched cell per
+            # batch. Two scan-cost guards: (a) pass the KNOWN schema —
+            # schema inference otherwise runs a footer-reading job over
+            # EVERY index file, growing with batch count (measured 240+
+            # tasks per micro-batch, the bulk of addBatch); (b) coalesce
+            # bounds scan tasks at the core count without a shuffle.
+            # Partition pruning still applies at planning.
+            idx_schema = (
+                b.select(id_col, "__v").schema
+                .add("__cell", "integer")
             )
             both = probes.unionByName(
-                idx.select(
+                spark.read.schema(idx_schema).parquet(index_path)
+                .filter(F.col("__cell").isin(probe_cells))
+                .coalesce(spark.sparkContext.defaultParallelism)
+                .select(
                     F.lit(1).alias("__side"),
-                    F.col("__iid").alias("__vid"),
-                    F.col("__iv").alias("__vec"),
-                    F.col("__icell").alias("__pcell"),
+                    F.col(id_col).alias("__vid"),
+                    F.col("__v").alias("__vec"),
+                    F.col("__cell").alias("__ocell"),
+                    F.col("__cell").alias("__pcell"),
                 )
             )
-            id_t = bdf.schema[id_col].dataType.simpleString()
+        id_t = bdf.schema[id_col].dataType.simpleString()
 
-            def verify_cell(pdf):
-                import numpy as np
-                import pandas as pd
+        def verify_cell(key, pdf):
+            import numpy as np
+            import pandas as pd
 
-                pr = pdf[pdf["__side"] == 0]
-                ix = pdf[pdf["__side"] == 1]
-                if len(pr) == 0 or len(ix) == 0:
-                    return pd.DataFrame({id_col: pd.Series([], dtype="object")})
+            pcell = key[0]
+            out_k: list = []
+            out_a: list = []
+            out_b: list = []
+            pr = pdf[pdf["__side"] == 0]
+            if len(pr):
                 ma = np.stack(pr["__vec"].to_numpy())
-                mb = np.stack(ix["__vec"].to_numpy())
                 na = np.linalg.norm(ma, axis=1)
-                nb = np.linalg.norm(mb, axis=1)
-                den = np.outer(na, nb)
-                den[den == 0.0] = 1.0
-                sim = (ma @ mb.T) / den
-                # half-away-from-zero like F.round (np.round is
-                # half-to-even; see pipeline.similarity.round_half_away)
-                r6 = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
-                dup = (r6 >= threshold).any(axis=1)
-                return pd.DataFrame({id_col: pr["__vid"].to_numpy()[dup]})
+                av = pr["__vid"].to_numpy()
 
-            dup_ids = both.groupBy("__pcell").applyInPandas(
-                verify_cell, f"{id_col} {id_t}"
-            ).distinct()
-            keep = keep.join(dup_ids, id_col, "left_anti")
+                def r6_sim(rows, cols_m, cols_n):
+                    den = np.outer(na, cols_n)
+                    den[den == 0.0] = 1.0
+                    sim = (rows @ cols_m.T) / den
+                    # half-away-from-zero like F.round (np.round is
+                    # half-to-even; see similarity.round_half_away)
+                    return np.sign(sim) * np.floor(
+                        np.abs(sim) * 1e6 + 0.5) / 1e6
+
+                own = pr[pr["__ocell"] == pcell]
+                if len(own):  # intra-batch pairs vs this cell's members
+                    mb = np.stack(own["__vec"].to_numpy())
+                    r6 = r6_sim(ma, mb, np.linalg.norm(mb, axis=1))
+                    bv = own["__vid"].to_numpy()
+                    for i, j in np.argwhere(r6 >= threshold):
+                        x, y = av[i], bv[j]
+                        if x is None or y is None or x == y:
+                            continue  # NULL ids never pair; no self-pairs
+                        out_k.append(0)
+                        out_a.append(min(x, y))
+                        out_b.append(max(x, y))
+                ix = pdf[pdf["__side"] == 1]
+                if len(ix):  # duplicates of already-indexed vectors
+                    mb = np.stack(ix["__vec"].to_numpy())
+                    r6 = r6_sim(ma, mb, np.linalg.norm(mb, axis=1))
+                    for i in np.flatnonzero((r6 >= threshold).any(axis=1)):
+                        if av[i] is None:
+                            continue  # NULL-id rows always survive
+                        out_k.append(1)
+                        out_a.append(av[i])
+                        out_b.append(av[i])
+            return pd.DataFrame({"__kind": pd.Series(out_k, dtype="int32"),
+                                 "__a": out_a, "__b": out_b})
+
+        found = both.groupBy("__pcell").applyInPandas(
+            verify_cell, f"__kind int, __a {id_t}, __b {id_t}"
+        ).collect()
+        # pairs/dups are bounded by the batch by construction, so the
+        # components + loser set resolve driver-side in the same job
+        # (union-find over the collected pairs) — the distributed
+        # connected_components loop spent 4-5 small jobs per micro-batch
+        # on edge sets of a few thousand rows (pure job-latency)
+        pairs = {(r["__a"], r["__b"]) for r in found if r["__kind"] == 0}
+        drop = {r["__a"] for r in found if r["__kind"] == 1}
+        if pairs:
+            comp = union_find_min(pairs)
+            drop |= {x for x, c in comp.items() if c < x}
+        if not drop:
+            keep = b  # steady-state common case: nothing to remove
+        elif len(drop) <= 10_000:
+            # literal NOT IN — no join, no extra job. NULL-id rows must
+            # survive like the anti-join branch keeps them (NOT IN alone
+            # is NULL for a NULL id → silently dropped)
+            keep = b.filter(
+                ~F.col(id_col).isin(sorted(drop)) | F.col(id_col).isNull()
+            )
+        else:
+            keep = b.join(
+                F.broadcast(spark.createDataFrame(
+                    [(x,) for x in drop], b.select(id_col).schema)),
+                id_col, "left_anti",
+            )
         # cluster by cell before the partitioned append: one file per
         # touched cell per batch, not tasks × cells small files (the same
         # leaf-clustering rule as DmlTable._write). Task count is sized to
@@ -509,8 +548,7 @@ def embed_dedup_stream(
         # batch spends its time in per-task committer setup (measured
         # 4.5 s → 1.2 s at 1.3k rows × 256 cells), while huge batches
         # still fan out to the full parallelism.
-        if keep_rows is None:  # first batch: no index yet, no cell job ran
-            keep_rows = keep.count()
+        keep_rows = max(0, batch_rows - len(drop))
         n_tasks = max(1, min(
             spark.sparkContext.defaultParallelism,
             (1 << sign_bits) // 64 + keep_rows // 100_000,

@@ -5422,7 +5422,15 @@ def stream_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             prefix=f"embdedup_ck_{_uuid.uuid4().hex[:6]}_"),
     )
     q.awaitTermination()
-    return spark.read.parquet(index).select("vec_id")
+    # the index holds one small file per cell per batch: pass the known
+    # schema (inference reads every footer) and bound the final read's
+    # scan tasks at core count (same rationale as the in-stream probe
+    # read — 8m maxPartitionBytes plans ~2 tiny files per task)
+    return (spark.read
+            .schema("vec_id long, __v array<double>, __cell int")
+            .parquet(index)
+            .coalesce(spark.sparkContext.defaultParallelism)
+            .select("vec_id"))
 
 
 @query(
