@@ -519,6 +519,26 @@ def cosine_pairs_ann(
 #: Arrow-batched GEMM projection (same math, same plan shape).
 _ASSIGN_JVM_MAX_K = 16
 
+#: above this planning-time input size (file-stat based, free to read)
+#: pq_encode switches to the GEMM kernel even for small codebooks: the
+#: interpreted HOF argmin costs minutes per million rows where the
+#: vectorized kernel costs milliseconds per Arrow batch. 32 MB of
+#: 64-dim doubles ~= 60k vectors — below it, Python-worker spin-up
+#: outweighs the kernel win.
+_ENCODE_GEMM_MIN_BYTES = 32 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's planning-time size estimate for ``df`` (file-stat
+    driven for scans; conservative for derived plans). Driver-side
+    metadata only — no job runs."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 0
+
 
 def assign_clusters(
     df: DataFrame,
@@ -1220,7 +1240,14 @@ def pq_encode(
     Dispatch mirrors ``assign_clusters``: per-subspace argmin as JVM
     higher-order expressions for small codebooks; one Arrow-batched NumPy
     distance kernel above ``_ASSIGN_JVM_MAX_K`` codes (identical 6dp
-    rounding + lowest-code tie-break; parity pinned in tests).
+    rounding + lowest-code tie-break; parity pinned in tests). The GEMM
+    kernel also wins on INPUT VOLUME regardless of k: the HOF argmin is
+    interpreted (not codegen'd) at ~m·k·(dim/m) boxed ops per row —
+    measured ~8 ms/row at m=4,k=8, i.e. minutes per million rows, where
+    the vectorized kernel is milliseconds per Arrow batch — so inputs
+    whose planning-time size exceeds ``_ENCODE_GEMM_MIN_BYTES``
+    stats-dispatch to the kernel too (the JVM form stays for small
+    inputs, where Python-worker spin-up dominates).
 
     ``keep_cols`` pass through unchanged — so an upstream projection
     (e.g. the coarse ``assign_clusters`` cell) rides along instead of
@@ -1235,7 +1262,7 @@ def pq_encode(
     k = max(len(b) for b in codebooks)
     keep_cols = list(keep_cols or [])
     id_type = df.schema[id_col].dataType.simpleString()
-    if k > _ASSIGN_JVM_MAX_K:
+    if k > _ASSIGN_JVM_MAX_K or _plan_size_bytes(df) > _ENCODE_GEMM_MIN_BYTES:
         mats = [
             np.stack([np.asarray(cv, dtype=np.float64) for _, cv in b])
             for b in codebooks
@@ -1437,20 +1464,36 @@ def ivfpq_train(
 
 
 def _ivfpq_encoded(
-    df: DataFrame, id_col: str, vec_col: str, trained: dict
+    df: DataFrame, id_col: str, vec_col: str, trained: dict,
+    cell_exchange: bool = False,
 ) -> DataFrame:
     """(id, cluster, codes) for the corpus under a trained artifact —
     ONE shuffle-free map stage: coarse assignment is a projection
     (assign_clusters) and the PQ encode passes the cell through
     (pq_encode keep_cols) instead of re-joining the corpus with itself
-    on id_col, which paid a full id-keyed exchange."""
+    on id_col, which paid a full id-keyed exchange.
+
+    ``cell_exchange=True`` materializes the result through a cell-keyed
+    repartition. This is REQUIRED when the output feeds further joins
+    in the same plan: without an exchange boundary, Catalyst pushes the
+    join's null-check and the explode's emptiness predicate BELOW the
+    encode projection, duplicating the interpreted per-subspace argmin
+    expressions into per-row filters and re-running the coarse-assign
+    pandas UDF twice (measured 17x on the 100x probe). The shuffled
+    rows are tiny — id + cell + m small ints, the same volume the
+    persisted index writes — and cell-keyed partitioning is exactly the
+    index's layout, so this is the on-disk shape kept in memory."""
     assigned = assign_clusters(
         df, [(int(c), v) for c, v in trained["cents"]], vec_col=vec_col,
         round_to=trained["round_to"],
     )
     books = [[(int(c), cv) for c, cv in b] for b in trained["codebooks"]]
-    return pq_encode(assigned, id_col, vec_col, books,
-                     round_to=trained["round_to"], keep_cols=["cluster"])
+    enc = pq_encode(assigned, id_col, vec_col, books,
+                    round_to=trained["round_to"], keep_cols=["cluster"])
+    if cell_exchange:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        enc = enc.repartition(n, F.col("cluster"))
+    return enc
 
 
 def _cellmeans_df(spark, trained: dict) -> DataFrame:
@@ -1507,7 +1550,11 @@ def ivfpq_topk(
         # parameter would silently diverge from the self-trained result
         round_to = trained["round_to"]
     books = [[(int(c), cv) for c, cv in b] for b in trained["codebooks"]]
-    codes = _ivfpq_encoded(df, id_col, vec_col, trained)
+    # exchange barrier: the per-query plan branches below reuse ONE
+    # materialized encode (ReusedExchange) instead of re-encoding the
+    # corpus per branch / per pushed-down filter
+    codes = _ivfpq_encoded(df, id_col, vec_col, trained,
+                           cell_exchange=True)
     spark = df.sparkSession
     cellmeans = _cellmeans_df(spark, trained)
     q_rows = [(int(q_id), [float(x) for x in qv]) for q_id, qv in queries]
@@ -1707,7 +1754,8 @@ def ivfpq_topk_batch(
         round_to = trained["round_to"]  # the artifact is authoritative
         m, k = trained["m"], trained["k"]
     books = [[(int(c), cv) for c, cv in b] for b in trained["codebooks"]]
-    codes = _ivfpq_encoded(df, id_col, vec_col, trained)
+    codes = _ivfpq_encoded(df, id_col, vec_col, trained,
+                           cell_exchange=True)
     cellmeans = _cellmeans_df(df.sparkSession, trained)
     q_df = queries.select(
         F.col(q_id_col).alias("q_id"),
