@@ -3506,7 +3506,12 @@ def pipe_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = cat(spark, sf_dir).load("embeddings")
     cents = _shared_cents(emb, sf_dir)
-    a = assign_clusters(emb, cents)
+    # cell-keyed exchange: the at-scale corpus layout the probe join
+    # expects (partition-pruned per cell), and a barrier so the assign
+    # projection isn't duplicated into pushed-down join null-checks
+    # (the 100x-probe pathology class fixed for IVF-PQ serving)
+    a = assign_clusters(emb, cents).repartition(
+        spark.sparkContext.defaultParallelism, F.col("cluster"))
     return ann_ivf(
         a, a.filter(F.col("vec_id") < 5), cell_col="cluster", k=3, nprobe=2
     )
