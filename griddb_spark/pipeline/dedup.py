@@ -491,7 +491,13 @@ def connected_components(
     Returns (doc_id, component) for every node appearing in ``pairs``,
     component = min doc id reachable.
     """
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # materialize the caller's pair lineage ONCE before the two-direction
+    # union: both union branches reference it, and only the stage below
+    # an exchange is reused — an expensive pair extraction (e.g. the
+    # per-cell GEMM kernels) would otherwise execute twice
+    e = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     edges = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
