@@ -388,11 +388,28 @@ def embed_dedup_stream(
         if bdf.isEmpty():
             return
         spark = bdf.sparkSession
+        b0 = bdf.select(
+            id_col, F.col(vec_col).cast("array<double>").alias("__v")
+        ).withColumn("__cell", sign_code(F.col("__v"), sign_bits))
+        # EXACT pre-collapse: bitwise-identical vectors fold to their
+        # min-id member before any ANN work (one map-side-combinable
+        # groupBy on the vector itself — no hash-collision risk). Losers
+        # can never be the canonical keeper (the winner has the smaller
+        # id) and their edges duplicate the winner's (identical vectors
+        # have identical similarities), so dropping them is semantics-
+        # preserving. This bounds the per-cell GEMM by DISTINCT-vector
+        # occupancy: verbatim duplicates — the dominant kind in raw
+        # crawl ingest — never reach the quadratic stage. (sign_bits
+        # bounds distinct-vector occupancy; it cannot split identical
+        # vectors, so this pre-stage is the scale knob for duplication
+        # density, exactly the LSH path's exact-collapse pre-stage.)
+        # NULL-id rows pass through untouched (they never pair).
         b = (
-            bdf.select(
-                id_col, F.col(vec_col).cast("array<double>").alias("__v")
-            )
-            .withColumn("__cell", sign_code(F.col("__v"), sign_bits))
+            b0.filter(F.col(id_col).isNotNull())
+            .groupBy("__v", "__cell")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, "__v", "__cell")
+            .unionByName(b0.filter(F.col(id_col).isNull()))
             .localCheckpoint(eager=True)
         )
         # one tiny job serves the probe-cell set, the batch size, and the
