@@ -831,12 +831,27 @@ def semdedup(
     from griddb_spark.pipeline.dedup import _anti_join_losers, connected_components
 
     if cents is None:
+        # clustering trains on the FULL corpus (duplicates weight the
+        # means, as the oracle's k-means replay does)
         cents = kmeans_fit(df, id_col, vec_col, k=k, iters=iters,
                            round_to=round_to)
-    a = assign_clusters(
-        df.select(F.col(id_col), F.col(vec_col)), cents,
-        vec_col=vec_col, round_to=round_to,
+    # exact pre-collapse (see embed_dedup_stream): bitwise-identical
+    # vectors fold to their min-id member before the within-cell
+    # quadratic stage, bounding it by DISTINCT-vector occupancy.
+    # Semantics-preserving: the winner has the group's smallest id, so
+    # losers can never be the canonical component-min, and their edges
+    # duplicate the winner's (identical vectors, identical cosines).
+    # NULL-id rows pass through (they never pair, the anti-join keeps
+    # them).
+    v = df.select(F.col(id_col), F.col(vec_col))
+    base = (
+        v.filter(F.col(id_col).isNotNull())
+        .groupBy(vec_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, vec_col)
+        .unionByName(v.filter(F.col(id_col).isNull()))
     )
+    a = assign_clusters(base, cents, vec_col=vec_col, round_to=round_to)
     pairs = cosine_pairs_within(
         a, "cluster", id_col, vec_col, threshold, round_to
     ).select("id_a", "id_b")
