@@ -86,6 +86,17 @@ def main() -> int:
     time.sleep(1.0)
 
     timings: dict[str, float] = {}
+    # Pre-train the shared ANN/clustering artifacts as an explicitly
+    # timed entry: the train-once memo otherwise charges training to
+    # whichever embedding-family gate runs FIRST, making per-gate
+    # timings order-dependent (r8: semdedup 2.6 s vs 9.2 s across run
+    # orders — same work, different attribution). With training its own
+    # line, every embedding gate times its serve cost alone in any
+    # order.
+    if os.path.exists(os.path.join(SF_DIR, "embeddings.parquet")):
+        t0 = time.perf_counter()
+        workload.pretrain_ann(spark, SF_DIR)
+        timings["_ann_training"] = round(time.perf_counter() - t0, 4)
     for i, name in enumerate(names):
         # each query stands alone: operators persist()/localCheckpoint()
         # intermediates for intra-query reuse, and leftover blocks from

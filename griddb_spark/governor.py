@@ -31,7 +31,9 @@ Spark mapping — statement scope is the *job group*:
 
 At scale nothing here adds distributed work: the monitor reads driver-side
 status-store state (already maintained by Spark for the UI/history
-server), so governance costs one polling thread per running statement.
+server), and governance costs ONE consolidated polling thread per Spark
+app no matter how many statements run concurrently (the poller walks the
+module-level running-statement registry each tick).
 
 GridDB 5.9 extends this into SQL resource scheduling
 (``GridDB-5.9-CE-RELEASE_NOTES.md`` "SQL Resource Scheduling"): a node
@@ -85,7 +87,10 @@ Node-scoped budget (``node_scope=True``): the reference's
 node" — ONE budget shared by every statement on the node, not a
 per-statement allowance (GridDB-5.9-CE-RELEASE_NOTES.md "Execution
 Control Based on Memory Usage"). A node-scoped governor compares the
-SUM of its running statements' working sets to the limit; on breach,
+SUM of the node's running statements' working sets — across EVERY
+governor instance on the app, via the module-level registry, because
+two instances must not each get a full allowance — to the limit; on
+breach,
 the 5.9 new scheduler (level 3) "automatically determines which SQL
 statements to stop" — mapped as stop-the-largest-consumer, the choice
 that frees the most memory per statement stopped — while the legacy
@@ -161,6 +166,72 @@ _RECORDS: list[StatementRecord] = []
 #: GridStore.statement_events() (#statement_events).
 _EVENTS: list[StatementEvent] = []
 
+#: RUNNING governed statements per Spark application, keyed by job
+#: group. Module-level like _RECORDS/_EVENTS because the reference's
+#: /sql/totalMemoryLimit is a per-NODE budget: every MemoryGovernor on
+#: one driver shares ONE allowance (two instances each getting a full
+#: budget would silently double the node limit). Instances of the same
+#: app alias the same inner dict as their ``_running`` view.
+_NODE_RUNNING: dict[str, dict[str, StatementRecord]] = {}
+
+#: Poll-dispatch entries for the consolidated per-app poller: group id →
+#: (owning governor, record). ONE daemon thread per app walks these —
+#: a node running hundreds of concurrent governed statements costs one
+#: polling thread, not one per statement (the status-store reads are
+#: driver-local either way; the thread count was the only per-statement
+#: cost).
+_POLL_ENTRIES: dict[str, dict[str, tuple["MemoryGovernor", StatementRecord]]] = {}
+
+#: The live consolidated poller per app (started lazily, exits when its
+#: entry table drains; both transitions happen under _NODE_LOCK so a
+#: registration can never miss a poller that is about to exit).
+_POLLERS: dict[str, threading.Thread] = {}
+
+_NODE_LOCK = threading.RLock()
+
+
+def _poll_loop(app_id: str) -> None:
+    """The consolidated monitor: one pass over every RUNNING governed
+    statement of this app per tick, each polled with its own governor's
+    config (budget scope, monitor rates, enforcement level). Sleeps the
+    smallest registered poll_interval; exits — deregistering itself under
+    the lock — when the last statement finishes."""
+    me = threading.current_thread()
+    while True:
+        with _NODE_LOCK:
+            entries = list(_POLL_ENTRIES.get(app_id, {}).items())
+            if not entries:
+                if _POLLERS.get(app_id) is me:
+                    _POLLERS.pop(app_id, None)
+                return
+            interval = min(gov.poll_interval for gov, _ in
+                           _POLL_ENTRIES[app_id].values())
+        for group_id, (gov, rec) in entries:
+            if rec.status == "RUNNING":
+                gov._poll_once(group_id, rec)
+        time.sleep(interval)
+
+
+def _register_running(gov: "MemoryGovernor", group_id: str,
+                      rec: StatementRecord) -> None:
+    with _NODE_LOCK:
+        _NODE_RUNNING.setdefault(gov._app_id, {})[group_id] = rec
+        _POLL_ENTRIES.setdefault(gov._app_id, {})[group_id] = (gov, rec)
+        poller = _POLLERS.get(gov._app_id)
+        if poller is None or not poller.is_alive():
+            poller = threading.Thread(
+                target=_poll_loop, args=(gov._app_id,),
+                name=f"griddb-governor-poller-{gov._app_id}", daemon=True,
+            )
+            _POLLERS[gov._app_id] = poller
+            poller.start()
+
+
+def _deregister_running(gov: "MemoryGovernor", group_id: str) -> None:
+    with _NODE_LOCK:
+        _NODE_RUNNING.get(gov._app_id, {}).pop(group_id, None)
+        _POLL_ENTRIES.get(gov._app_id, {}).pop(group_id, None)
+
 
 def statement_records() -> list[StatementRecord]:
     return list(_RECORDS)
@@ -230,11 +301,18 @@ class MemoryGovernor:
         self.monitoring_store_rate = monitoring_store_rate
         self.monitoring_network_rate = monitoring_network_rate
         self.tx_monitoring_store_rate = tx_monitoring_store_rate
-        #: True = the budget is the reference's per-NODE total across all
-        #: of this governor's statements; False = per-statement allowance
+        #: True = the budget is the reference's per-NODE total — summed
+        #: across ALL governors' running statements on this app (the
+        #: module-level registry), matching "Total SQL processing memory
+        #: limit per node"; False = per-statement allowance
         self.node_scope = node_scope
-        self._running: dict[str, StatementRecord] = {}
-        self._node_lock = threading.Lock()
+        self._app_id = spark.sparkContext.applicationId
+        #: live view of this NODE's running statements — aliased, not
+        #: copied, so every MemoryGovernor instance of the same app sees
+        #: (and charges against) the same set
+        self._running: dict[str, StatementRecord] = \
+            _NODE_RUNNING.setdefault(self._app_id, {})
+        self._node_lock = _NODE_LOCK
 
     @property
     def effective_level(self) -> int:
@@ -327,35 +405,34 @@ class MemoryGovernor:
                       f"observed={observed};threshold={int(threshold)};"
                       f"rate={rate};config={key}")
 
-    def _monitor(self, group_id: str, rec: StatementRecord,
-                 stop: threading.Event) -> None:
+    def _poll_once(self, group_id: str, rec: StatementRecord) -> None:
+        """One monitor tick for one RUNNING statement — called by the
+        consolidated per-app poller (:func:`_poll_loop`), never from a
+        per-statement thread."""
         sc = self.spark.sparkContext
-        while not stop.wait(self.poll_interval):
-            try:
-                usage, io, net, spill, jobs = self._group_usage(group_id)
-            except Exception:
-                continue
-            rec.job_ids = jobs
-            rec.io_bytes = max(rec.io_bytes, io)
-            rec.network_bytes = max(rec.network_bytes, net)
-            rec.store_bytes = max(rec.store_bytes, spill)
-            grew = usage > rec.working_memory_bytes
-            if grew:
-                rec.working_memory_bytes = usage
-            self._check_monitor(rec)
-            if not self._enforce:
-                continue
-            if self.node_scope:
-                if self._enforce_node(rec, sc, grew):
-                    return  # this statement was the one stopped
-                continue
-            if usage > self.total_memory_limit:
-                rec.status = "CANCELLED_MEMORY_LIMIT"
-                _emit(rec.request_id, "STMT_STOP_MEMORY_LIMIT",
-                      f"workingMemory={usage};"
-                      f"totalMemoryLimit={self.total_memory_limit}")
-                sc.cancelJobGroup(group_id)
-                return
+        try:
+            usage, io, net, spill, jobs = self._group_usage(group_id)
+        except Exception:
+            return  # transient status-store hiccup: skip, never fail
+        rec.job_ids = jobs
+        rec.io_bytes = max(rec.io_bytes, io)
+        rec.network_bytes = max(rec.network_bytes, net)
+        rec.store_bytes = max(rec.store_bytes, spill)
+        grew = usage > rec.working_memory_bytes
+        if grew:
+            rec.working_memory_bytes = usage
+        self._check_monitor(rec)
+        if not self._enforce:
+            return
+        if self.node_scope:
+            self._enforce_node(rec, sc, grew)
+            return
+        if usage > self.total_memory_limit:
+            rec.status = "CANCELLED_MEMORY_LIMIT"
+            _emit(rec.request_id, "STMT_STOP_MEMORY_LIMIT",
+                  f"workingMemory={usage};"
+                  f"totalMemoryLimit={self.total_memory_limit}")
+            sc.cancelJobGroup(group_id)
 
     def _enforce_node(self, rec: StatementRecord, sc,
                       grew: bool) -> bool:
@@ -417,26 +494,18 @@ class MemoryGovernor:
             pool=group_id if level == 3 else None,
         )
         _RECORDS.append(rec)
-        with self._node_lock:
-            self._running[group_id] = rec
+        _register_running(self, group_id, rec)
         _emit(group_id, "STMT_START",
               f"resourceControlLevel={level};"
               f"totalMemoryLimit={self.total_memory_limit};"
               f"scope={'node' if self.node_scope else 'statement'}")
-        stop = threading.Event()
-        mon = threading.Thread(
-            target=self._monitor, args=(group_id, rec, stop), daemon=True
-        )
         sc.setJobGroup(group_id, statement or "governed statement",
                        interruptOnCancel=True)
         if rec.pool is not None:
             sc.setLocalProperty("spark.scheduler.pool", rec.pool)
-        mon.start()
         try:
             result = action()
         except Exception as exc:
-            stop.set()
-            mon.join(timeout=5)
             rec.finished_ms = int(time.time() * 1000)
             if rec.status == "CANCELLED_MEMORY_LIMIT":
                 raise StatementMemoryLimitError(
@@ -455,10 +524,7 @@ class MemoryGovernor:
             sc._jsc.clearJobGroup()
             if rec.pool is not None:
                 sc.setLocalProperty("spark.scheduler.pool", None)
-            with self._node_lock:
-                self._running.pop(group_id, None)
-        stop.set()
-        mon.join(timeout=5)
+            _deregister_running(self, group_id)
         rec.finished_ms = int(time.time() * 1000)
         # a statement that finished between polls still gets the check —
         # GridDB's limiter accounts synchronously, so a breach must fail

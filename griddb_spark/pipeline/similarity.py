@@ -416,6 +416,60 @@ def cosine_pairs(
     )
 
 
+def self_pairable(vec: Column, threshold: float) -> Column:
+    """True iff a bitwise-identical copy of ``vec`` would verify as a
+    near-duplicate of it under the documented cosine convention — the
+    exact precondition for folding identical vectors in the exact
+    pre-collapse stages (``semdedup``, ``embed_dedup_stream``).
+
+    cos(v, v) is 1.0 for any finite non-zero-norm vector, 0.0 by the
+    zero-norm convention (``assign_clusters``/``verify_cell`` both map a
+    zero denominator to cos 0), and NaN when any component is NaN (NaN
+    never compares ``>= threshold``). So identical zero-norm vectors pair
+    only when ``threshold <= 0`` and NaN-containing vectors never pair —
+    collapsing them at a positive threshold would CHANGE semantics
+    (drop rows the pairwise stage would have kept). NULL vectors are
+    never pairable. Never returns SQL NULL (safe to negate)."""
+    has_nan = F.exists(vec, lambda x: F.isnan(x.cast("double")))
+    sq = F.aggregate(
+        vec, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    self_sim = F.when(sq > 0.0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        vec.isNotNull()
+        & F.coalesce(~has_nan, F.lit(False))
+        & (self_sim >= F.lit(float(threshold)))
+    )
+
+
+#: Target EXPECTED per-cell occupancy for the sign-code cell family.
+#: The verify stage is a per-cell GEMM (occupancy² work per cell), so
+#: holding n/2^bits at or under this keeps cells O(1)-sized while still
+#: amortizing Arrow batch overhead; ~2k×2k doubles is a ~32 MB GEMM —
+#: milliseconds per task.
+SIGN_CELL_TARGET_OCC = 2048
+
+
+def auto_sign_bits(
+    n_rows: int,
+    dim: int,
+    target_occ: int = SIGN_CELL_TARGET_OCC,
+    lo: int = 8,
+) -> int:
+    """The smallest ``sign_bits`` that keeps expected cell occupancy
+    (n_rows / 2^bits) at or under ``target_occ`` — the "widen sign_bits
+    with log₂(corpus)" rule as a derived quantity instead of a manual
+    knob. Clamped to [lo, dim]: :func:`sign_code` reads the first
+    ``bits`` dimensions, so the embedding width is a hard ceiling (a
+    corpus that saturates 2^dim cells needs a trained coarse quantizer —
+    ``ivf_topk``/``ivfpq_topk`` — not more sign bits)."""
+    bits = max(1, min(lo, dim))
+    while n_rows > target_occ * (1 << bits) and bits < dim:
+        bits += 1
+    return bits
+
+
 def sign_code(vec: Column, bits: int = 8) -> Column:
     """Coarse-quantizer cell id from the sign bits of the first ``bits``
     dimensions (axis-aligned random-hyperplane LSH for cosine — the
@@ -438,7 +492,7 @@ def cosine_pairs_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    sign_bits: int = 8,
+    sign_bits: "int | None" = 8,
     round_to: int = 6,
 ) -> DataFrame:
     """ANN-candidate near-dup pairs: the 100 TB route for embedding dedup
@@ -458,11 +512,23 @@ def cosine_pairs_ann(
     the first ``bits`` dims. At near-dup thresholds (≥0.9) codes almost
     always agree outright; lower thresholds need more probes or a trained
     coarse quantizer — that trade-off is the definition of ANN. Scale
-    knob: ``sign_bits`` grows with log₂(corpus) to keep cells O(1)-sized.
+    knob: ``sign_bits`` grows with log₂(corpus) to keep cells O(1)-sized;
+    ``sign_bits=None`` derives it (:func:`auto_sign_bits`) from the
+    corpus row count and embedding width, so occupancy stays bounded
+    without manual retuning.
 
     Returns (id_a, id_b, cos_sim) with id_a < id_b.
     """
     import pandas as pd
+
+    if sign_bits is None:
+        first = df.select(F.size(F.col(vec_col)).alias("__d")).first()
+        dim = int(first["__d"]) if first and first["__d"] is not None else 8
+        # planning-time size estimate (file stats — no job) sizes the
+        # corpus; exact count only when stats are unavailable
+        est = _plan_size_bytes(df)
+        n = est // max(1, dim * 8) if est > 0 else df.count()
+        sign_bits = auto_sign_bits(int(n), dim)
 
     v = df.select(
         F.col(id_col).alias("__id"),
@@ -838,18 +904,24 @@ def semdedup(
     # exact pre-collapse (see embed_dedup_stream): bitwise-identical
     # vectors fold to their min-id member before the within-cell
     # quadratic stage, bounding it by DISTINCT-vector occupancy.
-    # Semantics-preserving: the winner has the group's smallest id, so
-    # losers can never be the canonical component-min, and their edges
-    # duplicate the winner's (identical vectors, identical cosines).
-    # NULL-id rows pass through (they never pair, the anti-join keeps
-    # them).
+    # Semantics-preserving ONLY for vectors whose identical copy would
+    # actually verify as a near-dup (self_pairable): the winner has the
+    # group's smallest id, so losers can never be the canonical
+    # component-min, and their edges duplicate the winner's. Zero-norm
+    # vectors (cos 0 by convention, < any positive threshold) and
+    # NaN-containing vectors (sim NaN, never >= threshold) would NOT
+    # pair with their own copies, so they pass through uncollapsed —
+    # like NULL-id rows (which never pair, the anti-join keeps them).
     v = df.select(F.col(id_col), F.col(vec_col))
+    foldable = F.col(id_col).isNotNull() & self_pairable(
+        F.col(vec_col), threshold
+    )
     base = (
-        v.filter(F.col(id_col).isNotNull())
+        v.filter(foldable)
         .groupBy(vec_col)
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, vec_col)
-        .unionByName(v.filter(F.col(id_col).isNull()))
+        .unionByName(v.filter(~foldable))
     )
     a = assign_clusters(base, cents, vec_col=vec_col, round_to=round_to)
     pairs = cosine_pairs_within(
@@ -1563,7 +1635,10 @@ def ivfpq_topk(
         # the artifact is authoritative: a trained quantizer fixes the
         # precision/codebook geometry — mixing a different round_to/m/k
         # parameter would silently diverge from the self-trained result
+        # (mirrors ivfpq_topk_batch so the two forms can never disagree
+        # on geometry if m/k are ever referenced below)
         round_to = trained["round_to"]
+        m, k, in_dim = trained["m"], trained["k"], trained["in_dim"]
     books = [[(int(c), cv) for c, cv in b] for b in trained["codebooks"]]
     # exchange barrier: the per-query plan branches below reuse ONE
     # materialized encode (ReusedExchange) instead of re-encoding the
@@ -1767,7 +1842,7 @@ def ivfpq_topk_batch(
                               round_to=round_to)
     else:
         round_to = trained["round_to"]  # the artifact is authoritative
-        m, k = trained["m"], trained["k"]
+        m, k, in_dim = trained["m"], trained["k"], trained["in_dim"]
     books = [[(int(c), cv) for c, cv in b] for b in trained["codebooks"]]
     codes = _ivfpq_encoded(df, id_col, vec_col, trained,
                            cell_exchange=True)

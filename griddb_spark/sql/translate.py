@@ -144,8 +144,8 @@ def _apply_table_row_count(sql: str) -> str:
 #: hinted SELECT, bounding the number of concurrent tasks the stage can
 #: occupy. Anchored to the hint's own SELECT like TableRowCount. The
 #: two remaining resource hints (MAX_DEGREE_OF_TASK_INPUT,
-#: DISTRIBUTED_POLICY) stay deliberately Catalyst/AQE-owned and are
-#: stripped — see _COST_HINT_RE for why they have no Spark seat.
+#: DISTRIBUTED_POLICY) are accepted-and-stripped as FULL PARITY, not a
+#: gap — see _COST_HINT_RE for the per-hint evidence.
 _DOP_RE = re.compile(
     r"MaxDegreeOfParallelism\s*\(\s*(\d+)\s*\)", re.IGNORECASE
 )
@@ -291,13 +291,28 @@ def _extract_index_scan_hints(sql: str) -> "tuple[str, list[str]]":
 #:   Spark picks build/broadcast sides from runtime stats via AQE;
 #:   rule-based = the static initial plan (AQE off).
 #:
-#: The remaining two execution hints stay accepted-and-stripped with no
-#: mapping: DISTRIBUTED_POLICY picks the reference's cross-node plan
-#: distribution shape (Catalyst/AQE own physical distribution end to
-#: end) and MAX_DEGREE_OF_TASK_INPUT bounds union-all task fan-in
-#: (``sql_compiler.cpp:13338`` getMaxInputCount — Spark's union
-#: concatenates partitions without a merge task, so there is no fan-in
-#: to bound).
+#: The remaining two execution hints are accepted-and-stripped — and
+#: that is FULL PARITY, not a documented gap:
+#:
+#: - DISTRIBUTED_POLICY is vestigial IN THE REFERENCE ITSELF: its only
+#:   occurrences are the hint-name registration
+#:   (``sql_compiler.cpp:24796``), the one-string-constant arg check
+#:   (``:25003``), and the duplicate-hint warning (``:25153``) — no
+#:   code path ever READS the accepted value (zero consumption sites
+#:   across server/). A GridDB user's DistributedPolicy('...') hint is
+#:   parsed, validated, and ignored there exactly as it is here, so
+#:   accept-and-strip is behaviorally identical, the same
+#:   documented-full-parity status as the geometry predicates.
+#: - MAX_DEGREE_OF_TASK_INPUT IS consumed upstream
+#:   (``sql_compiler.cpp:13338`` getMaxInputCount bounds union-all task
+#:   fan-in) but the bounded quantity does not exist in Spark: a Spark
+#:   union concatenates partitions without a merge task, so there is no
+#:   fan-in to bound — the hint can only ever be a no-op, never a
+#:   behavior loss.
+#:
+#: Both are pinned as no-ops by tests/test_sql_frontends.py (same query
+#: with and without the hint → identical rows, hint text absent from
+#: the executed SQL).
 _COST_HINT_RE = re.compile(
     r"\b(?P<no>No_?)?Cost_?Based_?"
     r"(?P<what>Index_?Scan|Join_?Driving|Join)\s*\(\s*\)",

@@ -347,14 +347,58 @@ def run_to_memory(
     return spark.table(table_name)
 
 
+def _index_meta_read(index_path: str) -> "dict | None":
+    """Read the adaptive index's ``_meta.json`` (sign_bits + row count),
+    first completing or rolling back any migration a crash cut short:
+
+    - ``<index>.__rebucket`` complete (its _meta.json was the LAST file
+      written) but the directory swap unfinished → finish the swap;
+    - swap never reached the commit point → restore ``<index>.__old``;
+    - stale leftovers of either kind are removed.
+
+    Underscore-prefixed files are invisible to Spark's parquet reader,
+    so the meta file rides inside the index directory itself — which is
+    what makes the migration swap atomic for BOTH layout and metadata
+    (one directory rename moves them together)."""
+    import json
+    import shutil
+
+    tmp, old = index_path + ".__rebucket", index_path + ".__old"
+    if not os.path.isdir(index_path):
+        if os.path.isdir(tmp) and os.path.isfile(
+                os.path.join(tmp, "_meta.json")):
+            os.rename(tmp, index_path)
+        elif os.path.isdir(old):
+            os.rename(old, index_path)
+    for leftover in (old, tmp):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+    mp = os.path.join(index_path, "_meta.json")
+    if os.path.isfile(mp):
+        with open(mp) as fh:
+            return json.load(fh)
+    return None
+
+
+def _index_meta_write(dirpath: str, meta: dict) -> None:
+    import json
+
+    mp = os.path.join(dirpath, "_meta.json")
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, mp)  # atomic on POSIX: readers see old or new, whole
+
+
 def embed_dedup_stream(
     stream: DataFrame,
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    sign_bits: int = 8,
+    sign_bits: "int | None" = 8,
     checkpoint_dir: "str | None" = None,
+    target_occ: "int | None" = None,
 ):
     """Streaming embedding dedup against a persistent ANN index — the
     ingest-time semantic dedup shape: only first-seen members of each
@@ -375,22 +419,76 @@ def embed_dedup_stream(
     Probe cost per batch tracks the batch (cells touched × occupancy),
     not corpus size — the same posture as the MinHash ``lsh_index``
     incremental path, in embedding space. Assumes ordered arrival for
-    first-seen-wins determinism (replay/checkpoint otherwise re-runs an
-    idempotent append of already-indexed survivors).
+    first-seen-wins determinism.
+
+    **Replay / crash semantics (at-least-once append, converging
+    index)**: the foreachBatch body appends BEFORE the engine commits
+    the batch to the checkpoint, so a crash in between replays the
+    batch. Replayed survivors probe the index, match their own
+    already-indexed copies (cos 1.0 ≥ any threshold ≤ 1), and drop — so
+    the replayed append is empty and the index converges with no
+    duplicate ids. A crash MID-append is the same story one level down:
+    Spark's file commit protocol exposes only task-committed part files,
+    so the replay re-appends exactly the survivors whose files never
+    committed and drops the rest. Tested by deleting the last checkpoint
+    commit and restarting (tests/test_streaming.py).
+
+    **Adaptive sign_bits** (``sign_bits=None``): distinct-vector
+    occupancy is the residual scale knob — 2^bits cells must track
+    corpus growth or the per-cell GEMM grows linearly with occupancy.
+    Adaptive mode derives bits from the INDEXED row count
+    (``auto_sign_bits``: expected occupancy ≤ ``target_occ``, ceiling =
+    embedding width) and persists (bits, rows) in ``<index>/_meta.json``.
+    When growth crosses the bound, the index is REBUCKETED — one linear
+    read → recompute cell at the wider code → write to a side directory
+    → atomic directory swap (crash-recovered by :func:`_index_meta_read`)
+    — so widening by one bit doubles capacity and total migration bytes
+    over a corpus's life stay ≤ 2× its size. An explicit ``sign_bits``
+    int pins the layout (no meta, no migration) — the pre-existing
+    contract, kept for oracle-replayable gates. Adaptive mode refuses a
+    pre-existing index without meta (its layout bits are unknowable).
 
     Returns the started StreamingQuery; the deduped corpus IS the index
     (``spark.read.parquet(index_path)``).
     """
     from griddb_spark.pipeline.dedup import union_find_min
-    from griddb_spark.pipeline.similarity import sign_code
+    from griddb_spark.pipeline.similarity import (
+        auto_sign_bits,
+        self_pairable,
+        sign_code,
+    )
+
+    adaptive = sign_bits is None
 
     def _batch(bdf: DataFrame, _bid: int) -> None:
         if bdf.isEmpty():
             return
         spark = bdf.sparkSession
+        meta: dict = {}
+        if adaptive:
+            meta = _index_meta_read(index_path) or {}
+            bits = int(meta.get("sign_bits", 0))
+            if not bits:
+                if os.path.isdir(index_path) and any(
+                        e.startswith("__cell=")
+                        for e in os.listdir(index_path)):
+                    raise ValueError(
+                        "adaptive sign_bits needs <index>/_meta.json; "
+                        f"{index_path} holds cell partitions without one "
+                        "(created with an explicit sign_bits?) — pass "
+                        "that same explicit value instead"
+                    )
+                row = bdf.select(F.size(F.col(vec_col)).alias("__d")).first()
+                dim = int(row["__d"]) if row["__d"] is not None else 8
+                bits = auto_sign_bits(
+                    0, dim,
+                    **({"target_occ": target_occ}
+                       if target_occ is not None else {}))
+        else:
+            bits = sign_bits
         b0 = bdf.select(
             id_col, F.col(vec_col).cast("array<double>").alias("__v")
-        ).withColumn("__cell", sign_code(F.col("__v"), sign_bits))
+        ).withColumn("__cell", sign_code(F.col("__v"), bits))
         # EXACT pre-collapse: bitwise-identical vectors fold to their
         # min-id member before any ANN work (one map-side-combinable
         # groupBy on the vector itself — no hash-collision risk). Losers
@@ -403,20 +501,33 @@ def embed_dedup_stream(
         # bounds distinct-vector occupancy; it cannot split identical
         # vectors, so this pre-stage is the scale knob for duplication
         # density, exactly the LSH path's exact-collapse pre-stage.)
-        # NULL-id rows pass through untouched (they never pair).
+        # Folding is gated on self_pairable: zero-norm vectors (cos 0 by
+        # the verify kernel's den==0 convention — below any positive
+        # threshold even for an identical copy) and NaN-containing
+        # vectors (sim NaN, never >= threshold) pass through, so intra-
+        # batch and cross-batch behavior agree for them. NULL-id rows
+        # pass through untouched (they never pair).
+        foldable = F.col(id_col).isNotNull() & self_pairable(
+            F.col("__v"), threshold
+        )
         b = (
-            b0.filter(F.col(id_col).isNotNull())
+            b0.filter(foldable)
             .groupBy("__v", "__cell")
             .agg(F.min(id_col).alias(id_col))
             .select(id_col, "__v", "__cell")
-            .unionByName(b0.filter(F.col(id_col).isNull()))
+            .unionByName(b0.filter(~foldable))
             .localCheckpoint(eager=True)
         )
-        # one tiny job serves the probe-cell set, the batch size, and the
-        # append task sizing
-        cell_counts = b.groupBy("__cell").count().collect()
+        # one tiny job serves the probe-cell set, the batch size, the
+        # append task sizing, and (adaptive mode) the embedding width
+        cell_counts = b.groupBy("__cell").agg(
+            F.count(F.lit(1)).alias("count"),
+            F.max(F.size("__v")).alias("dim"),
+        ).collect()
         cells = {r["__cell"] for r in cell_counts}
         batch_rows = sum(r["count"] for r in cell_counts)
+        dim = max((r["dim"] for r in cell_counts
+                   if r["dim"] is not None), default=bits)
         has_index = os.path.isdir(index_path) and any(
             e.startswith("__cell=") for e in os.listdir(index_path)
         )
@@ -445,7 +556,7 @@ def embed_dedup_stream(
                     F.col("__cell"),
                     *[
                         F.col("__cell").bitwiseXOR(F.lit(1 << j))
-                        for j in range(sign_bits)
+                        for j in range(bits)
                     ],
                 )
             ).alias("__pcell"),
@@ -453,7 +564,7 @@ def embed_dedup_stream(
         both = probes
         if has_index:
             probe_cells = sorted(
-                {c ^ (1 << j) for c in cells for j in range(sign_bits)}
+                {c ^ (1 << j) for c in cells for j in range(bits)}
                 | cells
             )
             # the index accretes one small file per touched cell per
@@ -568,11 +679,51 @@ def embed_dedup_stream(
         keep_rows = max(0, batch_rows - len(drop))
         n_tasks = max(1, min(
             spark.sparkContext.defaultParallelism,
-            (1 << sign_bits) // 64 + keep_rows // 100_000,
+            (1 << bits) // 64 + keep_rows // 100_000,
         ))
         keep.select(id_col, "__v", "__cell").repartition(
             n_tasks, F.col("__cell")
         ).write.mode("append").partitionBy("__cell").parquet(index_path)
+        if not adaptive:
+            return
+        # adaptive occupancy control: when the indexed row count outgrows
+        # target_occ per cell, REBUCKET the index at the derived wider
+        # code. The new layout + its _meta.json land in a side directory
+        # first, so the directory swap commits layout and metadata
+        # together (crash windows roll forward/back in _index_meta_read).
+        # A crash between the append above and the meta write below only
+        # UNDERCOUNTS rows by one batch (replayed survivors drop against
+        # their indexed copies, contributing keep_rows=0) — occupancy
+        # drift bounded by one batch, never a layout inconsistency.
+        import shutil
+
+        total = int(meta.get("rows", 0)) + keep_rows
+        occ_kw = ({"target_occ": target_occ}
+                  if target_occ is not None else {})
+        needed = auto_sign_bits(total, dim, **occ_kw)
+        if needed > bits:
+            tmp = index_path + ".__rebucket"
+            old = index_path + ".__old"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            idx_schema = (b.select(id_col, "__v").schema
+                          .add("__cell", "integer"))
+            n_mig = max(1, min(
+                spark.sparkContext.defaultParallelism,
+                (1 << min(needed, 30)) // 64 + total // 100_000,
+            ))
+            (spark.read.schema(idx_schema).parquet(index_path)
+             .select(id_col, "__v",
+                     sign_code(F.col("__v"), needed).alias("__cell"))
+             .repartition(n_mig, F.col("__cell"))
+             .write.mode("overwrite").partitionBy("__cell").parquet(tmp))
+            _index_meta_write(tmp, {"sign_bits": needed, "rows": total})
+            os.rename(index_path, old)
+            os.rename(tmp, index_path)
+            shutil.rmtree(old)
+        else:
+            _index_meta_write(index_path,
+                              {"sign_bits": bits, "rows": total})
 
     writer = stream.writeStream.foreachBatch(_batch).trigger(availableNow=True)
     if checkpoint_dir:

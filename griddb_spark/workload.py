@@ -3369,6 +3369,22 @@ def _shared_books(emb, sf_dir: str, m: int = 4, k: int = 8,
     return books
 
 
+def pretrain_ann(spark: SparkSession, sf_dir: str) -> None:
+    """Train the shared embedding-family artifacts (adaptive k, coarse
+    k-means cents, PQ codebooks, the composed IVF-PQ artifact) into the
+    train-once memo for ``sf_dir`` — the explicit build step of the
+    FAISS train-then-serve lifecycle. ``bench.py`` calls this in warmup
+    and times it as its own named profile entry (``_ann_training``), so
+    training cost never lands on whichever embedding gate happens to
+    run first (which made per-gate timings order-dependent: semdedup
+    measured 2.6 s in one run order and 9.2 s in another, the same
+    work attributed differently). Idempotent: a warm memo makes this a
+    no-op."""
+    emb = cat(spark, sf_dir).load("embeddings")
+    # trains (and memoizes) adaptive-k, cents, and books on the way
+    _ivfpq_trained(emb, sf_dir)
+
+
 def _ivfpq_trained(emb, sf_dir: str, m: int = 4, k: int = 8,
                    in_dim: int = 64) -> dict:
     from griddb_spark.pipeline import ivfpq_train

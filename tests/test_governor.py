@@ -486,3 +486,77 @@ def test_node_scope_level3_victim_is_largest(spark):
     assert big.status == "CANCELLED_MEMORY_LIMIT"
     assert small.status == "RUNNING"
     assert cancelled == ["b"]
+
+
+def test_consolidated_poller_one_thread_for_many_statements(spark):
+    """5.9 posture at realistic concurrency: ~50 concurrent governed
+    statements (across TWO governor instances) are monitored by ONE
+    consolidated poller thread per app — not one thread per statement —
+    with unchanged semantics (all complete, all recorded DONE)."""
+    import threading
+
+    gov_a = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3,
+                           resource_control_level=3, poll_interval=0.02)
+    gov_b = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3,
+                           resource_control_level=3, poll_interval=0.02)
+    results: dict = {}
+    peak_pollers: list[int] = []
+
+    def _run(i):
+        gov = gov_a if i % 2 == 0 else gov_b
+        results[i] = gov.run(
+            lambda: spark.range(0, 50_000).selectExpr(
+                "id % 97 AS k", "id AS v").groupBy("k").count().count(),
+            statement=f"SELECT poller {i}")
+        peak_pollers.append(sum(
+            1 for t in threading.enumerate()
+            if t.name.startswith("griddb-governor-poller-")))
+
+    ts = [threading.Thread(target=_run, args=(i,)) for i in range(50)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert results == {i: 97 for i in range(50)}
+    assert peak_pollers and max(peak_pollers) <= 1
+    recs = [r for r in statement_records()
+            if r.statement.startswith("SELECT poller ")]
+    assert len(recs) == 50 and all(r.status == "DONE" for r in recs)
+
+
+def test_node_budget_shared_across_governor_instances(spark):
+    """ADVICE r8: /sql/totalMemoryLimit is per NODE — two MemoryGovernor
+    instances on one driver must charge the same allowance, not each get
+    a full one. The running-statement registry is module-level (keyed by
+    Spark app), so instance B's node enforcement sees instance A's
+    statements and can select them as victims."""
+    from griddb_spark.governor import StatementRecord
+
+    gov_a = MemoryGovernor(spark, total_memory_limit=100,
+                           node_scope=True, resource_control_level=3)
+    gov_b = MemoryGovernor(spark, total_memory_limit=100,
+                           node_scope=True, resource_control_level=3)
+    assert gov_a._running is gov_b._running  # one node, one registry
+    cancelled = []
+
+    class _SC:
+        def cancelJobGroup(self, gid):
+            cancelled.append(gid)
+
+    big = StatementRecord("xgov-big", "big", 100, True, 0,
+                          working_memory_bytes=80)
+    small = StatementRecord("xgov-small", "small", 100, True, 0,
+                            working_memory_bytes=40)
+    gov_a._running["xgov-big"] = big          # "run" under instance A
+    gov_b._running["xgov-small"] = small      # "run" under instance B
+    try:
+        # sum (120) breaches the shared 100 budget even though neither
+        # instance's own statement does; B's poll selects A's statement
+        # (the largest consumer) across the instance boundary
+        assert gov_b._enforce_node(small, _SC(), grew=True) is False
+        assert big.status == "CANCELLED_MEMORY_LIMIT"
+        assert small.status == "RUNNING"
+        assert cancelled == ["xgov-big"]
+    finally:
+        gov_a._running.pop("xgov-big", None)
+        gov_a._running.pop("xgov-small", None)

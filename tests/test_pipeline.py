@@ -1833,3 +1833,32 @@ def test_ann_cache_keeps_one_generation(spark, tmp_path):
     n1 = sum(1 for k in workload._ANN_TRAIN_CACHE
              if k[0] == "cents" and k[1] == sf_dir)
     assert n1 == 1  # old generation evicted, not accumulated
+
+
+def test_semdedup_zero_norm_and_nan_never_fold(spark):
+    """ADVICE r8: the exact pre-collapse must not fold identical
+    zero-norm or NaN-containing vectors — under the documented cosine
+    convention (zero norm -> cos 0, NaN -> sim NaN) their identical
+    copies never verify as near-dups at a positive threshold, so the
+    pairwise stage would have kept all of them. A verbatim duplicate of
+    a normal vector still collapses."""
+    from griddb_spark.pipeline import semdedup
+
+    nan = float("nan")
+    zeros = [0.0] * 8
+    e1 = [1.0] + [0.0] * 7
+    e2 = [0.0, 1.0] + [0.0] * 6
+    nanv = [nan, 1.0] + [0.0] * 6
+    df = spark.createDataFrame(
+        [(1, zeros), (2, zeros), (3, e1), (4, e2), (5, nanv), (6, nanv),
+         (7, e1)],
+        "vec_id long, embedding array<double>",
+    )
+    kept = sorted(
+        r.vec_id
+        for r in semdedup(df, "vec_id", "embedding", k=2, iters=1,
+                          threshold=0.9).collect()
+    )
+    # 7 (verbatim e1 dup) collapses to 3; both zero vectors and both
+    # NaN vectors survive
+    assert kept == [1, 2, 3, 4, 5, 6]

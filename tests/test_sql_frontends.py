@@ -595,3 +595,32 @@ def test_legacy_plan_hint_extraction():
     _, c = _extract_cost_hints(
         "SELECT /*+ LegacyPlan(5, 0, 2) */ 1 FROM t")  # patch arg form
     assert c["spark.sql.adaptive.enabled"] == "false"
+
+
+def test_distributed_policy_and_task_input_hints_are_noops(spark, catalog):
+    """DistributedPolicy / MaxDegreeOfTaskInput: accepted-and-stripped
+    is FULL PARITY, not a gap. DISTRIBUTED_POLICY is vestigial in the
+    reference itself — registered (sql_compiler.cpp:24796), arg-checked
+    (:25003), duplicate-warned (:25153), and never read by any execution
+    path — so the reference parses-validates-ignores it exactly as we
+    do. MAX_DEGREE_OF_TASK_INPUT bounds union-all merge-task fan-in
+    (sql_compiler.cpp:13338), a quantity with no Spark existence (union
+    concatenates partitions, no merge task). Pin: same rows with and
+    without the hints; no hint text survives the rewrite."""
+    from griddb_spark.sql.translate import griddb_sql, rewrite_sql
+
+    hinted = (
+        "SELECT /*+ DistributedPolicy('UNION') MaxDegreeOfTaskInput(4) */"
+        " c_nationkey, COUNT(*) AS n FROM customer"
+        " GROUP BY c_nationkey ORDER BY c_nationkey"
+    )
+    plain = (
+        "SELECT c_nationkey, COUNT(*) AS n FROM customer"
+        " GROUP BY c_nationkey ORDER BY c_nationkey"
+    )
+    rewritten = rewrite_sql(hinted)
+    assert "DistributedPolicy" not in rewritten
+    assert "MaxDegreeOfTaskInput" not in rewritten
+    assert "/*+" not in rewritten
+    assert griddb_sql(spark, catalog, hinted).collect() == \
+        griddb_sql(spark, catalog, plain).collect()

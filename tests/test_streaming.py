@@ -600,3 +600,233 @@ def test_refresh_incremental_random_batches_converge(spark, tmp_path, seed):
     got = {(r[BUCKET_COL], r.k): (r.n, r.sv, r.mn, r.mx)
            for r in inc.read().collect()}
     assert got == want
+
+
+def test_embed_dedup_stream_zero_norm_and_nan_never_fold(spark, tmp_path):
+    """The exact pre-collapse may fold ONLY vectors whose identical copy
+    would verify as a near-dup. Zero-norm vectors (cos 0 by the verify
+    kernel's den==0 convention) and NaN-containing vectors (sim NaN)
+    never pair — intra-batch or cross-batch — so identical copies of
+    them must all survive, while a genuine verbatim duplicate of a
+    normal vector is still dropped across batches."""
+    import glob
+    import shutil
+
+    from griddb_spark.streaming import embed_dedup_stream
+
+    nan = float("nan")
+    zeros = [0.0] * 8
+    e1 = [1.0] + [0.0] * 7
+    e2 = [0.0, 1.0] + [0.0] * 6
+    nanv = [nan, 1.0] + [0.0] * 6
+    batches = [
+        [(1, zeros), (2, zeros), (3, e1), (5, nanv)],
+        [(10, zeros), (11, e1), (12, nanv), (13, e2)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        d = str(tmp_path / f"f{i}")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(glob.glob(f"{d}/part-*.parquet")[0],
+                    f"{src}/{i:02d}.parquet")
+    stream = (
+        spark.readStream
+        .schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index = str(tmp_path / "index")
+    q = embed_dedup_stream(
+        stream, index, "vec_id", "embedding", threshold=0.9, sign_bits=8,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    kept = sorted(
+        r.vec_id
+        for r in spark.read
+        .schema("vec_id long, __v array<double>, __cell int")
+        .parquet(index).select("vec_id").collect()
+    )
+    # 11 (verbatim e1 dup of indexed 3) drops; every zero-norm / NaN
+    # copy survives, intra- and cross-batch alike
+    assert kept == [1, 2, 3, 5, 10, 12, 13]
+
+
+def test_embed_dedup_stream_adaptive_sign_bits_migrates_index(spark, tmp_path):
+    """Adaptive sign_bits (sign_bits=None): the index derives its cell
+    width from the INDEXED row count so expected occupancy stays under
+    target_occ without manual retuning; crossing the bound rebuckets the
+    index (atomic directory swap) and cross-batch dedup still works
+    against the migrated layout."""
+    import glob
+    import json
+    import random
+    import shutil
+
+    from griddb_spark.streaming import embed_dedup_stream
+
+    rng = random.Random(7)
+    dim = 16
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    b1 = [(i, vec()) for i in range(300)]
+    # batch 2: 300 fresh vectors + 50 verbatim duplicates of batch 1
+    b2 = [(1000 + i, vec()) for i in range(300)]
+    dups = [(2000 + i, b1[i][1]) for i in range(50)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2 + dups]):
+        d = str(tmp_path / f"f{i}")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(glob.glob(f"{d}/part-*.parquet")[0],
+                    f"{src}/{i:02d}.parquet")
+    stream = (
+        spark.readStream
+        .schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index = str(tmp_path / "index")
+    q = embed_dedup_stream(
+        stream, index, "vec_id", "embedding", threshold=0.9,
+        sign_bits=None, target_occ=1,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    meta = json.load(open(f"{index}/_meta.json"))
+    # 300 rows outgrow 1×2^8 after batch 1 (→9 bits), 600 outgrow 1×2^9
+    # after batch 2 (→10 bits) — two migrations, no manual retuning
+    assert meta == {"sign_bits": 10, "rows": 600}
+    kept = sorted(
+        r.vec_id
+        for r in spark.read
+        .schema("vec_id long, __v array<double>, __cell int")
+        .parquet(index).select("vec_id").collect()
+    )
+    # all 50 cross-batch verbatim duplicates dropped DESPITE the index
+    # having been rebucketed between their original and their arrival
+    assert kept == sorted(r[0] for r in b1 + b2)
+    # the migrated layout really is 10-bit: some cell beyond the 8-bit
+    # range must exist for 600 random vectors over 1024 cells
+    cells = [int(e.split("=")[1]) for e in os.listdir(index)
+             if e.startswith("__cell=")]
+    assert max(cells) >= 256 and max(cells) < 1024
+
+
+def test_embed_dedup_stream_adaptive_refuses_unmanaged_index(spark, tmp_path):
+    """Adaptive mode cannot know the layout bits of an index created
+    with an explicit sign_bits (no _meta.json) — it must refuse rather
+    than probe the wrong cells."""
+    import glob
+    import shutil
+
+    from griddb_spark.streaming import embed_dedup_stream
+
+    rows = [(1, [1.0] * 8)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    d = str(tmp_path / "f0")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    shutil.move(glob.glob(f"{d}/part-*.parquet")[0], f"{src}/00.parquet")
+    index = str(tmp_path / "index")
+    # an index created under a pinned 8-bit layout
+    spark.createDataFrame(
+        [(99, [1.0] * 8, 3)], "vec_id long, __v array<double>, __cell int"
+    ).write.partitionBy("__cell").parquet(index)
+    stream = (
+        spark.readStream
+        .schema("vec_id long, embedding array<double>")
+        .parquet(src)
+    )
+    q = embed_dedup_stream(stream, index, "vec_id", "embedding",
+                           sign_bits=None,
+                           checkpoint_dir=str(tmp_path / "ck"))
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="_meta.json"):
+        q.awaitTermination()
+
+
+def test_embed_dedup_stream_replay_after_crash_converges(spark, tmp_path):
+    """At-least-once append semantics, now tested: the index append in
+    foreachBatch runs BEFORE the engine commits the batch to the
+    checkpoint. Simulate a crash in that window by deleting the LAST
+    commit marker after a completed run, then restarting the stream with
+    the same checkpoint: the engine re-executes the final batch, whose
+    survivors match their own already-indexed copies (cos 1.0) and drop
+    — the index converges with NO duplicate ids and a keep-set identical
+    to the uninterrupted run."""
+    import glob
+    import random
+    import shutil
+
+    from griddb_spark.streaming import embed_dedup_stream
+
+    rng = random.Random(11)
+    dim = 8
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    b1 = [(i, vec()) for i in range(40)]
+    b2 = [(100 + i, vec()) for i in range(40)] + \
+         [(200 + i, b1[i][1]) for i in range(10)]  # 10 cross-batch dups
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        d = str(tmp_path / f"f{i}")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(glob.glob(f"{d}/part-*.parquet")[0],
+                    f"{src}/{i:02d}.parquet")
+
+    def mk_stream():
+        return (spark.readStream
+                .schema("vec_id long, embedding array<double>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src))
+
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+    q = embed_dedup_stream(mk_stream(), index, "vec_id", "embedding",
+                           threshold=0.9, sign_bits=8, checkpoint_dir=ck)
+    q.awaitTermination()
+    q.stop()
+
+    def index_ids():
+        return [r.vec_id for r in spark.read
+                .schema("vec_id long, __v array<double>, __cell int")
+                .parquet(index).select("vec_id").collect()]
+
+    baseline = sorted(index_ids())
+    # the 10 verbatim cross-batch duplicates (ids 200+) never survive:
+    # their vector equals a batch-1 vector, so whichever batch-1 member
+    # canonically represents it is already indexed at cos 1.0
+    assert not any(i >= 200 for i in baseline)
+    assert len(baseline) == len(set(baseline))
+    # crash simulation: batch 1's appends are on disk, its checkpoint
+    # commit never landed
+    commits = sorted(glob.glob(f"{ck}/commits/*"),
+                     key=lambda p: int(os.path.basename(p)))
+    os.remove(commits[-1])
+    crc = os.path.join(os.path.dirname(commits[-1]),
+                       f".{os.path.basename(commits[-1])}.crc")
+    if os.path.exists(crc):  # local-FS checksum shadow of the commit
+        os.remove(crc)
+    q2 = embed_dedup_stream(mk_stream(), index, "vec_id", "embedding",
+                            threshold=0.9, sign_bits=8, checkpoint_dir=ck)
+    q2.awaitTermination()
+    q2.stop()
+    replayed = index_ids()
+    assert sorted(replayed) == baseline          # same keep-set
+    assert len(replayed) == len(set(replayed))   # no duplicate ids
