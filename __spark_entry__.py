@@ -113,12 +113,31 @@ _SAMPLED_R5 = [
 ]
 
 
-#: VERDICT r7 item 2: the ONE oracled query whose official driver record
-#: predates its oracle — last sampled r04 as rows-only, DuckDB oracle
-#: added since, sim-green. Leading with it makes the official record
-#: 212/212 oracled queries value-hash green, cumulatively.
-_DRIVER_UNCONFIRMED_R8 = [
-    "stream_ema_anomaly",
+#: Queries the round-8 driver sampled (CORRECTNESS_r08.json keys) —
+#: freshest confirmations, rotated to the very back. With r8 folded into
+#: the staleness ordering, the 18 queries whose latest official record is
+#: still r1-r4 vintage (time_*/tql_*/window_funcs/stream_sliding_window/
+#: ts_continuous_aggregate/...) sort FIRST, so round 9's ~50-query window
+#: finishes the certification cycle (VERDICT r8 item 3).
+_SAMPLED_R8 = [
+    "stream_ema_anomaly", "sql_frontend_cost_hint", "sql_resource_control",
+    "sql_resource_monitor", "pipe_dedup_minhash",
+    "pipe_dedup_minhash_collapsed", "pipe_dedup_ngram",
+    "pipe_dedup_ngram_collapsed", "pipe_dedup_simhash", "pipe_fingerprint",
+    "pipe_knn_cosine", "pipe_lang_id", "pipe_lm_score",
+    "pipe_multimodal_frames", "pipe_multimodal_meta",
+    "pipe_multimodal_resize", "pipe_pack_sequences", "pipe_pii_scrub",
+    "pipe_quality_repetition", "pipe_sample_stratified",
+    "pipe_text_quality", "pipe_url_dedup", "pipe_url_domains",
+    "pipe_vocab_topk", "q1_pricing_summary", "range_15m_fill_linear",
+    "range_15m_fill_null", "range_15m_fill_prev", "range_20m_offset",
+    "range_hour_none", "scalar_array_funcs", "scalar_bitwise_ops",
+    "scalar_case_in_between", "scalar_glob_like", "scalar_json_props",
+    "scalar_string_funcs", "scalar_string_funcs2", "scalar_time_ctors",
+    "scalar_time_funcs", "scalar_time_tz", "setops", "sort_topk",
+    "sql_batch_update", "sql_explain", "sql_frontend_group_by_range",
+    "sql_prepared_statement", "stream_continuous_aggregate",
+    "stream_dedup", "stream_dedup_embed", "stream_group_by_range",
 ]
 
 
@@ -171,27 +190,26 @@ _SAMPLED_R6 = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Order: the driver-unconfirmed query, then round-8's new gates
-    (auto: anything in no list yet), then stalest-confirmation-first
-    (r1-r4 sample fills the rest of the ~50-query window, refreshing the
-    oldest official records), r5/r6/r7 samples last."""
+    """Order: never-sampled queries first (new gates this round), then
+    stalest-confirmation-first (the r1-r4-vintage names fill the front of
+    the ~50-query window, finishing the certification cycle), freshest
+    samples last."""
     from griddb_spark import workload
 
-    lead = [n for n in _DRIVER_UNCONFIRMED_R8 if n in workload.QUERIES]
     # a name resampled in a later round sorts by its LATEST confirmation
     # (the point of the rotation: stalest official record first)
     last_seen: dict[str, tuple] = {}
-    rounds = (_SAMPLED_R1_R4, _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7)
+    rounds = (_SAMPLED_R1_R4, _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7,
+              _SAMPLED_R8)
     for rnd, names in enumerate(rounds):
         for i, n in enumerate(names):
             last_seen[n] = (rnd, i)
     seen = sorted(
-        (n for n in last_seen if n in workload.QUERIES and n not in lead),
+        (n for n in last_seen if n in workload.QUERIES),
         key=lambda n: last_seen[n],
     )
-    skip = set(lead) | set(seen)
-    fresh = [n for n in workload.QUERIES if n not in skip]
-    return {n: workload.QUERIES[n] for n in lead + fresh + seen}
+    fresh = [n for n in workload.QUERIES if n not in last_seen]
+    return {n: workload.QUERIES[n] for n in fresh + seen}
 
 
 def oracle_sql() -> dict[str, str]:

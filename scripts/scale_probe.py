@@ -1,6 +1,13 @@
 """Scale probe: replicate the sf tables K× (key-shifted) and re-run bench.
 
-Usage: python scripts/scale_probe.py [K] [dst_dir] [--skip name1,name2]
+Usage: python scripts/scale_probe.py [K] [dst_dir] [--skip=name1,name2]
+           [--salt-embeddings] [--tables=embeddings,documents]
+
+``--salt-embeddings`` makes replicas i>0 DISTINCT CONTENT (noise-mixed
+vectors, see _salt_vectors) instead of verbatim copies — the complement
+probe regime where sign-space occupancy, not duplication density, is the
+embedding family's stressor. ``--tables=`` restricts replication to the
+tables a focused probe actually reads.
 
 Replication is pure pyarrow so every physical parquet type survives exactly
 (notably events.ts TIMESTAMP(NANOS), which the catalog detects from the
@@ -61,7 +68,32 @@ SHIFTS = {
 COPY_AS_IS = ("region", "nation")
 
 
-def replicate(k: int, dst: str) -> None:
+def _salt_vectors(a: pa.ChunkedArray, replica: int) -> pa.Array:
+    """Replace replica ``i>0``'s embedding column with noise-mixed
+    vectors: v' = unit(v + r), r a seeded unit-norm gaussian per vector.
+    E[cos(v, v')] ~ 1/sqrt(2) ~ 0.71 in 64-dim, far below the 0.9-0.95
+    gate thresholds, and two originally-near-dup vectors land near
+    cos ~ 0.5 after independent noise — so a salted corpus is DISTINCT
+    CONTENT: exact pre-collapse gets zero leverage, near-dup structure
+    exists only inside replica 0, and sign-space occupancy (not
+    duplication density) is the stressor. Complements the verbatim
+    key-shifted replication, which is maximal-duplication by design."""
+    import numpy as np
+
+    vecs = np.asarray(a.combine_chunks().to_pylist(), dtype=np.float64)
+    rng = np.random.default_rng(0xC0FFEE + replica)
+    noise = rng.standard_normal(vecs.shape)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    noise *= np.linalg.norm(vecs, axis=1, keepdims=True)
+    out = vecs + noise
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    out = (out / norms).astype(np.float32)
+    return pa.array(list(out), type=a.type)
+
+
+def replicate(k: int, dst: str, salt_embeddings: bool = False,
+              tables: "set[str] | None" = None) -> None:
     os.makedirs(dst, exist_ok=True)
     strides = {
         col: pc.max(
@@ -71,10 +103,14 @@ def replicate(k: int, dst: str) -> None:
         for col, tbl in STRIDE_OWNERS.items()
     }
     for name in COPY_AS_IS:
+        if tables is not None and name not in tables:
+            continue
         pq.write_table(
             pq.read_table(f"{SRC}/{name}.parquet"), f"{dst}/{name}.parquet"
         )
     for name, shifts in SHIFTS.items():
+        if tables is not None and name not in tables:
+            continue
         t = pq.read_table(f"{SRC}/{name}.parquet")
         # stream one replica at a time (100x replication must not hold K
         # copies in memory); small row groups: parquet scans split on
@@ -91,6 +127,10 @@ def replicate(k: int, dst: str) -> None:
                         a = pc.cast(
                             pc.add(a, i * strides[shifts[f.name]]), f.type
                         )
+                    if (i > 0 and salt_embeddings
+                            and name == "embeddings"
+                            and f.name == "embedding"):
+                        a = _salt_vectors(a, i)
                     cols.append(a)
                 w.write_table(
                     pa.table(cols, schema=t.schema), row_group_size=50_000
@@ -104,14 +144,21 @@ def main() -> None:
     k = int(args[0]) if args else 10
     dst = args[1] if len(args) > 1 else f"/tmp/scale_probe_{k}x"
     skip = ""
+    salt = "--salt-embeddings" in sys.argv[1:]
+    tables = None
     for a in sys.argv[1:]:
         if a.startswith("--skip"):
             skip = a.split("=", 1)[1] if "=" in a else ""
+        if a.startswith("--tables="):
+            tables = set(a.split("=", 1)[1].split(","))
 
     t0 = time.time()
-    print(f"replicating {SRC} {k}x -> {dst}", file=sys.stderr)
-    replicate(k, dst)
+    print(f"replicating {SRC} {k}x -> {dst}"
+          + (" (salted embeddings)" if salt else ""), file=sys.stderr)
+    replicate(k, dst, salt_embeddings=salt, tables=tables)
     print(f"replicated in {time.time() - t0:.1f}s", file=sys.stderr)
+    if "--replicate-only" in sys.argv[1:]:
+        return
 
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=dst)
     if skip:
