@@ -347,6 +347,17 @@ def run_to_memory(
     return spark.table(table_name)
 
 
+#: Probe-side tile budget for the fused per-cell verify GEMM: the
+#: similarity matrix (and its den/abs temporaries) stays ≤ this many
+#: doubles per tile (~32 MB), so per-task memory is bounded regardless
+#: of cell occupancy — adaptive bits lag one batch behind growth and
+#: pinned bits never widen, and untiled either case materializes
+#: O(fan-in × occupancy) GB-scale frames (the 1000× salted probe OOM'd
+#: the host through 32 concurrent kernels before tiling). Module-level
+#: so tests can shrink it to force multi-tile paths on small data.
+_VERIFY_TILE_ELEMS = 4_194_304
+
+
 def _index_meta_read(index_path: str) -> "dict | None":
     """Read the adaptive index's ``_meta.json`` (sign_bits + row count),
     first completing or rolling back any migration a crash cut short:
@@ -459,6 +470,10 @@ def embed_dedup_stream(
     )
 
     adaptive = sign_bits is None
+    # captured by value at closure-creation time (worker processes
+    # re-import the module, so a runtime module-attr read would ignore
+    # a test's monkeypatch)
+    tile_elems = _VERIFY_TILE_ELEMS
 
     def _batch(bdf: DataFrame, _bid: int) -> None:
         if bdf.isEmpty():
@@ -478,10 +493,23 @@ def embed_dedup_stream(
                         "(created with an explicit sign_bits?) — pass "
                         "that same explicit value instead"
                     )
-                row = bdf.select(F.size(F.col(vec_col)).alias("__d")).first()
+                # FIRST batch of a fresh index: derive bits from the
+                # batch's own row count, not 0 — a large initial load
+                # (bulk backfill through the stream) otherwise processes
+                # at the floor width and pays occupancy² until the
+                # post-batch rebucket reacts (1000x salted probe: 667k
+                # rows/batch at 8 bits OOM'd the pre-tiling kernel).
+                # Later batches stay pinned to the index's layout bits
+                # (probe reads partition by the INDEX's cell code); the
+                # post-append rebucket catches growth with ≤1-batch lag,
+                # which the tiled verify kernel bounds in memory.
+                row = bdf.select(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.max(F.size(F.col(vec_col))).alias("__d"),
+                ).first()
                 dim = int(row["__d"]) if row["__d"] is not None else 8
                 bits = auto_sign_bits(
-                    0, dim,
+                    int(row["__n"]), dim,
                     **({"target_occ": target_occ}
                        if target_occ is not None else {}))
         else:
@@ -606,8 +634,8 @@ def embed_dedup_stream(
                 na = np.linalg.norm(ma, axis=1)
                 av = pr["__vid"].to_numpy()
 
-                def r6_sim(rows, cols_m, cols_n):
-                    den = np.outer(na, cols_n)
+                def r6_sim(rows, rows_n, cols_m, cols_n):
+                    den = np.outer(rows_n, cols_n)
                     den[den == 0.0] = 1.0
                     sim = (rows @ cols_m.T) / den
                     # half-away-from-zero like F.round (np.round is
@@ -615,28 +643,44 @@ def embed_dedup_stream(
                     return np.sign(sim) * np.floor(
                         np.abs(sim) * 1e6 + 0.5) / 1e6
 
+                def tiles(n_cols):
+                    # tile the probe side so the similarity matrix (and
+                    # its den/abs temporaries) stays ≤ _VERIFY_TILE_ELEMS
+                    # doubles per tile — per-task memory bounded
+                    # REGARDLESS of cell occupancy, like
+                    # cosine_pairs_within's block loop (see the constant
+                    # for the 1000× OOM this prevents).
+                    step = max(1, tile_elems // max(1, n_cols))
+                    for s in range(0, len(ma), step):
+                        yield s, min(s + step, len(ma))
+
                 own = pr[pr["__ocell"] == pcell]
                 if len(own):  # intra-batch pairs vs this cell's members
                     mb = np.stack(own["__vec"].to_numpy())
-                    r6 = r6_sim(ma, mb, np.linalg.norm(mb, axis=1))
+                    nb = np.linalg.norm(mb, axis=1)
                     bv = own["__vid"].to_numpy()
-                    for i, j in np.argwhere(r6 >= threshold):
-                        x, y = av[i], bv[j]
-                        if x is None or y is None or x == y:
-                            continue  # NULL ids never pair; no self-pairs
-                        out_k.append(0)
-                        out_a.append(min(x, y))
-                        out_b.append(max(x, y))
+                    for s, e in tiles(len(mb)):
+                        r6 = r6_sim(ma[s:e], na[s:e], mb, nb)
+                        for i, j in np.argwhere(r6 >= threshold):
+                            x, y = av[s + i], bv[j]
+                            if x is None or y is None or x == y:
+                                continue  # NULL ids never pair; no self
+                            out_k.append(0)
+                            out_a.append(min(x, y))
+                            out_b.append(max(x, y))
                 ix = pdf[pdf["__side"] == 1]
                 if len(ix):  # duplicates of already-indexed vectors
                     mb = np.stack(ix["__vec"].to_numpy())
-                    r6 = r6_sim(ma, mb, np.linalg.norm(mb, axis=1))
-                    for i in np.flatnonzero((r6 >= threshold).any(axis=1)):
-                        if av[i] is None:
-                            continue  # NULL-id rows always survive
-                        out_k.append(1)
-                        out_a.append(av[i])
-                        out_b.append(av[i])
+                    nb = np.linalg.norm(mb, axis=1)
+                    for s, e in tiles(len(mb)):
+                        r6 = r6_sim(ma[s:e], na[s:e], mb, nb)
+                        hit = np.flatnonzero((r6 >= threshold).any(axis=1))
+                        for i in hit:
+                            if av[s + i] is None:
+                                continue  # NULL-id rows always survive
+                            out_k.append(1)
+                            out_a.append(av[s + i])
+                            out_b.append(av[s + i])
             return pd.DataFrame({"__kind": pd.Series(out_k, dtype="int32"),
                                  "__a": out_a, "__b": out_b})
 

@@ -701,8 +701,9 @@ def test_embed_dedup_stream_adaptive_sign_bits_migrates_index(spark, tmp_path):
     )
     q.awaitTermination()
     meta = json.load(open(f"{index}/_meta.json"))
-    # 300 rows outgrow 1×2^8 after batch 1 (→9 bits), 600 outgrow 1×2^9
-    # after batch 2 (→10 bits) — two migrations, no manual retuning
+    # batch 1 derives 9 bits from its own 300 rows (first-batch sizing),
+    # 600 outgrow 1×2^9 after batch 2 (→10 bits) — one migration, no
+    # manual retuning
     assert meta == {"sign_bits": 10, "rows": 600}
     kept = sorted(
         r.vec_id
@@ -830,3 +831,99 @@ def test_embed_dedup_stream_replay_after_crash_converges(spark, tmp_path):
     replayed = index_ids()
     assert sorted(replayed) == baseline          # same keep-set
     assert len(replayed) == len(set(replayed))   # no duplicate ids
+
+
+def test_embed_dedup_stream_tiled_verify_parity(spark, tmp_path, monkeypatch):
+    """The fused per-cell verify GEMM tiles its probe side so per-task
+    memory is bounded by _VERIFY_TILE_ELEMS regardless of cell occupancy
+    (the 1000x salted probe OOM'd the untiled kernel). Shrinking the
+    budget to a few elements forces 1-row tiles, so every pair crosses a
+    tile boundary -- the result must match both the untiled run and a
+    brute-force python reference of the drop semantics (intra-batch
+    component losers + cross-batch index dups, removed as a union)."""
+    import glob
+    import random
+    import shutil
+
+    import numpy as np
+
+    from griddb_spark.pipeline.dedup import union_find_min
+    from griddb_spark.streaming import embed_dedup_stream, stream_ops
+
+    rng = random.Random(11)
+    dim = 8
+
+    def vec():
+        # first 4 dims tiny-positive: every vector lands in ONE 4-bit
+        # sign cell (maximal occupancy); last 4 dims set the direction,
+        # so pairwise cosine is essentially that of random 4-dim vectors
+        return ([rng.uniform(0.001, 0.01) for _ in range(4)]
+                + [rng.uniform(-1, 1) for _ in range(4)])
+
+    base = [vec() for _ in range(40)]
+    b1 = [(i, base[i]) for i in range(40)]
+    fresh = [vec() for _ in range(10)]
+    b2 = ([(100 + i, [x * 1.001 for x in base[i]]) for i in range(20)]
+          + [(200 + i, fresh[i]) for i in range(10)]
+          + [(300 + i, [x * 1.0005 for x in fresh[i]]) for i in range(10)])
+
+    def r6(a, b):
+        s = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return np.sign(s) * np.floor(abs(s) * 1e6 + 0.5) / 1e6
+
+    def reference():
+        kept: list[tuple[int, list]] = []
+        for batch in (b1, b2):
+            pairs = {
+                (min(x, y), max(x, y))
+                for i, (x, vx) in enumerate(batch)
+                for y, vy in batch[i + 1:]
+                if r6(vx, vy) >= 0.9
+            }
+            comp = union_find_min(pairs)
+            losers = {x for x, c in comp.items() if c < x}
+            dups = {
+                x for x, vx in batch
+                if any(r6(vx, vy) >= 0.9 for _, vy in kept)
+            }
+            kept += [(x, vx) for x, vx in batch
+                     if x not in losers and x not in dups]
+        return sorted(x for x, _ in kept)
+
+    def run(index, ck):
+        src = str(tmp_path / f"src_{os.path.basename(index)}")
+        os.makedirs(src)
+        for i, rows in enumerate([b1, b2]):
+            d = str(tmp_path / f"f_{os.path.basename(index)}_{i}")
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).coalesce(1).write.mode("overwrite").parquet(d)
+            shutil.move(glob.glob(f"{d}/part-*.parquet")[0],
+                        f"{src}/{i:02d}.parquet")
+        stream = (
+            spark.readStream
+            .schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = embed_dedup_stream(
+            stream, index, "vec_id", "embedding", threshold=0.9,
+            sign_bits=4, checkpoint_dir=ck,
+        )
+        q.awaitTermination()
+        return sorted(
+            r.vec_id
+            for r in spark.read
+            .schema("vec_id long, __v array<double>, __cell int")
+            .parquet(index).select("vec_id").collect()
+        )
+
+    untiled = run(str(tmp_path / "idx_a"), str(tmp_path / "ck_a"))
+    # 3 elements per tile against a >=40-member cell -> 1-row tiles
+    monkeypatch.setattr(stream_ops, "_VERIFY_TILE_ELEMS", 3)
+    tiled = run(str(tmp_path / "idx_b"), str(tmp_path / "ck_b"))
+    assert tiled == untiled == reference()
+    # the harness exercised the cross-batch path: every x1.001 copy of a
+    # batch-1 SURVIVOR must have been dropped against the index
+    survivors_b1 = {x for x in untiled if x < 100}
+    assert not {100 + i for i in range(20) if i in survivors_b1} & set(tiled)
