@@ -501,12 +501,18 @@ def cosine_pairs_ann(
     Candidate generation is sub-quadratic: every vector is binned by its
     ``sign_bits``-bit sign code (2^bits cells), and each vector probes its
     own cell plus the ``bits`` Hamming-1 neighbor codes (multi-probe LSH).
-    Because Hamming-1 adjacency is symmetric, generating candidates only
-    in the ``id_a < id_b`` direction loses nothing. The shuffle carries
-    (cell, id, vec) — candidate volume is Σ_cell |probers|·|members|,
-    bounded by cell occupancy, never n². Verification is exact: a
-    vectorized NumPy row-wise cosine over Arrow batches (narrow stage —
-    no second shuffle), keeping pairs ≥ ``threshold``.
+    Because Hamming-1 adjacency is symmetric, emitting a cross-cell pair
+    only from the group where prober_id < member_id (and own-cell pairs
+    triangularly) loses nothing and emits each pair exactly once.
+
+    The SHUFFLE carries each vector once per probed cell — O(n·(bits+1))
+    rows of (cell, id, vec) — never candidate PAIRS: a pair-join
+    formulation ships O(Σ_cell |probers|·|members|) rows each carrying
+    TWO vectors, which is ~n²·(bits+1)/2^bits·dim bytes — the salted
+    100× probe measured it at 1.4 billion ~1 KB rows (21 min) where this
+    per-cell form runs the same exact verification as tiled NumPy GEMMs
+    inside each cell group (seconds; memory per task bounded by
+    ``_VERIFY_TILE_ELEMS``-style blocks like ``cosine_pairs_within``).
 
     Recall contract: a pair is found iff its sign codes differ in ≤1 of
     the first ``bits`` dims. At near-dup thresholds (≥0.9) codes almost
@@ -534,49 +540,72 @@ def cosine_pairs_ann(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).withColumn("__cell", sign_code(F.col("__v"), sign_bits))
-    probe_cells = F.array(
-        F.col("__cell"),
-        *[F.col("__cell").bitwiseXOR(F.lit(1 << j)) for j in range(sign_bits)],
-    )
-    probes = v.select(
-        F.col("__id").alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.explode(probe_cells).alias("__pcell"),
-    )
     members = v.select(
-        F.col("__id").alias("id_b"),
-        F.col("__v").alias("__vb"),
+        "__id", "__v", F.lit(True).alias("__own"),
         F.col("__cell").alias("__pcell"),
     )
-    cand = probes.join(members, "__pcell").filter(F.col("id_a") < F.col("id_b"))
+    probers = v.select(
+        "__id", "__v", F.lit(False).alias("__own"),
+        F.explode(F.array(*[
+            F.col("__cell").bitwiseXOR(F.lit(1 << j))
+            for j in range(sign_bits)
+        ])).alias("__pcell"),
+    )
 
     id_t = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
 
-    def verify(batches):
+    def kernel(key, pdf):
         import numpy as np
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ma = np.stack(pdf["__va"].to_numpy())
-            mb = np.stack(pdf["__vb"].to_numpy())
-            na = np.linalg.norm(ma, axis=1)
+        own = pdf[pdf["__own"]]
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        if len(own):
+            mb = np.stack(own["__v"].to_numpy())
             nb = np.linalg.norm(mb, axis=1)
-            denom = na * nb
-            denom[denom == 0.0] = 1.0
-            sim = round_half_away(np.einsum("ij,ij->i", ma, mb) / denom, round_to)
-            keep = sim >= threshold
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy()[keep],
-                    "id_b": pdf["id_b"].to_numpy()[keep],
-                    "cos_sim": sim[keep],
-                }
-            )
+            bid = own["__id"].to_numpy()
 
-    return cand.select("id_a", "id_b", "__va", "__vb").mapInPandas(
-        verify, out_schema
+            def sim_block(rows, rn):
+                den = np.outer(rn, nb)
+                den[den == 0.0] = 1.0
+                return round_half_away((rows @ mb.T) / den, round_to)
+
+            step = max(1, 4_194_304 // len(mb))
+            # own-cell pairs: triangular over the members
+            for s in range(0, len(mb), step):
+                e = min(s + step, len(mb))
+                sim = sim_block(mb[s:e], nb[s:e])
+                for i, j in np.argwhere(sim >= threshold):
+                    x, y = bid[s + i], bid[j]
+                    if x is not None and y is not None and x < y:
+                        out_a.append(x)
+                        out_b.append(y)
+                        out_s.append(sim[i, j])
+            # Hamming-1 pairs: probers × members, emitted only where
+            # prober_id < member_id — the symmetric group (the member's
+            # own probe of the prober's cell) emits the other ordering,
+            # so each cross-cell pair appears exactly once overall
+            pr = pdf[~pdf["__own"]]
+            if len(pr):
+                ma = np.stack(pr["__v"].to_numpy())
+                na = np.linalg.norm(ma, axis=1)
+                aid = pr["__id"].to_numpy()
+                for s in range(0, len(ma), step):
+                    e = min(s + step, len(ma))
+                    sim = sim_block(ma[s:e], na[s:e])
+                    for i, j in np.argwhere(sim >= threshold):
+                        x, y = aid[s + i], bid[j]
+                        if x is not None and y is not None and x < y:
+                            out_a.append(x)
+                            out_b.append(y)
+                            out_s.append(sim[i, j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "cos_sim": np.asarray(out_s, dtype=np.float64)})
+
+    return members.unionByName(probers).groupBy("__pcell").applyInPandas(
+        kernel, out_schema
     )
 
 
