@@ -95,7 +95,8 @@ def main() -> int:
     # orders — same work, different attribution). With training its own
     # line, every embedding gate times its serve cost alone in any
     # order.
-    if os.path.exists(os.path.join(SF_DIR, "embeddings.parquet")):
+    if (os.path.exists(os.path.join(SF_DIR, "embeddings.parquet"))
+            and workload.ANN_TRAINED_QUERIES.intersection(names)):
         t0 = time.perf_counter()
         workload.pretrain_ann(spark, SF_DIR)
         timings["_ann_training"] = round(time.perf_counter() - t0, 4)

@@ -174,13 +174,17 @@ _EVENTS: list[StatementEvent] = []
 #: app alias the same inner dict as their ``_running`` view.
 _NODE_RUNNING: dict[str, dict[str, StatementRecord]] = {}
 
-#: Poll-dispatch entries for the consolidated per-app poller: group id →
-#: (owning governor, record). ONE daemon thread per app walks these —
-#: a node running hundreds of concurrent governed statements costs one
-#: polling thread, not one per statement (the status-store reads are
-#: driver-local either way; the thread count was the only per-statement
-#: cost).
-_POLL_ENTRIES: dict[str, dict[str, tuple["MemoryGovernor", StatementRecord]]] = {}
+#: Poll-dispatch ownership for the consolidated per-app poller: group id
+#: → owning governor (whose config — budget scope, monitor rates,
+#: enforcement level — that statement polls under). ONE daemon thread
+#: per app walks these — a node running hundreds of concurrent governed
+#: statements costs one polling thread, not one per statement (the
+#: status-store reads are driver-local either way; the thread count was
+#: the only per-statement cost). The statement RECORD itself lives only
+#: in _NODE_RUNNING — each fact has one home, so the two maps cannot
+#: disagree about a record, only about membership (a group present in
+#: one map alone simply neither polls nor charges).
+_POLL_ENTRIES: dict[str, dict[str, "MemoryGovernor"]] = {}
 
 #: The live consolidated poller per app (started lazily, exits when its
 #: entry table drains; both transitions happen under _NODE_LOCK so a
@@ -204,11 +208,22 @@ def _poll_loop(app_id: str) -> None:
                 if _POLLERS.get(app_id) is me:
                     _POLLERS.pop(app_id, None)
                 return
-            interval = min(gov.poll_interval for gov, _ in
+            interval = min(gov.poll_interval for gov in
                            _POLL_ENTRIES[app_id].values())
-        for group_id, (gov, rec) in entries:
-            if rec.status == "RUNNING":
+            recs = dict(_NODE_RUNNING.get(app_id, {}))
+        for group_id, gov in entries:
+            rec = recs.get(group_id)
+            if rec is None or rec.status != "RUNNING":
+                continue
+            try:
                 gov._poll_once(group_id, rec)
+            except Exception:
+                # one statement's transient poll/enforcement failure
+                # (e.g. a py4j hiccup in cancelJobGroup) must not kill
+                # the app-wide monitor: every OTHER governed statement
+                # would silently lose enforcement mid-flight. Skip the
+                # tick; the next one retries with fresh state.
+                continue
         time.sleep(interval)
 
 
@@ -216,7 +231,7 @@ def _register_running(gov: "MemoryGovernor", group_id: str,
                       rec: StatementRecord) -> None:
     with _NODE_LOCK:
         _NODE_RUNNING.setdefault(gov._app_id, {})[group_id] = rec
-        _POLL_ENTRIES.setdefault(gov._app_id, {})[group_id] = (gov, rec)
+        _POLL_ENTRIES.setdefault(gov._app_id, {})[group_id] = gov
         poller = _POLLERS.get(gov._app_id)
         if poller is None or not poller.is_alive():
             poller = threading.Thread(

@@ -428,20 +428,34 @@ def self_pairable(vec: Column, threshold: float) -> Column:
     never compares ``>= threshold``). So identical zero-norm vectors pair
     only when ``threshold <= 0`` and NaN-containing vectors never pair —
     collapsing them at a positive threshold would CHANGE semantics
-    (drop rows the pairwise stage would have kept). NULL vectors are
-    never pairable. Never returns SQL NULL (safe to negate)."""
+    (drop rows the pairwise stage would have kept). The same goes for
+    vectors whose norm² overflows to inf (an inf component, or finite
+    ~1e200 components): the verify kernels compute sim = inf/inf = NaN
+    for their identical copies, so they never pair either — the sq
+    bound below keeps them un-folded. NULL vectors are never pairable.
+    Never returns SQL NULL (safe to negate)."""
     has_nan = F.exists(vec, lambda x: F.isnan(x.cast("double")))
     sq = F.aggregate(
         vec, F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    self_sim = F.when(sq > 0.0, F.lit(1.0)).otherwise(F.lit(0.0))
+    self_sim = F.when(
+        (sq > 0.0) & (sq < F.lit(float("inf"))), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
     return (
         vec.isNotNull()
         & F.coalesce(~has_nan, F.lit(False))
         & (self_sim >= F.lit(float(threshold)))
     )
 
+
+#: Per-tile budget (in doubles) for every cell-group verify GEMM — the
+#: similarity block and its den/abs temporaries stay ≤ this many float64
+#: (~32 MB), so per-task memory is bounded regardless of cell occupancy.
+#: Shared by cosine_pairs_ann here and the streaming fused kernel
+#: (stream_ops imports it); module-level so tests can shrink it to force
+#: multi-tile paths on small data.
+_VERIFY_TILE_ELEMS = 4_194_304
 
 #: Target EXPECTED per-cell occupancy for the sign-code cell family.
 #: The verify stage is a per-cell GEMM (occupancy² work per cell), so
@@ -528,13 +542,22 @@ def cosine_pairs_ann(
     import pandas as pd
 
     if sign_bits is None:
-        first = df.select(F.size(F.col(vec_col)).alias("__d")).first()
-        dim = int(first["__d"]) if first and first["__d"] is not None else 8
-        # planning-time size estimate (file stats — no job) sizes the
-        # corpus; exact count only when stats are unavailable
-        est = _plan_size_bytes(df)
-        n = est // max(1, dim * 8) if est > 0 else df.count()
-        sign_bits = auto_sign_bits(int(n), dim)
+        # ONE exact aggregate job sizes the corpus and its width. Not
+        # the planning-time stats estimate: on derived plans (joins
+        # without column stats) sizeInBytes is the PRODUCT of child
+        # sizes — orders of magnitude high — which would walk bits to
+        # the embedding width and silently gut the ≤1-Hamming recall
+        # contract. Not a first-row peek either: size(NULL) is -1 under
+        # the legacy sizeOfNull convention and one NULL first row would
+        # yield dim=-1 → bits=1 → a 2-cell full-quadratic blowup. The
+        # count is a rounding error next to the pair stage it sizes.
+        row = df.select(
+            F.count(F.lit(1)).alias("__n"),
+            F.max(F.size(F.col(vec_col))).alias("__d"),
+        ).first()
+        dim = (int(row["__d"])
+               if row["__d"] is not None and int(row["__d"]) > 0 else 8)
+        sign_bits = auto_sign_bits(int(row["__n"]), dim)
 
     v = df.select(
         F.col(id_col).alias("__id"),
@@ -554,6 +577,10 @@ def cosine_pairs_ann(
 
     id_t = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
+    # captured by value at closure-creation time (worker processes
+    # re-import the module, so a runtime module-attr read would ignore
+    # a test's monkeypatch)
+    tile_elems = _VERIFY_TILE_ELEMS
 
     def kernel(key, pdf):
         import numpy as np
@@ -572,7 +599,7 @@ def cosine_pairs_ann(
                 den[den == 0.0] = 1.0
                 return round_half_away((rows @ mb.T) / den, round_to)
 
-            step = max(1, 4_194_304 // len(mb))
+            step = max(1, tile_elems // len(mb))
             # own-cell pairs: triangular over the members
             for s in range(0, len(mb), step):
                 e = min(s + step, len(mb))

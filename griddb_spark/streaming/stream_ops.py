@@ -347,15 +347,18 @@ def run_to_memory(
     return spark.table(table_name)
 
 
-#: Probe-side tile budget for the fused per-cell verify GEMM: the
-#: similarity matrix (and its den/abs temporaries) stays ≤ this many
-#: doubles per tile (~32 MB), so per-task memory is bounded regardless
-#: of cell occupancy — adaptive bits lag one batch behind growth and
-#: pinned bits never widen, and untiled either case materializes
-#: O(fan-in × occupancy) GB-scale frames (the 1000× salted probe OOM'd
-#: the host through 32 concurrent kernels before tiling). Module-level
-#: so tests can shrink it to force multi-tile paths on small data.
-_VERIFY_TILE_ELEMS = 4_194_304
+#: Probe-side tile budget for the fused per-cell verify GEMM — the ONE
+#: shared constant (similarity._VERIFY_TILE_ELEMS; cosine_pairs_ann
+#: tiles on the same budget). Bounds per-task memory regardless of cell
+#: occupancy: adaptive bits lag one batch behind growth and pinned bits
+#: never widen, and untiled either case materializes O(fan-in ×
+#: occupancy) GB-scale frames (the 1000× salted probe OOM'd the host
+#: through 32 concurrent kernels before tiling). Bound here as a module
+#: name so tests can monkeypatch stream_ops._VERIFY_TILE_ELEMS to force
+#: multi-tile paths on small data.
+from griddb_spark.pipeline.similarity import (  # noqa: E402
+    _VERIFY_TILE_ELEMS,
+)
 
 
 def _index_meta_read(index_path: str) -> "dict | None":
@@ -512,6 +515,17 @@ def embed_dedup_stream(
                     int(row["__n"]), dim,
                     **({"target_occ": target_occ}
                        if target_occ is not None else {}))
+                # persist the derived layout BEFORE any index data
+                # exists: a crash between this batch's append and the
+                # post-append meta update would otherwise leave cell
+                # partitions with no _meta.json, and every replay would
+                # die on the unknowable-layout ValueError below. With
+                # the meta written first, a replay re-reads these bits
+                # and converges (worst case: rows undercounts by this
+                # one batch — the documented replay bound).
+                os.makedirs(index_path, exist_ok=True)
+                _index_meta_write(index_path,
+                                  {"sign_bits": bits, "rows": 0})
         else:
             bits = sign_bits
         b0 = bdf.select(

@@ -3369,6 +3369,17 @@ def _shared_books(emb, sf_dir: str, m: int = 4, k: int = 8,
     return books
 
 
+#: Gates that serve from the train-once memo (bench pre-trains —
+#: timed as ``_ann_training`` — only when its selected names intersect
+#: this set: a focused non-embedding run must not absorb minutes of
+#: training no selected query uses).
+ANN_TRAINED_QUERIES = frozenset({
+    "pipe_cluster_kmeans", "pipe_semdedup", "pipe_ann_ivf_trained",
+    "stream_cluster_assign", "pipe_prune_prototypes", "pipe_ann_pq",
+    "pipe_ann_ivfpq", "pipe_ann_ivfpq_batch", "pipe_ann_index_serve",
+})
+
+
 def pretrain_ann(spark: SparkSession, sf_dir: str) -> None:
     """Train the shared embedding-family artifacts (adaptive k, coarse
     k-means cents, PQ codebooks, the composed IVF-PQ artifact) into the

@@ -541,6 +541,36 @@ def test_cosine_pairs_ann_supports_string_ids(spark, emb):
                for r in got)
 
 
+def test_cosine_pairs_ann_multi_tile_parity(spark, emb, monkeypatch):
+    """The per-cell kernel tiles its row side at _VERIFY_TILE_ELEMS so
+    per-task memory is bounded regardless of occupancy. Forcing 1-row
+    tiles (budget smaller than any member count) must reproduce the
+    default run exactly — including cos_sim values and the tile-relative
+    id indexing on both the own-cell triangular and Hamming-1 paths."""
+    from griddb_spark.pipeline import cosine_pairs_ann, similarity
+
+    base = emb.limit(120).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+
+    def pairs():
+        return sorted(
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in cosine_pairs_ann(
+                corpus, "vec_id", "embedding", threshold=0.9
+            ).collect()
+        )
+
+    untiled = pairs()
+    monkeypatch.setattr(similarity, "_VERIFY_TILE_ELEMS", 1)
+    assert pairs() == untiled and len(untiled) == 120
+
+
 def test_kmeans_matches_numpy_reference(spark, emb):
     """kmeans_fit + assign_clusters must reproduce a sequential NumPy
     Lloyd's under the same fixed-point contract (cosine and centroid

@@ -927,3 +927,72 @@ def test_embed_dedup_stream_tiled_verify_parity(spark, tmp_path, monkeypatch):
     # batch-1 SURVIVOR must have been dropped against the index
     survivors_b1 = {x for x in untiled if x < 100}
     assert not {100 + i for i in range(20) if i in survivors_b1} & set(tiled)
+
+
+def test_embed_dedup_stream_adaptive_first_batch_crash_replays(
+        spark, tmp_path):
+    """The FIRST adaptive batch's crash window: the derived layout is
+    persisted to _meta.json BEFORE any index data is appended, so a
+    crash between the first append and the post-append meta update
+    leaves (cells + meta{bits, rows: 0}) — a replay re-reads the bits
+    and converges, instead of dying on the unknowable-layout ValueError
+    (cells with no meta). Simulated by resetting the meta to its
+    pre-append content and deleting the only checkpoint commit."""
+    import glob
+    import json
+    import random
+    import shutil
+
+    from griddb_spark.streaming import embed_dedup_stream
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    rows += [(100 + i, rows[i][1]) for i in range(10)]  # 10 verbatim dups
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    d = str(tmp_path / "f0")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    shutil.move(glob.glob(f"{d}/part-*.parquet")[0], f"{src}/00.parquet")
+
+    def mk_stream():
+        return (spark.readStream
+                .schema("vec_id long, embedding array<double>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src))
+
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+    q = embed_dedup_stream(mk_stream(), index, "vec_id", "embedding",
+                           threshold=0.9, sign_bits=None, checkpoint_dir=ck)
+    q.awaitTermination()
+    q.stop()
+
+    def index_ids():
+        return sorted(r.vec_id for r in spark.read
+                      .schema("vec_id long, __v array<double>, __cell int")
+                      .parquet(index).select("vec_id").collect())
+
+    baseline = index_ids()
+    # every verbatim dup (ids 100+) collapsed; survivors are originals
+    # (random 8-dim vectors may near-dup each other too, so the exact
+    # original keep-set is whatever the kernel found — the invariant
+    # under test is replay convergence, asserted below)
+    assert baseline and all(i < 100 for i in baseline)
+    meta = json.load(open(f"{index}/_meta.json"))
+    bits = meta["sign_bits"]
+    # crash simulation: the append landed, the post-append meta update
+    # and the checkpoint commit did not
+    json.dump({"sign_bits": bits, "rows": 0},
+              open(f"{index}/_meta.json", "w"))
+    for c in glob.glob(f"{ck}/commits/*") + glob.glob(f"{ck}/commits/.*crc"):
+        os.remove(c)
+    q2 = embed_dedup_stream(mk_stream(), index, "vec_id", "embedding",
+                            threshold=0.9, sign_bits=None,
+                            checkpoint_dir=ck)
+    q2.awaitTermination()
+    q2.stop()
+    assert index_ids() == baseline  # replayed survivors dropped, no dups
+    meta2 = json.load(open(f"{index}/_meta.json"))
+    assert meta2["sign_bits"] == bits
