@@ -1892,3 +1892,69 @@ def test_semdedup_zero_norm_and_nan_never_fold(spark):
     # 7 (verbatim e1 dup) collapses to 3; both zero vectors and both
     # NaN vectors survive
     assert kept == [1, 2, 3, 4, 5, 6]
+
+
+def test_cosine_pairs_ann_recall_contract_at_any_bits(spark):
+    """The docstring's recall contract, pinned quantitatively: at any
+    sign_bits b, the ANN output is EXACTLY the exact near-dup pair set
+    intersected with {pairs whose sign codes differ in <=1 of the first
+    b dims} — no more (verification is exact) and no less (own-cell +
+    Hamming-1 multi-probe finds every such pair). Run at b=4 and b=12
+    on a corpus of controlled ~cos 0.93 rotations, where wider codes
+    legitimately shed cross-pair recall — the trade the docstring
+    documents and the trained-quantizer route exists to avoid."""
+    import math
+    import random
+
+    import numpy as np
+
+    from griddb_spark.pipeline import cosine_pairs_ann
+    from griddb_spark.pipeline.similarity import round_half_away
+
+    rng = random.Random(5)
+    dim, n, alpha = 16, 120, math.acos(0.93)
+    rows = []
+    vecs = {}
+    for i in range(n):
+        v = np.array([rng.gauss(0, 1) for _ in range(dim)])
+        v /= np.linalg.norm(v)
+        u = np.array([rng.gauss(0, 1) for _ in range(dim)])
+        u -= u.dot(v) * v
+        u /= np.linalg.norm(u)
+        w = math.cos(alpha) * v + math.sin(alpha) * u  # cos(v, w) = 0.93
+        vecs[i], vecs[1000 + i] = v, w
+        rows += [(i, [float(x) for x in v]), (1000 + i, [float(x) for x in w])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    ids = sorted(vecs)
+    exact = set()
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            va, vb = vecs[a], vecs[b]
+            s = float(round_half_away(
+                np.array([va.dot(vb)
+                          / (np.linalg.norm(va) * np.linalg.norm(vb))]),
+                6)[0])
+            if s >= 0.9:
+                exact.add((a, b))
+    assert len(exact) >= n  # every planted rotation pair + any extras
+
+    for bits in (4, 12):
+        codes = {
+            i: sum((1 << j) for j in range(bits) if vecs[i][j] >= 0)
+            for i in ids
+        }
+        reachable = {
+            (a, b) for a, b in exact
+            if bin(codes[a] ^ codes[b]).count("1") <= 1
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in cosine_pairs_ann(
+                df, "vec_id", "embedding", threshold=0.9, sign_bits=bits
+            ).collect()
+        }
+        assert got == reachable, f"bits={bits}"
+    # and the trade is real on this corpus: wider codes shed recall
+    # (guards against a future probe change silently widening the
+    # contract without updating the docs/tests)
