@@ -1,0 +1,54 @@
+"""perfstages: zero-overhead-off stage attribution used by bench.py to
+localize embedding-family variance (VERDICT r9 #5)."""
+
+from __future__ import annotations
+
+import time
+
+from griddb_spark.perfstages import collecting, stage
+
+
+def test_noop_when_not_collecting():
+    # no accumulator active: stage() must yield straight through
+    with stage("anything"):
+        x = 1
+    assert x == 1
+
+
+def test_stages_accumulate_and_sum_additively():
+    with collecting() as acc:
+        with stage("a"):
+            time.sleep(0.03)
+        with stage("b"):
+            time.sleep(0.01)
+        with stage("a"):  # same label accrues
+            time.sleep(0.02)
+    assert set(acc) == {"a", "b"}
+    assert acc["a"] >= 0.045 and acc["b"] >= 0.008
+
+
+def test_nested_stage_pauses_outer_so_walls_are_disjoint():
+    with collecting() as acc:
+        t0 = time.perf_counter()
+        with stage("outer"):
+            time.sleep(0.02)
+            with stage("inner"):
+                time.sleep(0.03)
+            time.sleep(0.01)
+        wall = time.perf_counter() - t0
+    # inner time is attributed ONLY to inner; outer holds the rest —
+    # the per-stage walls sum to the measured block (additive contract)
+    assert acc["inner"] >= 0.028
+    assert acc["outer"] >= 0.028 and acc["outer"] < acc["inner"] + 0.04
+    assert abs((acc["inner"] + acc["outer"]) - wall) < 0.02
+
+
+def test_collecting_restores_previous_state():
+    with collecting() as outer_acc:
+        with stage("x"):
+            with collecting() as inner_acc:
+                with stage("y"):
+                    time.sleep(0.01)
+            time.sleep(0.01)
+    assert "y" in inner_acc and "y" not in outer_acc
+    assert "x" in outer_acc
