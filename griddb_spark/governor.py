@@ -201,6 +201,7 @@ def _poll_loop(app_id: str) -> None:
     smallest registered poll_interval; exits — deregistering itself under
     the lock — when the last statement finishes."""
     me = threading.current_thread()
+    poll_fails: dict[str, int] = {}
     while True:
         with _NODE_LOCK:
             entries = list(_POLL_ENTRIES.get(app_id, {}).items())
@@ -214,15 +215,27 @@ def _poll_loop(app_id: str) -> None:
         for group_id, gov in entries:
             rec = recs.get(group_id)
             if rec is None or rec.status != "RUNNING":
+                poll_fails.pop(group_id, None)
                 continue
             try:
                 gov._poll_once(group_id, rec)
-            except Exception:
+                poll_fails.pop(group_id, None)
+            except Exception as exc:
                 # one statement's transient poll/enforcement failure
                 # (e.g. a py4j hiccup in cancelJobGroup) must not kill
                 # the app-wide monitor: every OTHER governed statement
                 # would silently lose enforcement mid-flight. Skip the
-                # tick; the next one retries with fresh state.
+                # tick; the next one retries with fresh state. A
+                # PERSISTENT failure means this statement is running
+                # un-enforced — that must be observable, not invisible:
+                # emit a rate-limited STMT_MONITOR_ERROR event (first
+                # failure, then every 50th consecutive one).
+                n = poll_fails.get(group_id, 0) + 1
+                poll_fails[group_id] = n
+                if n == 1 or n % 50 == 0:
+                    _emit(rec.request_id, "STMT_MONITOR_ERROR",
+                          f"poll failed ({n} consecutive): "
+                          f"{type(exc).__name__}: {exc}")
                 continue
         time.sleep(interval)
 

@@ -491,18 +491,24 @@ def connected_components(
     Returns (doc_id, component) for every node appearing in ``pairs``,
     component = min doc id reachable.
     """
+    from griddb_spark.perfstages import stage
+
     # materialize the caller's pair lineage ONCE before the two-direction
     # union: both union branches reference it, and only the stage below
     # an exchange is reused — an expensive pair extraction (e.g. the
-    # per-cell GEMM kernels) would otherwise execute twice
-    e = pairs.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
-    edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # per-cell GEMM kernels) would otherwise execute twice. This eager
+    # checkpoint is where the caller's pair kernel actually RUNS — the
+    # stage label attributes it correctly in bench stage maps.
+    with stage("pair_materialize"):
+        e = pairs.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).localCheckpoint(eager=True)
+    with stage("components"):
+        edges = (
+            e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
     # Stats-dispatched strategy (same pattern as the small-vocab Jaccard
     # bitmap): a near-dup pair graph is tiny relative to the corpus — its
@@ -512,15 +518,16 @@ def connected_components(
     # by-contract and goes through Arrow (two plain columns, no Row
     # objects — Row overhead is ~10× the payload); above the bound the
     # Pregel loop below is the scale path.
-    n_edges = edges.count()
-    if n_edges <= small_edges:
-        spark = pairs.sparkSession
-        pdf = edges.filter(F.col("a") < F.col("b")).toPandas()
-        comp = union_find_min(zip(pdf["a"].tolist(), pdf["b"].tolist()))
-        schema = edges.select(
-            F.col("a").alias("doc_id"), F.col("a").alias("component")
-        ).schema
-        return spark.createDataFrame(list(comp.items()), schema)
+    with stage("components"):
+        n_edges = edges.count()
+        if n_edges <= small_edges:
+            spark = pairs.sparkSession
+            pdf = edges.filter(F.col("a") < F.col("b")).toPandas()
+            comp = union_find_min(zip(pdf["a"].tolist(), pdf["b"].tolist()))
+            schema = edges.select(
+                F.col("a").alias("doc_id"), F.col("a").alias("component")
+            ).schema
+            return spark.createDataFrame(list(comp.items()), schema)
 
     # fold the first propagation round into initialization: label = min of
     # self and direct neighbors. Most near-dup clusters are 2-node (a doc

@@ -551,13 +551,23 @@ def cosine_pairs_ann(
         # the legacy sizeOfNull convention and one NULL first row would
         # yield dim=-1 → bits=1 → a 2-cell full-quadratic blowup. The
         # count is a rounding error next to the pair stage it sizes.
-        row = df.select(
-            F.count(F.lit(1)).alias("__n"),
-            F.max(F.size(F.col(vec_col))).alias("__d"),
-        ).first()
+        from griddb_spark.perfstages import stage
+
+        with stage("ann_size"):
+            row = df.select(
+                F.count(F.lit(1)).alias("__n"),
+                F.max(F.size(F.col(vec_col))).alias("__d"),
+            ).first()
         dim = (int(row["__d"])
                if row["__d"] is not None and int(row["__d"]) > 0 else 8)
         sign_bits = auto_sign_bits(int(row["__n"]), dim)
+    if sign_bits < 1:
+        # bits=0 would build F.array() with zero probe columns (opaque
+        # IndexError) and a degenerate single-cell quadratic; the
+        # contract is ≥1 hyperplane — auto_sign_bits never derives <1.
+        raise ValueError(
+            f"sign_bits must be >= 1 (got {sign_bits}); pass None to "
+            "derive it from the corpus (auto_sign_bits)")
 
     v = df.select(
         F.col(id_col).alias("__id"),
@@ -599,17 +609,33 @@ def cosine_pairs_ann(
                 den[den == 0.0] = 1.0
                 return round_half_away((rows @ mb.T) / den, round_to)
 
+            def emit(sim, row_ids):
+                # wholesale array emission: on dense near-dup cells a
+                # per-hit Python loop re-serializes the GEMM's win into
+                # scalar appends per output pair
+                ii, jj = np.nonzero(sim >= threshold)
+                if not len(ii):
+                    return
+                xs, ys = row_ids[ii], bid[jj]
+                if xs.dtype.kind == "O" or ys.dtype.kind == "O":
+                    ok = np.fromiter(
+                        (x is not None and y is not None
+                         for x, y in zip(xs, ys)),
+                        dtype=bool, count=len(xs))
+                    if not ok.all():
+                        ii, jj = ii[ok], jj[ok]
+                        xs, ys = xs[ok], ys[ok]
+                lt = xs < ys
+                out_a.append(xs[lt])
+                out_b.append(ys[lt])
+                out_s.append(sim[ii[lt], jj[lt]])
+
             step = max(1, tile_elems // len(mb))
-            # own-cell pairs: triangular over the members
+            # own-cell pairs: triangular over the members (id_a < id_b
+            # keeps each unordered pair once)
             for s in range(0, len(mb), step):
                 e = min(s + step, len(mb))
-                sim = sim_block(mb[s:e], nb[s:e])
-                for i, j in np.argwhere(sim >= threshold):
-                    x, y = bid[s + i], bid[j]
-                    if x is not None and y is not None and x < y:
-                        out_a.append(x)
-                        out_b.append(y)
-                        out_s.append(sim[i, j])
+                emit(sim_block(mb[s:e], nb[s:e]), bid[s:e])
             # Hamming-1 pairs: probers × members, emitted only where
             # prober_id < member_id — the symmetric group (the member's
             # own probe of the prober's cell) emits the other ordering,
@@ -621,15 +647,15 @@ def cosine_pairs_ann(
                 aid = pr["__id"].to_numpy()
                 for s in range(0, len(ma), step):
                     e = min(s + step, len(ma))
-                    sim = sim_block(ma[s:e], na[s:e])
-                    for i, j in np.argwhere(sim >= threshold):
-                        x, y = aid[s + i], bid[j]
-                        if x is not None and y is not None and x < y:
-                            out_a.append(x)
-                            out_b.append(y)
-                            out_s.append(sim[i, j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                             "cos_sim": np.asarray(out_s, dtype=np.float64)})
+                    emit(sim_block(ma[s:e], na[s:e]), aid[s:e])
+        if out_a:
+            return pd.DataFrame({
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s).astype(np.float64),
+            })
+        return pd.DataFrame({"id_a": [], "id_b": [],
+                             "cos_sim": np.asarray([], dtype=np.float64)})
 
     return members.unionByName(probers).groupBy("__pcell").applyInPandas(
         kernel, out_schema
@@ -1713,12 +1739,15 @@ def ivfpq_topk(
     w_cell = Window.partitionBy("q_id").orderBy(
         F.col("__cc").desc(), F.col("__cell").asc()
     )
-    probes = (
-        qc.withColumn("__pr", F.row_number().over(w_cell))
-        .filter(F.col("__pr") <= nprobe)
-        .select("q_id", "__cell")
-        .collect()  # bounded: nprobe rows per query
-    )
+    from griddb_spark.perfstages import stage
+
+    with stage("probe_route"):
+        probes = (
+            qc.withColumn("__pr", F.row_number().over(w_cell))
+            .filter(F.col("__pr") <= nprobe)
+            .select("q_id", "__cell")
+            .collect()  # bounded: nprobe rows per query
+        )
     probed: dict[int, list[int]] = {}
     for r in probes:
         probed.setdefault(r["q_id"], []).append(r["__cell"])
@@ -1970,10 +1999,13 @@ def ivfpq_index_write(
     # Cell count comes from the artifact, not the coarse_k parameter —
     # a pre-trained quantizer may carry a different k (and may have
     # dropped empty cells).
+    from griddb_spark.perfstages import stage
+
     n_cells = max(1, len(trained["cellmeans"]))
-    codes.repartition(min(n_cells, 32), F.col("cluster")).write.mode(
-        "overwrite"
-    ).partitionBy("cluster").parquet(path)
+    with stage("index_write"):
+        codes.repartition(min(n_cells, 32), F.col("cluster")).write.mode(
+            "overwrite"
+        ).partitionBy("cluster").parquet(path)
     meta = {k2: v for k2, v in trained.items() if k2 != "cents"}
     with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
         json.dump(meta, f)
@@ -2024,14 +2056,17 @@ def ivfpq_index_topk(
     w_cell = Window.partitionBy("q_id").orderBy(
         F.col("__cc").desc(), F.col("__cell").asc()
     )
-    probes = (
-        qc.withColumn("__pr", F.row_number().over(w_cell))
-        .filter(F.col("__pr") <= nprobe)
-        .select("q_id", F.col("__cell").alias("cluster"))
-        .localCheckpoint(eager=True)  # bounded: nprobe × |queries|
-    )
-    probe_cells = [int(r["cluster"]) for r in
-                   probes.select("cluster").distinct().collect()]
+    from griddb_spark.perfstages import stage
+
+    with stage("probe_route"):
+        probes = (
+            qc.withColumn("__pr", F.row_number().over(w_cell))
+            .filter(F.col("__pr") <= nprobe)
+            .select("q_id", F.col("__cell").alias("cluster"))
+            .localCheckpoint(eager=True)  # bounded: nprobe × |queries|
+        )
+        probe_cells = [int(r["cluster"]) for r in
+                       probes.select("cluster").distinct().collect()]
     reader = spark.read
     if "id_type" in meta:  # skip the footer schema-inference job
         reader = reader.schema(

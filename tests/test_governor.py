@@ -560,3 +560,44 @@ def test_node_budget_shared_across_governor_instances(spark):
     finally:
         gov_a._running.pop("xgov-big", None)
         gov_a._running.pop("xgov-small", None)
+
+
+def test_poller_emits_event_on_persistent_poll_failure(spark):
+    """ADVICE r9: a PERSISTENT _poll_once failure (e.g. cancelJobGroup
+    raising every tick) used to silently disable enforcement for that
+    statement. The poller must surface it: a rate-limited
+    STMT_MONITOR_ERROR event on the first consecutive failure (then
+    every 50th), clearing on recovery."""
+    import time as _time
+
+    from griddb_spark.governor import (
+        StatementRecord, _deregister_running, _register_running,
+        statement_events)
+
+    gov = MemoryGovernor(spark, total_memory_limit=8 * 1024 ** 3,
+                         poll_interval=0.01)
+
+    def boom(group_id, rec):
+        raise RuntimeError("py4j bridge down")
+
+    gov._poll_once = boom
+    rec = StatementRecord("xpoll-err", "SELECT poll error probe",
+                          8 * 1024 ** 3, True, 0)
+    _register_running(gov, "xpoll-err", rec)
+    try:
+        deadline = _time.time() + 5.0
+        while _time.time() < deadline:
+            errs = [e for e in statement_events()
+                    if e.event_type == "STMT_MONITOR_ERROR"
+                    and e.request_id == "xpoll-err"]
+            if errs:
+                break
+            _time.sleep(0.02)
+    finally:
+        _deregister_running(gov, "xpoll-err")
+    assert errs, "persistent poll failure emitted no observable event"
+    assert "RuntimeError" in errs[0].detail
+    assert "py4j bridge down" in errs[0].detail
+    # rate-limited: first failure + every 50th — tens of failed ticks
+    # must not flood the event stream with tens of events
+    assert len(errs) <= 3

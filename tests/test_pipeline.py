@@ -1939,6 +1939,7 @@ def test_cosine_pairs_ann_recall_contract_at_any_bits(spark):
                 exact.add((a, b))
     assert len(exact) >= n  # every planted rotation pair + any extras
 
+    reachable_by_bits = {}
     for bits in (4, 12):
         codes = {
             i: sum((1 << j) for j in range(bits) if vecs[i][j] >= 0)
@@ -1948,6 +1949,7 @@ def test_cosine_pairs_ann_recall_contract_at_any_bits(spark):
             (a, b) for a, b in exact
             if bin(codes[a] ^ codes[b]).count("1") <= 1
         }
+        reachable_by_bits[bits] = reachable
         got = {
             (r.id_a, r.id_b)
             for r in cosine_pairs_ann(
@@ -1958,3 +1960,22 @@ def test_cosine_pairs_ann_recall_contract_at_any_bits(spark):
     # and the trade is real on this corpus: wider codes shed recall
     # (guards against a future probe change silently widening the
     # contract without updating the docs/tests)
+    assert reachable_by_bits[12] < reachable_by_bits[4], (
+        "bits=12 must be a strict subset of bits=4 on this corpus — if "
+        "it is not, the probe got wider and the documented contract no "
+        "longer matches the implementation")
+
+
+def test_cosine_pairs_ann_rejects_zero_bits(spark):
+    """sign_bits=0 would build a zero-column probe array (opaque
+    IndexError pre-fix); the contract is >=1 hyperplane, enforced with
+    a descriptive ValueError."""
+    import pytest
+
+    from griddb_spark.pipeline import cosine_pairs_ann
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="sign_bits must be >= 1"):
+        cosine_pairs_ann(df, "vec_id", "embedding", sign_bits=0)
