@@ -360,6 +360,22 @@ from griddb_spark.pipeline.similarity import (  # noqa: E402
     _VERIFY_TILE_ELEMS,
 )
 
+#: Adaptive-index compaction trigger: a stable-occupancy stream never
+#: rebuckets, yet every append adds up to one small file per touched
+#: cell — unbounded file counts over a long-lived stream, growing
+#: listing/open cost even for partition-pruned known-schema probe reads.
+#: The _meta.json appends-since-last-rewrite counter upper-bounds
+#: files-per-cell growth (≤1 file per cell per append), so when it
+#: reaches this bound the index is rewritten IN PLACE at the current
+#: bits through the same side-directory + atomic-swap machinery as a
+#: rebucket (one file per cell afterwards; crash windows identical).
+#: Worst-case probe read therefore opens ≤ _COMPACT_APPENDS + 1 files
+#: per probed cell. Amortized rewrite cost is corpus/_COMPACT_APPENDS
+#: bytes per append — at 64, under 2% write amplification per batch.
+#: Module-level so tests can shrink it to force compactions on short
+#: streams.
+_COMPACT_APPENDS = 64
+
 
 def _index_meta_read(index_path: str) -> "dict | None":
     """Read the adaptive index's ``_meta.json`` (sign_bits + row count),
@@ -458,9 +474,18 @@ def embed_dedup_stream(
     → atomic directory swap (crash-recovered by :func:`_index_meta_read`)
     — so widening by one bit doubles capacity and total migration bytes
     over a corpus's life stay ≤ 2× its size. An explicit ``sign_bits``
-    int pins the layout (no meta, no migration) — the pre-existing
-    contract, kept for oracle-replayable gates. Adaptive mode refuses a
-    pre-existing index without meta (its layout bits are unknowable).
+    int pins the layout (no meta, no migration, no compaction) — the
+    pre-existing contract, kept for oracle-replayable gates. Adaptive
+    mode refuses a pre-existing index without meta (its layout bits are
+    unknowable).
+
+    **Compaction** (adaptive mode): a stable-occupancy stream never
+    rebuckets, so cell directories would accrete one small file per
+    touched cell per batch forever. The meta's appends-since-rewrite
+    counter (an O(1) upper bound on files-per-cell growth — no listing)
+    triggers an in-place rewrite at unchanged bits through the same
+    atomic-swap path once it reaches ``_COMPACT_APPENDS``, capping
+    files-per-cell and keeping long-lived streams' probe reads flat.
 
     Returns the started StreamingQuery; the deduped corpus IS the index
     (``spark.read.parquet(index_path)``).
@@ -479,6 +504,8 @@ def embed_dedup_stream(
     tile_elems = _VERIFY_TILE_ELEMS
 
     def _batch(bdf: DataFrame, _bid: int) -> None:
+        from griddb_spark.perfstages import stage
+
         if bdf.isEmpty():
             return
         spark = bdf.sparkSession
@@ -552,20 +579,21 @@ def embed_dedup_stream(
         foldable = F.col(id_col).isNotNull() & self_pairable(
             F.col("__v"), threshold
         )
-        b = (
-            b0.filter(foldable)
-            .groupBy("__v", "__cell")
-            .agg(F.min(id_col).alias(id_col))
-            .select(id_col, "__v", "__cell")
-            .unionByName(b0.filter(~foldable))
-            .localCheckpoint(eager=True)
-        )
-        # one tiny job serves the probe-cell set, the batch size, the
-        # append task sizing, and (adaptive mode) the embedding width
-        cell_counts = b.groupBy("__cell").agg(
-            F.count(F.lit(1)).alias("count"),
-            F.max(F.size("__v")).alias("dim"),
-        ).collect()
+        with stage("batch_prep"):
+            b = (
+                b0.filter(foldable)
+                .groupBy("__v", "__cell")
+                .agg(F.min(id_col).alias(id_col))
+                .select(id_col, "__v", "__cell")
+                .unionByName(b0.filter(~foldable))
+                .localCheckpoint(eager=True)
+            )
+            # one tiny job serves the probe-cell set, the batch size, the
+            # append task sizing, and (adaptive mode) the embedding width
+            cell_counts = b.groupBy("__cell").agg(
+                F.count(F.lit(1)).alias("count"),
+                F.max(F.size("__v")).alias("dim"),
+            ).collect()
         cells = {r["__cell"] for r in cell_counts}
         batch_rows = sum(r["count"] for r in cell_counts)
         dim = max((r["dim"] for r in cell_counts
@@ -675,13 +703,27 @@ def embed_dedup_stream(
                     bv = own["__vid"].to_numpy()
                     for s, e in tiles(len(mb)):
                         r6 = r6_sim(ma[s:e], na[s:e], mb, nb)
-                        for i, j in np.argwhere(r6 >= threshold):
-                            x, y = av[s + i], bv[j]
-                            if x is None or y is None or x == y:
-                                continue  # NULL ids never pair; no self
-                            out_k.append(0)
-                            out_a.append(min(x, y))
-                            out_b.append(max(x, y))
+                        # wholesale array emission (no per-hit Python
+                        # loop): NULL ids never pair; no self-pairs
+                        ii, jj = np.nonzero(r6 >= threshold)
+                        if not len(ii):
+                            continue
+                        xs, ys = av[s + ii], bv[jj]
+                        if xs.dtype.kind == "O" or ys.dtype.kind == "O":
+                            ok = np.fromiter(
+                                (x is not None and y is not None
+                                 and x != y for x, y in zip(xs, ys)),
+                                dtype=bool, count=len(xs))
+                        else:
+                            ok = xs != ys
+                        if not ok.all():
+                            xs, ys = xs[ok], ys[ok]
+                        if not len(xs):
+                            continue
+                        sw = ys < xs
+                        out_k.append(np.zeros(len(xs), dtype=np.int32))
+                        out_a.append(np.where(sw, ys, xs))
+                        out_b.append(np.where(sw, xs, ys))
                 ix = pdf[pdf["__side"] == 1]
                 if len(ix):  # duplicates of already-indexed vectors
                     mb = np.stack(ix["__vec"].to_numpy())
@@ -689,18 +731,33 @@ def embed_dedup_stream(
                     for s, e in tiles(len(mb)):
                         r6 = r6_sim(ma[s:e], na[s:e], mb, nb)
                         hit = np.flatnonzero((r6 >= threshold).any(axis=1))
-                        for i in hit:
-                            if av[s + i] is None:
-                                continue  # NULL-id rows always survive
-                            out_k.append(1)
-                            out_a.append(av[s + i])
-                            out_b.append(av[s + i])
-            return pd.DataFrame({"__kind": pd.Series(out_k, dtype="int32"),
-                                 "__a": out_a, "__b": out_b})
+                        if not len(hit):
+                            continue
+                        xs = av[s + hit]
+                        if xs.dtype.kind == "O":
+                            # NULL-id rows always survive
+                            xs = xs[np.fromiter(
+                                (x is not None for x in xs),
+                                dtype=bool, count=len(xs))]
+                        if not len(xs):
+                            continue
+                        out_k.append(np.ones(len(xs), dtype=np.int32))
+                        out_a.append(xs)
+                        out_b.append(xs)
+            if out_k:
+                return pd.DataFrame({
+                    "__kind": pd.Series(np.concatenate(out_k),
+                                        dtype="int32"),
+                    "__a": np.concatenate(out_a),
+                    "__b": np.concatenate(out_b),
+                })
+            return pd.DataFrame({"__kind": pd.Series([], dtype="int32"),
+                                 "__a": [], "__b": []})
 
-        found = both.groupBy("__pcell").applyInPandas(
-            verify_cell, f"__kind int, __a {id_t}, __b {id_t}"
-        ).collect()
+        with stage("verify"):
+            found = both.groupBy("__pcell").applyInPandas(
+                verify_cell, f"__kind int, __a {id_t}, __b {id_t}"
+            ).collect()
         # pairs/dups are bounded by the batch by construction, so the
         # components + loser set resolve driver-side in the same job
         # (union-find over the collected pairs) — the distributed
@@ -739,9 +796,10 @@ def embed_dedup_stream(
             spark.sparkContext.defaultParallelism,
             (1 << bits) // 64 + keep_rows // 100_000,
         ))
-        keep.select(id_col, "__v", "__cell").repartition(
-            n_tasks, F.col("__cell")
-        ).write.mode("append").partitionBy("__cell").parquet(index_path)
+        with stage("append"):
+            keep.select(id_col, "__v", "__cell").repartition(
+                n_tasks, F.col("__cell")
+            ).write.mode("append").partitionBy("__cell").parquet(index_path)
         if not adaptive:
             return
         # adaptive occupancy control: when the indexed row count outgrows
@@ -753,35 +811,50 @@ def embed_dedup_stream(
         # UNDERCOUNTS rows by one batch (replayed survivors drop against
         # their indexed copies, contributing keep_rows=0) — occupancy
         # drift bounded by one batch, never a layout inconsistency.
+        #
+        # The SAME rewrite also runs as COMPACTION at unchanged bits: a
+        # stable-occupancy stream never rebuckets yet accretes one file
+        # per touched cell per append forever, growing listing/open cost
+        # without bound. The appends-since-last-rewrite counter in
+        # _meta.json upper-bounds files-per-cell growth (each append adds
+        # at most one file per cell), so triggering at _COMPACT_APPENDS
+        # caps files-per-cell at ~(appends bound + 1) with an O(1)
+        # decision — no directory listing, which on object stores is the
+        # very cost being bounded.
         import shutil
 
         total = int(meta.get("rows", 0)) + keep_rows
+        appends = int(meta.get("appends", 0)) + 1
         occ_kw = ({"target_occ": target_occ}
                   if target_occ is not None else {})
         needed = auto_sign_bits(total, dim, **occ_kw)
-        if needed > bits:
-            tmp = index_path + ".__rebucket"
-            old = index_path + ".__old"
-            if os.path.isdir(tmp):
-                shutil.rmtree(tmp)
-            idx_schema = (b.select(id_col, "__v").schema
-                          .add("__cell", "integer"))
-            n_mig = max(1, min(
-                spark.sparkContext.defaultParallelism,
-                (1 << min(needed, 30)) // 64 + total // 100_000,
-            ))
-            (spark.read.schema(idx_schema).parquet(index_path)
-             .select(id_col, "__v",
-                     sign_code(F.col("__v"), needed).alias("__cell"))
-             .repartition(n_mig, F.col("__cell"))
-             .write.mode("overwrite").partitionBy("__cell").parquet(tmp))
-            _index_meta_write(tmp, {"sign_bits": needed, "rows": total})
-            os.rename(index_path, old)
-            os.rename(tmp, index_path)
-            shutil.rmtree(old)
+        if needed > bits or appends >= _COMPACT_APPENDS:
+            with stage("index_rewrite"):
+                tmp = index_path + ".__rebucket"
+                old = index_path + ".__old"
+                if os.path.isdir(tmp):
+                    shutil.rmtree(tmp)
+                idx_schema = (b.select(id_col, "__v").schema
+                              .add("__cell", "integer"))
+                n_mig = max(1, min(
+                    spark.sparkContext.defaultParallelism,
+                    (1 << min(needed, 30)) // 64 + total // 100_000,
+                ))
+                (spark.read.schema(idx_schema).parquet(index_path)
+                 .select(id_col, "__v",
+                         sign_code(F.col("__v"), needed).alias("__cell"))
+                 .repartition(n_mig, F.col("__cell"))
+                 .write.mode("overwrite").partitionBy("__cell")
+                 .parquet(tmp))
+                _index_meta_write(tmp, {"sign_bits": needed, "rows": total,
+                                        "appends": 0})
+                os.rename(index_path, old)
+                os.rename(tmp, index_path)
+                shutil.rmtree(old)
         else:
             _index_meta_write(index_path,
-                              {"sign_bits": bits, "rows": total})
+                              {"sign_bits": bits, "rows": total,
+                               "appends": appends})
 
     writer = stream.writeStream.foreachBatch(_batch).trigger(availableNow=True)
     if checkpoint_dir:

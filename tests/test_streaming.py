@@ -704,7 +704,7 @@ def test_embed_dedup_stream_adaptive_sign_bits_migrates_index(spark, tmp_path):
     # batch 1 derives 9 bits from its own 300 rows (first-batch sizing),
     # 600 outgrow 1×2^9 after batch 2 (→10 bits) — one migration, no
     # manual retuning
-    assert meta == {"sign_bits": 10, "rows": 600}
+    assert meta == {"sign_bits": 10, "rows": 600, "appends": 0}
     kept = sorted(
         r.vec_id
         for r in spark.read
@@ -996,3 +996,216 @@ def test_embed_dedup_stream_adaptive_first_batch_crash_replays(
     assert index_ids() == baseline  # replayed survivors dropped, no dups
     meta2 = json.load(open(f"{index}/_meta.json"))
     assert meta2["sign_bits"] == bits
+
+
+def test_embed_dedup_stream_compaction_bounds_file_count(
+        spark, tmp_path, monkeypatch):
+    """Long-stream file-growth bound: at stable occupancy the adaptive
+    index never rebuckets, so without compaction a hot cell accretes one
+    file per micro-batch forever (50 batches -> ~50 files). The
+    appends-since-rewrite counter triggers an in-place rewrite (same
+    bits, same atomic-swap machinery) at _COMPACT_APPENDS, so ~50
+    micro-batches must leave files-per-cell bounded by the trigger --
+    with survivors IDENTICAL to the exact first-seen-wins reference
+    (compaction is layout-only; all vectors share one sign cell by
+    construction, so recall is exact and the reference is closed-form).
+    """
+    import glob
+    import json
+    import random
+    import shutil
+
+    import numpy as np
+
+    from griddb_spark.pipeline.dedup import union_find_min
+    from griddb_spark.streaming import embed_dedup_stream, stream_ops
+
+    rng = random.Random(11)
+    dim, n_batches, per_batch = 16, 50, 8
+
+    def vec():
+        # first 8 dims pinned positive => every vector lands in the
+        # all-ones 8-bit sign cell: one HOT cell touched by every batch
+        # (the adversarial file-growth shape); the gaussian tail sets
+        # the direction so most cross pairs sit below the threshold
+        return [0.1] * 8 + [rng.gauss(0, 1) for _ in range(dim - 8)]
+
+    batches = []
+    fresh: list = []
+    for bi in range(n_batches):
+        rows = [(bi * 100 + j, vec()) for j in range(per_batch - 2)]
+        if fresh:  # 2 verbatim duplicates of earlier rows per batch
+            rows += [(bi * 100 + 90 + k, rng.choice(fresh)[1])
+                     for k in range(2)]
+        fresh += rows[:per_batch - 2]
+        batches.append(rows)
+
+    def r6(a, b):
+        s = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return np.sign(s) * np.floor(abs(s) * 1e6 + 0.5) / 1e6
+
+    def reference():
+        kept: list[tuple[int, list]] = []
+        for batch in batches:
+            pairs = {
+                (min(x, y), max(x, y))
+                for i, (x, vx) in enumerate(batch)
+                for y, vy in batch[i + 1:]
+                if r6(vx, vy) >= 0.9
+            }
+            comp = union_find_min(pairs)
+            losers = {x for x, c in comp.items() if c < x}
+            dups = {
+                x for x, vx in batch
+                if any(r6(vx, vy) >= 0.9 for _, vy in kept)
+            }
+            kept += [(x, vx) for x, vx in batch
+                     if x not in losers and x not in dups]
+        return sorted(x for x, _ in kept)
+
+    monkeypatch.setattr(stream_ops, "_COMPACT_APPENDS", 8)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        d = str(tmp_path / f"f{i}")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(glob.glob(f"{d}/part-*.parquet")[0],
+                    f"{src}/{i:02d}.parquet")
+    index = str(tmp_path / "index")
+    q = embed_dedup_stream(
+        spark.readStream
+        .schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        index, "vec_id", "embedding", threshold=0.9, sign_bits=None,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    q.stop()
+
+    kept = sorted(
+        r.vec_id for r in spark.read
+        .schema("vec_id long, __v array<double>, __cell int")
+        .parquet(index).select("vec_id").collect())
+    assert kept == reference()  # compaction is layout-only
+    # every cell stays within trigger+1 files: 50 appends into ONE hot
+    # cell would reach ~50 files if compaction never fired
+    per_cell = {
+        e: len(glob.glob(f"{index}/{e}/*.parquet"))
+        for e in os.listdir(index) if e.startswith("__cell=")
+    }
+    assert per_cell and max(per_cell.values()) <= 8 + 1
+    meta = json.load(open(f"{index}/_meta.json"))
+    # the counter proves rewrites fired and reset (50 appends can never
+    # legally end with >= 8 uncompacted ones), at unchanged layout bits
+    assert meta["appends"] < 8
+    assert meta["sign_bits"] == 8
+
+
+def test_rebucket_swap_crash_windows_pick_consistent_layout(spark, tmp_path):
+    """The three rebucket-swap crash windows (stream_ops rebucket tail:
+    side-dir complete -> rename(index, old) -> rename(tmp, index) ->
+    rmtree(old)) each leave _index_meta_read one consistent layout:
+
+    A. killed AFTER the side-directory _meta.json write but BEFORE any
+       rename: live index untouched -> ROLL BACK (stale side dir
+       removed; old bits stay live);
+    B. killed BETWEEN the two renames: no live index, complete side dir
+       -> ROLL FORWARD (side dir becomes the index at the new bits);
+    C. killed before rmtree(old): live new index + stale old -> old
+       removed.
+
+    Layout and metadata always agree because the meta rides inside the
+    renamed directory. After the window-B roll-forward, a continuing
+    stream batch must dedup against the MIGRATED layout."""
+    import glob
+    import json
+    import os as _os
+    import random
+    import shutil
+
+    from griddb_spark.streaming import embed_dedup_stream
+    from griddb_spark.streaming.stream_ops import (
+        _index_meta_read, _index_meta_write)
+
+    rng = random.Random(23)
+    dim, n = 16, 20
+    vecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+
+    def cell(v, bits):
+        return sum(1 << j for j in range(bits) if v[j] >= 0)
+
+    index = str(tmp_path / "index")
+    tmp = index + ".__rebucket"
+    old = index + ".__old"
+
+    def build(path, bits, rows):
+        if _os.path.isdir(path):
+            shutil.rmtree(path)
+        spark.createDataFrame(
+            [(i, v, cell(v, bits)) for i, v in enumerate(vecs)],
+            "vec_id long, __v array<double>, __cell int",
+        ).write.partitionBy("__cell").parquet(path)
+        _index_meta_write(path, {"sign_bits": bits, "rows": rows,
+                                 "appends": 0})
+
+    def live_cells(path):
+        return sorted(int(e.split("=")[1]) for e in _os.listdir(path)
+                      if e.startswith("__cell="))
+
+    # window A: side dir complete (its meta was the LAST write), crash
+    # before rename(index, old) — the live 8-bit index must stay live
+    build(index, 8, n)
+    build(tmp, 9, n)
+    meta = _index_meta_read(index)
+    assert meta == {"sign_bits": 8, "rows": n, "appends": 0}
+    assert not _os.path.isdir(tmp) and not _os.path.isdir(old)
+    assert live_cells(index) == sorted({cell(v, 8) for v in vecs})
+
+    # window B: crash between rename(index, old) and rename(tmp, index)
+    # — roll FORWARD to the completed 9-bit side dir, drop the old copy
+    build(tmp, 9, n)
+    _os.rename(index, old)
+    meta = _index_meta_read(index)
+    assert meta == {"sign_bits": 9, "rows": n, "appends": 0}
+    assert not _os.path.isdir(tmp) and not _os.path.isdir(old)
+    assert live_cells(index) == sorted({cell(v, 9) for v in vecs})
+
+    # window C: crash before rmtree(old) — stale old removed, live
+    # index untouched
+    shutil.copytree(index, old)
+    meta = _index_meta_read(index)
+    assert meta == {"sign_bits": 9, "rows": n, "appends": 0}
+    assert not _os.path.isdir(old)
+
+    # a continuing stream batch deduplicates against the ROLLED-FORWARD
+    # 9-bit layout: verbatim copies of indexed vectors drop, fresh rows
+    # append into 9-bit cells
+    fresh = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(5)]
+    rows = ([(100 + i, vecs[i]) for i in range(5)]
+            + [(200 + i, v) for i, v in enumerate(fresh)])
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    d = str(tmp_path / "f0")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    shutil.move(glob.glob(f"{d}/part-*.parquet")[0], f"{src}/00.parquet")
+    q = embed_dedup_stream(
+        spark.readStream
+        .schema("vec_id long, embedding array<double>").parquet(src),
+        index, "vec_id", "embedding", threshold=0.9, sign_bits=None,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    q.stop()
+    kept = sorted(
+        r.vec_id for r in spark.read
+        .schema("vec_id long, __v array<double>, __cell int")
+        .parquet(index).select("vec_id").collect())
+    assert kept == list(range(n)) + [200 + i for i in range(5)]
+    meta = json.load(open(f"{index}/_meta.json"))
+    assert meta["sign_bits"] == 9 and meta["rows"] == n + 5
+    assert live_cells(index) == sorted(
+        {cell(v, 9) for v in vecs} | {cell(v, 9) for v in fresh})
