@@ -292,8 +292,13 @@ def write_bucketed(
     if wh.startswith("file:"):
         wh = wh[len("file:"):]
     shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
-    w = df.write.mode("overwrite").format("parquet").bucketBy(
-        n_buckets, key)
+    # cluster writer tasks on the bucket key first: otherwise every task
+    # writes a sliver into every bucket (tasks × buckets small files), and
+    # the scan only trusts within-bucket ORDER (skipping the SMJ sort)
+    # when each bucket holds a single file
+    w = (df.repartition(n_buckets, F.col(key))
+         .write.mode("overwrite").format("parquet")
+         .bucketBy(n_buckets, key))
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)

@@ -76,6 +76,13 @@ def get_spark(
         # pool, which schedules FIFO within itself — behaviorally
         # identical to FIFO mode for one-statement-at-a-time workloads.
         .config("spark.scheduler.mode", "FAIR")
+        # write_bucketed guarantees ONE sorted file per bucket (it
+        # clusters writer tasks on the bucket key), so the scan may
+        # expose the within-bucket sort order and sort-merge joins on
+        # the bucket key skip their Sort too — Spark gates that
+        # inference behind this flag (it checks files-per-bucket<=1 per
+        # query, so multi-file buckets from other writers stay safe)
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

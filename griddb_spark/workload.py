@@ -3349,7 +3349,11 @@ def _shared_cents(emb, sf_dir: str) -> list:
     key = ("cents", sf_dir, _emb_fingerprint(sf_dir), coarse_k)
     cents = _ANN_TRAIN_CACHE.get(key)
     if cents is None:
-        cents = kmeans_fit(emb, "vec_id", "embedding", k=coarse_k, iters=1)
+        from griddb_spark.perfstages import stage
+
+        with stage("train_kmeans"):
+            cents = kmeans_fit(emb, "vec_id", "embedding", k=coarse_k,
+                               iters=1)
         _ann_cache_put(key, cents)
     return cents
 
@@ -3363,8 +3367,11 @@ def _shared_books(emb, sf_dir: str, m: int = 4, k: int = 8,
     key = ("books", sf_dir, _emb_fingerprint(sf_dir), m, k, in_dim)
     books = _ANN_TRAIN_CACHE.get(key)
     if books is None:
-        books = pq_train(emb, "vec_id", "embedding", in_dim, m=m, k=k,
-                         iters=1)
+        from griddb_spark.perfstages import stage
+
+        with stage("train_pq"):
+            books = pq_train(emb, "vec_id", "embedding", in_dim, m=m, k=k,
+                             iters=1)
         _ann_cache_put(key, books)
     return books
 
@@ -3405,10 +3412,14 @@ def _ivfpq_trained(emb, sf_dir: str, m: int = 4, k: int = 8,
            in_dim)
     art = _ANN_TRAIN_CACHE.get(key)
     if art is None:
-        art = ivfpq_train(emb, "vec_id", "embedding", in_dim,
-                          coarse_k=coarse_k, m=m, k=k,
-                          cents=_shared_cents(emb, sf_dir),
-                          books=_shared_books(emb, sf_dir, m, k, in_dim))
+        from griddb_spark.perfstages import stage
+
+        cents = _shared_cents(emb, sf_dir)
+        books = _shared_books(emb, sf_dir, m, k, in_dim)
+        with stage("train_ivfpq"):
+            art = ivfpq_train(emb, "vec_id", "embedding", in_dim,
+                              coarse_k=coarse_k, m=m, k=k,
+                              cents=cents, books=books)
         _ann_cache_put(key, art)
     return art
 
@@ -5449,7 +5460,7 @@ def stream_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     index = tempfile.mkdtemp(prefix="embdedup_idx_") + "/index"
     q = embed_dedup_stream(
-        stream, index, "vec_id", "embedding", threshold=0.9, sign_bits=8,
+        stream, index, "vec_id", "embedding", threshold=0.9, sign_bits=None,
         checkpoint_dir=tempfile.mkdtemp(
             prefix=f"embdedup_ck_{_uuid.uuid4().hex[:6]}_"),
     )
@@ -6729,7 +6740,7 @@ def pipe_dedup_embed_canonical_ann(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("rep").alias("id_a"), F.explode("members").alias("id_b")
     ).filter(F.col("id_a") != F.col("id_b"))
     ann_pairs = cosine_pairs_ann(
-        reps, "vec_id", "embedding", threshold=0.9, sign_bits=8
+        reps, "vec_id", "embedding", threshold=0.9, sign_bits=None
     ).select("id_a", "id_b")
     pairs = ann_pairs.unionByName(exact_edges)
     comps = connected_components(pairs, src="id_a", dst="id_b")
@@ -7471,6 +7482,66 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("o_orderkey") == li.l_orderkey)
         .join(F.broadcast(big.select(big.l_orderkey.alias("__bk"))),
               F.col("o_orderkey") == F.col("__bk"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(_dsum("l_quantity").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "join_bucketed_q18",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def join_bucketed_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 over BUCKETED fact tables — the driver-gated form of the 100×
+    layout receipt (scripts/probe_bucketed_100x.json: q18 8.3× faster,
+    exchanges 5→3, identical results). ``write_bucketed`` hash-clusters
+    lineitem and orders by their shared join key at write time (the
+    Spark seat of GridDB's affinity-key sub-container placement,
+    sql_parser.h:300-303), and the layout-aware join order runs the
+    fact⋈fact orderkey join AND the HAVING groupBy with ZERO exchange:
+    the only shuffles left are the custkey join's two. The merge hint
+    pins sort-merge on the co-located join so the plan shape (pinned in
+    tests/test_plans.py) is scale-independent — at tiny sf the planner
+    would otherwise broadcast and hide the co-location."""
+    from griddb_spark.catalog import write_bucketed
+
+    c = cat(spark, sf_dir)
+    write_bucketed(c.load("lineitem"), "li_bkt_q18", "l_orderkey", 8,
+                   sort_cols=("l_orderkey",))
+    write_bucketed(c.load("orders"), "ord_bkt_q18", "o_orderkey", 8,
+                   sort_cols=("o_orderkey",))
+    li = spark.table("li_bkt_q18")
+    orders = spark.table("ord_bkt_q18")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(_dec("l_quantity")).alias("__sq"))
+           .filter(F.col("__sq") > 150)
+           .select(F.col("l_orderkey").alias("__bk")))
+    oli = (orders.hint("merge")
+           .join(li.select("l_orderkey", "l_quantity"),
+                 F.col("o_orderkey") == F.col("l_orderkey"))
+           .join(F.broadcast(big),
+                 F.col("o_orderkey") == F.col("__bk"), "left_semi"))
+    return (
+        oli.join(c.load("customer"),
+                 F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                  "o_totalprice")
         .agg(_dsum("l_quantity").alias("sum_qty"))

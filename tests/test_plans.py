@@ -830,3 +830,39 @@ def test_no_index_scan_hint_on_aliased_table(spark, catalog):
     assert not any("o_totalprice" in f for f in pushed)
     assert sorted(map(tuple, plain.collect())) == \
         sorted(map(tuple, hinted.collect()))
+
+
+def test_bucketed_q18_eliminates_fact_join_exchanges(spark):
+    """join_bucketed_q18's co-location receipt, regression-pinned: with
+    lineitem and orders bucketed (+sorted) on the orderkey, the
+    fact-to-fact join AND the HAVING groupBy plan with NO exchange and
+    NO sort — the only shuffles left are the custkey join's. The plain
+    q18 plan over the same data keeps its orderkey exchanges, so the
+    pin also proves the bucketed layout (not tiny-sf planning) removed
+    them. This is the plan shape the 100x probe measured at 8.3x
+    (scripts/probe_bucketed_100x.json, exchanges 5 -> 3)."""
+    from griddb_spark import workload
+
+    bucketed = _plan(
+        workload.QUERIES["join_bucketed_q18"](spark, SF_DIR))
+    plain = _plan(
+        workload.QUERIES["q18_large_volume"](spark, SF_DIR))
+
+    # bucketed scans announce themselves, and the hinted fact join is a
+    # sort-merge join (broadcast would hide the co-location)
+    assert "Bucketed: true" in bucketed
+    assert "SortMergeJoin" in bucketed
+    # ZERO exchange keyed on the bucket key: neither the orderkey join
+    # nor the HAVING groupBy repartitions (both sides pre-clustered)
+    assert "hashpartitioning(l_orderkey" not in bucketed
+    assert "hashpartitioning(o_orderkey" not in bucketed
+    # the custkey join legitimately shuffles; nothing else may
+    shuffles = bucketed.count("Exchange hashpartitioning")
+    assert shuffles <= 2, bucketed
+    # the sorted buckets also satisfy the SMJ's ordering: no Sort node
+    # directly feeding the merge join on the bucket key
+    assert bucketed.count("Sort [l_orderkey") == 0
+    # control: the plain layout DOES pay orderkey exchanges (at least
+    # the HAVING groupBy), so the pin fails loudly if the comparison
+    # ever stops being meaningful
+    assert "hashpartitioning(l_orderkey" in plain
