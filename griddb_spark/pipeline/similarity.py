@@ -1722,11 +1722,26 @@ def ivfpq_topk(
         round_to = trained["round_to"]
         m, k, in_dim = trained["m"], trained["k"], trained["in_dim"]
     books = [[(int(c), cv) for c, cv in b] for b in trained["codebooks"]]
-    # exchange barrier: the per-query plan branches below reuse ONE
-    # materialized encode (ReusedExchange) instead of re-encoding the
-    # corpus per branch / per pushed-down filter
-    codes = _ivfpq_encoded(df, id_col, vec_col, trained,
-                           cell_exchange=True)
+    # EAGER materialization, not just an exchange barrier: this form
+    # fans out into one plan branch PER QUERY below, and relying on AQE
+    # ReusedExchange to share the encode across N branches proved
+    # unreliable under load — identically-ordered repeats on the 100×
+    # corpus swung 5-48 s with the swing isolated to re-executed Arrow
+    # encode work, while a checkpointed encode repeats at a stable
+    # 2.5-5 s (scripts/probe_ann_stage_variance.json + BASELINE.md
+    # §Round-10). The stored blocks are the COMPRESSED codes (id + cell
+    # + m small ints — the same volume the persisted index writes), not
+    # raw vectors; the on-disk index (ivfpq_index_topk) remains the
+    # 100 TB serve path.
+    from griddb_spark.perfstages import stage
+
+    with stage("encode"):
+        # no cell_exchange here: the checkpoint truncates lineage, so
+        # the pushdown hazard the exchange guarded against cannot reach
+        # the encode projection, and the extra shuffle only added
+        # another pandas-UDF-feeding stage to pay for
+        codes = _ivfpq_encoded(df, id_col, vec_col, trained)\
+            .localCheckpoint(eager=True)
     spark = df.sparkSession
     cellmeans = _cellmeans_df(spark, trained)
     q_rows = [(int(q_id), [float(x) for x in qv]) for q_id, qv in queries]
