@@ -1551,6 +1551,17 @@ def pq_adc_topk(
     """
     from pyspark.sql import Window
 
+    from griddb_spark.perfstages import stage
+
+    if len(queries) > 1:
+        # this fans into one plan branch per query: materialize the
+        # caller's codes ONCE so the (possibly pandas-UDF) encode never
+        # re-executes per branch — the same hazard ivfpq_topk fixed
+        # (AQE exchange reuse proved unreliable across N branches;
+        # BASELINE.md §Round-10). Compressed codes only — m small ints
+        # per row.
+        with stage("encode"):
+            codes = codes.localCheckpoint(eager=True)
     id_type = codes.schema[id_col].dataType
     per_q = []
     for q_id, qv in queries:
