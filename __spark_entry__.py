@@ -40,170 +40,61 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-#: Union of queries sampled in CORRECTNESS_r01-r04 (the driver samples the
-#: first ~50 iteration-order entries each round). Listing already-sampled
-#: names LAST rotates every never-sampled query — the TPC-H tail, the
-#: streaming sketch family, the late pipeline ops — to the front so each
-#: round's sample covers maximum fresh surface. Purely an ordering change;
-#: the inventory is identical.
-_SAMPLED_R1_R4 = [
-    "agg_distinct", "agg_group_concat", "agg_stats", "asof_join_tolerance",
-    "asof_join_users", "composite_key_multiget", "ddl_alter_table",
-    "ddl_create_view", "dml_update_delete", "gis_mbr_join",
-    "gis_qsf_probe", "join_cross_theta", "join_full_outer",
-    "join_inner_5way", "join_left_outer", "join_semi_anti", "limit_offset",
-    "match_recognize_spikes", "max_min_rows", "meta_access_control",
-    "meta_databases", "meta_index_info", "meta_primary_keys",
-    "meta_tables", "nano_ts_fidelity", "natural_join", "nosql_multiget",
-    "partition_pruned_point_lookup", "partition_pruned_scan",
-    "partition_pruned_scan_rh", "pipe_ann_ivf", "pipe_chunk_documents",
-    "pipe_decontaminate", "pipe_dedup_canonical", "pipe_dedup_components",
-    "pipe_dedup_embed_cosine", "pipe_dedup_exact", "pipe_dedup_minhash",
-    "pipe_dedup_minhash_collapsed", "pipe_dedup_ngram",
-    "pipe_dedup_ngram_collapsed", "pipe_dedup_simhash",
-    "pipe_embed_normalize", "pipe_fingerprint", "pipe_knn_cosine",
-    "pipe_lang_id", "pipe_lm_score", "pipe_multimodal_frames",
-    "pipe_multimodal_meta", "pipe_multimodal_resize",
-    "pipe_pack_sequences", "pipe_pii_scrub", "pipe_profile_stats",
-    "pipe_quality_repetition", "pipe_sample_stratified",
-    "pipe_text_quality", "pipe_url_dedup", "pipe_url_domains",
-    "pipe_vocab_topk", "q1_pricing_summary", "range_15m_fill_linear",
-    "range_15m_fill_null", "range_15m_fill_prev", "range_20m_offset",
-    "range_hour_none", "scalar_array_funcs", "scalar_bitwise_ops",
-    "scalar_case_in_between", "scalar_glob_like", "scalar_json_props",
-    "scalar_numeric_funcs", "scalar_string_funcs", "scalar_string_funcs2",
-    "scalar_time_ctors", "scalar_time_funcs", "scalar_time_tz",
-    "sessionize_events", "setops", "sort_topk", "sql_batch_update",
-    "sql_explain", "sql_frontend_group_by_range",
-    "sql_prepared_statement", "stream_continuous_aggregate",
-    "stream_dedup", "stream_dedup_embed", "stream_ema_anomaly",
-    "stream_group_by_range", "stream_interval_join", "stream_sessionize",
-    "stream_sliding_window", "subquery_fold", "time_avg_per_user",
-    "time_interpolated_per_user", "time_next_per_user",
-    "time_prev_only_per_user", "time_sampling_no_interp",
-    "time_sampling_user3", "time_window_agg", "tql_aggregation",
-    "tql_geometry_probe", "tql_select_where_order_limit",
-    "ts_continuous_aggregate", "ts_row_expiration",
-    "ts_weighted_avg_range", "window_funcs",
-]
+def _last_seen() -> dict[str, tuple[int, int]]:
+    """Latest official driver certification per query name, derived by
+    reading the committed ``CORRECTNESS_r*.json`` artifacts in the repo
+    root at call time.
 
+    The driver samples the first ~50 iteration-order entries of
+    ``queries()`` each round, so ``queries()`` orders never-sampled names
+    first, then stalest-certification-first. Round 10 showed why this must
+    be DERIVED rather than hand-maintained: the r9 sample was never folded
+    into the old hardcoded ``_SAMPLED_R*`` lists, so the r10 window
+    re-sampled 49 of r9's 50 queries and burned an entire driver round
+    (VERDICT r10 item 1). Reading the artifacts directly makes a forgotten
+    bookkeeping update structurally impossible — a new CORRECTNESS file
+    lands in the repo root and the next round's ordering picks it up with
+    zero code change.
 
-#: Queries the round-5 driver sampled (CORRECTNESS_r05.json) — rotated
-#: behind the never-sampled tail like _SAMPLED_R1_R4.
-_SAMPLED_R5 = [
-    "meta_statement_resources", "nosql_fetch_all", "nosql_multiput",
-    "pipe_ann_ivf_trained", "pipe_bm25_search", "pipe_boilerplate_removal",
-    "pipe_bpe_pairs", "pipe_bpe_train", "pipe_ccnet_buckets",
-    "pipe_chunk_embed_pool", "pipe_classifier_score",
-    "pipe_cluster_kmeans", "pipe_curation_report", "pipe_decontam_bloom",
-    "pipe_decontam_semantic", "pipe_dedup_canonical_best",
-    "pipe_dedup_embed_canonical", "pipe_dedup_embed_canonical_ann",
-    "pipe_dedup_incremental", "pipe_dedup_spans", "pipe_dsir_select",
-    "pipe_embed_rp", "pipe_encode_tokens", "pipe_inverted_index",
-    "pipe_media_dedup", "pipe_media_neardup", "pipe_mix_budget",
-    "pipe_mix_temperature", "pipe_prune_prototypes",
-    "pipe_quality_threshold", "pipe_sample_fixed_k", "pipe_semdedup",
-    "pipe_sketch_cms", "pipe_sketch_distinct", "pipe_sketch_hll",
-    "pipe_sketch_quantile", "pipe_snapshot_diff", "pipe_tfidf_top_terms",
-    "pipe_train_split", "pipe_write_shards", "q3_shipping_priority",
-    "q5_local_supplier", "q6_forecast_revenue",
-    "sql_frontend_leading_hint", "sql_frontend_row_count_hint",
-    "stream_cluster_assign", "stream_distinct_sketch",
-    "stream_freq_sketch", "stream_quantile_sketch", "window_range_frames",
-]
+    Returns ``{name: (round, position_in_that_round's_file)}`` for every
+    name ever sampled; names absent from every file are "fresh" (never
+    certified) and sort before everything here.
+    """
+    import glob
+    import json
+    import re
 
-
-#: Queries the round-8 driver sampled (CORRECTNESS_r08.json keys) —
-#: freshest confirmations, rotated to the very back. With r8 folded into
-#: the staleness ordering, the 18 queries whose latest official record is
-#: still r1-r4 vintage (time_*/tql_*/window_funcs/stream_sliding_window/
-#: ts_continuous_aggregate/...) sort FIRST, so round 9's ~50-query window
-#: finishes the certification cycle (VERDICT r8 item 3).
-_SAMPLED_R8 = [
-    "stream_ema_anomaly", "sql_frontend_cost_hint", "sql_resource_control",
-    "sql_resource_monitor", "pipe_dedup_minhash",
-    "pipe_dedup_minhash_collapsed", "pipe_dedup_ngram",
-    "pipe_dedup_ngram_collapsed", "pipe_dedup_simhash", "pipe_fingerprint",
-    "pipe_knn_cosine", "pipe_lang_id", "pipe_lm_score",
-    "pipe_multimodal_frames", "pipe_multimodal_meta",
-    "pipe_multimodal_resize", "pipe_pack_sequences", "pipe_pii_scrub",
-    "pipe_quality_repetition", "pipe_sample_stratified",
-    "pipe_text_quality", "pipe_url_dedup", "pipe_url_domains",
-    "pipe_vocab_topk", "q1_pricing_summary", "range_15m_fill_linear",
-    "range_15m_fill_null", "range_15m_fill_prev", "range_20m_offset",
-    "range_hour_none", "scalar_array_funcs", "scalar_bitwise_ops",
-    "scalar_case_in_between", "scalar_glob_like", "scalar_json_props",
-    "scalar_string_funcs", "scalar_string_funcs2", "scalar_time_ctors",
-    "scalar_time_funcs", "scalar_time_tz", "setops", "sort_topk",
-    "sql_batch_update", "sql_explain", "sql_frontend_group_by_range",
-    "sql_prepared_statement", "stream_continuous_aggregate",
-    "stream_dedup", "stream_dedup_embed", "stream_group_by_range",
-]
-
-
-#: Queries the round-7 driver sampled (CORRECTNESS_r07.json keys) —
-#: freshest confirmations, rotated to the very back.
-_SAMPLED_R7 = [
-    "agg_distinct", "agg_group_concat", "agg_stats", "asof_join_tolerance",
-    "asof_join_users", "composite_key_multiget", "ddl_alter_table",
-    "ddl_create_view", "dml_update_delete", "gbr_generation_budget",
-    "gis_mbr_join", "gis_qsf_probe", "join_cross_theta", "join_full_outer",
-    "join_inner_5way", "join_left_outer", "join_semi_anti", "limit_offset",
-    "match_recognize_spikes", "max_min_rows", "meta_access_control",
-    "meta_databases", "meta_index_info", "meta_primary_keys", "meta_tables",
-    "nano_ts_fidelity", "natural_join", "nosql_multiget",
-    "partition_pruned_point_lookup", "partition_pruned_scan",
-    "partition_pruned_scan_rh", "pipe_ann_index_serve", "pipe_ann_ivf",
-    "pipe_ann_ivfpq_batch", "pipe_chunk_documents", "pipe_decontaminate",
-    "pipe_dedup_canonical", "pipe_dedup_components",
-    "pipe_dedup_embed_cosine", "pipe_dedup_exact", "pipe_embed_normalize",
-    "pipe_profile_stats", "scalar_numeric_funcs", "sessionize_events",
-    "sql_dbapi_cursor", "sql_frontend_gen_rows_hint",
-    "sql_frontend_index_hint", "sql_frontend_index_join_hint",
-    "sql_memory_governed", "stream_match_two_var",
-]
-
-
-#: Queries the round-6 driver sampled (CORRECTNESS_r06.json keys) —
-#: freshest confirmations, rotated to the very back.
-_SAMPLED_R6 = [
-    "join_bucketed_colocated", "join_range_bucketed", "join_salted_skew",
-    "match_recognize_two_var", "meta_table_partitions", "pipe_ann_ivfpq",
-    "pipe_ann_pq", "pipe_audio_features", "pipe_audio_resample",
-    "pipe_classifier_train", "pipe_corpus_checksum", "pipe_decontam_spans",
-    "pipe_lm_bigram", "pipe_mix_epochs", "pipe_pack_epoch_mix",
-    "pipe_quality_c4", "pipe_quality_gopher", "pipe_sample_weighted",
-    "pipe_sketch_kmv", "pipe_sketch_kmv_setops",
-    "pipe_sketch_quantile_merge", "pipe_split_leakage_safe",
-    "pipe_write_curated", "pipe_zorder_layout", "q10_returned_items",
-    "q11_important_stock", "q12_shipmode_priority",
-    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_parts_supplier", "q17_small_quantity", "q18_large_volume",
-    "q19_disjunctive_revenue", "q20_promotion_parts",
-    "q21_waiting_supplier", "q22_global_sales", "q2_min_cost_supplier",
-    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "source_csv_json_roundtrip",
-    "sql_explain_analyze", "sql_frontend_dop_hint",
-    "stream_audio_features", "stream_gbr_fill_prev", "stream_hll_sketch",
-    "stream_match_recognize", "stream_quality_at_ingest",
-]
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: dict[str, tuple[int, int]] = {}
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue  # a truncated/in-progress artifact must not break verify
+        if not isinstance(data, dict):
+            continue
+        for i, name in enumerate(data):
+            prev = seen.get(name)
+            if prev is None or rnd > prev[0]:
+                seen[name] = (rnd, i)
+    return seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Order: never-sampled queries first (new gates this round), then
-    stalest-confirmation-first (the r1-r4-vintage names fill the front of
-    the ~50-query window, finishing the certification cycle), freshest
-    samples last."""
+    stalest-official-certification-first (derived from the committed
+    CORRECTNESS_r*.json files — see ``_last_seen``), freshest samples
+    last. With ten rounds on record this puts the r5-vintage cohort (18
+    names) and the oldest 32 of the r6 cohort inside round 11's ~50-query
+    driver window."""
     from griddb_spark import workload
 
-    # a name resampled in a later round sorts by its LATEST confirmation
-    # (the point of the rotation: stalest official record first)
-    last_seen: dict[str, tuple] = {}
-    rounds = (_SAMPLED_R1_R4, _SAMPLED_R5, _SAMPLED_R6, _SAMPLED_R7,
-              _SAMPLED_R8)
-    for rnd, names in enumerate(rounds):
-        for i, n in enumerate(names):
-            last_seen[n] = (rnd, i)
+    last_seen = _last_seen()
     seen = sorted(
         (n for n in last_seen if n in workload.QUERIES),
         key=lambda n: last_seen[n],

@@ -1,0 +1,98 @@
+"""Pin the driver-sample rotation invariants (VERDICT r10 items 1 & 6).
+
+Round 10's certification window was burned because the hand-maintained
+``_SAMPLED_R*`` lists in ``__spark_entry__.py`` were never taught the r9
+sample, so the r10 driver re-sampled 49 of r9's 50 queries. The ordering
+is now DERIVED from the committed ``CORRECTNESS_r*.json`` artifacts at
+call time; these tests make the invariant regression-proof:
+
+* the staleness map tracks the NEWEST CORRECTNESS file automatically, and
+* the first ~50 iteration-order entries of ``queries()`` (the driver's
+  sample window) barely overlap the previous round's sample.
+
+No SparkSession needed — pure ordering logic.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+import sys
+
+sys.path.insert(0, ROOT)
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+WINDOW = 50  # the driver samples the first ~50 iteration-order entries
+
+
+def _correctness_files() -> dict[int, dict]:
+    out = {}
+    for p in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            out[int(m.group(1))] = json.load(open(p))
+    return out
+
+
+def test_last_seen_tracks_newest_correctness_file():
+    files = _correctness_files()
+    assert files, "committed CORRECTNESS artifacts must exist in repo root"
+    newest = max(files)
+    last_seen = entry_mod._last_seen()
+    # every name in the newest file must be stamped with that round —
+    # a forgotten-bookkeeping bug class can't exist, but pin it anyway
+    for name in files[newest]:
+        assert last_seen[name][0] == newest, name
+    # and the map covers every name ever sampled
+    sampled_ever = {n for data in files.values() for n in data}
+    assert sampled_ever <= set(last_seen)
+
+
+def test_driver_window_does_not_resample_previous_round():
+    """The exact invariant r10 violated: the next driver window must not
+    re-certify the previous round's sample (<20% overlap allowed — a name
+    can legitimately re-enter if the inventory shrank or everything else
+    is fresher)."""
+    files = _correctness_files()
+    newest = max(files)
+    prev_sample = set(files[newest])
+    window = list(entry_mod.queries())[:WINDOW]
+    overlap = sum(1 for n in window if n in prev_sample)
+    assert overlap < 0.2 * WINDOW, (
+        f"driver window would re-sample {overlap}/{WINDOW} of round "
+        f"{newest}'s queries — rotation is broken"
+    )
+
+
+def test_window_is_stalest_first_after_fresh():
+    """queries() iterates: never-sampled names first (new gates need a
+    first certification), then ascending latest-certification round."""
+    last_seen = entry_mod._last_seen()
+    names = list(entry_mod.queries())
+    rounds = [last_seen[n][0] for n in names if n in last_seen]
+    assert rounds == sorted(rounds)
+    # fresh names (if any) all precede sampled names
+    tail_started = False
+    for n in names:
+        if n in last_seen:
+            tail_started = True
+        else:
+            assert not tail_started, f"fresh query {n} sorted after sampled"
+
+
+def test_window_targets_oldest_vintage():
+    """With the r1-r10 record on disk, the round-11 window must be filled
+    by the stalest cohorts on the official record (r5/r6 vintage as of
+    r10; generically: the first WINDOW sampled names must be the WINDOW
+    globally-stalest ones)."""
+    last_seen = entry_mod._last_seen()
+    names = [n for n in entry_mod.queries() if n in last_seen]
+    window_rounds = sorted(last_seen[n][0] for n in names[:WINDOW])
+    all_rounds = sorted(last_seen[n][0] for n in names)
+    assert window_rounds == all_rounds[:WINDOW]
