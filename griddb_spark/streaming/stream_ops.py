@@ -327,20 +327,45 @@ def run_to_memory(
     dominates small/bounded runs (measured 8s → 2s on the interval join by
     dropping 32 → 8). At production throughput size it to the stream rate.
     """
+    from griddb_spark.perfstages import note, stage
+
     spark = result.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     if shuffle_partitions is not None:
         spark.conf.set(key, str(shuffle_partitions))
     try:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(table_name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stage("stream_start"):
+            q = (
+                result.writeStream.format("memory")
+                .queryName(table_name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+        with stage("stream_await"):
+            q.awaitTermination()
+        # Per-stage attribution for memory-sink streaming gates (VERDICT
+        # r10 item 5): the kernels run inside executors where driver-side
+        # stage() can't see, but Structured Streaming already attributes
+        # each microbatch (durationMs: addBatch = plan+run the batch incl.
+        # the kernel; walCommit/commitOffsets = progress-log commits;
+        # state commit times live in stateOperators). Fold those into the
+        # collecting map as informational "@" overlays so a drifting gate's
+        # swing is attributable to kernel vs commit machinery without
+        # re-running probes. recentProgress retains the last ~100 batches
+        # — all of them for a bounded availableNow run.
+        try:
+            for p in q.recentProgress or []:
+                for dk, dv in (p.get("durationMs") or {}).items():
+                    note(f"@{dk}", float(dv) / 1000.0)
+                for op in p.get("stateOperators") or []:
+                    note("@stateCommit",
+                         float(op.get("commitTimeMs") or 0) / 1000.0)
+                    note("@stateRemove",
+                         float(op.get("allRemovalsTimeMs") or 0) / 1000.0)
+        except Exception:
+            pass  # metrics are best-effort; never fail the query for them
     finally:
         if shuffle_partitions is not None:
             spark.conf.set(key, prev)
@@ -828,6 +853,15 @@ def embed_dedup_stream(
         occ_kw = ({"target_occ": target_occ}
                   if target_occ is not None else {})
         needed = auto_sign_bits(total, dim, **occ_kw)
+        # Rewrite width is clamped to never SHRINK the layout: auto_
+        # sign_bits derives from the CURRENT batch's observed dim, so a
+        # batch of narrower (or all-NULL) embeddings would otherwise make
+        # a compaction-only trigger rewrite the whole index at fewer bits
+        # — then the next normal batch re-widens it, a full-index rewrite
+        # thrash with no occupancy benefit. Compaction is documented as
+        # "in place at the current bits"; only a genuine occupancy
+        # overflow (needed > bits) widens.
+        new_bits = max(bits, needed)
         if needed > bits or appends >= _COMPACT_APPENDS:
             with stage("index_rewrite"):
                 tmp = index_path + ".__rebucket"
@@ -838,16 +872,16 @@ def embed_dedup_stream(
                               .add("__cell", "integer"))
                 n_mig = max(1, min(
                     spark.sparkContext.defaultParallelism,
-                    (1 << min(needed, 30)) // 64 + total // 100_000,
+                    (1 << min(new_bits, 30)) // 64 + total // 100_000,
                 ))
                 (spark.read.schema(idx_schema).parquet(index_path)
                  .select(id_col, "__v",
-                         sign_code(F.col("__v"), needed).alias("__cell"))
+                         sign_code(F.col("__v"), new_bits).alias("__cell"))
                  .repartition(n_mig, F.col("__cell"))
                  .write.mode("overwrite").partitionBy("__cell")
                  .parquet(tmp))
-                _index_meta_write(tmp, {"sign_bits": needed, "rows": total,
-                                        "appends": 0})
+                _index_meta_write(tmp, {"sign_bits": new_bits,
+                                        "rows": total, "appends": 0})
                 os.rename(index_path, old)
                 os.rename(tmp, index_path)
                 shutil.rmtree(old)

@@ -1103,6 +1103,70 @@ def test_embed_dedup_stream_compaction_bounds_file_count(
     assert meta["sign_bits"] == 8
 
 
+def test_compaction_never_shrinks_layout_bits(spark, tmp_path, monkeypatch):
+    """A compaction-only rewrite must run at the CURRENT layout bits even
+    when the triggering batch derives a narrower width (auto_sign_bits
+    clamps to the batch's observed dim, so a batch of narrower or
+    NULL-size embeddings yields needed < bits). Without the max(bits,
+    needed) clamp the rewrite silently shrinks the whole index, then the
+    next normal batch re-widens it — full-index rewrite thrash with no
+    occupancy benefit. auto_sign_bits is patched to derive 8 on the
+    first (layout-creating) call and 4 on every later call: the
+    compaction trigger then sees needed=4 < bits=8 and must keep 8."""
+    import glob
+    import json
+    import shutil
+
+    from griddb_spark.pipeline import similarity as sim_mod
+    from griddb_spark.streaming import stream_ops
+    from griddb_spark.streaming.stream_ops import embed_dedup_stream
+
+    calls = []
+
+    def fake_bits(n_rows, dim, **kw):
+        calls.append((n_rows, dim))
+        return 8 if len(calls) == 1 else 4
+
+    monkeypatch.setattr(sim_mod, "auto_sign_bits", fake_bits)
+    monkeypatch.setattr(stream_ops, "_COMPACT_APPENDS", 2)
+
+    rng = __import__("random").Random(7)
+    batches = [
+        [(bi * 10 + j, [rng.gauss(0, 1) for _ in range(16)])
+         for j in range(4)]
+        for bi in range(4)
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        d = str(tmp_path / f"f{i}")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(glob.glob(f"{d}/part-*.parquet")[0],
+                    f"{src}/{i:02d}.parquet")
+    index = str(tmp_path / "index")
+    q = embed_dedup_stream(
+        spark.readStream
+        .schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        index, "vec_id", "embedding", threshold=0.9, sign_bits=None,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    q.stop()
+
+    assert len(calls) > 1  # the narrow derivation was actually consulted
+    meta = json.load(open(f"{index}/_meta.json"))
+    assert meta["sign_bits"] == 8  # compaction fired, layout NOT shrunk
+    assert meta["appends"] < 2  # ...and the counter proves it fired
+    # all 16 distinct gaussian vectors survive (no near-dups planted)
+    n = (spark.read
+         .schema("vec_id long, __v array<double>, __cell int")
+         .parquet(index).count())
+    assert n == 16
+
+
 def test_rebucket_swap_crash_windows_pick_consistent_layout(spark, tmp_path):
     """The three rebucket-swap crash windows (stream_ops rebucket tail:
     side-dir complete -> rename(index, old) -> rename(tmp, index) ->
