@@ -113,7 +113,11 @@ def main() -> int:
             fn()
         wall = time.perf_counter() - t0
         if acc:
-            acc["force"] = max(0.0, wall - sum(acc.values()))
+            # "@"-labels are informational overlays (e.g. Structured
+            # Streaming's own durationMs metrics, perfstages.note) that
+            # overlap real stages — excluded from the disjoint-walls sum
+            acc["force"] = max(0.0, wall - sum(
+                v for k, v in acc.items() if not k.startswith("@")))
             stage_maps[label] = {k: round(v, 4) for k, v in acc.items()}
         return round(wall, 4)
 

@@ -14,18 +14,34 @@ wraps each gate in :func:`collecting`, and instrumented library code
 brackets its blocking phases in ``with stage("verify"): ...``. Stages
 nest; only the innermost label accrues the wall (the outer stage is
 paused so totals stay additive). Everything here is driver-side — no
-state crosses into Spark tasks.
+state crosses into Spark tasks — but "driver-side" spans more than one
+Python thread: a streaming gate's ``foreachBatch`` stages run on the
+microbatch thread while the bench blocks in ``awaitTermination`` on the
+main thread. The open-stage stack is therefore thread-local (two threads
+can never interleave push/pop on each other's nesting); the accumulator
+dict stays shared so all threads' stages land in one per-gate map (dict
+item updates are atomic under the GIL, and the two threads never run
+stages concurrently in practice — the main thread holds no open stage
+while blocked).
 """
 
 from __future__ import annotations
 
+import threading
 import time
 from contextlib import contextmanager
 
 #: the active accumulator dict, or None when no one is collecting
 _ACTIVE: "dict[str, float] | None" = None
-#: innermost open stage label stack (driver is single-threaded per query)
-_STACK: "list[tuple[str, float]]" = []
+#: per-thread innermost open stage label stack
+_TLS = threading.local()
+
+
+def _stack() -> "list[tuple[str, float]]":
+    st = getattr(_TLS, "stack", None)
+    if st is None:
+        st = _TLS.stack = []
+    return st
 
 
 @contextmanager
@@ -36,33 +52,49 @@ def stage(name: str):
     if _ACTIVE is None:
         yield
         return
+    st = _stack()
     now = time.perf_counter()
-    if _STACK:  # pause the enclosing stage
-        outer, t0 = _STACK[-1]
+    if st:  # pause the enclosing stage
+        outer, t0 = st[-1]
         _ACTIVE[outer] = _ACTIVE.get(outer, 0.0) + (now - t0)
-    _STACK.append((name, now))
+    st.append((name, now))
     try:
         yield
     finally:
-        label, t0 = _STACK.pop()
+        label, t0 = st.pop()
         end = time.perf_counter()
         if _ACTIVE is not None:
             _ACTIVE[label] = _ACTIVE.get(label, 0.0) + (end - t0)
-        if _STACK:  # resume the enclosing stage
-            _STACK[-1] = (_STACK[-1][0], end)
+        if st:  # resume the enclosing stage
+            st[-1] = (st[-1][0], end)
+
+
+def note(label: str, seconds: float) -> None:
+    """Accrue an INFORMATIONAL duration into the collecting accumulator
+    (no-op when none). Unlike :func:`stage`, noted durations are not
+    wall-clock brackets — they may overlap stages (e.g. Structured
+    Streaming's own per-microbatch ``durationMs`` metrics, which happen
+    INSIDE a ``stream_await`` stage). Label them with a leading ``@`` so
+    consumers (bench.py's force-residual computation) can exclude them
+    from the disjoint-walls sum."""
+    if _ACTIVE is not None:
+        _ACTIVE[label] = _ACTIVE.get(label, 0.0) + seconds
 
 
 @contextmanager
 def collecting():
     """Collect stage walls for the enclosed block; yields the dict the
-    instrumented code accrues into (seconds per stage label)."""
+    instrumented code accrues into (seconds per stage label). Saves and
+    restores only the CALLING thread's open-stage stack; other threads'
+    stacks are theirs alone."""
     global _ACTIVE
-    prev, prev_stack = _ACTIVE, list(_STACK)
+    st = _stack()
+    prev, prev_stack = _ACTIVE, list(st)
     acc: dict[str, float] = {}
     _ACTIVE = acc
-    _STACK.clear()
+    st.clear()
     try:
         yield acc
     finally:
         _ACTIVE = prev
-        _STACK[:] = prev_stack
+        st[:] = prev_stack

@@ -52,3 +52,39 @@ def test_collecting_restores_previous_state():
             time.sleep(0.01)
     assert "y" in inner_acc and "y" not in outer_acc
     assert "x" in outer_acc
+
+
+def test_concurrent_thread_stacks_do_not_interleave():
+    """foreachBatch stages run on the streaming microbatch thread while
+    the bench main thread may hold its own open stage — each thread's
+    nesting must pause/resume only its own stack (a shared stack
+    corrupted attribution or IndexError'd on pop; ADVICE r10)."""
+    import threading
+
+    with collecting() as acc:
+        barrier = threading.Barrier(2)
+        errs: list = []
+
+        def worker():
+            try:
+                barrier.wait()
+                for _ in range(50):
+                    with stage("w_outer"):
+                        with stage("w_inner"):
+                            time.sleep(0.0005)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        t = threading.Thread(target=worker)
+        t.start()
+        barrier.wait()
+        for _ in range(50):
+            with stage("m_outer"):
+                with stage("m_inner"):
+                    time.sleep(0.0005)
+        t.join()
+
+    assert not errs
+    assert set(acc) == {"w_outer", "w_inner", "m_outer", "m_inner"}
+    for k in acc:
+        assert acc[k] >= 0.0
