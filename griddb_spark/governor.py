@@ -212,6 +212,14 @@ def _poll_loop(app_id: str) -> None:
             interval = min(gov.poll_interval for gov in
                            _POLL_ENTRIES[app_id].values())
             recs = dict(_NODE_RUNNING.get(app_id, {}))
+        # drop failure counters for statements no longer registered: a
+        # statement deregistered WHILE failing would otherwise leave its
+        # counter behind for the life of the poller — unbounded growth
+        # under statement churn in a long-lived app
+        live = {g for g, _ in entries}
+        for g in list(poll_fails):
+            if g not in live:
+                poll_fails.pop(g, None)
         for group_id, gov in entries:
             rec = recs.get(group_id)
             if rec is None or rec.status != "RUNNING":
