@@ -1645,7 +1645,6 @@ def ivfpq_train(
 
 def _ivfpq_encoded(
     df: DataFrame, id_col: str, vec_col: str, trained: dict,
-    cell_exchange: bool = False,
 ) -> DataFrame:
     """(id, cluster, codes) for the corpus under a trained artifact —
     ONE shuffle-free map stage: coarse assignment is a projection
@@ -1653,27 +1652,23 @@ def _ivfpq_encoded(
     (pq_encode keep_cols) instead of re-joining the corpus with itself
     on id_col, which paid a full id-keyed exchange.
 
-    ``cell_exchange=True`` materializes the result through a cell-keyed
-    repartition. This is REQUIRED when the output feeds further joins
-    in the same plan: without an exchange boundary, Catalyst pushes the
-    join's null-check and the explode's emptiness predicate BELOW the
-    encode projection, duplicating the interpreted per-subspace argmin
-    expressions into per-row filters and re-running the coarse-assign
-    pandas UDF twice (measured 17x on the 100x probe). The shuffled
-    rows are tiny — id + cell + m small ints, the same volume the
-    persisted index writes — and cell-keyed partitioning is exactly the
-    index's layout, so this is the on-disk shape kept in memory."""
+    Callers that feed the result into further joins MUST put a lineage
+    boundary above it (the topk paths all eagerly localCheckpoint; the
+    index_write path needs none — it feeds a cell-keyed exchange into a
+    write, no join above the encode):
+    without one, Catalyst pushes the join's null-check and the explode's
+    emptiness predicate BELOW the encode projection, duplicating the
+    interpreted per-subspace argmin expressions into per-row filters and
+    re-running the coarse-assign pandas UDF twice (measured 17x on the
+    100x probe). The checkpointed blocks are tiny — id + cell + m small
+    ints, the same volume the persisted index writes."""
     assigned = assign_clusters(
         df, [(int(c), v) for c, v in trained["cents"]], vec_col=vec_col,
         round_to=trained["round_to"],
     )
     books = [[(int(c), cv) for c, cv in b] for b in trained["codebooks"]]
-    enc = pq_encode(assigned, id_col, vec_col, books,
-                    round_to=trained["round_to"], keep_cols=["cluster"])
-    if cell_exchange:
-        n = df.sparkSession.sparkContext.defaultParallelism
-        enc = enc.repartition(n, F.col("cluster"))
-    return enc
+    return pq_encode(assigned, id_col, vec_col, books,
+                     round_to=trained["round_to"], keep_cols=["cluster"])
 
 
 def _cellmeans_df(spark, trained: dict) -> DataFrame:
@@ -1955,8 +1950,20 @@ def ivfpq_topk_batch(
         round_to = trained["round_to"]  # the artifact is authoritative
         m, k, in_dim = trained["m"], trained["k"], trained["in_dim"]
     books = [[(int(c), cv) for c, cv in b] for b in trained["codebooks"]]
-    codes = _ivfpq_encoded(df, id_col, vec_col, trained,
-                           cell_exchange=True)
+    from griddb_spark.perfstages import stage
+
+    # EAGER materialization of the compressed codes, mirroring the
+    # per-query path (ivfpq_topk) and the serve path (ivfpq_index_topk):
+    # the checkpoint truncates lineage (so the pushdown hazard
+    # cell_exchange guarded against cannot reach the encode projection —
+    # see _ivfpq_encoded), pins the Arrow encode to run EXACTLY once
+    # regardless of how AQE re-plans the downstream join tree, and gives
+    # the bench a named encode stage so this gate's wall is attributable
+    # (it drifted 2.5× on the r10 driver bench with no stage map —
+    # VERDICT r10 item 5). Stored blocks are id + cell + m small ints.
+    with stage("encode"):
+        codes = _ivfpq_encoded(df, id_col, vec_col, trained)\
+            .localCheckpoint(eager=True)
     cellmeans = _cellmeans_df(df.sparkSession, trained)
     q_df = queries.select(
         F.col(q_id_col).alias("q_id"),
@@ -1975,7 +1982,8 @@ def ivfpq_topk_batch(
         .filter(F.col("__pr") <= nprobe)
         .select("q_id", F.col("__cell").alias("cluster"))
     )
-    n_q = q_df.count()  # one tiny job over the query batch
+    with stage("ann_size"):
+        n_q = q_df.count()  # one tiny job over the query batch
     lut = adc_lut_df(q_df, books, "q_id", "__qv", round_to)
     probe_side = (F.broadcast(probes)
                   if n_q * nprobe <= ADC_LUT_BROADCAST_MAX_ROWS
@@ -2033,6 +2041,7 @@ def ivfpq_index_write(
             "overwrite"
         ).partitionBy("cluster").parquet(path)
     meta = {k2: v for k2, v in trained.items() if k2 != "cents"}
+    meta["appends"] = 0  # compaction counter, see ivfpq_index_append
     with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -2061,6 +2070,7 @@ def ivfpq_index_topk(
 
     from pyspark.sql import Window
 
+    _ivfpq_recover(path)  # finish any compaction swap a crash cut short
     with open(os.path.join(path, "_ivfpq_meta.json")) as f:
         meta = json.load(f)
     id_col = meta["id_col"]
@@ -2119,6 +2129,65 @@ def ivfpq_index_topk(
                                 lut_rows=n_q * m * k)
 
 
+#: Persisted-index compaction trigger, the exact analog of the streaming
+#: sign-cell index's bound (stream_ops._COMPACT_APPENDS): every
+#: :func:`ivfpq_index_append` adds up to one small file per touched cell,
+#: so a long-lived served index taking steady ingest grows listing/open
+#: cost without bound even though probes stay partition-pruned. The
+#: appends-since-last-rewrite counter in ``_ivfpq_meta.json`` caps
+#: files-per-cell at ~bound+1 with an O(1) trigger decision (no directory
+#: listing — on object stores the listing IS the cost being bounded).
+#: Module-level so tests can shrink it to force compactions.
+_IVFPQ_COMPACT_APPENDS = 64
+
+
+def _ivfpq_meta_update(path: str, meta: dict) -> None:
+    """Atomically replace the index sidecar (write-temp + rename, so a
+    reader never sees a torn JSON)."""
+    import json
+    import os
+
+    tmp = os.path.join(path, "_ivfpq_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_ivfpq_meta.json"))
+
+
+def _ivfpq_recover(path: str) -> None:
+    """Complete or roll back a compaction swap a crash cut short, before
+    any read/append touches the index (mirrors the streaming index's
+    ``_index_meta_read`` crash handling). The swap sequence is: side dir
+    written (its ``_ivfpq_meta.json`` LAST — presence marks it complete)
+    → ``rename(path, old)`` → ``rename(side, path)`` → ``rmtree(old)``.
+
+    - live index present → swap finished or never started: remove stale
+      side/old leftovers;
+    - no live index, complete side dir → ROLL FORWARD (the side dir
+      becomes the index);
+    - no live index, old present → ROLL BACK (restore the pre-compaction
+      layout; its counter still sits at the bound, so the next append
+      re-triggers).
+    """
+    import os
+    import shutil
+
+    side, old = path + ".__compact", path + ".__old"
+    if os.path.isfile(os.path.join(path, "_ivfpq_meta.json")):
+        for d in (side, old):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        return
+    if os.path.isfile(os.path.join(side, "_ivfpq_meta.json")):
+        os.rename(side, path)  # roll forward
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        return
+    if os.path.isdir(old):
+        if os.path.isdir(side):  # incomplete side dir: discard
+            shutil.rmtree(side)
+        os.rename(old, path)  # roll back
+
+
 def ivfpq_index_append(
     df: DataFrame,
     path: str,
@@ -2131,10 +2200,23 @@ def ivfpq_index_append(
     the corpus and probes stay partition-pruned. Quantizer drift is the
     operator's call (FAISS semantics: retrain when the distribution
     moves; the sidecar makes either choice explicit).
+
+    Each append adds at most one file per touched cell, so the sidecar
+    counts appends and, at ``_IVFPQ_COMPACT_APPENDS``, rewrites the index
+    to one file per cell through a side directory + atomic directory
+    swap (``_ivfpq_recover`` closes the crash windows) — the same
+    files-per-cell bound the streaming sign-cell index enforces
+    (stream_ops._COMPACT_APPENDS). Amortized rewrite cost is
+    corpus/bound bytes per append; probe reads open ≤ bound+1 files per
+    probed cell forever.
     """
     import json
     import os
+    import shutil
 
+    from griddb_spark.perfstages import stage
+
+    _ivfpq_recover(path)
     with open(os.path.join(path, "_ivfpq_meta.json")) as f:
         meta = json.load(f)
     id_col = meta["id_col"]
@@ -2146,6 +2228,31 @@ def ivfpq_index_append(
                       round_to=meta["round_to"]).join(
         assigned.select(F.col(id_col), F.col("cluster")), id_col
     )
-    codes.repartition(
-        min(max(1, len(cents)), 32), F.col("cluster")
-    ).write.mode("append").partitionBy("cluster").parquet(path)
+    n_cells = min(max(1, len(cents)), 32)
+    with stage("index_append"):
+        codes.repartition(n_cells, F.col("cluster")).write.mode(
+            "append").partitionBy("cluster").parquet(path)
+    # counter BEFORE any compaction: a crash mid-swap rolls back to a
+    # layout whose counter already sits at the bound, so the next append
+    # re-triggers instead of silently losing the rewrite
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    _ivfpq_meta_update(path, meta)
+    if meta["appends"] < _IVFPQ_COMPACT_APPENDS:
+        return
+    with stage("index_compact"):
+        spark = df.sparkSession
+        side, old = path + ".__compact", path + ".__old"
+        if os.path.isdir(side):
+            shutil.rmtree(side)
+        reader = spark.read
+        if "id_type" in meta:
+            reader = reader.schema(
+                f"{id_col} {meta['id_type']}, codes array<int>, "
+                "cluster int")
+        (reader.parquet(path)
+         .repartition(n_cells, F.col("cluster"))
+         .write.mode("overwrite").partitionBy("cluster").parquet(side))
+        _ivfpq_meta_update(side, {**meta, "appends": 0})  # marks complete
+        os.rename(path, old)
+        os.rename(side, path)
+        shutil.rmtree(old)

@@ -1557,6 +1557,123 @@ def test_ivfpq_index_append_serves_new_vectors(spark, emb, tmp_path):
     assert got.filter(F.col("vec_id") >= 400).count() > 0
 
 
+def test_ivfpq_index_append_compaction_bounds_files(
+        spark, emb, tmp_path, monkeypatch):
+    """Persisted-index analog of the streaming index's file-growth bound
+    (VERDICT r10 item 4): every append adds up to one file per touched
+    cell, so N appends into a long-lived served index reach ~N files per
+    hot cell without compaction. The sidecar appends counter triggers a
+    one-file-per-cell rewrite through a side dir + atomic swap at
+    _IVFPQ_COMPACT_APPENDS; serving results must be identical before and
+    after (compaction is layout-only)."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import (
+        ivfpq_index_append,
+        ivfpq_index_topk,
+        ivfpq_index_write,
+        ivfpq_train,
+    )
+    from griddb_spark.pipeline import similarity as sim_mod
+
+    base = emb.filter(F.col("vec_id") < 400)
+    trained = ivfpq_train(base, "vec_id", "embedding", 64,
+                          coarse_k=8, m=4, k=8)
+
+    def build(p):
+        ivfpq_index_write(base, p, "vec_id", "embedding", in_dim=64,
+                          coarse_k=8, m=4, k=8, trained=trained)
+        # 10 small appends: without compaction each touched cell
+        # accretes one file per append (~10 files in the hot cells)
+        for lo in range(400, 500, 10):
+            ivfpq_index_append(
+                emb.filter((F.col("vec_id") >= lo)
+                           & (F.col("vec_id") < lo + 10)), p)
+
+    monkeypatch.setattr(sim_mod, "_IVFPQ_COMPACT_APPENDS", 4)
+    path = str(tmp_path / "idx")
+    build(path)
+    per_cell = {
+        e: len(glob.glob(os.path.join(path, e, "*.parquet")))
+        for e in os.listdir(path) if e.startswith("cluster=")
+    }
+    assert per_cell and max(per_cell.values()) <= 4 + 1
+    meta = json.load(open(os.path.join(path, "_ivfpq_meta.json")))
+    assert meta["appends"] < 4  # rewrites fired and reset the counter
+    assert spark.read.parquet(path).count() == 500
+    # serving is identical to the same writes WITHOUT compaction
+    # (same quantizers — compaction is layout-only)
+    monkeypatch.setattr(sim_mod, "_IVFPQ_COMPACT_APPENDS", 10**9)
+    ref_path = str(tmp_path / "ref")
+    build(ref_path)
+    qdf = emb.limit(5).select(F.col("vec_id").alias("q_id"),
+                              F.col("embedding").alias("qv"))
+    got = sorted(map(tuple, ivfpq_index_topk(
+        spark, path, qdf, nprobe=2, topk=5).collect()))
+    ref = sorted(map(tuple, ivfpq_index_topk(
+        spark, ref_path, qdf, nprobe=2, topk=5).collect()))
+    assert got == ref
+
+
+def test_ivfpq_compaction_swap_crash_windows(spark, emb, tmp_path,
+                                             monkeypatch):
+    """The compaction swap's crash windows must leave a servable index
+    (mirrors the streaming rebucket crash matrix): (A) complete side dir
+    + live index -> roll back side dir, live wins; (B) live renamed away,
+    complete side dir -> roll forward; (C) swap done, stale __old left
+    -> old removed. In every window serving returns the full corpus."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import (
+        ivfpq_index_topk,
+        ivfpq_index_write,
+    )
+    from griddb_spark.pipeline.similarity import _ivfpq_recover
+
+    path = str(tmp_path / "idx")
+    sub = emb.filter(F.col("vec_id") < 300)
+    ivfpq_index_write(sub, path, "vec_id", "embedding", in_dim=64,
+                      coarse_k=8, m=4, k=8)
+    qdf = emb.limit(3).select(F.col("vec_id").alias("q_id"),
+                              F.col("embedding").alias("qv"))
+    ref = sorted(map(tuple, ivfpq_index_topk(
+        spark, path, qdf, nprobe=2, topk=5).collect()))
+    side, old = path + ".__compact", path + ".__old"
+
+    # (A) crash after side dir complete, before any rename
+    shutil.copytree(path, side)
+    _ivfpq_recover(path)
+    assert not os.path.isdir(side) and os.path.isdir(path)
+    # (B) crash between the renames: no live index, complete side dir
+    shutil.copytree(path, side)
+    os.rename(path, old)
+    got = sorted(map(tuple, ivfpq_index_topk(
+        spark, path, qdf, nprobe=2, topk=5).collect()))  # recovers
+    assert got == ref and os.path.isdir(path) and not os.path.isdir(old)
+    # (B') incomplete side dir (no sidecar yet): roll BACK to old
+    shutil.copytree(path, side)
+    os.remove(os.path.join(side, "_ivfpq_meta.json"))
+    os.rename(path, old)
+    _ivfpq_recover(path)
+    assert os.path.isdir(path) and not os.path.isdir(side)
+    assert json.load(open(os.path.join(path, "_ivfpq_meta.json")))
+    # (C) swap done, stale __old left behind
+    shutil.copytree(path, old)
+    _ivfpq_recover(path)
+    assert not os.path.isdir(old)
+    got = sorted(map(tuple, ivfpq_index_topk(
+        spark, path, qdf, nprobe=2, topk=5).collect()))
+    assert got == ref
+
+
 def test_mix_epochs_fanout_and_determinism(spark, docs):
     """2.5 epochs -> every row twice + a deterministic half; 0.8 -> a
     deterministic 80% slice; unlisted strata exactly once; identical on
