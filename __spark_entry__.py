@@ -85,22 +85,37 @@ def _last_seen() -> dict[str, tuple[int, int]]:
     return seen
 
 
+#: Names whose IMPLEMENTATION changed materially since their latest
+#: official certification — their on-record green no longer certifies the
+#: code that ships, so they sort right after never-sampled names
+#: regardless of recency. stream_dedup_embed: last certified r8 with the
+#: old fixed sign_bits=8 default; round 10 flipped the default to
+#: adaptive (sign_bits=None, stream_ops.py) and the driver has never run
+#: it that way (VERDICT r10 item 3). Remove a name once the round after
+#: its re-certification lands.
+_FORCE_RESAMPLE = ["stream_dedup_embed"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Order: never-sampled queries first (new gates this round), then
+    ``_FORCE_RESAMPLE`` (certified config went stale), then
     stalest-official-certification-first (derived from the committed
     CORRECTNESS_r*.json files — see ``_last_seen``), freshest samples
     last. With ten rounds on record this puts the r5-vintage cohort (18
-    names) and the oldest 32 of the r6 cohort inside round 11's ~50-query
+    names) and the oldest of the r6 cohort inside round 11's ~50-query
     driver window."""
     from griddb_spark import workload
 
     last_seen = _last_seen()
+    forced = [n for n in _FORCE_RESAMPLE if n in workload.QUERIES]
     seen = sorted(
-        (n for n in last_seen if n in workload.QUERIES),
+        (n for n in last_seen
+         if n in workload.QUERIES and n not in _FORCE_RESAMPLE),
         key=lambda n: last_seen[n],
     )
-    fresh = [n for n in workload.QUERIES if n not in last_seen]
-    return {n: workload.QUERIES[n] for n in fresh + seen}
+    fresh = [n for n in workload.QUERIES
+             if n not in last_seen and n not in _FORCE_RESAMPLE]
+    return {n: workload.QUERIES[n] for n in fresh + forced + seen}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -72,27 +72,42 @@ def test_driver_window_does_not_resample_previous_round():
 
 def test_window_is_stalest_first_after_fresh():
     """queries() iterates: never-sampled names first (new gates need a
-    first certification), then ascending latest-certification round."""
+    first certification), then _FORCE_RESAMPLE (on-record cert no longer
+    covers the shipped config), then ascending latest-certification
+    round."""
     last_seen = entry_mod._last_seen()
+    forced = set(entry_mod._FORCE_RESAMPLE)
     names = list(entry_mod.queries())
-    rounds = [last_seen[n][0] for n in names if n in last_seen]
+    rounds = [last_seen[n][0] for n in names
+              if n in last_seen and n not in forced]
     assert rounds == sorted(rounds)
-    # fresh names (if any) all precede sampled names
+    # fresh and forced names all precede ordinary sampled names
     tail_started = False
     for n in names:
-        if n in last_seen:
+        if n in last_seen and n not in forced:
             tail_started = True
         else:
-            assert not tail_started, f"fresh query {n} sorted after sampled"
+            assert not tail_started, f"{n} sorted after sampled tail"
 
 
 def test_window_targets_oldest_vintage():
-    """With the r1-r10 record on disk, the round-11 window must be filled
-    by the stalest cohorts on the official record (r5/r6 vintage as of
-    r10; generically: the first WINDOW sampled names must be the WINDOW
-    globally-stalest ones)."""
+    """The driver window (minus fresh/forced names) must be filled by the
+    globally stalest cohorts on the official record (r5/r6 vintage as of
+    r10)."""
     last_seen = entry_mod._last_seen()
-    names = [n for n in entry_mod.queries() if n in last_seen]
-    window_rounds = sorted(last_seen[n][0] for n in names[:WINDOW])
+    forced = set(entry_mod._FORCE_RESAMPLE)
+    names = [n for n in entry_mod.queries()
+             if n in last_seen and n not in forced]
+    k = WINDOW - len(forced)
+    window_rounds = sorted(last_seen[n][0] for n in names[:k])
     all_rounds = sorted(last_seen[n][0] for n in names)
-    assert window_rounds == all_rounds[:WINDOW]
+    assert window_rounds == all_rounds[:k]
+
+
+def test_forced_resample_in_window():
+    """stream_dedup_embed's r8 certification predates the adaptive
+    sign_bits default flip (r10) — it must re-enter the driver window
+    until re-certified (VERDICT r10 item 3)."""
+    names = list(entry_mod.queries())
+    for n in entry_mod._FORCE_RESAMPLE:
+        assert names.index(n) < WINDOW, f"{n} outside the driver window"
