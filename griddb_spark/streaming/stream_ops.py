@@ -310,6 +310,31 @@ def upsert_by_key(
     )
 
 
+#: Every memory-sink table run_to_memory created and never dropped: the
+#: sink holds the full result rows on the driver heap for the life of
+#: the session (each caller names its table with a fresh uuid, so
+#: nothing ever overwrites). A long bench/verify session accumulates one
+#: dead result set per streaming gate run — drop_memory_sinks reclaims
+#: them once the caller is done with the returned DataFrame.
+_MEMORY_SINKS: list[str] = []
+
+
+def drop_memory_sinks(spark) -> int:
+    """Drop the temp views of all finished run_to_memory sinks,
+    releasing their driver-heap row copies. Only call once returned
+    DataFrames from prior run_to_memory calls are no longer needed
+    (a harness boundary between queries, not mid-query)."""
+    n = 0
+    for t in _MEMORY_SINKS:
+        try:
+            spark.catalog.dropTempView(t)
+            n += 1
+        except Exception:
+            pass  # session restarted / already dropped
+    _MEMORY_SINKS.clear()
+    return n
+
+
 def run_to_memory(
     result: DataFrame,
     table_name: str,
@@ -330,6 +355,7 @@ def run_to_memory(
     from griddb_spark.perfstages import note, stage
 
     spark = result.sparkSession
+    _MEMORY_SINKS.append(table_name)
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     if shuffle_partitions is not None:

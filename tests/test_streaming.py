@@ -1273,3 +1273,22 @@ def test_rebucket_swap_crash_windows_pick_consistent_layout(spark, tmp_path):
     assert meta["sign_bits"] == 9 and meta["rows"] == n + 5
     assert live_cells(index) == sorted(
         {cell(v, 9) for v in vecs} | {cell(v, 9) for v in fresh})
+
+
+def test_drop_memory_sinks_releases_finished_tables(spark):
+    """run_to_memory registers every sink it creates; drop_memory_sinks
+    drops those temp views (releasing the driver-heap row copies a long
+    bench session otherwise accumulates) and is safe to call twice."""
+    from griddb_spark.streaming import run_to_memory
+    from griddb_spark.streaming.stream_ops import drop_memory_sinks
+
+    src = spark.readStream.format("rate").option(
+        "rowsPerSecond", "100").load().select("value")
+    got = run_to_memory(src, "t_sink_reclaim", mode="append")
+    assert got.count() >= 0  # consumed
+    names = {t.name for t in spark.catalog.listTables()}
+    assert "t_sink_reclaim" in names
+    assert drop_memory_sinks(spark) >= 1
+    names = {t.name for t in spark.catalog.listTables()}
+    assert "t_sink_reclaim" not in names
+    assert drop_memory_sinks(spark) == 0  # idempotent, registry cleared
