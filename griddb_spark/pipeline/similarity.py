@@ -508,6 +508,7 @@ def cosine_pairs_ann(
     threshold: float = 0.9,
     sign_bits: "int | None" = 8,
     round_to: int = 6,
+    target_occ: "int | None" = None,
 ) -> DataFrame:
     """ANN-candidate near-dup pairs: the 100 TB route for embedding dedup
     (``cosine_pairs``' documented scale path, now a real operator).
@@ -560,7 +561,12 @@ def cosine_pairs_ann(
             ).first()
         dim = (int(row["__d"])
                if row["__d"] is not None and int(row["__d"]) > 0 else 8)
-        sign_bits = auto_sign_bits(int(row["__n"]), dim)
+        # target_occ widens/narrows the derived layout (the occupancy
+        # knob the 1000x sweep tuned); only meaningful with derived bits
+        sign_bits = auto_sign_bits(
+            int(row["__n"]), dim,
+            **({"target_occ": target_occ} if target_occ is not None
+               else {}))
     if sign_bits < 1:
         # bits=0 would build F.array() with zero probe columns (opaque
         # IndexError) and a degenerate single-cell quadratic; the

@@ -3424,6 +3424,35 @@ def _ivfpq_trained(emb, sf_dir: str, m: int = 4, k: int = 8,
     return art
 
 
+#: One served-index scratch dir per corpus state, removed at interpreter
+#: exit. The serve gate previously mkdtemp'd a fresh dir per invocation
+#: and never removed it, so a long bench session (warmup + measured run
+#: + repeats) accumulated index copies in /tmp for the life of the host
+#: (VERDICT r10 item 7). Keyed by corpus fingerprint so a rewrite gets a
+#: fresh dir while repeats overwrite in place.
+_SERVE_IDX_DIRS: dict = {}
+
+
+def _serve_index_path(sf_dir: str) -> str:
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    key = (sf_dir, _emb_fingerprint(sf_dir))
+    path = _SERVE_IDX_DIRS.get(key)
+    if path is None:
+        root = tempfile.mkdtemp(prefix="ivfpq_idx_")
+        path = root + "/index"
+        if not _SERVE_IDX_DIRS:  # register the janitor once
+            atexit.register(
+                lambda: [shutil.rmtree(_os.path.dirname(p),
+                                       ignore_errors=True)
+                         for p in _SERVE_IDX_DIRS.values()])
+        _SERVE_IDX_DIRS[key] = path
+    return path
+
+
 _KMEANS_CTE = """
     WITH RECURSIVE v AS (
       SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
@@ -6748,6 +6777,92 @@ def pipe_dedup_embed_canonical_ann(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "pipe_dedup_embed_ann_occ",
+    """
+    WITH RECURSIVE u AS (
+      SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, [x * 1.001 for x in embedding::DOUBLE[]]
+      FROM embeddings
+    ),
+    grp AS (SELECT v, min(vec_id) rep FROM u GROUP BY v),
+    xe AS (SELECT grp.rep a, u.vec_id b FROM u JOIN grp ON u.v = grp.v
+           WHERE u.vec_id != grp.rep),
+    bset AS (SELECT greatest(8, least(64, CAST(ceil(log2(
+               greatest(2, (SELECT count(*) FROM grp)) / 2.0)) AS INT)))
+             AS bits),
+    c AS (SELECT rep vec_id, v,
+            list_sum([CASE WHEN v[i] >= 0 THEN 1::BIGINT << (i - 1)
+                      ELSE 0 END
+                      for i in range(1, (SELECT bits FROM bset) + 1)])
+            cell
+          FROM grp),
+    p AS (SELECT vec_id, v,
+            unnest(list_prepend(cell,
+              [xor(cell, 1::BIGINT << j)
+               for j in range(0, (SELECT bits FROM bset))])) pcell
+          FROM c),
+    j AS (SELECT p.vec_id id_a, m.vec_id id_b
+          FROM p JOIN c m ON m.cell = p.pcell AND p.vec_id < m.vec_id
+          WHERE round(list_cosine_similarity(p.v, m.v), 6) >= 0.9),
+    e AS (SELECT id_a a, id_b b FROM j UNION SELECT id_b, id_a FROM j
+          UNION SELECT a, b FROM xe UNION SELECT b, a FROM xe),
+    reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+    ),
+    comp AS (SELECT src vec_id, least(src, min(dst)) component
+             FROM reach GROUP BY src)
+    SELECT u.vec_id FROM u
+    WHERE NOT EXISTS (SELECT 1 FROM comp c
+                      WHERE c.vec_id = u.vec_id AND c.component < u.vec_id)
+    """,
+)
+def pipe_dedup_embed_ann_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipe_dedup_embed_canonical_ann`` at a SECOND occupancy target
+    (``target_occ=2``): the adaptive layout derives a WIDER sign code
+    (9 bits on the 1000-rep fixture vs the default-occupancy 8), so the
+    whole derive→bin→probe→verify pipeline is oracle-certified at two
+    distinct layouts — the occupancy knob the 1000× target-occ sweep
+    tuned is locked behind the value-hash gate rather than probe scripts
+    alone (VERDICT r10 item 7). The oracle derives the SAME bit width
+    from the corpus size in SQL (greatest(8, ceil(log2(n/occ))) — the
+    auto_sign_bits closed form) and replays cell codes and the
+    Hamming-1 probe set at that dynamic width, so a testdata resize
+    re-derives identically on both sides."""
+    from griddb_spark.pipeline import (
+        canonical_filter,
+        connected_components,
+        cosine_pairs_ann,
+    )
+
+    emb = cat(spark, sf_dir).load("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = emb.unionByName(pert)
+    g = corpus.groupBy("embedding").agg(
+        F.min("vec_id").alias("rep"),
+        F.collect_list("vec_id").alias("members"),
+    )
+    reps = g.select(F.col("rep").alias("vec_id"), "embedding")
+    exact_edges = g.select(
+        F.col("rep").alias("id_a"), F.explode("members").alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
+    ann_pairs = cosine_pairs_ann(
+        reps, "vec_id", "embedding", threshold=0.9, sign_bits=None,
+        target_occ=2,
+    ).select("id_a", "id_b")
+    pairs = ann_pairs.unionByName(exact_edges)
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    return canonical_filter(corpus, comps, id_col="vec_id").select("vec_id")
+
+
+@query(
     "pipe_encode_tokens",
     """
     WITH tf AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) token
@@ -8853,12 +8968,10 @@ def pipe_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-tested). Same deterministic contracts as the in-memory batch
     path, so the same oracle gates both; this is the index layout a
     100 TB corpus would publish once and serve forever."""
-    import tempfile
-
     from griddb_spark.pipeline import ivfpq_index_topk, ivfpq_index_write
 
     emb = cat(spark, sf_dir).load("embeddings")
-    path = tempfile.mkdtemp(prefix="ivfpq_idx_") + "/index"
+    path = _serve_index_path(sf_dir)
     ivfpq_index_write(emb, path, "vec_id", "embedding", in_dim=64,
                       coarse_k=_adaptive_k_cached(emb, sf_dir), m=4, k=8,
                       trained=_ivfpq_trained(emb, sf_dir))
