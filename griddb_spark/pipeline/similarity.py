@@ -579,6 +579,14 @@ def cosine_pairs_ann(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).withColumn("__cell", sign_code(F.col("__v"), sign_bits))
+    # Unpairable rows emit no pairs and are dropped HERE, not in the
+    # kernel: a NULL embedding (or one shorter than the code width —
+    # ragged crawl data) yields a NULL sign code, and without this
+    # filter every such row lands in one NULL-key group whose
+    # np.stack(None) crashes the verify kernel. No pair ⟹ the caller's
+    # dedup keeps the row — the same survivor semantics as a vector
+    # nothing matches.
+    v = v.filter(F.col("__cell").isNotNull())
     members = v.select(
         "__id", "__v", F.lit(True).alias("__own"),
         F.col("__cell").alias("__pcell"),
@@ -663,9 +671,15 @@ def cosine_pairs_ann(
         return pd.DataFrame({"id_a": [], "id_b": [],
                              "cos_sim": np.asarray([], dtype=np.float64)})
 
-    return members.unionByName(probers).groupBy("__pcell").applyInPandas(
-        kernel, out_schema
-    )
+    # Width rides in the group key: vectors pair only at equal width
+    # (cosine across widths is undefined), so each kernel invocation
+    # stacks a UNIFORM matrix — a mixed-width corpus (ragged crawl
+    # embeddings wider than the code width) otherwise hands np.stack a
+    # ragged set and crashes. Uniform corpora: one width per cell, the
+    # extra key is free.
+    return members.unionByName(probers).groupBy(
+        "__pcell", F.size("__v")
+    ).applyInPandas(kernel, out_schema)
 
 
 #: above this many centroids the interpreted-HOF cost of the all-JVM

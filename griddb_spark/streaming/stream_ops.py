@@ -627,8 +627,15 @@ def embed_dedup_stream(
         # vectors (sim NaN, never >= threshold) pass through, so intra-
         # batch and cross-batch behavior agree for them. NULL-id rows
         # pass through untouched (they never pair).
-        foldable = F.col(id_col).isNotNull() & self_pairable(
-            F.col("__v"), threshold
+        # coalesce(False): a NULL embedding makes self_pairable NULL, and
+        # a three-valued filter split (filter(p) ∪ filter(~p)) silently
+        # DROPS NULL-predicate rows from both branches — a corrupt-
+        # embedding row in a crawl stream must survive (it can never
+        # pair), not vanish from the corpus
+        foldable = F.coalesce(
+            F.col(id_col).isNotNull() & self_pairable(
+                F.col("__v"), threshold),
+            F.lit(False),
         )
         with stage("batch_prep"):
             b = (
@@ -667,7 +674,14 @@ def embed_dedup_stream(
         # index dups from the FULL batch equals dedup-then-probe: the
         # removed sets union identically (an intra loser matching the
         # index dies either way).
-        probes = b.select(
+        # Unpairable rows (NULL embedding, or shorter than the code
+        # width — ragged crawl data yields a NULL sign code) never
+        # probe: they can't pair, and a NULL-key group would crash the
+        # kernel's np.stack. They stay in `b`, so they append to the
+        # index (= the deduped corpus) as permanent survivors; their
+        # NULL cell lands in the Hive default partition, which no probe
+        # read ever selects.
+        probes = b.filter(F.col("__cell").isNotNull()).select(
             F.lit(0).alias("__side"),
             F.col(id_col).alias("__vid"),
             F.col("__v").alias("__vec"),
@@ -685,8 +699,9 @@ def embed_dedup_stream(
         both = probes
         if has_index:
             probe_cells = sorted(
-                {c ^ (1 << j) for c in cells for j in range(bits)}
-                | cells
+                {c ^ (1 << j) for c in cells if c is not None
+                 for j in range(bits)}
+                | {c for c in cells if c is not None}
             )
             # the index accretes one small file per touched cell per
             # batch. Two scan-cost guards: (a) pass the KNOWN schema —
@@ -806,7 +821,11 @@ def embed_dedup_stream(
                                  "__a": [], "__b": []})
 
         with stage("verify"):
-            found = both.groupBy("__pcell").applyInPandas(
+            # width in the group key: vectors pair only at equal width,
+            # so the kernel's np.stack is always uniform — ragged crawl
+            # embeddings wider than the code width would otherwise crash
+            # it (same guard as cosine_pairs_ann; free on uniform data)
+            found = both.groupBy("__pcell", F.size("__vec")).applyInPandas(
                 verify_cell, f"__kind int, __a {id_t}, __b {id_t}"
             ).collect()
         # pairs/dups are bounded by the batch by construction, so the

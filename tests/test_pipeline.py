@@ -541,6 +541,32 @@ def test_cosine_pairs_ann_supports_string_ids(spark, emb):
                for r in got)
 
 
+def test_cosine_pairs_ann_tolerates_ragged_and_null_embeddings(spark):
+    """Real crawl corpora carry corrupt rows: NULL embeddings, vectors
+    shorter than the code width (NULL sign cell), and mixed widths above
+    it. None may crash the operator — NULL/short rows are unpairable
+    (they emit no pairs; dedup callers keep them), and wider mixed
+    widths pair only within their own width (width rides in the kernel
+    group key, so np.stack always sees a uniform matrix)."""
+    from griddb_spark.pipeline import cosine_pairs_ann
+
+    base16 = [0.3] * 16
+    base32 = [-0.2] * 32
+    rows = [
+        (1, base16),
+        (2, [x * 1.001 for x in base16]),     # near-dup of 1 (16-dim)
+        (3, base32),
+        (4, [x * 1.001 for x in base32]),     # near-dup of 3 (32-dim)
+        (5, None),                            # NULL embedding
+        (6, [1.0, -1.0, 1.0]),                # shorter than 8 bits
+        (7, [9.0, -9.0] * 8),                 # 16-dim, orthogonal to 1/2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted((r.id_a, r.id_b) for r in cosine_pairs_ann(
+        df, "vec_id", "embedding", threshold=0.9, sign_bits=8).collect())
+    assert got == [(1, 2), (3, 4)]
+
+
 def test_cosine_pairs_ann_multi_tile_parity(spark, emb, monkeypatch):
     """The per-cell kernel tiles its row side at _VERIFY_TILE_ELEMS so
     per-task memory is bounded regardless of occupancy. Forcing 1-row

@@ -1292,3 +1292,55 @@ def test_drop_memory_sinks_releases_finished_tables(spark):
     names = {t.name for t in spark.catalog.listTables()}
     assert "t_sink_reclaim" not in names
     assert drop_memory_sinks(spark) == 0  # idempotent, registry cleared
+
+
+def test_embed_dedup_stream_tolerates_corrupt_embeddings(spark, tmp_path):
+    """Crawl ingest reality: NULL embeddings, vectors shorter than the
+    code width, and mixed widths must neither crash the stream nor
+    silently vanish. Unpairable rows (NULL / short → NULL sign cell)
+    survive as permanent index rows; full-width duplicates still dedup
+    across batches with the corrupt rows in play (the probe-cell set and
+    the verify kernel both have to tolerate NULL cells and ragged
+    widths)."""
+    import glob
+    import shutil
+
+    base = [0.4] * 16
+    wide = [-0.3] * 32
+    batches = [
+        # batch 1: two full-width rows, a NULL row, a short row
+        [(1, base), (2, wide), (3, None), (4, [1.0, -2.0])],
+        # batch 2: near-dups of both widths + another corrupt pair
+        [(10, [x * 1.001 for x in base]),       # dup of 1 (16-dim)
+         (11, [x * 1.001 for x in wide]),       # dup of 2 (32-dim)
+         (12, None), (13, [3.0])],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        d = str(tmp_path / f"f{i}")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(glob.glob(f"{d}/part-*.parquet")[0],
+                    f"{src}/{i:02d}.parquet")
+
+    from griddb_spark.streaming import embed_dedup_stream
+
+    index = str(tmp_path / "index")
+    q = embed_dedup_stream(
+        spark.readStream
+        .schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        index, "vec_id", "embedding", threshold=0.9, sign_bits=None,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    q.stop()
+
+    kept = sorted(
+        r.vec_id for r in spark.read
+        .schema("vec_id long, __v array<double>, __cell int")
+        .parquet(index).select("vec_id").collect())
+    # 10/11 are cross-batch dups of 1/2; every corrupt row survives
+    assert kept == [1, 2, 3, 4, 12, 13]
