@@ -362,7 +362,7 @@ def cosine_pairs(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("__blk"),
-    )
+    ).filter(F.col("__v").isNotNull())  # NULL rows can't pair (survive)
     pair_rows = [
         (a, b) for a in range(blocks) for b in range(blocks) if a <= b
     ]
@@ -406,11 +406,14 @@ def cosine_pairs(
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cs})
 
     # explicit repartition so AQE's size-based coalesce can't collapse the
-    # compute-bound block-pair tasks (see _jaccard_bitmap note)
+    # compute-bound block-pair tasks (see _jaccard_bitmap note). Width in
+    # the group key: vectors pair only at equal width (cross-width cosine
+    # is undefined), so the kernel's np.stack always sees a uniform
+    # matrix even on ragged crawl corpora; free when widths are uniform.
     n_pairs = blocks * (blocks + 1) // 2
     return (
         sides.repartition(2 * n_pairs, "pa", "pb")
-        .groupBy("pa", "pb")
+        .groupBy("pa", "pb", F.size("__v"))
         .applyInPandas(kernel, out_schema)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -740,19 +743,42 @@ def assign_clusters(
         assert (np.diff(idxs) > 0).all()  # ascending → argmax tie = min idx
         cm = np.stack([np.asarray(c, dtype=np.float64) for _, c in centroids])
         cn = np.linalg.norm(cm, axis=1)
+        d_cent = cm.shape[1]
 
         @F.pandas_udf("c int, s double")
         def _assign(vs: pd.Series) -> pd.DataFrame:
-            m = np.stack(vs.to_numpy()).astype(np.float64)
+            arr = vs.to_numpy()
+            # corrupt rows (NULL embedding / width ≠ centroid width —
+            # ragged crawl data) take NULL cluster + score, matching the
+            # JVM path's when() guard; np.stack would otherwise crash on
+            # None or a ragged set. Fast path: clean uniform batch.
+            valid = np.fromiter(
+                (r is not None and len(r) == d_cent for r in arr),
+                dtype=bool, count=len(arr))
+            if valid.all():
+                m = np.stack(arr).astype(np.float64)
+            elif not valid.any():
+                return pd.DataFrame(
+                    {"c": pd.array([None] * len(arr), dtype="Int32"),
+                     "s": np.full(len(arr), None, dtype=object)})
+            else:
+                m = np.stack([np.asarray(arr[i], dtype=np.float64)
+                              for i in np.flatnonzero(valid)])
             vn = np.linalg.norm(m, axis=1)
             den = np.outer(vn, cn)
             den[den == 0.0] = np.inf  # zero norm → cos 0, matches JVM path
             sim = round_half_away((m @ cm.T) / den, round_to)
             am = np.argmax(sim, axis=1)
-            return pd.DataFrame(
-                {"c": idxs[am].astype(np.int32),
-                 "s": sim[np.arange(len(am)), am]}
-            )
+            if valid.all():
+                return pd.DataFrame(
+                    {"c": idxs[am].astype(np.int32),
+                     "s": sim[np.arange(len(am)), am]})
+            c_out = np.full(len(arr), None, dtype=object)
+            s_out = np.full(len(arr), None, dtype=object)
+            c_out[valid] = idxs[am]
+            s_out[valid] = sim[np.arange(len(am)), am]
+            return pd.DataFrame({"c": pd.array(c_out, dtype="Int32"),
+                                 "s": s_out})
 
         picked = _assign(F.col(vec_col).cast("array<double>"))
         out = df.withColumn("__pick", picked).withColumn(
@@ -776,7 +802,11 @@ def assign_clusters(
                 F.lit(-int(cidx)).cast("int").alias("ni"),
             )
         )
-    best = F.array_max(F.array(*structs))
+    # corrupt rows (NULL / width ≠ centroid width) assign to NULL, not a
+    # garbage nearest-of-truncated-dot — same contract as the GEMM path
+    d_cent = len(centroids[0][1]) if centroids else 0
+    valid = v.isNotNull() & (F.size(v) == F.lit(d_cent))
+    best = F.when(valid, F.array_max(F.array(*structs)))
     out = df.withColumn(out_col, (-best["ni"]).cast("int"))
     if score_col is not None:
         out = out.withColumn(score_col, best["c"])
@@ -812,12 +842,23 @@ def kmeans_fit(
     v = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    init = v.orderBy("__id").limit(k).collect()
+    # corrupt rows (NULL embedding / off-width — assign_clusters gives
+    # them NULL cluster) neither seed nor weight the means; the modal
+    # width defines the corpus for training purposes
+    widths = (v.filter(F.col("__v").isNotNull())
+              .groupBy(F.size("__v").alias("__w"))
+              .count().orderBy(F.desc("count"), F.asc("__w")).limit(1)
+              .collect())
+    if not widths:
+        return []
+    d_train = int(widths[0]["__w"])
+    clean = v.filter(F.size("__v") == F.lit(d_train))
+    init = clean.orderBy("__id").limit(k).collect()
     cents: list[tuple[int, list[float]]] = [
         (i, list(r["__v"])) for i, r in enumerate(init)
     ]
     for _ in range(iters):
-        a = assign_clusters(v, cents, vec_col="__v", round_to=round_to)
+        a = assign_clusters(clean, cents, vec_col="__v", round_to=round_to)
         rows = (
             a.select("cluster", F.posexplode("__v"))
             .groupBy("cluster", "pos")
@@ -826,6 +867,8 @@ def kmeans_fit(
         )
         by_c: dict[int, dict[int, float]] = {}
         for r in rows:
+            if r["cluster"] is None:
+                continue
             by_c.setdefault(r["cluster"], {})[r["pos"]] = round(r["m"], round_to)
         cents = [
             (ci, [d[p] for p in range(len(d))]) for ci, d in sorted(by_c.items())
@@ -860,11 +903,17 @@ def cosine_pairs_within(
     cos_sim) with id_a < id_b."""
     id_t = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
+    # NULL groups (unassignable corrupt rows) and NULL vectors can't
+    # pair — excluded here so the kernels never see them; width joins
+    # the group key so mixed-width groups stack uniform matrices
+    # (cross-width cosine is undefined; free on uniform corpora)
     sub = df.select(
         F.col(group_col).alias("__g"),
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    )
+    ).filter(
+        F.col(group_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).withColumn("__w", F.size("__v"))
 
     def _emit(ids_a, va, ids_b, vb, triangular):
         import numpy as np
@@ -909,14 +958,15 @@ def cosine_pairs_within(
         m = np.stack(pdf["__v"].to_numpy())
         return _emit(ids, m, ids, m, triangular=True)
 
-    biggest = sub.groupBy("__g").count().agg(F.max("count")).collect()[0][0]
+    biggest = (sub.groupBy("__g", "__w").count()
+               .agg(F.max("count")).collect()[0][0])
     if biggest is None or biggest <= max_group:
-        return sub.groupBy("__g").applyInPandas(kernel, out_schema)
+        return sub.groupBy("__g", "__w").applyInPandas(kernel, out_schema)
 
     nb = F.ceil(F.col("__n") / F.lit(max_group)).cast("int")
-    sizes = sub.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    sizes = sub.groupBy("__g", "__w").agg(F.count(F.lit(1)).alias("__n"))
     blocked = (
-        sub.join(F.broadcast(sizes), "__g")
+        sub.join(F.broadcast(sizes), ["__g", "__w"])
         .withColumn("__nb", nb)
         .withColumn(
             "__p", F.pmod(F.xxhash64(F.col("__id")), F.col("__nb")).cast("int")
@@ -934,7 +984,8 @@ def cosine_pairs_within(
             ),
         )
         .select(
-            "__g", F.col("__pair.i").alias("__i"), F.col("__pair.j").alias("__j"),
+            "__g", "__w",
+            F.col("__pair.i").alias("__i"), F.col("__pair.j").alias("__j"),
             "__id", "__v", "__p",
         )
     )
@@ -942,7 +993,7 @@ def cosine_pairs_within(
     def pair_kernel(key, pdf):
         import numpy as np
 
-        _, i, j = key
+        i, j = key[-2], key[-1]  # key = (__g, __w, __i, __j)
         pdf = pdf.sort_values("__id", kind="mergesort")
         if i == j:
             ids = pdf["__id"].to_numpy()
@@ -964,7 +1015,7 @@ def cosine_pairs_within(
             triangular=False,
         )
 
-    return blocked.groupBy("__g", "__i", "__j").applyInPandas(
+    return blocked.groupBy("__g", "__w", "__i", "__j").applyInPandas(
         pair_kernel, out_schema
     )
 
@@ -1015,8 +1066,14 @@ def semdedup(
     # pair with their own copies, so they pass through uncollapsed —
     # like NULL-id rows (which never pair, the anti-join keeps them).
     v = df.select(F.col(id_col), F.col(vec_col))
-    foldable = F.col(id_col).isNotNull() & self_pairable(
-        F.col(vec_col), threshold
+    # coalesce(False): a NULL embedding makes self_pairable NULL, and a
+    # three-valued filter split (filter(p) ∪ filter(~p)) would silently
+    # drop such rows from BOTH branches — corrupt rows must survive
+    # (NULL cluster, no pairs), not vanish from the corpus
+    foldable = F.coalesce(
+        F.col(id_col).isNotNull() & self_pairable(
+            F.col(vec_col), threshold),
+        F.lit(False),
     )
     base = (
         v.filter(foldable)
@@ -1106,6 +1163,10 @@ def max_sim_vs_bench(
     rows = bench.select(
         F.col(vec_col).cast("array<double>").alias("__bv")
     ).collect()
+    dims = {len(r[0]) for r in rows if r[0] is not None}
+    d_bench = max(dims) if dims else 0
+    # NULL / off-width bench rows can't anchor a similarity — drop them
+    rows = [r for r in rows if r[0] is not None and len(r[0]) == d_bench]
     if not rows:
         raise ValueError("bench set is empty")
     bm = np.stack([r[0] for r in rows])
@@ -1120,13 +1181,25 @@ def max_sim_vs_bench(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.stack(pdf["__v"].to_numpy())
-            nm = np.linalg.norm(m, axis=1, keepdims=True)
-            m = m / np.where(nm == 0.0, 1.0, nm)
-            sim = m @ bc.value
+            vals = pdf["__v"].to_numpy()
+            # corrupt corpus rows (NULL / width ≠ bench width) get NULL
+            # similarity — undefined vs the bench, and NULL >= threshold
+            # is false so decontam callers keep them (np.stack would
+            # otherwise crash on None or a ragged set)
+            valid = np.fromiter(
+                (r is not None and len(r) == d_bench for r in vals),
+                dtype=bool, count=len(vals))
+            sims = np.full(len(vals), None, dtype=object)
+            if valid.any():
+                m = np.stack([np.asarray(vals[i], dtype=np.float64)
+                              for i in np.flatnonzero(valid)])
+                nm = np.linalg.norm(m, axis=1, keepdims=True)
+                m = m / np.where(nm == 0.0, 1.0, nm)
+                sim = m @ bc.value
+                sims[valid] = round_half_away(sim.max(axis=1), round_to)
             yield pd.DataFrame({
                 id_col: pdf["__id"].to_numpy(),
-                "max_bench_sim": round_half_away(sim.max(axis=1), round_to),
+                "max_bench_sim": sims,
             })
 
     para = corpus.sparkSession.sparkContext.defaultParallelism
@@ -1461,24 +1534,41 @@ def pq_encode(
             assert (np.diff(ids) > 0).all()
 
         def kern(batches):
+            width = m * d
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                x = np.stack(
-                    [np.asarray(r, dtype=np.float64) for r in pdf[vec_col]]
-                )
-                cols = []
-                for j in range(m):
-                    xs = x[:, j * d : (j + 1) * d]
-                    diff = xs[:, None, :] - mats[j][None, :, :]
-                    d2 = round_half_away(
-                        np.einsum("abk,abk->ab", diff, diff), round_to)
-                    cols.append(code_ids[j][np.argmin(d2, axis=1)])
-                codes = np.stack(cols, axis=1)
+                vals = pdf[vec_col].to_numpy()
+                # corrupt rows (NULL / shorter than the codebook width)
+                # encode to NULL codes — they pass through the pipeline
+                # but are never ADC-retrievable, matching the JVM path's
+                # when() guard; np.stack would otherwise crash on None
+                # or a ragged set. Wider vectors encode their first
+                # m·d dims (the slice the JVM path takes).
+                valid = np.fromiter(
+                    (r is not None and len(r) >= width for r in vals),
+                    dtype=bool, count=len(vals))
                 out = {id_col: pdf[id_col]}
                 for c in keep_cols:
                     out[c] = pdf[c]
-                out[out_col] = [list(map(int, row)) for row in codes]
+                codes_out: list = [None] * len(vals)
+                if valid.any():
+                    vi = np.flatnonzero(valid)
+                    x = np.stack([
+                        np.asarray(vals[i], dtype=np.float64)[:width]
+                        for i in vi
+                    ])
+                    cols = []
+                    for j in range(m):
+                        xs = x[:, j * d : (j + 1) * d]
+                        diff = xs[:, None, :] - mats[j][None, :, :]
+                        d2 = round_half_away(
+                            np.einsum("abk,abk->ab", diff, diff), round_to)
+                        cols.append(code_ids[j][np.argmin(d2, axis=1)])
+                    codes = np.stack(cols, axis=1)
+                    for i, row in zip(vi, codes):
+                        codes_out[i] = list(map(int, row))
+                out[out_col] = codes_out
                 yield pd.DataFrame(out)
 
         keep_schema = "".join(
@@ -1505,10 +1595,14 @@ def pq_encode(
             for c, cv in book
         ]
         per_sub.append(F.array_min(F.array(*structs))["c"])
+    # corrupt rows (NULL / shorter than the codebook width) encode to
+    # NULL codes — same contract as the GEMM path; wider vectors encode
+    # their first m·d dims via the slice above
+    valid = v.isNotNull() & (F.size(v) >= F.lit(m * d))
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        F.array(*per_sub).alias(out_col),
+        F.when(valid, F.array(*per_sub)).alias(out_col),
     )
 
 
