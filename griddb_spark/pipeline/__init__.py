@@ -119,6 +119,7 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     random_project_exact,
     rp_sign_table,
     semdedup,
+    topk_recall,
 )
 from griddb_spark.pipeline.sketches import (  # noqa: F401
     cms_build,

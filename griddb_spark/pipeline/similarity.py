@@ -335,6 +335,37 @@ def ann_ivf(
     )
 
 
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    q_col: str = "q_id",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against exact
+    ground truth — the quality gauge every ANN deployment tunes against
+    (FAISS's recall-vs-nprobe curves). Both inputs are (q_col, id_col)
+    result sets (extra columns ignored); recall = |approx ∩ exact| /
+    |exact| per query, with queries whose approx set is empty scoring 0.
+
+    Scale: the inputs are top-k sets — |queries|·k rows by construction,
+    regardless of corpus size — so the intersect join and both
+    aggregations run on bounded data no matter what produced them; at
+    100 TB the cost is wherever the two result sets came from, never
+    here. Returns (q_col, recall) rounded to ``round_to``.
+    """
+    a = approx.select(F.col(q_col), F.col(id_col)).distinct()
+    e = exact.select(F.col(q_col), F.col(id_col)).distinct()
+    den = e.groupBy(q_col).agg(F.count(F.lit(1)).alias("__n"))
+    hits = a.join(e, [q_col, id_col]).groupBy(q_col).agg(
+        F.count(F.lit(1)).alias("__h"))
+    return den.join(hits, q_col, "left").select(
+        F.col(q_col),
+        F.round(F.coalesce(F.col("__h"), F.lit(0)) / F.col("__n"),
+                round_to).alias("recall"),
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

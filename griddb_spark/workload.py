@@ -8979,3 +8979,100 @@ def pipe_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     return ivfpq_index_topk(spark, path, qdf, nprobe=2, topk=5)
+
+
+#: IVF-PQ top-5 (the certified batch-serving CTE, re-used verbatim up to
+#: `adc`) intersected per-query with the exact brute-force top-5 (the
+#: certified knn formulation) → recall@5. DuckDB replays the WHOLE
+#: approx pipeline (train, route, ADC) and the exact ground truth, so
+#: the recall numbers gate end-to-end.
+_ANN_RECALL_ORACLE = _KMEANS_CTE + _PQ_CTE + """
+    , pos2 AS (SELECT cidx, generate_subscripts(ev, 1) AS p,
+                      unnest(ev) AS x FROM s2),
+    byp2 AS (SELECT cidx, p, avg(x) AS x FROM pos2 GROUP BY cidx, p),
+    cent2 AS (SELECT cidx, list(x ORDER BY p) AS centroid
+              FROM byp2 GROUP BY cidx),
+    q AS (SELECT vec_id AS q_id, ev AS qv FROM v WHERE vec_id < 100),
+    qc AS (SELECT q_id, qv, cidx,
+             round(list_dot_product(qv, centroid)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(centroid, centroid))), 6) AS cc
+           FROM q CROSS JOIN cent2),
+    probes AS (SELECT q_id, qv, cidx FROM
+                 (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cc DESC, cidx) AS pr FROM qc)
+               WHERE pr <= 2),
+    lut AS (SELECT q.q_id, pu1.j, pu1.c,
+              CAST(round((SELECT sum((q.qv[pu1.j*16+i] - pu1.cv[i])^2)
+                          FROM range(1,17) t(i)), 6) AS DECIMAL(18,6)) AS ld
+            FROM q CROSS JOIN pu1),
+    cand AS (SELECT DISTINCT p.q_id, e.vec_id
+             FROM probes p JOIN s2 e ON e.cidx = p.cidx
+             WHERE e.vec_id != p.q_id),
+    adc AS (SELECT c.q_id, c.vec_id, CAST(sum(l.ld) AS DOUBLE) AS adc_dist
+            FROM cand c
+            JOIN ps2 ON ps2.vec_id = c.vec_id
+            JOIN lut l ON l.q_id = c.q_id AND l.j = ps2.j AND l.c = ps2.c
+            GROUP BY c.q_id, c.vec_id),
+    approx AS (SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_dist, vec_id) AS rn
+        FROM adc) WHERE rn <= 5),
+    bfs AS (SELECT q.q_id, e.vec_id,
+              round(list_dot_product(q.qv, e.ev)
+                    / (sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(e.ev, e.ev))), 6) AS cs
+            FROM q CROSS JOIN v e WHERE e.vec_id != q.q_id),
+    exact AS (SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cs DESC, vec_id) AS rk
+        FROM bfs) WHERE rk <= 5),
+    hits AS (SELECT a.q_id, count(*) AS h
+             FROM approx a JOIN exact e
+               ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+             GROUP BY a.q_id),
+    den AS (SELECT q_id, count(*) AS n FROM exact GROUP BY q_id)
+    SELECT d.q_id, round(coalesce(h.h, 0) / CAST(d.n AS DOUBLE), 6)
+             AS recall
+    FROM den d LEFT JOIN hits h ON h.q_id = d.q_id
+    """
+
+
+@query("pipe_ann_recall", _ANN_RECALL_ORACLE)
+def pipe_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF-PQ batch serving against exact brute-force ground
+    truth (``topk_recall``) — the quality gauge an ANN deployment tunes
+    nprobe/occupancy against (FAISS's recall-vs-nprobe methodology),
+    as a first-class certified operator rather than a probe script. The
+    approx side is the certified ``ivfpq_topk_batch`` pipeline (same
+    trained artifact memo, nprobe=2, top-5); the exact side is the
+    certified ``knn_bruteforce`` formulation at k=5; the recall join
+    runs on |queries|·k rows regardless of corpus size. The oracle
+    replays BOTH pipelines and the intersection in SQL.
+
+    Expect LOW absolute recall on this fixture (~0.10 mean at sf0.01):
+    i.i.d. gaussian vectors are the adversarial case for product
+    quantization — no cluster structure, so 4×8-code ADC distances are
+    near-noise. That is the measurement working, not failing; real
+    embedding corpora (and wider codes) score far higher, and this gate
+    certifies the recall MATH end-to-end either way."""
+    from griddb_spark.pipeline import (
+        ivfpq_topk_batch,
+        knn_bruteforce,
+        topk_recall,
+    )
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    qdf = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    approx = ivfpq_topk_batch(
+        emb, "vec_id", "embedding", in_dim=64, queries=qdf,
+        coarse_k=_adaptive_k_cached(emb, sf_dir), m=4, k=8, nprobe=2,
+        topk=5, trained=_ivfpq_trained(emb, sf_dir),
+    )
+    exact = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 100), k=5)
+    return topk_recall(
+        approx.select("q_id", "vec_id"),
+        exact.select("q_id", F.col("n_id").alias("vec_id")),
+    )

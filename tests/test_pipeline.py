@@ -2122,3 +2122,22 @@ def test_cosine_pairs_ann_rejects_zero_bits(spark):
         "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="sign_bits must be >= 1"):
         cosine_pairs_ann(df, "vec_id", "embedding", sign_bits=0)
+
+
+def test_topk_recall_semantics(spark):
+    """recall = |approx ∩ exact| / |exact| per query: full overlap 1.0,
+    disjoint 0.0, partial fractional, missing-from-approx query 0.0,
+    duplicates in either input counted once."""
+    from griddb_spark.pipeline import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (4, 40)],
+        "q_id long, vec_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11),          # q1 full
+         (2, 20), (2, 99),          # q2 half
+         (3, 98), (3, 99),          # q3 none
+         (1, 10)],                  # duplicate — must not double count
+        "q_id long, vec_id long")   # q4 absent from approx
+    got = {r.q_id: r.recall for r in topk_recall(approx, exact).collect()}
+    assert got == {1: 1.0, 2: 0.5, 3: 0.0, 4: 0.0}
