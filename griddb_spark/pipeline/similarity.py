@@ -228,6 +228,17 @@ def logreg_train(
     return [(-1, b)] + list(enumerate(w))
 
 
+#: Pair-volume proxy (|queries| × corpus plan bytes) above which
+#: knn_bruteforce switches from the all-JVM crossJoin expression to the
+#: Arrow GEMM kernel: the HOF cosine is interpreted (not codegen'd) at
+#: O(dim) boxed ops PER PAIR, so pair count — not bytes — is the cost
+#: driver (100 queries × 5k vectors measured ~12 s interpreted vs ~1 s
+#: vectorized). Threshold keeps the sf0.01 oracle corpus on the JVM
+#: path (the driver-certified one); parity between the paths is pinned
+#: by a unit test.
+_KNN_GEMM_MIN_PAIR_BYTES = 48 * 1024 * 1024
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -239,22 +250,119 @@ def knn_bruteforce(
     """Exact cosine top-k neighbors for each query vector.
 
     Returns (q_id, n_id, cos_sim, rank); excludes self-matches. Ties break
-    on neighbor id (deterministic). ``queries`` is broadcast — it must be
-    the small side.
+    on neighbor id (deterministic). ``queries`` is collected + broadcast —
+    it must be the small side. Only equal-width pairs rank (cross-width
+    cosine is undefined; corrupt rows are never neighbors — the
+    corpus-wide corrupt-row contract).
+
+    Dispatch mirrors assign_clusters/pq_encode: small pair volumes run
+    as one JVM crossJoin + window (zero Python); above
+    ``_KNN_GEMM_MIN_PAIR_BYTES`` of |queries|×corpus volume, corpus
+    batches stream through ONE Arrow GEMM that emits per-batch partial
+    top-k (k rows per query per batch — top-k is distributive), and the
+    same window finishes globally. Identical 6dp rounding, NaN-greatest
+    ordering (Spark's double sort order), and id tie-break.
     """
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc())
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).collect()
+    n_q = len(q_rows)
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    if n_q * _plan_size_bytes(corpus) > _KNN_GEMM_MIN_PAIR_BYTES:
+        by_w: dict[int, list] = {}
+        for r in q_rows:
+            if r["__qv"] is not None:
+                by_w.setdefault(len(r["__qv"]), []).append(
+                    (r["q_id"], r["__qv"]))
+        bmats = {
+            wd: (np.array([qid for qid, _ in lst]),
+                 np.stack([np.asarray(qv, dtype=np.float64)
+                           for _, qv in lst]))
+            for wd, lst in by_w.items()
+        }
+        bc = corpus.sparkSession.sparkContext.broadcast(bmats)
+        out_schema = f"q_id {qid_t}, n_id {nid_t}, cos_sim double"
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vals = pdf["__cv"].to_numpy()
+                ids = pdf["n_id"].to_numpy()
+                lens = np.fromiter(
+                    (len(r) if r is not None else -1 for r in vals),
+                    dtype=np.int64, count=len(vals))
+                oq, on, os_ = [], [], []
+                for wd, (qids, qm) in bc.value.items():
+                    rows_i = np.flatnonzero(lens == wd)
+                    if not len(rows_i):
+                        continue
+                    m = np.stack([np.asarray(vals[i], dtype=np.float64)
+                                  for i in rows_i])
+                    rid = ids[rows_i]
+                    # IEEE like the JVM doubles: den 0 → inf/nan, and
+                    # NaN ranks GREATEST (Spark's double sort order)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sims = round_half_away(
+                            (m @ qm.T) / np.outer(
+                                np.linalg.norm(m, axis=1),
+                                np.linalg.norm(qm, axis=1)),
+                            round_to)
+                    for j in range(len(qids)):
+                        s = sims[:, j]
+                        s2 = np.where(np.isnan(s), np.inf, s)
+                        order = np.lexsort((rid, -s2))
+                        take = []
+                        for i in order:
+                            if rid[i] != qids[j]:  # no self-match
+                                take.append(i)
+                                if len(take) > k:
+                                    break
+                        take = take[:k]
+                        if take:
+                            oq.append(np.full(len(take), qids[j]))
+                            on.append(rid[take])
+                            os_.append(s[take])
+                if oq:
+                    yield pd.DataFrame({
+                        "q_id": np.concatenate(oq),
+                        "n_id": np.concatenate(on),
+                        "cos_sim": np.concatenate(os_),
+                    })
+
+        partial = corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        ).mapInPandas(gen, schema=out_schema)
+        return (
+            partial.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+        )
+
+    q = queries.sparkSession.createDataFrame(
+        [(r["q_id"], r["__qv"]) for r in q_rows],
+        f"q_id {qid_t}, __qv array<double>",
     )
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(F.col(id_col).alias("n_id"),
+                      F.col(vec_col).cast("array<double>").alias("__cv"))
     sim = F.round(cosine(F.col("__qv"), F.col("__cv")), round_to)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("n_id"))
+        # equal-width pairs only — the corrupt-row contract; a
+        # truncated zip_with dot across widths is garbage, not cosine
+        .filter(F.col("__cv").isNotNull() & F.col("__qv").isNotNull()
+                & (F.size("__cv") == F.size("__qv")))
         .select("q_id", "n_id", sim.alias("cos_sim"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

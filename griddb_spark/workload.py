@@ -3384,6 +3384,7 @@ ANN_TRAINED_QUERIES = frozenset({
     "pipe_cluster_kmeans", "pipe_semdedup", "pipe_ann_ivf_trained",
     "stream_cluster_assign", "pipe_prune_prototypes", "pipe_ann_pq",
     "pipe_ann_ivfpq", "pipe_ann_ivfpq_batch", "pipe_ann_index_serve",
+    "pipe_ann_recall",
 })
 
 

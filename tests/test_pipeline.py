@@ -2141,3 +2141,30 @@ def test_topk_recall_semantics(spark):
         "q_id long, vec_id long")   # q4 absent from approx
     got = {r.q_id: r.recall for r in topk_recall(approx, exact).collect()}
     assert got == {1: 1.0, 2: 0.5, 3: 0.0, 4: 0.0}
+
+
+def test_knn_bruteforce_gemm_parity(spark, emb, monkeypatch):
+    """The Arrow-GEMM dispatch must emit exactly the JVM crossJoin
+    path's result — same 6dp rounding, same id tie-break, same
+    corrupt-row exclusion — including with NULL/short/off-width rows
+    in the corpus."""
+    from pyspark.sql import functions as SF
+
+    from griddb_spark.pipeline import similarity as S
+
+    base = emb.limit(200).select(
+        "vec_id", SF.col("embedding").cast("array<double>").alias("embedding"))
+    corrupt = spark.createDataFrame(
+        [(9001, None), (9002, [1.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    corpus = base.unionByName(corrupt)
+    qdf = base.filter(SF.col("vec_id") < 7)
+
+    jvm = sorted(map(tuple, S.knn_bruteforce(
+        corpus, qdf, k=4).collect()))
+    monkeypatch.setattr(S, "_KNN_GEMM_MIN_PAIR_BYTES", -1)
+    gemm = sorted(map(tuple, S.knn_bruteforce(
+        corpus, qdf, k=4).collect()))
+    assert jvm == gemm
+    assert len(jvm) == qdf.count() * 4
+    assert not any(r[1] in (9001, 9002) for r in jvm)  # corrupt excluded
