@@ -88,34 +88,41 @@ def _last_seen() -> dict[str, tuple[int, int]]:
 #: Names whose IMPLEMENTATION changed materially since their latest
 #: official certification — their on-record green no longer certifies the
 #: code that ships, so they sort right after never-sampled names
-#: regardless of recency. stream_dedup_embed: last certified r8 with the
-#: old fixed sign_bits=8 default; round 10 flipped the default to
-#: adaptive (sign_bits=None, stream_ops.py) and the driver has never run
-#: it that way (VERDICT r10 item 3). Remove a name once the round after
-#: its re-certification lands.
-_FORCE_RESAMPLE = ["stream_dedup_embed"]
+#: regardless of recency. Remove a name once its re-certification lands
+#: in a committed CORRECTNESS artifact (stream_dedup_embed was listed
+#: here r10→r11 and came back green in CORRECTNESS_r11, so it's gone —
+#: keeping it would burn an r12 window slot on a 1-round-old green while
+#: the r6/r7-vintage cohort waits; VERDICT r11 "what's wrong" item 1).
+_FORCE_RESAMPLE: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Order: never-sampled queries first (new gates this round), then
-    ``_FORCE_RESAMPLE`` (certified config went stale), then
+    """Order: never-sampled ORACLE-BACKED queries first (new gates this
+    round), then ``_FORCE_RESAMPLE`` (certified config went stale), then
     stalest-official-certification-first (derived from the committed
     CORRECTNESS_r*.json files — see ``_last_seen``), freshest samples
-    last. With ten rounds on record this puts the r5-vintage cohort (18
-    names) and the oldest of the r6 cohort inside round 11's ~50-query
-    driver window."""
+    last. Names with no ``workload.ORACLE`` entry (sql_explain,
+    sql_explain_analyze, meta_statement_resources — plan text / live
+    metrics that DuckDB cannot replay) can only ever produce
+    ``err: no_oracle``, so they sort to the very end regardless of
+    staleness: all ~50 driver window slots land on hash-certifiable
+    queries (VERDICT r11 "what's wrong" item 2); the oracle-less trio
+    keeps smoke coverage from driver_sim/preflight."""
     from griddb_spark import workload
 
     last_seen = _last_seen()
     forced = [n for n in _FORCE_RESAMPLE if n in workload.QUERIES]
+    certifiable = [n for n in workload.QUERIES if n in workload.ORACLE]
+    oracle_less = [n for n in workload.QUERIES if n not in workload.ORACLE]
     seen = sorted(
-        (n for n in last_seen
-         if n in workload.QUERIES and n not in _FORCE_RESAMPLE),
+        (n for n in certifiable
+         if n in last_seen and n not in _FORCE_RESAMPLE),
         key=lambda n: last_seen[n],
     )
-    fresh = [n for n in workload.QUERIES
+    fresh = [n for n in certifiable
              if n not in last_seen and n not in _FORCE_RESAMPLE]
-    return {n: workload.QUERIES[n] for n in fresh + forced + seen}
+    return {n: workload.QUERIES[n]
+            for n in fresh + forced + seen + oracle_less}
 
 
 def oracle_sql() -> dict[str, str]:

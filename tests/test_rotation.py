@@ -70,20 +70,29 @@ def test_driver_window_does_not_resample_previous_round():
     )
 
 
+def _oracle_less() -> set:
+    from griddb_spark import workload
+
+    return {n for n in workload.QUERIES if n not in workload.ORACLE}
+
+
 def test_window_is_stalest_first_after_fresh():
-    """queries() iterates: never-sampled names first (new gates need a
-    first certification), then _FORCE_RESAMPLE (on-record cert no longer
-    covers the shipped config), then ascending latest-certification
-    round."""
+    """queries() iterates: never-sampled oracle-backed names first (new
+    gates need a first certification), then _FORCE_RESAMPLE (on-record
+    cert no longer covers the shipped config), then ascending
+    latest-certification round; oracle-less names dead last."""
     last_seen = entry_mod._last_seen()
     forced = set(entry_mod._FORCE_RESAMPLE)
+    oracle_less = _oracle_less()
     names = list(entry_mod.queries())
     rounds = [last_seen[n][0] for n in names
-              if n in last_seen and n not in forced]
+              if n in last_seen and n not in forced and n not in oracle_less]
     assert rounds == sorted(rounds)
     # fresh and forced names all precede ordinary sampled names
     tail_started = False
     for n in names:
+        if n in oracle_less:
+            continue
         if n in last_seen and n not in forced:
             tail_started = True
         else:
@@ -92,12 +101,13 @@ def test_window_is_stalest_first_after_fresh():
 
 def test_window_targets_oldest_vintage():
     """The driver window (minus fresh/forced names) must be filled by the
-    globally stalest cohorts on the official record (r5/r6 vintage as of
-    r10)."""
+    globally stalest certifiable cohorts on the official record (r6/r7
+    vintage as of r11)."""
     last_seen = entry_mod._last_seen()
     forced = set(entry_mod._FORCE_RESAMPLE)
+    oracle_less = _oracle_less()
     names = [n for n in entry_mod.queries()
-             if n in last_seen and n not in forced]
+             if n in last_seen and n not in forced and n not in oracle_less]
     k = WINDOW - len(forced)
     window_rounds = sorted(last_seen[n][0] for n in names[:k])
     all_rounds = sorted(last_seen[n][0] for n in names)
@@ -105,9 +115,27 @@ def test_window_targets_oldest_vintage():
 
 
 def test_forced_resample_in_window():
-    """stream_dedup_embed's r8 certification predates the adaptive
-    sign_bits default flip (r10) — it must re-enter the driver window
-    until re-certified (VERDICT r10 item 3)."""
+    """Any name listed in _FORCE_RESAMPLE (shipped config drifted past its
+    on-record certification) must sit inside the driver window until
+    re-certified. Empty as of r12 — stream_dedup_embed's adaptive config
+    landed green in CORRECTNESS_r11 (VERDICT r11 'what's wrong' item 1)."""
     names = list(entry_mod.queries())
     for n in entry_mod._FORCE_RESAMPLE:
         assert names.index(n) < WINDOW, f"{n} outside the driver window"
+
+
+def test_oracle_less_names_sort_last():
+    """sql_explain / sql_explain_analyze / meta_statement_resources can
+    only ever produce ``err: no_oracle`` — they must never occupy a
+    driver window slot that a hash-certifiable query could use
+    (VERDICT r11 'what's wrong' item 2)."""
+    oracle_less = _oracle_less()
+    assert oracle_less, "expected the three rows-only gates to exist"
+    names = list(entry_mod.queries())
+    n_total = len(names)
+    for n in oracle_less:
+        assert names.index(n) >= n_total - len(oracle_less), (
+            f"{n} has no oracle but sorted before certifiable queries"
+        )
+    # and therefore the whole driver window is hash-certifiable
+    assert not [n for n in names[:WINDOW] if n in oracle_less]
