@@ -238,6 +238,17 @@ def logreg_train(
 #: by a unit test.
 _KNN_GEMM_MIN_PAIR_BYTES = 48 * 1024 * 1024
 
+#: Both knn paths hold the query batch driver-side (collect for the GEMM
+#: broadcast matrices, collect + re-broadcast for the JVM crossJoin), so
+#: a corpus-sized queries DataFrame would OOM the driver instead of
+#: erroring. Fail loudly above this plan-size estimate. The estimate is
+#: conservative for derived plans (a Filter passes its scan's size
+#: through), so the cap is set high enough that a small filter over a
+#: multi-GB corpus still passes; a caller whose ESTIMATE genuinely
+#: exceeds it should pre-materialize the query batch, swap sides, or
+#: use an ANN path.
+_KNN_QUERIES_MAX_BYTES = 2 * 1024 * 1024 * 1024
+
 
 def knn_bruteforce(
     corpus: DataFrame,
@@ -246,25 +257,39 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     k: int = 3,
     round_to: int = 6,
+    gemm_min_pair_bytes: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Returns (q_id, n_id, cos_sim, rank); excludes self-matches. Ties break
     on neighbor id (deterministic). ``queries`` is collected + broadcast —
-    it must be the small side. Only equal-width pairs rank (cross-width
-    cosine is undefined; corrupt rows are never neighbors — the
-    corpus-wide corrupt-row contract).
+    it must be the small side (guarded by ``_KNN_QUERIES_MAX_BYTES``).
+    Only equal-width pairs rank (cross-width cosine is undefined; corrupt
+    rows are never neighbors — the corpus-wide corrupt-row contract).
 
     Dispatch mirrors assign_clusters/pq_encode: small pair volumes run
     as one JVM crossJoin + window (zero Python); above
-    ``_KNN_GEMM_MIN_PAIR_BYTES`` of |queries|×corpus volume, corpus
-    batches stream through ONE Arrow GEMM that emits per-batch partial
-    top-k (k rows per query per batch — top-k is distributive), and the
-    same window finishes globally. Identical 6dp rounding, NaN-greatest
-    ordering (Spark's double sort order), and id tie-break.
+    ``gemm_min_pair_bytes`` (default ``_KNN_GEMM_MIN_PAIR_BYTES``) of
+    |queries|×corpus volume, corpus batches stream through ONE Arrow
+    GEMM that emits per-batch partial top-k (k rows per query per batch
+    — top-k is distributive), and the same window finishes globally.
+    Identical 6dp rounding, NaN-greatest ordering (Spark's double sort
+    order), and id tie-break. The bound is a parameter so the GEMM
+    branch can be forced on fixture-sized data under a value-hash
+    oracle (pipe_knn_exact_gemm), not just parity tests.
     """
     from pyspark.sql import Window
 
+    if gemm_min_pair_bytes is None:
+        gemm_min_pair_bytes = _KNN_GEMM_MIN_PAIR_BYTES
+    q_bytes = _plan_size_bytes(queries)
+    if q_bytes > _KNN_QUERIES_MAX_BYTES:
+        raise ValueError(
+            f"knn_bruteforce queries side is ~{q_bytes >> 20} MiB by "
+            f"plan estimate (> {_KNN_QUERIES_MAX_BYTES >> 20} MiB cap) "
+            "— it is held driver-side and broadcast; pre-materialize "
+            "the query batch, swap corpus/queries, or use an ANN path "
+            "(ivfpq_topk_batch) for a corpus-sized batch")
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("n_id").asc())
     q_rows = queries.select(
@@ -274,7 +299,7 @@ def knn_bruteforce(
     n_q = len(q_rows)
     qid_t = queries.schema[id_col].dataType.simpleString()
     nid_t = corpus.schema[id_col].dataType.simpleString()
-    if n_q * _plan_size_bytes(corpus) > _KNN_GEMM_MIN_PAIR_BYTES:
+    if n_q * _plan_size_bytes(corpus) > gemm_min_pair_bytes:
         by_w: dict[int, list] = {}
         for r in q_rows:
             if r["__qv"] is not None:
@@ -1944,6 +1969,7 @@ def ivfpq_topk(
     topk: int = 5,
     round_to: int = 6,
     trained: dict | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ — the standard billion-scale ANN index (FAISS's IVFx,PQy):
     a trained coarse quantizer routes each query to its ``nprobe``
@@ -1965,9 +1991,18 @@ def ivfpq_topk(
     driver — bounded by the query batch, never the corpus.
 
     Returns ``(q_id, id_col, adc_dist, rn)`` with rn = 1..topk.
+
+    ``codes=`` accepts the pre-encoded corpus (the ``_ivfpq_encoded``
+    shape: id + cluster + codes) so a session that serves many query
+    batches encodes ONCE — the FAISS add()-once lifecycle. It requires
+    the ``trained=`` artifact that produced it; mixing codes from one
+    artifact with quantizers from another would silently diverge.
     """
     from pyspark.sql import Window
 
+    if codes is not None and trained is None:
+        raise ValueError("codes= requires the trained= artifact that "
+                         "encoded them (quantizer/codes mismatch hazard)")
     if trained is None:
         trained = ivfpq_train(df, id_col, vec_col, in_dim,
                               coarse_k=coarse_k, m=m, k=k,
@@ -1994,13 +2029,14 @@ def ivfpq_topk(
     # 100 TB serve path.
     from griddb_spark.perfstages import stage
 
-    with stage("encode"):
-        # no cell_exchange here: the checkpoint truncates lineage, so
-        # the pushdown hazard the exchange guarded against cannot reach
-        # the encode projection, and the extra shuffle only added
-        # another pandas-UDF-feeding stage to pay for
-        codes = _ivfpq_encoded(df, id_col, vec_col, trained)\
-            .localCheckpoint(eager=True)
+    if codes is None:
+        with stage("encode"):
+            # no cell_exchange here: the checkpoint truncates lineage,
+            # so the pushdown hazard the exchange guarded against cannot
+            # reach the encode projection, and the extra shuffle only
+            # added another pandas-UDF-feeding stage to pay for
+            codes = _ivfpq_encoded(df, id_col, vec_col, trained)\
+                .localCheckpoint(eager=True)
     spark = df.sparkSession
     cellmeans = _cellmeans_df(spark, trained)
     q_rows = [(int(q_id), [float(x) for x in qv]) for q_id, qv in queries]
@@ -2179,6 +2215,7 @@ def ivfpq_topk_batch(
     q_vec_col: str = "qv",
     round_to: int = 6,
     trained: dict | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with a DataFrame of queries: probed-cell routing and ADC as
     cell-keyed joins — the batch-retrieval formulation (one join tree for
@@ -2192,9 +2229,15 @@ def ivfpq_topk_batch(
     partition-pruned scan) → broadcast LUT join → exact decimal sum →
     per-query top-k window. Corpus-side cost is candidates·m LUT rows,
     never |queries| plan branches.
+
+    ``codes=`` accepts the pre-encoded corpus (see :func:`ivfpq_topk`)
+    so repeated batches against an unchanged corpus skip the encode.
     """
     from pyspark.sql import Window
 
+    if codes is not None and trained is None:
+        raise ValueError("codes= requires the trained= artifact that "
+                         "encoded them (quantizer/codes mismatch hazard)")
     if trained is None:
         trained = ivfpq_train(df, id_col, vec_col, in_dim,
                               coarse_k=coarse_k, m=m, k=k,
@@ -2214,9 +2257,10 @@ def ivfpq_topk_batch(
     # the bench a named encode stage so this gate's wall is attributable
     # (it drifted 2.5× on the r10 driver bench with no stage map —
     # VERDICT r10 item 5). Stored blocks are id + cell + m small ints.
-    with stage("encode"):
-        codes = _ivfpq_encoded(df, id_col, vec_col, trained)\
-            .localCheckpoint(eager=True)
+    if codes is None:
+        with stage("encode"):
+            codes = _ivfpq_encoded(df, id_col, vec_col, trained)\
+                .localCheckpoint(eager=True)
     cellmeans = _cellmeans_df(df.sparkSession, trained)
     q_df = queries.select(
         F.col(q_id_col).alias("q_id"),
@@ -2259,6 +2303,7 @@ def ivfpq_index_write(
     k: int = 8,
     round_to: int = 6,
     trained: dict | None = None,
+    codes: DataFrame | None = None,
 ) -> dict:
     """Build and PERSIST an IVF-PQ index: the encoded corpus lands on
     disk Hive-partitioned by coarse cell, so every later probe is a
@@ -2276,11 +2321,15 @@ def ivfpq_index_write(
     import json
     import os
 
+    if codes is not None and trained is None:
+        raise ValueError("codes= requires the trained= artifact that "
+                         "encoded them (quantizer/codes mismatch hazard)")
     if trained is None:
         trained = ivfpq_train(df, id_col, vec_col, in_dim,
                               coarse_k=coarse_k, m=m, k=k,
                               round_to=round_to)
-    codes = _ivfpq_encoded(df, id_col, vec_col, trained)
+    if codes is None:
+        codes = _ivfpq_encoded(df, id_col, vec_col, trained)
     # one file per cell: cluster by the partition column before the
     # dynamic-partition write (leaf-clustering, as DmlTable._write).
     # Cell count comes from the artifact, not the coarse_k parameter —
@@ -2317,6 +2366,19 @@ def ivfpq_index_topk(
     read (plan-tested). ADC and top-k are the shared batch formulation
     (:func:`_adc_topk_from_codes`) — one join tree for any batch size,
     results identical to the in-memory ``ivfpq_topk_batch``.
+
+    Concurrency contract (single WRITER, many readers): appends/
+    compactions come from one process at a time (the
+    :func:`ivfpq_index_append` lockfile protects its swap from reader-
+    side recovery, not writer vs writer). The returned DataFrame is
+    LAZY and pins the file listing taken here — forcing it after a
+    compaction swapped the directory underneath raises a
+    file-not-found from the scan (posix rename is atomic per path, not
+    per listing). Defined behavior: re-invoke ``ivfpq_index_topk`` —
+    the fresh listing serves the identical rows, since compaction
+    rewrites layout, never content (pinned by
+    test_ivfpq_index_read_across_compaction_swap). Force (or collect)
+    promptly; don't hold serve DataFrames across ingest cycles.
     """
     import json
     import os
@@ -2406,6 +2468,28 @@ def _ivfpq_meta_update(path: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(path, "_ivfpq_meta.json"))
 
 
+#: A compaction lockfile (``<path>.__lock``) younger than this marks a
+#: LIVE writer mid-swap: recovery (which rmtree's/renames the writer's
+#: working dirs) must not run from another process until it ages out.
+#: The critical window it protects — side-dir-complete → rename pair —
+#: is milliseconds (the writer re-touches the lock right before the
+#: renames), so the age-out only matters after a SIGKILL mid-swap, where
+#: the index stays unreadable for at most this long before any
+#: read/append path completes the recovery.
+_IVFPQ_LOCK_MAX_AGE_SEC = 300.0
+
+
+def _ivfpq_lock_fresh(path: str) -> bool:
+    import os
+    import time
+
+    try:
+        age = time.time() - os.path.getmtime(path + ".__lock")
+    except OSError:
+        return False
+    return age < _IVFPQ_LOCK_MAX_AGE_SEC
+
+
 def _ivfpq_recover(path: str) -> None:
     """Complete or roll back a compaction swap a crash cut short, before
     any read/append touches the index (mirrors the streaming index's
@@ -2413,6 +2497,12 @@ def _ivfpq_recover(path: str) -> None:
     written (its ``_ivfpq_meta.json`` LAST — presence marks it complete)
     → ``rename(path, old)`` → ``rename(side, path)`` → ``rmtree(old)``.
 
+    - fresh lockfile → a LIVE writer owns the dirs (ADVICE r11): do
+      NOTHING — destructive recovery from a reader process while the
+      writer is mid-compaction would delete the side dir it is still
+      writing or roll forward a half-swapped state under it. A crashed
+      writer's lock ages out (``_IVFPQ_LOCK_MAX_AGE_SEC``), after which
+      the next touch recovers as below;
     - live index present → swap finished or never started: remove stale
       side/old leftovers;
     - no live index, complete side dir → ROLL FORWARD (the side dir
@@ -2424,6 +2514,8 @@ def _ivfpq_recover(path: str) -> None:
     import os
     import shutil
 
+    if _ivfpq_lock_fresh(path):
+        return
     side, old = path + ".__compact", path + ".__old"
     if os.path.isfile(os.path.join(path, "_ivfpq_meta.json")):
         for d in (side, old):
@@ -2495,17 +2587,32 @@ def ivfpq_index_append(
     with stage("index_compact"):
         spark = df.sparkSession
         side, old = path + ".__compact", path + ".__old"
-        if os.path.isdir(side):
-            shutil.rmtree(side)
-        reader = spark.read
-        if "id_type" in meta:
-            reader = reader.schema(
-                f"{id_col} {meta['id_type']}, codes array<int>, "
-                "cluster int")
-        (reader.parquet(path)
-         .repartition(n_cells, F.col("cluster"))
-         .write.mode("overwrite").partitionBy("cluster").parquet(side))
-        _ivfpq_meta_update(side, {**meta, "appends": 0})  # marks complete
-        os.rename(path, old)
-        os.rename(side, path)
-        shutil.rmtree(old)
+        # lock BEFORE touching shared dirs: a concurrent reader's
+        # _ivfpq_recover must see a live writer and stand down (it would
+        # otherwise rmtree the side dir mid-write or roll a half-swapped
+        # state — ADVICE r11). Removed in the finally; a SIGKILL leaves
+        # it to age out (_IVFPQ_LOCK_MAX_AGE_SEC).
+        lock = path + ".__lock"
+        with open(lock, "w") as f:
+            f.write(str(os.getpid()))
+        try:
+            if os.path.isdir(side):
+                shutil.rmtree(side)
+            reader = spark.read
+            if "id_type" in meta:
+                reader = reader.schema(
+                    f"{id_col} {meta['id_type']}, codes array<int>, "
+                    "cluster int")
+            (reader.parquet(path)
+             .repartition(n_cells, F.col("cluster"))
+             .write.mode("overwrite").partitionBy("cluster").parquet(side))
+            _ivfpq_meta_update(side, {**meta, "appends": 0})  # complete
+            os.utime(lock)  # re-arm freshness for the critical rename pair
+            os.rename(path, old)
+            os.rename(side, path)
+            shutil.rmtree(old)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass

