@@ -340,6 +340,7 @@ def run_to_memory(
     table_name: str,
     mode: str = "complete",
     shuffle_partitions: int | None = None,
+    timeout_sec: float | None = None,
 ) -> DataFrame:
     """Run a (bounded) streaming query to completion into a memory sink and
     return the result table — used to gate streaming ops through the same
@@ -351,8 +352,18 @@ def run_to_memory(
     stream-stream join keeps 4 — so state-store setup, not data volume,
     dominates small/bounded runs (measured 8s → 2s on the interval join by
     dropping 32 → 8). At production throughput size it to the stream rate.
-    """
+
+    ``timeout_sec`` bounds each awaitTermination (default 600, or
+    $SPARK_GRAFT_STREAM_TIMEOUT): the wait must be bounded because a
+    query that died mid-teardown has been observed to hang forever, but
+    a production-sized availableNow backlog can legitimately need more
+    than the fixture default — without the knob, slow-but-correct became
+    stop + double-cost rerun + TimeoutError (ADVICE r11)."""
     from griddb_spark.perfstages import note, stage
+
+    if timeout_sec is None:
+        timeout_sec = float(
+            os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "600"))
 
     spark = result.sparkSession
     key = "spark.sql.shuffle.partitions"
@@ -382,7 +393,7 @@ def run_to_memory(
             with stage("stream_await"):
                 # bounded wait: a query that died mid-teardown has been
                 # observed to hang awaitTermination() forever
-                finished = q.awaitTermination(600)
+                finished = q.awaitTermination(timeout_sec)
             err = None
             try:
                 err = q.exception()
