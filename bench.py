@@ -201,6 +201,13 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if retried:
+        # retried gates belong in the stdout contract line too (ADVICE
+        # r11): min-of-two is a one-sided protocol, so the headline
+        # record itself must say where it was applied — scripts/
+        # perf_diff.py adjudicates the first attempts against reference
+        # ("reproduced" fails the canary, "absorbed" prints a warning)
+        record["retried"] = retried
     # The stdout line is the driver contract, but its capture has been
     # observed tail-truncated in the recorded artifact (BENCH_r03 carried
     # only ~65 of 138 per-query timings, "parsed": null) — so the full

@@ -11,6 +11,15 @@ because sub-second queries jitter multiplicatively and long runs carry a
 roving full-GC hit that re-times away in isolation (see BASELINE.md).
 Exit 1 when regressions are found, so preflight-style wiring is one line.
 
+Retried gates (bench.py's outlier re-measurement records both walls under
+"retried" and reports the min) are adjudicated against the FIRST attempt
+too (VERDICT r11 item 5): a gate whose first AND second walls are both
+over threshold is a REPRODUCED regression — it fails this canary even
+though min-of-two is what landed in "queries" — while a first-over/
+second-under gate is an ABSORBED transient, surfaced prominently so a
+slow-but-intermittent pattern stays visible across rounds instead of
+hiding behind one lucky retry.
+
 A missing reference is not an error (first round with the canary);
 queries present in only one profile are listed informationally.
 """
@@ -25,6 +34,47 @@ REL_TOL = 2.5
 ABS_TOL = 1.5  # seconds
 
 
+def _over(t: float, r: float) -> bool:
+    return t > r * REL_TOL and t - r > ABS_TOL
+
+
+def analyze(cur: dict, ref: dict) -> dict:
+    """Pure comparison (unit-testable): ``cur`` is a bench profile dict
+    ({"queries": {...}, "retried": {name: [first, second]}}), ``ref`` a
+    reference profile dict. Returns regressions (reported wall over
+    threshold), reproduced (retried, BOTH attempts over — a regression
+    even if min slipped under), absorbed (retried, first over, reported
+    under — transient, informational), and the added/removed sets."""
+    cur_q = cur.get("queries", {})
+    ref_q = ref.get("queries", {})
+    retried = cur.get("retried", {}) or {}
+    regressions = []
+    for name, t in sorted(cur_q.items()):
+        r = ref_q.get(name)
+        if r is not None and _over(t, r):
+            regressions.append((name, r, t))
+    reproduced, absorbed = [], []
+    for name, walls in sorted(retried.items()):
+        r = ref_q.get(name)
+        if r is None or not walls:
+            continue
+        if _over(walls[0], r):
+            if all(_over(t, r) for t in walls[1:]):
+                # every attempt over → the min in "queries" is over too;
+                # kept as its own list so the report can say the slowness
+                # REPRODUCED rather than leaving a maybe-transient doubt
+                reproduced.append((name, r, walls))
+            else:
+                absorbed.append((name, r, walls))
+    return {
+        "regressions": regressions,
+        "reproduced": reproduced,
+        "absorbed": absorbed,
+        "added": sorted(set(cur_q) - set(ref_q)),
+        "removed": sorted(set(ref_q) - set(cur_q)),
+    }
+
+
 def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     cur_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
@@ -34,28 +84,31 @@ def main() -> int:
     if not os.path.exists(ref_path):
         print(f"perf_diff: no reference at {ref_path}; skipping")
         return 0
-    cur = json.load(open(cur_path))["queries"]
-    ref = json.load(open(ref_path))["queries"]
-    regressions = []
-    for name, t in sorted(cur.items()):
-        r = ref.get(name)
-        if r is None:
-            continue
-        if t > r * REL_TOL and t - r > ABS_TOL:
-            regressions.append((name, r, t))
-    added = sorted(set(cur) - set(ref))
-    removed = sorted(set(ref) - set(cur))
-    if added:
-        print(f"new queries (no reference): {', '.join(added)}")
-    if removed:
-        print(f"queries gone since reference: {', '.join(removed)}")
-    if not regressions:
-        print(f"perf_diff: OK — no query over {REL_TOL}x+{ABS_TOL}s vs reference "
-              f"({len(cur)} current, {len(ref)} reference)")
+    res = analyze(json.load(open(cur_path)), json.load(open(ref_path)))
+    n_cur = len(json.load(open(cur_path))["queries"])
+    n_ref = len(json.load(open(ref_path))["queries"])
+    if res["added"]:
+        print(f"new queries (no reference): {', '.join(res['added'])}")
+    if res["removed"]:
+        print(f"queries gone since reference: {', '.join(res['removed'])}")
+    for name, r, walls in res["absorbed"]:
+        ws = "/".join(f"{t:.2f}s" for t in walls)
+        print(f"  ABSORBED transient {name}: attempts {ws} vs ref {r:.2f}s "
+              "— retry was at reference; watch for recurrence across rounds")
+    bad = {n for n, _, _ in res["regressions"]}
+    bad |= {n for n, _, _ in res["reproduced"]}
+    if not bad:
+        print(f"perf_diff: OK — no query over {REL_TOL}x+{ABS_TOL}s vs "
+              f"reference ({n_cur} current, {n_ref} reference)")
         return 0
-    print(f"perf_diff: {len(regressions)} regression(s) (>{REL_TOL}x and >{ABS_TOL}s):")
-    for name, r, t in sorted(regressions, key=lambda x: -(x[2] - x[1])):
-        print(f"  {name}: {r:.2f}s -> {t:.2f}s ({t / r:.1f}x)")
+    print(f"perf_diff: {len(bad)} regression(s) (>{REL_TOL}x and >{ABS_TOL}s):")
+    repro = {n: walls for n, _, walls in res["reproduced"]}
+    for name, r, t in sorted(res["regressions"], key=lambda x: -(x[2] - x[1])):
+        note = ""
+        if name in repro:
+            ws = "/".join(f"{w:.2f}s" for w in repro[name])
+            note = f"  [REPRODUCED across retry: {ws}]"
+        print(f"  {name}: {r:.2f}s -> {t:.2f}s ({t / r:.1f}x){note}")
     print("re-time suspects in isolation before concluding (roving-GC noise: "
           "SPARK_GRAFT_ONLY=<names> python bench.py)")
     return 1
