@@ -1531,6 +1531,25 @@ def test_ivfpq_codes_param_parity_and_guard(spark, emb):
                          nprobe=2, topk=5, codes=codes)
 
 
+def test_clustered_oracle_composition_pins():
+    """The clustered-recall oracle is composed by string-replacing the
+    certified k-means CTE's corpus and init-limit; if _KMEANS_CTE's text
+    ever drifts, the replace silently no-ops and the oracle would replay
+    the WRONG pipeline — fail fast here instead (no Spark needed)."""
+    from griddb_spark import workload as w
+
+    clustered = w.ORACLE["pipe_ann_recall_clustered"]
+    assert "__QMAX__" not in clustered and "__QMAX__" not in w.ORACLE[
+        "pipe_ann_recall"]
+    assert "LIMIT 64" in clustered          # coarse init = 64 seeds
+    assert "greatest(8" not in clustered    # adaptive-k limit replaced
+    assert "WHERE vec_id < 384" in clustered  # derived-corpus subquery
+    assert "WHERE vec_id < 64)" in clustered  # one query per cluster
+    # the i.i.d. oracle kept its certified text byte-for-byte
+    assert "WHERE vec_id < 100)" in w.ORACLE["pipe_ann_recall"]
+    assert "greatest(8" in w.ORACLE["pipe_ann_recall"]
+
+
 def test_clustered_fixture_recall_operating_point(spark):
     """pipe_ann_recall_clustered must show the IVF-PQ stack RETRIEVING,
     not just computing recall (VERDICT r11 item 2): on the planted
