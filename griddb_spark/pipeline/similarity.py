@@ -241,13 +241,16 @@ _KNN_GEMM_MIN_PAIR_BYTES = 48 * 1024 * 1024
 #: Both knn paths hold the query batch driver-side (collect for the GEMM
 #: broadcast matrices, collect + re-broadcast for the JVM crossJoin), so
 #: a corpus-sized queries DataFrame would OOM the driver instead of
-#: erroring. Fail loudly above this plan-size estimate. The estimate is
-#: conservative for derived plans (a Filter passes its scan's size
-#: through), so the cap is set high enough that a small filter over a
-#: multi-GB corpus still passes; a caller whose ESTIMATE genuinely
-#: exceeds it should pre-materialize the query batch, swap sides, or
-#: use an ANN path.
-_KNN_QUERIES_MAX_BYTES = 2 * 1024 * 1024 * 1024
+#: erroring. The guard is an EXACT row cap enforced inside the collect
+#: itself (``limit(cap+1).collect()`` — Spark ships at most cap+1 rows
+#: to the driver, so the check can never be the OOM it guards against;
+#: plan-size estimates were tried first and are useless here — a Filter
+#: passes its scan's estimate through and LogicalRDD/localCheckpoint
+#: inherits the pre-checkpoint stats, so derived query plans read as
+#: corpus-sized however small they really are). 1M rows ≈ 0.5 GB of
+#: 64-dim doubles — generous for the "queries are the small side"
+#: contract; a genuinely bigger batch belongs on an ANN path.
+_KNN_QUERIES_MAX_ROWS = 1_000_000
 
 
 def knn_bruteforce(
@@ -263,7 +266,7 @@ def knn_bruteforce(
 
     Returns (q_id, n_id, cos_sim, rank); excludes self-matches. Ties break
     on neighbor id (deterministic). ``queries`` is collected + broadcast —
-    it must be the small side (guarded by ``_KNN_QUERIES_MAX_BYTES``).
+    it must be the small side (guarded by ``_KNN_QUERIES_MAX_ROWS``).
     Only equal-width pairs rank (cross-width cosine is undefined; corrupt
     rows are never neighbors — the corpus-wide corrupt-row contract).
 
@@ -282,21 +285,20 @@ def knn_bruteforce(
 
     if gemm_min_pair_bytes is None:
         gemm_min_pair_bytes = _KNN_GEMM_MIN_PAIR_BYTES
-    q_bytes = _plan_size_bytes(queries)
-    if q_bytes > _KNN_QUERIES_MAX_BYTES:
-        raise ValueError(
-            f"knn_bruteforce queries side is ~{q_bytes >> 20} MiB by "
-            f"plan estimate (> {_KNN_QUERIES_MAX_BYTES >> 20} MiB cap) "
-            "— it is held driver-side and broadcast; pre-materialize "
-            "the query batch, swap corpus/queries, or use an ANN path "
-            "(ivfpq_topk_batch) for a corpus-sized batch")
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("n_id").asc())
     q_rows = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).collect()
+    ).limit(_KNN_QUERIES_MAX_ROWS + 1).collect()
     n_q = len(q_rows)
+    if n_q > _KNN_QUERIES_MAX_ROWS:
+        raise ValueError(
+            f"knn_bruteforce queries side exceeds "
+            f"{_KNN_QUERIES_MAX_ROWS} rows — it is held driver-side "
+            "and broadcast (the small side by contract); swap "
+            "corpus/queries, or use an ANN path (ivfpq_topk_batch) "
+            "for a corpus-sized batch")
     qid_t = queries.schema[id_col].dataType.simpleString()
     nid_t = corpus.schema[id_col].dataType.simpleString()
     if n_q * _plan_size_bytes(corpus) > gemm_min_pair_bytes:

@@ -3385,6 +3385,7 @@ ANN_TRAINED_QUERIES = frozenset({
     "stream_cluster_assign", "pipe_prune_prototypes", "pipe_ann_pq",
     "pipe_ann_ivfpq", "pipe_ann_ivfpq_batch", "pipe_ann_index_serve",
     "pipe_ann_recall", "pipe_ann_recall_clustered",
+    "pipe_ann_nprobe_curve",
 })
 
 
@@ -9162,15 +9163,22 @@ _CLUSTERED_V_SQL = """SELECT vec_id, list(
                   WHERE vec_id < 384))
       GROUP BY vec_id"""
 
-#: Same certified k-means + PQ + recall replay as _ANN_RECALL_ORACLE —
-#: only the corpus (derived clustered vectors), the coarse k (64: cells
-#: = planted clusters), and the query set (one per cluster) change.
-_ANN_RECALL_CLUSTERED_ORACLE = (
+#: The certified k-means CTE over the clustered fixture: corpus swapped
+#: for the derived vectors, init LIMIT pinned to 64 (cells = planted
+#: clusters). Shared by the clustered recall gate and the nprobe curve.
+_CLUSTERED_KMEANS_CTE = (
     _KMEANS_CTE
     .replace("SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings",
              _CLUSTERED_V_SQL)
     .replace("LIMIT greatest(8, (SELECT count(*) FROM v) // 250)",
              "LIMIT 64")
+)
+
+#: Same certified k-means + PQ + recall replay as _ANN_RECALL_ORACLE —
+#: only the corpus (derived clustered vectors), the coarse k (64: cells
+#: = planted clusters), and the query set (one per cluster) change.
+_ANN_RECALL_CLUSTERED_ORACLE = (
+    _CLUSTERED_KMEANS_CTE
     + _PQ_CTE
     + _ANN_RECALL_TAIL.replace("__QMAX__", "64")
 )
@@ -9248,6 +9256,132 @@ def pipe_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx.select("q_id", "vec_id"),
         exact.select("q_id", F.col("n_id").alias("vec_id")),
     )
+
+
+#: Recall at nprobe ∈ {1, 2} against exact top-11 for BIASED-MIDPOINT
+#: queries over the clustered fixture: q(i) = fixture(i) + 0.5·
+#: fixture(i+1), i < 32. By construction the exact top-11 is the 5
+#: cluster-mates of i (cos ≈ 0.90) plus ALL 6 members of cluster i+1
+#: (cos ≈ 0.45, vs ≤ ~0.34 for any other cluster — two clusters share
+#: ≤1 digit, so a third cluster can overlap q's two components by at
+#: most one digit each: (36 + 0.5·36)/|q||v| ≈ 0.34). Routing probes
+#: cell i first (0.90) and cell i+1 second (0.45), so the candidate set
+#: is exactly the 5 mates at nprobe=1 and exactly the 11 true neighbors
+#: at nprobe=2 — recall@11 is 5/11 then 1.0 DETERMINISTICALLY,
+#: independent of ADC values (topk=11 ≥ |candidates| keeps every
+#: candidate). The oracle needs no PQ replay for the same reason: the
+#: result depends only on cell membership, which the k-means CTE fixes.
+_ANN_NPROBE_CURVE_ORACLE = _CLUSTERED_KMEANS_CTE + """
+    , pos2 AS (SELECT cidx, generate_subscripts(ev, 1) AS p,
+                      unnest(ev) AS x FROM s2),
+    byp2 AS (SELECT cidx, p, avg(x) AS x FROM pos2 GROUP BY cidx, p),
+    cent2 AS (SELECT cidx, list(x ORDER BY p) AS centroid
+              FROM byp2 GROUP BY cidx),
+    q AS (SELECT t.vec_id AS q_id, list(t.ax + 0.5 * t.bx ORDER BY t.p)
+                   AS qv
+          FROM (SELECT a.vec_id, generate_subscripts(a.ev, 1) AS p,
+                       unnest(a.ev) AS ax, unnest(b.ev) AS bx
+                FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+                WHERE a.vec_id < 32) t
+          GROUP BY t.vec_id),
+    qc AS (SELECT q_id, qv, cidx,
+             round(list_dot_product(qv, centroid)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(centroid, centroid))), 6)
+               AS cc
+           FROM q CROSS JOIN cent2),
+    probes AS (SELECT q_id, cidx, pr FROM
+                 (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cc DESC, cidx) AS pr FROM qc)
+               WHERE pr <= 2),
+    cand AS (SELECT p.q_id, e.vec_id, p.pr
+             FROM probes p JOIN s2 e ON e.cidx = p.cidx
+             WHERE e.vec_id != p.q_id),
+    bfs AS (SELECT q.q_id, e.vec_id,
+              round(list_dot_product(q.qv, e.ev)
+                    / (sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(e.ev, e.ev))), 6) AS cs
+            FROM q CROSS JOIN v e WHERE e.vec_id != q.q_id),
+    exact AS (SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cs DESC, vec_id) AS rk
+        FROM bfs) WHERE rk <= 11),
+    nps AS (SELECT 1 AS np UNION ALL SELECT 2),
+    hits AS (SELECT n.np, c.q_id, count(*) AS h
+             FROM nps n JOIN cand c ON c.pr <= n.np
+             JOIN exact e ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+             GROUP BY n.np, c.q_id),
+    den AS (SELECT q_id, count(*) AS n FROM exact GROUP BY q_id)
+    SELECT d.q_id, CAST(n.np AS INT) AS nprobe,
+           round(coalesce(h.h, 0) / CAST(d.n AS DOUBLE), 6) AS recall
+    FROM den d CROSS JOIN nps n
+    LEFT JOIN hits h ON h.q_id = d.q_id AND h.np = n.np
+    """
+
+
+@query("pipe_ann_nprobe_curve", _ANN_NPROBE_CURVE_ORACLE)
+def pipe_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-nprobe TUNING CURVE as a certified result set — the
+    third point of the ANN-quality family: pipe_ann_recall gives the
+    i.i.d. floor (~0.10), pipe_ann_recall_clustered the separable
+    ceiling (1.0 at nprobe=2), and this gate shows recall MOVING with
+    the knob a deployment actually turns. Biased-midpoint queries
+    (q = home vector + 0.5 × a neighbor-cluster vector) have exact
+    top-11 = 5 home mates + all 6 of the neighbor cluster; probing one
+    cell captures exactly the mates (recall 5/11 ≈ 0.455), probing two
+    captures everything (recall 1.0) — both values deterministic and
+    independent of ADC resolution (see _ANN_NPROBE_CURVE_ORACLE). Runs
+    the full ivfpq_topk_batch pipeline at nprobe=1 and 2 over the
+    shared clustered trained artifact + encode-once codes."""
+    from griddb_spark.pipeline import (
+        ivfpq_topk_batch,
+        knn_bruteforce,
+        topk_recall,
+    )
+
+    emb = cat(spark, sf_dir).load("embeddings")
+    cemb = _clustered_fixture(emb)
+    trained = _clustered_trained(cemb, sf_dir)
+    codes = _ivfpq_codes("codes_clst", cemb, sf_dir, trained)
+    a, b = cemb.alias("a"), cemb.alias("b")
+    qdf = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .filter(F.col("a.vec_id") < 32)
+        .select(
+            F.col("a.vec_id").alias("q_id"),
+            F.zip_with("a.embedding", "b.embedding",
+                       lambda x, y: x + F.lit(0.5) * y).alias("qv"),
+        )
+        # pre-materialize the 32-row batch: the join-derived plan's size
+        # ESTIMATE is corpus², which knn_bruteforce's driver-side cap
+        # rightly rejects; the checkpoint pins the actual bytes (and
+        # computes the midpoint join once for the three consumers)
+        .localCheckpoint(eager=True)
+    )
+    exact = knn_bruteforce(
+        cemb,
+        qdf.select(F.col("q_id").alias("vec_id"),
+                   F.col("qv").alias("embedding")),
+        k=11,
+    )
+    parts = []
+    for np_ in (1, 2):
+        approx = ivfpq_topk_batch(
+            cemb, "vec_id", "embedding", in_dim=64, queries=qdf,
+            coarse_k=64, m=4, k=8, nprobe=np_, topk=11,
+            trained=trained, codes=codes,
+        )
+        parts.append(
+            topk_recall(
+                approx.select("q_id", "vec_id"),
+                exact.select("q_id", F.col("n_id").alias("vec_id")),
+            ).select(
+                "q_id",
+                F.lit(np_).cast("int").alias("nprobe"),
+                "recall",
+            )
+        )
+    return parts[0].unionAll(parts[1])
 
 
 #: Exact brute-force knn — the same formulation as _ANN_RECALL_TAIL's

@@ -1568,6 +1568,37 @@ def test_clustered_fixture_recall_operating_point(spark):
     assert min(r.recall for r in rows) == 1.0  # deterministic by design
 
 
+def test_nprobe_curve_deterministic_operating_points(spark):
+    """pipe_ann_nprobe_curve must show recall MOVING with nprobe — the
+    tuning curve itself, not just endpoints: biased-midpoint queries
+    have exact top-11 = 5 home mates + all 6 of the neighbor cluster,
+    so recall@11 is exactly 5/11 at nprobe=1 and exactly 1.0 at
+    nprobe=2, for every query, independent of ADC resolution."""
+    from griddb_spark import workload
+
+    rows = workload.QUERIES["pipe_ann_nprobe_curve"](
+        spark, SF_DIR).collect()
+    got = {(r.nprobe, r.recall) for r in rows}
+    assert got == {(1, 0.454545), (2, 1.0)}
+    assert len(rows) == 64  # 32 queries x 2 nprobe points
+
+
+def test_knn_queries_row_cap_fails_loudly(spark, emb):
+    """A corpus-sized queries side must raise the documented error, not
+    OOM the driver — and the cap check itself must be driver-safe (the
+    limit bounds what collect ships)."""
+    from griddb_spark.pipeline import knn_bruteforce
+    from griddb_spark.pipeline import similarity as sim_mod
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(sim_mod, "_KNN_QUERIES_MAX_ROWS", 10)
+        with pytest.raises(ValueError, match="rows"):
+            knn_bruteforce(emb, emb, k=3)
+    # under the cap: unchanged behavior
+    out = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 2), k=3)
+    assert out.count() == 6
+
+
 def test_logreg_train_learns_separating_direction(spark, emb):
     """2 GD iterations on parity labels must move the average predicted
     probability of the two classes apart (training sanity), and the
