@@ -9363,7 +9363,9 @@ def pipe_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         qdf.select(F.col("q_id").alias("vec_id"),
                    F.col("qv").alias("embedding")),
         k=11,
-    )
+        # the exact subtree feeds BOTH union branches; pin its 32x11
+        # rows once instead of recomputing the crossJoin per branch
+    ).localCheckpoint(eager=True)
     parts = []
     for np_ in (1, 2):
         approx = ivfpq_topk_batch(
