@@ -857,12 +857,16 @@ def cosine_pairs_ann(
 _ASSIGN_JVM_MAX_K = 16
 
 #: above this planning-time input size (file-stat based, free to read)
-#: pq_encode switches to the GEMM kernel even for small codebooks: the
-#: interpreted HOF argmin costs minutes per million rows where the
-#: vectorized kernel costs milliseconds per Arrow batch. 32 MB of
-#: 64-dim doubles ~= 60k vectors — below it, Python-worker spin-up
-#: outweighs the kernel win.
-_ENCODE_GEMM_MIN_BYTES = 32 * 1024 * 1024
+#: assign_clusters and pq_encode switch to the GEMM kernel even for
+#: small codebooks/centroid sets: the interpreted HOF argmin/argmax is
+#: not codegen'd and costs ~1-2 ms per ROW at m=4,k=8/dim=64 (measured
+#: r13: encode 3.3 s vs 0.3 s, assign 1.8 s vs 0.33 s over just 2k
+#: vectors), where the vectorized kernel is per-BATCH work plus a flat
+#: ~0.3 s warm-worker cost — so the break-even is a few hundred rows,
+#: ~256 KB of 64-dim doubles, not megabytes. Below it, Python-worker
+#: spin-up outweighs the kernel win (a cold worker costs ~2-3 s, and
+#: one-off tiny calls — unit fixtures, driver smoke — stay JVM).
+_GEMM_MIN_BYTES = 256 * 1024
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
@@ -894,17 +898,21 @@ def assign_clusters(
     to ``round_to`` BEFORE the argmax so the assignment is reproducible
     across engines and accumulation orders.
 
-    Dispatch on k: Catalyst higher-order functions are interpreted (not
-    codegen'd), so the all-JVM expression path costs O(k·dim) interpreted
-    ops per row — measured ~15 s for k=80 over just 20k rows. Above
-    ``_ASSIGN_JVM_MAX_K`` the same argmax runs as ONE Arrow-batched
+    Dispatch on k AND input size: Catalyst higher-order functions are
+    interpreted (not codegen'd), so the all-JVM expression path costs
+    O(k·dim) interpreted ops per row — measured ~15 s for k=80 over just
+    20k rows, and ~0.9 ms/row even at k=8 (r13: 1.8 s over 2k rows where
+    the warm GEMM kernel takes 0.33 s). Above ``_ASSIGN_JVM_MAX_K``
+    centroids, or above ``_GEMM_MIN_BYTES`` of planning-time input at
+    any k, the same argmax runs as ONE Arrow-batched
     pandas GEMM (rows × centroidsᵀ) — still a pure projection (no
     Exchange; plan-tested), identical formula (dot / (|v|·|c|), rounded,
     ties to the lowest index via first-max argmax over
     ascending-index columns)."""
     import math
 
-    if len(centroids) > _ASSIGN_JVM_MAX_K:
+    if centroids and (len(centroids) > _ASSIGN_JVM_MAX_K
+                      or _plan_size_bytes(df) > _GEMM_MIN_BYTES):
         idxs = np.array([int(ci) for ci, _ in centroids])
         assert (np.diff(idxs) > 0).all()  # ascending → argmax tie = min idx
         cm = np.stack([np.asarray(c, dtype=np.float64) for _, c in centroids])
@@ -1673,7 +1681,7 @@ def pq_encode(
     interpreted (not codegen'd) at ~m·k·(dim/m) boxed ops per row —
     measured ~8 ms/row at m=4,k=8, i.e. minutes per million rows, where
     the vectorized kernel is milliseconds per Arrow batch — so inputs
-    whose planning-time size exceeds ``_ENCODE_GEMM_MIN_BYTES``
+    whose planning-time size exceeds ``_GEMM_MIN_BYTES``
     stats-dispatch to the kernel too (the JVM form stays for small
     inputs, where Python-worker spin-up dominates).
 
@@ -1690,7 +1698,7 @@ def pq_encode(
     k = max(len(b) for b in codebooks)
     keep_cols = list(keep_cols or [])
     id_type = df.schema[id_col].dataType.simpleString()
-    if k > _ASSIGN_JVM_MAX_K or _plan_size_bytes(df) > _ENCODE_GEMM_MIN_BYTES:
+    if k > _ASSIGN_JVM_MAX_K or _plan_size_bytes(df) > _GEMM_MIN_BYTES:
         mats = [
             np.stack([np.asarray(cv, dtype=np.float64) for _, cv in b])
             for b in codebooks
