@@ -83,6 +83,18 @@ def get_spark(
         # inference behind this flag (it checks files-per-bucket<=1 per
         # query, so multi-file buckets from other writers stay safe)
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # FileOutputCommitter v2 moves task output to the destination at
+        # TASK commit instead of a sequential driver-side merge at JOB
+        # commit — measured ~30% off many-file dynamic-partition writes
+        # (256-cell index appends: 6.5 s → 4.7 s for 3 appends). Every
+        # all-or-nothing surface in the engine already provides its own
+        # atomicity (DmlTable and the ANN indexes stage-then-swap;
+        # streaming appends document at-least-once replay over
+        # task-committed files), so job-commit atomicity of the raw
+        # parquet write is not load-bearing anywhere. On object stores
+        # without atomic rename, revisit (the usual v2 caveat).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+                "2")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

@@ -66,6 +66,11 @@ def prepare(spark: SparkSession) -> None:
     # busy at testdata sizes (runtime-settable, so it also applies to the
     # driver's vanilla session)
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    # committer v2: task-commit moves instead of the sequential job-commit
+    # merge (see session.py for the measured numbers + atomicity note);
+    # spark.hadoop.* set at runtime reaches every later write's job conf
+    spark.conf.set(
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
 
 
 #: (session id, sf_dir) → ContainerCatalog. One catalog per (session, dir)
@@ -3015,16 +3020,26 @@ def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("t")
     ).stat.approxQuantile("t", [1 / 3, 2 / 3], 0.001)
     t_us = F.unix_micros(F.col("ts"))
-    slices = [t_us < t1, (t_us >= t1) & (t_us < t2), t_us >= t2]
     import glob
+    import os
     import shutil
+    import time as _time
 
-    for i, cond in enumerate(slices):
-        (ev.filter(cond).coalesce(1).write.mode("overwrite")
-         .parquet(f"{src_dir}/f{i}"))
-        part = glob.glob(f"{src_dir}/f{i}/part-*.parquet")[0]
-        shutil.move(part, f"{src_dir}/{i:02d}.parquet")
-        shutil.rmtree(f"{src_dir}/f{i}")
+    # ONE job writes all three arrival files (same tercile conditions as
+    # the per-slice filtered-write form, which spent three jobs on the
+    # same bytes): partitionBy lands each slice in its own directory and
+    # explicit increasing mtimes pin the file-source arrival order.
+    bcol = F.when(t_us < t1, 0).when(t_us < t2, 1).otherwise(2)
+    (ev.withColumn("__b", bcol).coalesce(1).write.mode("overwrite")
+     .partitionBy("__b").parquet(f"{src_dir}/all"))
+    base_t = _time.time()
+    for i in range(3):
+        hits = glob.glob(f"{src_dir}/all/__b={i}/part-*.parquet")
+        if hits:  # a degenerate tercile split can leave a slice empty
+            shutil.move(hits[0], f"{src_dir}/{i:02d}.parquet")
+            os.utime(f"{src_dir}/{i:02d}.parquet",
+                     (base_t - 3 + i, base_t - 3 + i))
+    shutil.rmtree(f"{src_dir}/all")
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -5499,25 +5514,35 @@ def stream_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = tempfile.mkdtemp(prefix="embdedup_src_")
     from pyspark.sql import Window as _W
 
-    n = corpus.count()
-    # checkpoint: the global order window would otherwise re-sort once
-    # per arrival file written below
-    ranked = corpus.withColumn(
-        "__rk",
-        F.row_number().over(_W.orderBy(F.col("vec_id") % 100000, "vec_id")),
-    ).localCheckpoint(eager=True)
+    # ONE job writes all three arrival files: the rank window, the total
+    # count, and the batch index are all columns of a single pass whose
+    # partitionBy lands each slice in its own directory (the count +
+    # localCheckpoint + per-slice filtered-write form spent 5 jobs on the
+    # same bytes). Slice boundaries are the identical i·n//3 cut points.
+    w = _W.orderBy(F.col("vec_id") % 100000, "vec_id")
+    wn = _W.orderBy(F.lit(1)).rowsBetween(
+        _W.unboundedPreceding, _W.unboundedFollowing)
+    rk, nn = F.row_number().over(w), F.count(F.lit(1)).over(wn)
+    bcol = (F.when(rk <= F.floor(nn / 3), 0)
+            .when(rk <= F.floor(nn * 2 / 3), 1).otherwise(2))
     import glob
+    import os
     import shutil
+    import time as _time
 
     n_batches = 3
+    (corpus.withColumn("__b", bcol).coalesce(1).write.mode("overwrite")
+     .partitionBy("__b").parquet(f"{src_dir}/all"))
+    base_t = _time.time()
     for i in range(n_batches):
-        (ranked.filter((F.col("__rk") > i * n // n_batches)
-                       & (F.col("__rk") <= (i + 1) * n // n_batches))
-         .drop("__rk").coalesce(1).write.mode("overwrite")
-         .parquet(f"{src_dir}/f{i}"))
-        part = glob.glob(f"{src_dir}/f{i}/part-*.parquet")[0]
+        part = glob.glob(f"{src_dir}/all/__b={i}/part-*.parquet")[0]
         shutil.move(part, f"{src_dir}/{i:02d}.parquet")
-        shutil.rmtree(f"{src_dir}/f{i}")
+        # strictly increasing mtimes pin the file-source arrival order
+        # (the per-slice-write form got this implicitly from job order;
+        # first-seen-wins determinism depends on it)
+        os.utime(f"{src_dir}/{i:02d}.parquet",
+                 (base_t - n_batches + i, base_t - n_batches + i))
+    shutil.rmtree(f"{src_dir}/all")
 
     stream = (
         spark.readStream.schema(corpus.schema)
