@@ -503,31 +503,35 @@ def connected_components(
         e = pairs.select(
             F.col(src).alias("a"), F.col(dst).alias("b")
         ).localCheckpoint(eager=True)
+
+    # Stats-dispatched strategy (same pattern as the small-vocab Jaccard
+    # bitmap): a near-dup pair graph is tiny relative to the corpus — its
+    # size tracks the duplicate count, not the document count — so below
+    # ``small_edges`` DIRECTED edges a driver-side union-find beats the
+    # per-round job overhead of the distributed loop by ~10×. The
+    # dispatch count runs on the raw pair frame, and the union-find path
+    # consumes it DIRECTLY — union-find is orientation-insensitive, so
+    # the doubled+distinct edge frame the Pregel loop needs is built
+    # only on the large-graph branch (it cost two extra jobs per dedup
+    # gate on the common small path). The bounded collect is by-contract
+    # and goes through Arrow (two plain columns, no Row objects — Row
+    # overhead is ~10× the payload); above the bound the Pregel loop
+    # below is the scale path.
     with stage("components"):
+        n_pairs = e.count()
+        if 2 * n_pairs <= small_edges:
+            spark = pairs.sparkSession
+            pdf = e.toPandas()
+            comp = union_find_min(zip(pdf["a"].tolist(), pdf["b"].tolist()))
+            schema = e.select(
+                F.col("a").alias("doc_id"), F.col("a").alias("component")
+            ).schema
+            return spark.createDataFrame(list(comp.items()), schema)
         edges = (
             e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .distinct()
             .localCheckpoint(eager=True)
         )
-
-    # Stats-dispatched strategy (same pattern as the small-vocab Jaccard
-    # bitmap): a near-dup pair graph is tiny relative to the corpus — its
-    # size tracks the duplicate count, not the document count — so below
-    # ``small_edges`` a driver-side union-find beats the per-round job
-    # overhead of the distributed loop by ~10×. The bounded collect is
-    # by-contract and goes through Arrow (two plain columns, no Row
-    # objects — Row overhead is ~10× the payload); above the bound the
-    # Pregel loop below is the scale path.
-    with stage("components"):
-        n_edges = edges.count()
-        if n_edges <= small_edges:
-            spark = pairs.sparkSession
-            pdf = edges.filter(F.col("a") < F.col("b")).toPandas()
-            comp = union_find_min(zip(pdf["a"].tolist(), pdf["b"].tolist()))
-            schema = edges.select(
-                F.col("a").alias("doc_id"), F.col("a").alias("component")
-            ).schema
-            return spark.createDataFrame(list(comp.items()), schema)
 
     # fold the first propagation round into initialization: label = min of
     # self and direct neighbors. Most near-dup clusters are 2-node (a doc
