@@ -446,6 +446,27 @@ class DmlTable:
         )
         return self
 
+    def replace_where(self, cond: Column, rows: DataFrame) -> "DmlTable":
+        """DELETE WHERE cond + INSERT rows as ONE rewrite — the
+        MERGE/replaceWhere upsert shape (Delta's ``replaceWhere``, the
+        reference's DELETE+putRow batch, ``sql_processor_dml.cpp``).
+
+        ``delete(cond)`` then ``insert(rows)`` stages the surviving table
+        once for the delete swap and appends in a second write job; on an
+        unpartitioned container the same end state is one staged write of
+        ``complement ∪ rows`` (half the write jobs of the two-call form —
+        the continuous-aggregate refresh runs this on every micro-batch).
+        Partitioned containers keep the two-call form: the leaf-scoped
+        delete touches only affected leaves, which a whole-table rewrite
+        would forfeit."""
+        if self.partitioning is not None:
+            return self.delete(cond).insert(rows)
+        self._rewrite(
+            self.read().filter(~F.coalesce(cond, F.lit(False)))
+            .unionByName(rows)
+        )
+        return self
+
     # -- internals -----------------------------------------------------------
 
     def _mutate(self, cond: Column, transform) -> None:

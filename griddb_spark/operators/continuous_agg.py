@@ -83,12 +83,12 @@ def refresh_continuous_aggregate(
         target.create(fresh)
         return target
     # recompute the boundary bucket wholesale: the source may have grown
-    # it since the last refresh. With a partitioned target the DELETE is
-    # leaf-scoped (DmlTable._mutate rewrites only the leaves holding
-    # bucket >= hwm — one bucket in the steady state); an unpartitioned
-    # rollup target is small by construction either way.
-    target.delete(F.col(BUCKET_COL) >= hwm)
-    target.insert(fresh)
+    # it since the last refresh. One replace_where rewrite: with a
+    # partitioned target it stays leaf-scoped (DmlTable delegates to the
+    # delete+insert pair there — only the leaves holding bucket >= hwm
+    # rewrite); an unpartitioned rollup target is small by construction
+    # and swaps complement ∪ fresh in a single staged write.
+    target.replace_where(F.col(BUCKET_COL) >= hwm, fresh)
     return target
 
 
@@ -160,9 +160,8 @@ def refresh_incremental(
             for name, (kind, _col) in specs.items()
         ])
     )
-    merged = merged.localCheckpoint(eager=True)  # read before delete below
-    target.delete(F.col(BUCKET_COL).isin(affected))
-    target.insert(merged)
+    merged = merged.localCheckpoint(eager=True)  # read before the rewrite
+    target.replace_where(F.col(BUCKET_COL).isin(affected), merged)
     return target
 
 
