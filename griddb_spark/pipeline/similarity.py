@@ -2347,9 +2347,15 @@ def ivfpq_index_write(
     # dropped empty cells).
     from griddb_spark.perfstages import stage
 
-    n_cells = max(1, len(trained["cellmeans"]))
+    # write-task count: one task per cell up to the core count (a
+    # literal cap would under-parallelize a many-cell index on a big
+    # cluster and over-parallelize a lower-core driver run)
+    n_cells = max(1, min(
+        len(trained["cellmeans"]),
+        df.sparkSession.sparkContext.defaultParallelism,
+    ))
     with stage("index_write"):
-        codes.repartition(min(n_cells, 32), F.col("cluster")).write.mode(
+        codes.repartition(n_cells, F.col("cluster")).write.mode(
             "overwrite"
         ).partitionBy("cluster").parquet(path)
     meta = {k2: v for k2, v in trained.items() if k2 != "cents"}
@@ -2479,13 +2485,16 @@ def _ivfpq_meta_update(path: str, meta: dict) -> None:
 
 
 #: A compaction lockfile (``<path>.__lock``) younger than this marks a
-#: LIVE writer mid-swap: recovery (which rmtree's/renames the writer's
-#: working dirs) must not run from another process until it ages out.
-#: The critical window it protects — side-dir-complete → rename pair —
-#: is milliseconds (the writer re-touches the lock right before the
-#: renames), so the age-out only matters after a SIGKILL mid-swap, where
-#: the index stays unreadable for at most this long before any
-#: read/append path completes the recovery.
+#: LIVE writer: recovery (which rmtree's/renames the writer's working
+#: dirs) must not run from another process until it ages out. The writer
+#: HEARTBEATS the lock (utime every third of this age) for the whole
+#: corpus-proportional side rewrite (ADVICE r12: the rewrite can far
+#: exceed any fixed age at production scale, and the original
+#: touch-once-at-start scheme let a reader see a stale lock plus a live
+#: index and rmtree the side dir mid-write) — so a stale lock now always
+#: means a DEAD writer, recovery at age-out is safe everywhere, and
+#: after a SIGKILL the index stays unreadable for at most this long
+#: before any read/append path completes the recovery.
 _IVFPQ_LOCK_MAX_AGE_SEC = 300.0
 
 
@@ -2510,11 +2519,14 @@ def _ivfpq_recover(path: str) -> None:
     - fresh lockfile → a LIVE writer owns the dirs (ADVICE r11): do
       NOTHING — destructive recovery from a reader process while the
       writer is mid-compaction would delete the side dir it is still
-      writing or roll forward a half-swapped state under it. A crashed
-      writer's lock ages out (``_IVFPQ_LOCK_MAX_AGE_SEC``), after which
-      the next touch recovers as below;
+      writing or roll forward a half-swapped state under it. The writer
+      heartbeats the lock for the entire rewrite (ADVICE r12 — a slow
+      rewrite must not let the lock go stale under it), so a stale lock
+      always means a DEAD writer and ages out
+      (``_IVFPQ_LOCK_MAX_AGE_SEC``), after which the next touch
+      recovers as below and sweeps the dead lock itself;
     - live index present → swap finished or never started: remove stale
-      side/old leftovers;
+      side/old leftovers (and a dead writer's aged-out lockfile);
     - no live index, complete side dir → ROLL FORWARD (the side dir
       becomes the index);
     - no live index, old present → ROLL BACK (restore the pre-compaction
@@ -2531,6 +2543,10 @@ def _ivfpq_recover(path: str) -> None:
         for d in (side, old):
             if os.path.isdir(d):
                 shutil.rmtree(d)
+        try:  # a dead writer's aged-out lock: sweep so state fully resets
+            os.remove(path + ".__lock")
+        except OSError:
+            pass
         return
     if os.path.isfile(os.path.join(side, "_ivfpq_meta.json")):
         os.rename(side, path)  # roll forward
@@ -2583,7 +2599,8 @@ def ivfpq_index_append(
                       round_to=meta["round_to"]).join(
         assigned.select(F.col(id_col), F.col("cluster")), id_col
     )
-    n_cells = min(max(1, len(cents)), 32)
+    n_cells = max(1, min(
+        len(cents), df.sparkSession.sparkContext.defaultParallelism))
     with stage("index_append"):
         codes.repartition(n_cells, F.col("cluster")).write.mode(
             "append").partitionBy("cluster").parquet(path)
@@ -2595,16 +2612,35 @@ def ivfpq_index_append(
     if meta["appends"] < _IVFPQ_COMPACT_APPENDS:
         return
     with stage("index_compact"):
+        import threading
+
         spark = df.sparkSession
         side, old = path + ".__compact", path + ".__old"
         # lock BEFORE touching shared dirs: a concurrent reader's
         # _ivfpq_recover must see a live writer and stand down (it would
         # otherwise rmtree the side dir mid-write or roll a half-swapped
-        # state — ADVICE r11). Removed in the finally; a SIGKILL leaves
-        # it to age out (_IVFPQ_LOCK_MAX_AGE_SEC).
+        # state — ADVICE r11). A heartbeat thread re-touches the lock
+        # for the whole rewrite (ADVICE r12: the corpus-proportional
+        # side write can far outlive any fixed freshness age — with the
+        # original touch-once scheme a reader would see a stale lock
+        # plus a live index after 300 s and destroy the side dir under
+        # the writer). Removed in the finally; a SIGKILL stops the
+        # heartbeat with the process, so the lock goes stale and ages
+        # out (_IVFPQ_LOCK_MAX_AGE_SEC) for the next toucher to sweep.
         lock = path + ".__lock"
         with open(lock, "w") as f:
             f.write(str(os.getpid()))
+        hb_stop = threading.Event()
+
+        def _heartbeat() -> None:
+            while not hb_stop.wait(_IVFPQ_LOCK_MAX_AGE_SEC / 3.0):
+                try:
+                    os.utime(lock)
+                except OSError:
+                    return  # lock swept (writer done/crashed-and-recovered)
+
+        hb = threading.Thread(target=_heartbeat, daemon=True)
+        hb.start()
         try:
             if os.path.isdir(side):
                 shutil.rmtree(side)
@@ -2616,12 +2652,19 @@ def ivfpq_index_append(
             (reader.parquet(path)
              .repartition(n_cells, F.col("cluster"))
              .write.mode("overwrite").partitionBy("cluster").parquet(side))
+            # re-arm freshness BEFORE the side dir becomes "complete"
+            # (ADVICE r12 low): touching it after the meta write left a
+            # microsecond window where a reader could see a stale lock
+            # plus a complete side dir and roll it forward under the
+            # writer mid-rename. With the heartbeat this is ordering
+            # hygiene, not the only protection.
+            os.utime(lock)
             _ivfpq_meta_update(side, {**meta, "appends": 0})  # complete
-            os.utime(lock)  # re-arm freshness for the critical rename pair
             os.rename(path, old)
             os.rename(side, path)
             shutil.rmtree(old)
         finally:
+            hb_stop.set()
             try:
                 os.remove(lock)
             except OSError:

@@ -1874,11 +1874,53 @@ def test_ivfpq_recover_respects_live_writer_lock(tmp_path):
     _ivfpq_recover(path)
     assert not os.path.isdir(path) and os.path.isdir(side)
     os.rename(old, path)
-    # lock ages out (crashed writer): normal recovery resumes
+    # lock ages out (crashed writer): normal recovery resumes, and the
+    # dead lock itself is swept so the index state fully resets
     t = time.time() - 301
     os.utime(lock, (t, t))
     _ivfpq_recover(path)
     assert not os.path.isdir(side) and os.path.isdir(path)
+    assert not os.path.exists(lock), "dead writer's lock not swept"
+
+
+def test_ivfpq_compaction_lock_heartbeat_outlives_age(spark, emb, tmp_path,
+                                                      monkeypatch):
+    """A compaction whose side rewrite runs LONGER than the lock
+    freshness age must keep the lock fresh the whole time (ADVICE r12:
+    with the original touch-once scheme, a reader's _ivfpq_recover saw a
+    stale lock plus a live index mid-rewrite and rmtree'd the side dir
+    under the writer). Shrinks the age so the heartbeat interval is
+    sub-second, injects a sleep longer than the age into the rewrite
+    tail, and asserts the lock is still fresh at that point."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline import ivfpq_index_append, ivfpq_index_write
+    from griddb_spark.pipeline import similarity as sim_mod
+
+    path = str(tmp_path / "idx")
+    ivfpq_index_write(emb.filter(F.col("vec_id") < 60), path,
+                      "vec_id", "embedding", in_dim=64,
+                      coarse_k=4, m=4, k=4)
+    monkeypatch.setattr(sim_mod, "_IVFPQ_COMPACT_APPENDS", 1)
+    monkeypatch.setattr(sim_mod, "_IVFPQ_LOCK_MAX_AGE_SEC", 1.0)
+
+    real_update = sim_mod._ivfpq_meta_update
+    seen = {}
+
+    def spy(dirpath, meta):
+        if dirpath.endswith(".__compact") and "fresh" not in seen:
+            time.sleep(1.3)  # longer than the (shrunk) freshness age
+            seen["fresh"] = sim_mod._ivfpq_lock_fresh(path)
+        return real_update(dirpath, meta)
+
+    monkeypatch.setattr(sim_mod, "_ivfpq_meta_update", spy)
+    ivfpq_index_append(
+        emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 70)), path)
+    assert seen.get("fresh") is True, (
+        "lock went stale during a rewrite outliving the freshness age")
+    assert not os.path.exists(path + ".__lock")  # released on completion
 
 
 def test_mix_epochs_fanout_and_determinism(spark, docs):
