@@ -180,18 +180,48 @@ def main() -> int:
          and timings[n] > 1.5 * ref_q[n] and timings[n] - ref_q[n] > 1.5),
         key=lambda n: ref_q[n] - timings[n],
     )
-    for name in suspects[:12]:
+    # The retry budget is PROPORTIONAL to the flagged count, bounded by
+    # wall time, not a fixed 12: the r12 driver run flagged 22 gates on
+    # a loaded host, exhausted the fixed budget, and shipped ten
+    # uncorrected spikes into the official record (VERDICT r12 item 1).
+    # Every suspect now gets a retry until the cumulative retry wall
+    # crosses the cap — a noisy run spends a bounded extra minute or two
+    # correcting itself instead of recording noise as measurement.
+    retry_wall_cap = float(os.environ.get("SPARK_GRAFT_RETRY_WALL", "180"))
+    retry_spent = 0.0
+    retry_budget_exhausted = False
+    for name in suspects:
+        if retry_spent >= retry_wall_cap:
+            retry_budget_exhausted = True
+            break
         spark.catalog.clearCache()
         gc.collect()
         spark._jvm.System.gc()
         first, first_map = timings[name], stage_maps.get(name)
         fn = workload.QUERIES[name]
         second = _staged(name, lambda: _force(fn(spark, SF_DIR)))
+        retry_spent += second
         retried[name] = [first, second]
         if second < first:
             timings[name] = second
         elif first_map is not None:  # keep the reported run's stage map
             stage_maps[name] = first_map
+
+    # Run-level contamination verdict (VERDICT r12 item 1): when the
+    # WHOLE run is inflated — median per-query ratio vs the committed
+    # reference well above 1, or the retry budget ran out before every
+    # flagged gate got its second chance — individual over-threshold
+    # readings are host-load artifacts, not regressions. The record says
+    # so itself, and scripts/perf_diff.py reports those readings as
+    # adjudication context instead of false regressions.
+    common = [n for n in timings if n in ref_q and ref_q[n] > 0]
+    median_ratio = None
+    if common:
+        ratios = sorted(timings[n] / ref_q[n] for n in common)
+        median_ratio = round(ratios[len(ratios) // 2], 4)
+    run_contaminated = retry_budget_exhausted or (
+        median_ratio is not None and median_ratio > 1.2
+    )
 
     total = round(sum(timings.values()), 4)
     record = {
@@ -208,6 +238,10 @@ def main() -> int:
         # perf_diff.py adjudicates the first attempts against reference
         # ("reproduced" fails the canary, "absorbed" prints a warning)
         record["retried"] = retried
+    if median_ratio is not None:
+        record["median_ratio"] = median_ratio
+    if run_contaminated:
+        record["run_contaminated"] = True
     # The stdout line is the driver contract, but its capture has been
     # observed tail-truncated in the recorded artifact (BENCH_r03 carried
     # only ~65 of 138 per-query timings, "parsed": null) — so the full

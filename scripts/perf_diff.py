@@ -72,7 +72,31 @@ def analyze(cur: dict, ref: dict) -> dict:
         "absorbed": absorbed,
         "added": sorted(set(cur_q) - set(ref_q)),
         "removed": sorted(set(ref_q) - set(cur_q)),
+        # run-level contamination verdict from bench.py (median
+        # per-query ratio vs reference > 1.2, or retry budget
+        # exhausted): over-threshold readings in such a run are
+        # host-load artifacts pending isolated re-times, NOT
+        # regressions — except REPRODUCED ones, whose every attempt
+        # was over threshold even amid the noise.
+        "contaminated": bool(cur.get("run_contaminated")),
+        "median_ratio": cur.get("median_ratio"),
     }
+
+
+def verdict(res: dict) -> str:
+    """Pure verdict over an analyze() result (unit-testable):
+    ``ok`` — nothing over threshold; ``regressions`` — clean run with
+    over-threshold gates (canary fails); ``contaminated-pending`` —
+    contaminated run whose over-threshold readings are all
+    non-reproduced (adjudication context, canary passes);
+    ``contaminated-reproduced`` — even amid contamination some gate was
+    over on EVERY attempt (canary fails)."""
+    if not (res["regressions"] or res["reproduced"]):
+        return "ok"
+    if res["contaminated"]:
+        return ("contaminated-reproduced" if res["reproduced"]
+                else "contaminated-pending")
+    return "regressions"
 
 
 def main() -> int:
@@ -84,9 +108,13 @@ def main() -> int:
     if not os.path.exists(ref_path):
         print(f"perf_diff: no reference at {ref_path}; skipping")
         return 0
-    res = analyze(json.load(open(cur_path)), json.load(open(ref_path)))
-    n_cur = len(json.load(open(cur_path))["queries"])
-    n_ref = len(json.load(open(ref_path))["queries"])
+    with open(cur_path) as f:  # parse each file ONCE (ADVICE r12)
+        cur = json.load(f)
+    with open(ref_path) as f:
+        ref = json.load(f)
+    res = analyze(cur, ref)
+    n_cur = len(cur["queries"])
+    n_ref = len(ref["queries"])
     if res["added"]:
         print(f"new queries (no reference): {', '.join(res['added'])}")
     if res["removed"]:
@@ -101,8 +129,33 @@ def main() -> int:
         print(f"perf_diff: OK — no query over {REL_TOL}x+{ABS_TOL}s vs "
               f"reference ({n_cur} current, {n_ref} reference)")
         return 0
-    print(f"perf_diff: {len(bad)} regression(s) (>{REL_TOL}x and >{ABS_TOL}s):")
     repro = {n: walls for n, _, walls in res["reproduced"]}
+    v = verdict(res)
+    if v.startswith("contaminated"):
+        # Run-level contamination (VERDICT r12 item 1): the profile
+        # itself says the whole run was inflated (median ratio / retry
+        # exhaustion), so non-reproduced over-threshold readings are
+        # adjudication context, not regressions — the r12 record shipped
+        # ten such spikes that all re-timed at 1.1-2.0x in isolation.
+        # REPRODUCED gates (every attempt over, even amid the noise)
+        # still fail the canary.
+        mr = res["median_ratio"]
+        mtxt = f", median per-query ratio {mr:.2f}x" if mr else ""
+        print(f"perf_diff: CONTAMINATED RUN ({len(bad)} over-threshold "
+              f"reading(s){mtxt}) — isolated re-times pending, not "
+              "regressions:")
+        for name, r, t in sorted(res["regressions"],
+                                 key=lambda x: -(x[2] - x[1])):
+            print(f"  {name}: {r:.2f}s -> {t:.2f}s ({t / r:.1f}x)"
+                  + ("  [REPRODUCED across retry]" if name in repro else ""))
+        if v == "contaminated-reproduced":
+            print(f"perf_diff: {len(repro)} REPRODUCED regression(s) fail "
+                  "the canary even in a contaminated run")
+            return 1
+        print("re-run on an idle host (or re-time the listed gates with "
+              "SPARK_GRAFT_ONLY=<names> python bench.py) for a clean record")
+        return 0
+    print(f"perf_diff: {len(bad)} regression(s) (>{REL_TOL}x and >{ABS_TOL}s):")
     for name, r, t in sorted(res["regressions"], key=lambda x: -(x[2] - x[1])):
         note = ""
         if name in repro:

@@ -68,3 +68,39 @@ def test_added_and_removed_listed():
     assert res["added"] == ["q_new"]
     assert res["removed"] == ["q_heavy", "q_plain"]
     assert REL_TOL > 1  # sanity: thresholds stay multiplicative
+
+
+def test_contaminated_run_spikes_are_context_not_regressions():
+    """The r12 failure mode (VERDICT r12 item 1): a host-load-inflated
+    run whose over-threshold readings never reproduced must yield the
+    contaminated-pending verdict (canary passes with adjudication
+    context), while the SAME readings in a clean-run profile fail."""
+    from perf_diff import verdict
+
+    spikes = {"q_fast": 1.0, "q_heavy": 4.1, "q_plain": 9.0}
+    noisy = dict(_profile(spikes), run_contaminated=True, median_ratio=1.4)
+    res_noisy = analyze(noisy, REF)
+    assert res_noisy["contaminated"] and res_noisy["regressions"]
+    assert verdict(res_noisy) == "contaminated-pending"
+    res_clean = analyze(_profile(spikes), REF)
+    assert not res_clean["contaminated"]
+    assert verdict(res_clean) == "regressions"
+
+
+def test_contaminated_run_reproduced_regression_still_fails():
+    """Even in a contaminated run, a gate over threshold on EVERY
+    attempt is a real regression and must fail the canary."""
+    from perf_diff import verdict
+
+    walls = [14.0, 13.0]
+    cur = dict(_profile({"q_heavy": min(walls)}, {"q_heavy": walls}),
+               run_contaminated=True, median_ratio=1.35)
+    res = analyze(cur, REF)
+    assert verdict(res) == "contaminated-reproduced"
+
+
+def test_clean_quiet_run_is_ok():
+    from perf_diff import verdict
+
+    res = analyze(_profile({"q_fast": 1.05, "q_heavy": 4.2}), REF)
+    assert verdict(res) == "ok"
