@@ -4364,10 +4364,12 @@ def stream_ema_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — bit-identical to the per-row loop) per-key compute is trivial and
     # per-key state-machinery overhead dominates; spreading the 15k keys
     # across all cores measured 10.8s -> 5.6s on the 10x probe
-    # (ratio 6x -> 2.9x) and sf0.1 improved 2.6s -> 1.9s.
+    # (ratio 6x -> 2.9x) and sf0.1 improved 2.6s -> 1.9s. Core COUNT, not
+    # a literal 32: at a lower-core run 32 state stores on few cores is
+    # pure commit overhead (r13 — the driver benches core scaling).
     out = run_to_memory(
         flagged, f"ema_{_uuid.uuid4().hex[:8]}", mode="append",
-        shuffle_partitions=32,
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
     )
     return (
         out.filter(F.col("is_anomaly"))
@@ -8547,13 +8549,16 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["user_id"],
         order_by="ts",
     )
-    # 32 state partitions: the vectorized single-variable matcher made
-    # per-key compute cheap enough that 8 partitions left cores idle —
-    # measured 13.4s -> 4.9s on the 10x probe (ratio 5.4x -> 2.5x) with
-    # the sf0.1 time IMPROVING 2.5s -> 1.9s (state-store setup no longer
-    # dominates once the matcher stopped being the bottleneck).
+    # all-core state partitions: the vectorized single-variable matcher
+    # made per-key compute cheap enough that 8 partitions left cores
+    # idle — measured 13.4s -> 4.9s on the 10x probe (ratio 5.4x ->
+    # 2.5x) with the sf0.1 time IMPROVING 2.5s -> 1.9s (state-store
+    # setup no longer dominates once the matcher stopped being the
+    # bottleneck). Core COUNT, not a literal 32, so lower-core driver
+    # runs don't pay 32 state-store commits on few cores (r13).
     return run_to_memory(out, f"mr_{_uuid.uuid4().hex[:8]}", mode="append",
-                         shuffle_partitions=32)
+                         shuffle_partitions=(
+                             spark.sparkContext.defaultParallelism))
 
 
 @query(
@@ -8615,7 +8620,8 @@ def stream_match_two_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by="ts",
     )
     return run_to_memory(out, f"mr2_{_uuid.uuid4().hex[:8]}", mode="append",
-                         shuffle_partitions=32)
+                         shuffle_partitions=(
+                             spark.sparkContext.defaultParallelism))
 
 
 @query(
