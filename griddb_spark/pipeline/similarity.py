@@ -987,6 +987,135 @@ def assign_clusters(
     return out
 
 
+#: Planning-time input size under which quantizer TRAINING collects the
+#: corpus to the driver and runs the identical Lloyd/PQ math in NumPy
+#: instead of as Spark jobs. Training state is driver-bounded by contract
+#: already (k·dim centroids, k·in_dim codebooks — every iteration ends in
+#: a driver collect of exactly that); when the INPUT is itself provably
+#: driver-sized (file-stat estimate, no job runs), the distributed loop
+#: is pure overhead — 5-7 jobs of fixed scheduler/shuffle latency over
+#: kilobytes (measured r13: ivfpq_train on the 384-row clustered fixture
+#: 4.1 s distributed vs ~0.1 s local; the 2k-row sf0.1 corpus ~3 s vs
+#: ~0.1 s). 32 MB of 64-dim doubles ≈ 60k vectors — far under driver
+#: heap, far over every unit fixture. At scale the estimate exceeds the
+#: bound and the distributed path runs unchanged (at 100 TB training
+#: reads a deterministic_sample anyway — the FAISS posture; the full-data
+#: passes are encode/serve, which never dispatch here). Parity: the
+#: kernels reuse round_half_away and first-occurrence argmin/argmax, the
+#: same 6dp-round-before-compare contract the GEMM dispatch already pins
+#: against the JVM path (tests/test_local_train.py).
+_LOCAL_TRAIN_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _local_train_rows(
+    df: DataFrame, id_col: str, vec_col: str, force: bool = False,
+) -> "list[tuple] | None":
+    """``[(id, vec|None), …]`` sorted by id (NULLs first — Spark's
+    ``orderBy`` asc contract) when ``df`` is provably driver-sized at
+    planning time, else None (= train distributed). ``force`` skips the
+    size gate for inputs whose boundedness the caller proves by
+    construction (e.g. the 384-row clustered fixture)."""
+    if not force:
+        sz = _plan_size_bytes(df)
+        if sz <= 0 or sz > _LOCAL_TRAIN_MAX_BYTES:
+            return None
+    rows = [
+        (r[0], None if r[1] is None else [float(x) for x in r[1]])
+        for r in df.select(id_col, vec_col).collect()
+    ]
+    rows.sort(key=lambda t: (t[0] is not None, t[0]))
+    return rows
+
+
+def _assign_rows(vecs: "np.ndarray", cents, round_to: int) -> "np.ndarray":
+    """Nearest-centroid index per row of ``vecs`` — the assign_clusters
+    formula verbatim: cos = dot/(|v|·|c|) with zero-denominator → 0,
+    rounded half-away BEFORE the argmax, ties to the lowest centroid
+    index (first-occurrence argmax over ascending indices)."""
+    idxs = np.array([int(ci) for ci, _ in cents])
+    assert (np.diff(idxs) > 0).all()
+    cm = np.stack([np.asarray(c, dtype=np.float64) for _, c in cents])
+    den = np.outer(np.linalg.norm(vecs, axis=1),
+                   np.linalg.norm(cm, axis=1))
+    den[den == 0.0] = np.inf
+    sim = round_half_away((vecs @ cm.T) / den, round_to)
+    return idxs[np.argmax(sim, axis=1)]
+
+
+def _kmeans_fit_rows(
+    rows: list, k: int, iters: int, round_to: int,
+) -> list[tuple[int, list[float]]]:
+    """Driver-local twin of the distributed ``kmeans_fit`` body: same
+    modal-width corpus definition (most frequent width, ties to the
+    smaller), same k-lowest-id init, same assign→mean→round-6dp
+    iteration, same drop-empty-keep-index centroid update."""
+    vals = [(i, v) for i, v in rows if v is not None]
+    if not vals:
+        return []
+    widths: dict[int, int] = {}
+    for _, v in vals:
+        widths[len(v)] = widths.get(len(v), 0) + 1
+    top = max(widths.values())
+    d_train = min(w for w, c in widths.items() if c == top)
+    clean = [(i, v) for i, v in vals if len(v) == d_train]
+    m = np.array([v for _, v in clean], dtype=np.float64)
+    cents = [(ci, list(v)) for ci, (_, v) in enumerate(clean[:k])]
+    for _ in range(iters):
+        assigned = _assign_rows(m, cents, round_to)
+        # Python round, not round_half_away: the distributed body rounds
+        # the collected F.avg on the DRIVER with built-in round(), whose
+        # half-to-even differs from F.round on exact binary ties (e.g.
+        # 2^-7 at 6dp) — replicate its rounding rule bit-for-bit
+        by_c: dict[int, list[float]] = {
+            int(ci): [
+                round(float(x), round_to)
+                for x in m[assigned == ci].mean(axis=0)
+            ]
+            for ci in np.unique(assigned)
+        }
+        cents = sorted(by_c.items())
+    return [(ci, v) for ci, v in cents]
+
+
+def _pq_train_rows(
+    rows: list, in_dim: int, m: int, k: int, iters: int, round_to: int,
+) -> list[list[tuple[int, list[float]]]]:
+    """Driver-local twin of the distributed ``pq_train`` body: same
+    k-lowest-id init, same round-6dp squared-L2 argmin (ties to the
+    lowest code), same per-(subspace, code, pos) rounded means. The
+    caller guarantees a clean uniform-width corpus (the same assumption
+    the distributed form makes — see ``ivfpq_train``'s dispatch)."""
+    d = in_dim // m
+    mat = np.array([v for _, v in rows], dtype=np.float64)
+    books = [
+        [(c, [float(x) for x in rows[c][1][j * d:(j + 1) * d]])
+         for c in range(min(k, len(rows)))]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        new_books = []
+        for j in range(m):
+            sub = mat[:, j * d:(j + 1) * d]
+            codes = np.array([int(c) for c, _ in books[j]])
+            assert (np.diff(codes) > 0).all()
+            cm = np.stack([np.asarray(cv, dtype=np.float64)
+                           for _, cv in books[j]])
+            dist = round_half_away(
+                ((sub[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2),
+                round_to,
+            )
+            best = codes[np.argmin(dist, axis=1)]
+            new_books.append(sorted(
+                (int(c), [
+                    float(round_half_away(np.float64(x), round_to))
+                    for x in sub[best == c].mean(axis=0)
+                ])
+                for c in np.unique(best)
+            ))
+        books = new_books
+    return books
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1012,10 +1141,19 @@ def kmeans_fit(
 
     Returns the final [(cluster_index, centroid)] list — feed it back to
     ``assign_clusters`` for the final assignment, or to ``ann_ivf`` as a
-    trained coarse quantizer."""
+    trained coarse quantizer.
+
+    Stats-dispatched like the GEMM kernels: a planning-time-tiny corpus
+    (≤ ``_LOCAL_TRAIN_MAX_BYTES``) collects once and iterates in NumPy
+    on the driver — the loop's per-iteration state was ALREADY a driver
+    collect, so this removes only scheduler latency, not a scale
+    property; larger inputs run the distributed loop below unchanged."""
     v = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
+    local = _local_train_rows(v, "__id", "__v")
+    if local is not None:
+        return _kmeans_fit_rows(local, k=k, iters=iters, round_to=round_to)
     # corrupt rows (NULL embedding / off-width — assign_clusters gives
     # them NULL cluster) neither seed nor weight the means; the modal
     # width defines the corpus for training purposes
@@ -1600,6 +1738,15 @@ def pq_train(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
+    # driver-local dispatch (see kmeans_fit): only for a clean uniform
+    # corpus — the distributed form's own implicit assumption (its init
+    # slices vectors at in_dim unguarded)
+    local = _local_train_rows(v, "__id", "__v")
+    if local is not None and local and all(
+        vv is not None and len(vv) == in_dim for _, vv in local
+    ):
+        return _pq_train_rows(local, in_dim, m=m, k=k, iters=iters,
+                              round_to=round_to)
     sub = v.select(
         "__id",
         F.posexplode(
@@ -1882,6 +2029,7 @@ def ivfpq_train(
     round_to: int = 6,
     cents: list[tuple[int, list[float]]] | None = None,
     books: list[list[tuple[int, list[float]]]] | None = None,
+    local: bool | None = None,
 ) -> dict:
     """Train the IVF-PQ quantizers ONCE and hand back a driver-side
     artifact every serving path accepts (``trained=`` on
@@ -1900,7 +2048,54 @@ def ivfpq_train(
     updates — the kmeans_fit/pq_train contracts), so reusing an artifact
     is bit-identical to retraining on unchanged data. ``cents`` /
     ``books`` accept pre-trained pieces (FAISS's pre-trained coarse
-    quantizer shape) and skip the corresponding training pass."""
+    quantizer shape) and skip the corresponding training pass.
+
+    ``local=True`` forces the driver-local trainer (see kmeans_fit's
+    dispatch) for inputs whose boundedness the caller proves by
+    construction; ``None`` auto-dispatches on the planning-time size
+    estimate; ``False`` pins the distributed path. The local path runs
+    ONE collect for all three passes (coarse k-means, cell means, PQ)
+    and requires a clean uniform-width corpus — ragged inputs fall back."""
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    rows = (
+        _local_train_rows(v, "__id", "__v", force=local is True)
+        if local in (None, True) else None
+    )
+    if rows is not None and rows and all(
+        vv is not None and len(vv) == in_dim for _, vv in rows
+    ):
+        if cents is None:
+            cents = _kmeans_fit_rows(rows, k=coarse_k, iters=1,
+                                     round_to=round_to)
+        mat = np.array([vv for _, vv in rows], dtype=np.float64)
+        acell = _assign_rows(mat, cents, round_to)
+        # centroids_by collects UNROUNDED means; consumers re-round
+        # after the cosine, so the ≤1e-15 accumulation-order delta vs
+        # F.avg is absorbed exactly as partition-order variation is
+        cellmeans_rows = [
+            (int(ci), [float(x) for x in mat[acell == ci].mean(axis=0)])
+            for ci in np.unique(acell)
+        ]
+        if books is None:
+            books = _pq_train_rows(rows, in_dim, m=m, k=k, iters=1,
+                                   round_to=round_to)
+        return {
+            "in_dim": in_dim,
+            "m": m,
+            "k": k,
+            "round_to": round_to,
+            "id_col": id_col,
+            "id_type": df.schema[id_col].dataType.simpleString(),
+            "cents": [(int(c), [float(x) for x in cv]) for c, cv in cents],
+            "cellmeans": cellmeans_rows,
+            "codebooks": [
+                [(int(c), [float(x) for x in cv]) for c, cv in book]
+                for book in books
+            ],
+        }
     if cents is None:
         cents = kmeans_fit(df, id_col, vec_col, k=coarse_k, iters=1,
                            round_to=round_to)

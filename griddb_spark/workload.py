@@ -9246,8 +9246,11 @@ def _clustered_trained(cemb, sf_dir: str) -> dict:
         from griddb_spark.perfstages import stage
 
         with stage("train_ivfpq_clustered"):
+            # local=True: the fixture is ≤384 rows BY CONSTRUCTION
+            # (vec_id < 384) at every sf — the planning-time estimate
+            # can't see through the filter, but the bound is proven
             art = ivfpq_train(cemb, "vec_id", "embedding", 64,
-                              coarse_k=64, m=4, k=8)
+                              coarse_k=64, m=4, k=8, local=True)
         _ann_cache_put(key, art)
     return art
 
