@@ -135,18 +135,18 @@ def lsh_index(
     sh = hashed_shingles(df, id_col, text_col, shingle_n).localCheckpoint(
         eager=True
     )
-    sig = sh.select("__id", minhash_signature(F.col("__sh"), k).alias("__sig"))
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("__sig")[b * rows + r] for r in range(rows)]).alias(
-                "bkey"
-            ),
+    sig = sh.select("__id", minhash_signature("__sh", k).alias("__sig"))
+    # one parsed expression for the whole band fan-out (see
+    # minhash_signature on why: per-Column py4j latency, identical plan)
+    bands_sql = "explode(array(" + ",".join(
+        "named_struct('band', {b}, 'bkey', xxhash64({args}))".format(
+            b=b,
+            args=",".join(f"`__sig`[{b * rows + r}]" for r in range(rows)),
         )
         for b in range(bands)
-    ]
+    ) + "))"
     banded = (
-        sig.select("__id", F.explode(F.array(*band_structs)).alias("__b"))
+        sig.select("__id", F.expr(bands_sql).alias("__b"))
         .select(
             "__id", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey")
         )
@@ -276,34 +276,28 @@ def with_simhash(
         .withColumn("__c0", F.conv(F.substring("__h", 1, 8), 16, 10).cast("long"))
         .withColumn("__c1", F.conv(F.substring("__h", 9, 8), 16, 10).cast("long"))
     )
-    bit_sums = []
-    for j in range(64):
+    # The 64 vote sums and the 16 hex-digit decodes are ONE parsed SQL
+    # expression (each sum feeds exactly one digit term, so inlining
+    # duplicates nothing; Catalyst extracts the aggregates into the same
+    # 64-buffer Aggregate the per-Column form produced). The py4j Column
+    # DSL paid a driver round trip per call — ~750 calls ≈ 1.4 s of pure
+    # driver latency per query (measured r13), vs ~10 ms to parse this.
+    def vote(j: int) -> str:
         d = j // 4
         chunk = "__c0" if d < 8 else "__c1"
         shift = (7 - d % 8) * 4 + (3 - j % 4)
-        bit_sums.append(
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(chunk), shift).bitwiseAND(F.lit(1)) != 0, 1
-                ).otherwise(-1)
-            ).alias(f"__b{j}")
+        return (f"sum(CASE WHEN (shiftright(`{chunk}`, {shift}) & 1) != 0 "
+                "THEN 1 ELSE -1 END)")
+
+    def digit(d: int) -> str:
+        idx = " + ".join(
+            f"(CASE WHEN {vote(4 * d + i)} > 0 THEN {8 >> i} ELSE 0 END)"
+            for i in range(4)
         )
-    votes = tok.groupBy(id_col).agg(*bit_sums)
-    digit_chars = [
-        F.substring(
-            F.lit(_HEX),
-            sum(
-                [
-                    F.when(F.col(f"__b{4 * d + i}") > 0, 8 >> i).otherwise(0)
-                    for i in range(4)
-                ],
-                F.lit(1),
-            ),
-            1,
-        )
-        for d in range(16)
-    ]
-    return votes.select(F.col(id_col), F.concat(*digit_chars).alias(out_col))
+        return f"substring('{_HEX}', 1 + {idx}, 1)"
+
+    sim_sql = "concat(" + ",".join(digit(d) for d in range(16)) + ")"
+    return tok.groupBy(id_col).agg(F.expr(sim_sql).alias(out_col))
 
 
 def simhash_pairs(
@@ -328,10 +322,11 @@ def simhash_pairs(
         # digit values decoded ONCE per doc: the pair stage then runs pure
         # integer xor/bit_count — simhash bits cluster on shared vocabulary,
         # so candidate pairs are quadratic in bucket size and per-pair cost
-        # dominates at scale
-        F.array(
-            *[_hexval(F.col("simhash"), p + 1) for p in range(16)]
-        ).alias("__hv"),
+        # dominates at scale. One parsed expr (py4j latency; same plan).
+        F.expr("array(" + ",".join(
+            f"(instr('{_HEX}', substring(simhash, {p + 1}, 1)) - 1)"
+            for p in range(16)
+        ) + ")").alias("__hv"),
     ).localCheckpoint(eager=True)  # read by both self-join branches; the
     # 64-vote simhash aggregation runs exactly once (lineage truncated —
     # see minhash_lsh_pairs on why checkpoint beats persist here)
@@ -350,15 +345,10 @@ def simhash_pairs(
         F.col("__c.chunk").alias("chunk"), F.col("__c.ckey").alias("ckey"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    ham = sum(
-        [
-            F.bit_count(
-                F.col("a.__hv")[p].bitwiseXOR(F.col("b.__hv")[p]).cast("long")
-            )
-            for p in range(16)
-        ],
-        F.lit(0),
-    )
+    ham = F.expr("0 + " + " + ".join(
+        f"bit_count(cast((a.`__hv`[{p}] ^ b.`__hv`[{p}]) as bigint))"
+        for p in range(16)
+    ))
     return (
         a.join(b, on=["chunk", "ckey"], how="inner")
         .filter(F.col("a.__id") < F.col("b.__id"))

@@ -65,7 +65,7 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, k: int = 32) -> Column:
+def minhash_signature(shingles: Column | str, k: int = 32) -> Column:
     """k-permutation MinHash signature (array<bigint>).
 
     Permutation ``i`` is the seeded hash ``xxhash64(shingle, i)``; the
@@ -74,7 +74,21 @@ def minhash_signature(shingles: Column, k: int = 32) -> Column:
     Signatures only steer LSH *recall* — the dedup verdict always comes
     from an exact-Jaccard verify — so no cross-engine hash portability is
     needed here.
+
+    When ``shingles`` is a plain column name the k-element tree is built
+    as ONE parsed SQL expression: the py4j Column DSL costs a driver
+    round trip per call (~2 ms), so k=32 permutations × ~5 calls each
+    was ~0.3 s of per-query DRIVER latency (measured r13; the executed
+    plan is identical either way — F.expr parses to the same operators).
     """
+    if isinstance(shingles, str):
+        return F.expr(
+            "array(" + ",".join(
+                f"array_min(transform(`{shingles}`, s -> xxhash64(s, {i})))"
+                for i in range(k)
+            ) + ")"
+        )
+
     def keyed(i: int):
         # factory closure: a defaulted lambda arg would make pyspark treat
         # this as a 2-arg (element, index) lambda
@@ -104,7 +118,35 @@ def quality_stats(col: Column | str) -> dict[str, Column]:
     + 0.3·min(5·stopword, 1) — a deterministic stand-in for a trained
     quality classifier.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        # ONE parsed SQL expression per feature instead of ~200 py4j
+        # Column calls (~0.44 s of driver latency per use, measured r13;
+        # identical parsed operators — note the D suffixes: a bare SQL
+        # `1.0` is DECIMAL(2,1), while F.lit(1.0) was DoubleType).
+        c = f"`{col}`"
+        w = f"split(trim({c}), '\\\\s+')"
+        stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+        punct = (f"round(cast(length(regexp_replace({c}, '[A-Za-z0-9\\\\s]',"
+                 f" '')) as double) / length({c}), 6)")
+        stop = (f"round(cast(size(filter({w}, t -> t in ({stops}))) as"
+                f" double) / size({w}), 6)")
+        return {
+            "n_chars": F.expr(f"cast(length({c}) as bigint)"),
+            "n_tokens": F.expr(f"cast(size({w}) as bigint)"),
+            "n_bpe_tokens": F.expr(
+                f"cast(regexp_count({c},"
+                " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]') as bigint)"),
+            "mean_word_len": F.expr(
+                f"round(cast(aggregate({w}, 0, (acc, t) -> acc +"
+                f" length(t)) as double) / size({w}), 6)"),
+            "punct_ratio": F.expr(punct),
+            "stop_ratio": F.expr(stop),
+            "quality_score": F.expr(
+                f"least(cast(length({c}) as double) / 500.0D, 1.0D)"
+                f" * 0.25D + (1.0D - {punct}) * 0.5D"
+                f" + least({stop} * 5.0D, 1.0D) * 0.25D"),
+        }
+    c = col
     w = tokens(c)
     n_chars = F.length(c)
     n_tokens = F.size(w)
@@ -145,6 +187,29 @@ def quality_stats(col: Column | str) -> dict[str, Column]:
 def lang_id(col: Column | str) -> Column:
     """Lexicon language heuristic: count marker-token hits per language,
     argmax with fixed priority order; 'und' when no marker hits."""
+    if isinstance(col, str):
+        # one parsed expr (py4j latency — see quality_stats); the nested
+        # CASE mirrors the Column loop below exactly: built lowest-
+        # priority-first so earlier langs win ties
+        w = f"split(trim(`{col}`), '\\\\s+')"
+        cnt = {
+            lang: "size(filter({w}, t -> t in ({m})))".format(
+                w=w, m=", ".join(f"'{x}'" for x in markers))
+            for lang, markers in LANG_MARKERS.items()
+        }
+        langs = list(LANG_MARKERS)
+        sql = "'und'"
+        for lang in reversed(langs):
+            later = [cnt[o] for o in langs[langs.index(lang) + 1:]]
+            if len(later) > 1:
+                beats = f" AND {cnt[lang]} >= greatest({', '.join(later)})"
+            elif later:
+                beats = f" AND {cnt[lang]} >= {later[0]}"
+            else:
+                beats = ""
+            sql = (f"CASE WHEN {cnt[lang]} > 0{beats} THEN '{lang}' "
+                   f"ELSE {sql} END")
+        return F.expr(sql)
     w = tokens(col)
     def count_in(markers):
         return F.size(F.filter(w, lambda t: t.isin(*markers)))
