@@ -468,6 +468,21 @@ from griddb_spark.pipeline.similarity import (  # noqa: E402
 #: streams.
 _COMPACT_APPENDS = 64
 
+#: Driver-local micro-batch dispatch bound for embed_dedup_stream (same
+#: dispatch family as similarity._LOCAL_TRAIN_MAX_BYTES): when BOTH the
+#: batch's planning-time size estimate and the partition-pruned probe
+#: read's estimate fit under this, the whole per-batch dedup runs on the
+#: driver — one Arrow collect + NumPy instead of 5-6 scheduled jobs over
+#: kilobytes. Above it (crawl-scale batches, the salted probes) the
+#: distributed path below is byte-identical in results.
+_LOCAL_BATCH_MAX_BYTES = 32 * 1024 * 1024
+
+#: Driver-memory bound on embed_dedup_stream's in-run index mirror (the
+#: probe-read cache of the local batch path); past it, probe reads fall
+#: back to the pruned disk scan — correctness never depends on the
+#: mirror, only the per-batch read cost does.
+_LOCAL_MIRROR_MAX_BYTES = 256 * 1024 * 1024
+
 
 def _index_meta_read(index_path: str) -> "dict | None":
     """Read the adaptive index's ``_meta.json`` (sign_bits + row count),
@@ -502,6 +517,33 @@ def _index_meta_read(index_path: str) -> "dict | None":
     return None
 
 
+def _np_rows(col) -> list:
+    """Per-row float64 views of an Arrow ``list<double>`` column: NULL
+    rows as None, NULL elements as NaN — exactly what the Arrow→pandas
+    bridge hands applyInPandas kernels — built from the flattened child
+    buffer without per-element Python loops (the naive per-row
+    ``np.array([... for x in v])`` costs ~0.5 s per 400k elements at
+    bench scale; this is vectorized C conversion + per-row views)."""
+    import numpy as np
+
+    out: list = []
+    for chunk in (col.chunks if hasattr(col, "chunks") else [col]):
+        offs = chunk.offsets.to_numpy()
+        # zero_copy_only=False: NULL child slots surface as NaN, the
+        # same convention the pandas bridge applies
+        vals = (chunk.values.to_numpy(zero_copy_only=False)
+                if len(chunk) else np.empty(0, dtype=np.float64))
+        if chunk.null_count:
+            nulls = chunk.is_null().to_numpy(zero_copy_only=False)
+            for i in range(len(chunk)):
+                out.append(None if nulls[i]
+                           else vals[offs[i]:offs[i + 1]])
+        else:
+            for i in range(len(chunk)):
+                out.append(vals[offs[i]:offs[i + 1]])
+    return out
+
+
 def _index_meta_write(dirpath: str, meta: dict) -> None:
     import json
 
@@ -521,6 +563,7 @@ def embed_dedup_stream(
     sign_bits: "int | None" = 8,
     checkpoint_dir: "str | None" = None,
     target_occ: "int | None" = None,
+    local: "bool | None" = None,
 ):
     """Streaming embedding dedup against a persistent ANN index — the
     ingest-time semantic dedup shape: only first-seen members of each
@@ -584,6 +627,7 @@ def embed_dedup_stream(
     """
     from griddb_spark.pipeline.dedup import union_find_min
     from griddb_spark.pipeline.similarity import (
+        _plan_size_bytes,
         auto_sign_bits,
         self_pairable,
         sign_code,
@@ -595,58 +639,494 @@ def embed_dedup_stream(
     # a test's monkeypatch)
     tile_elems = _VERIFY_TILE_ELEMS
 
+    # In-run driver mirror of the index for the LOCAL batch path. Within
+    # one streaming query every appended row passed through the driver,
+    # so when the stream STARTED with a fresh index the mirror is a
+    # complete copy of the on-disk state and the per-batch pruned probe
+    # read (the dominant local-path cost: Spark job + partition
+    # discovery over hundreds of tiny cell files) can be skipped
+    # entirely. Disk remains the source of truth: the mirror is rebuilt
+    # from it on process restart (fresh closure), dropped whenever a
+    # batch takes the distributed path or a rebucket/compaction rewrites
+    # the layout, and bounded by _LOCAL_MIRROR_MAX_BYTES (past that,
+    # probe reads fall back to disk — correctness never depends on the
+    # mirror, only the read goes away). Crash-replay converges exactly
+    # as with disk state: a replayed survivor matches its own mirrored
+    # copy and drops. Assumes the documented single-writer stream.
+    mirror: dict = {"on": None, "cells": {}, "bytes": 0}
+
     def _batch(bdf: DataFrame, _bid: int) -> None:
         from griddb_spark.perfstages import stage
 
-        if bdf.isEmpty():
-            return
         spark = bdf.sparkSession
         meta: dict = {}
         if adaptive:
             meta = _index_meta_read(index_path) or {}
             bits = int(meta.get("sign_bits", 0))
-            if not bits:
-                if os.path.isdir(index_path) and any(
-                        e.startswith("__cell=")
-                        for e in os.listdir(index_path)):
-                    raise ValueError(
-                        "adaptive sign_bits needs <index>/_meta.json; "
-                        f"{index_path} holds cell partitions without one "
-                        "(created with an explicit sign_bits?) — pass "
-                        "that same explicit value instead"
-                    )
-                # FIRST batch of a fresh index: derive bits from the
-                # batch's own row count, not 0 — a large initial load
-                # (bulk backfill through the stream) otherwise processes
-                # at the floor width and pays occupancy² until the
-                # post-batch rebucket reacts (1000x salted probe: 667k
-                # rows/batch at 8 bits OOM'd the pre-tiling kernel).
-                # Later batches stay pinned to the index's layout bits
-                # (probe reads partition by the INDEX's cell code); the
-                # post-append rebucket catches growth with ≤1-batch lag,
-                # which the tiled verify kernel bounds in memory.
-                row = bdf.select(
-                    F.count(F.lit(1)).alias("__n"),
-                    F.max(F.size(F.col(vec_col))).alias("__d"),
-                ).first()
-                dim = int(row["__d"]) if row["__d"] is not None else 8
-                bits = auto_sign_bits(
-                    int(row["__n"]), dim,
-                    **({"target_occ": target_occ}
-                       if target_occ is not None else {}))
-                # persist the derived layout BEFORE any index data
-                # exists: a crash between this batch's append and the
-                # post-append meta update would otherwise leave cell
-                # partitions with no _meta.json, and every replay would
-                # die on the unknowable-layout ValueError below. With
-                # the meta written first, a replay re-reads these bits
-                # and converges (worst case: rows undercounts by this
-                # one batch — the documented replay bound).
-                os.makedirs(index_path, exist_ok=True)
-                _index_meta_write(index_path,
-                                  {"sign_bits": bits, "rows": 0})
+            if not bits and os.path.isdir(index_path) and any(
+                    e.startswith("__cell=")
+                    for e in os.listdir(index_path)):
+                raise ValueError(
+                    "adaptive sign_bits needs <index>/_meta.json; "
+                    f"{index_path} holds cell partitions without one "
+                    "(created with an explicit sign_bits?) — pass "
+                    "that same explicit value instead"
+                )
         else:
             bits = sign_bits
+        occ_kw = ({"target_occ": target_occ}
+                  if target_occ is not None else {})
+
+        def _first_bits(n_rows: int, dim0: int) -> int:
+            # FIRST batch of a fresh index: derive bits from the
+            # batch's own row count, not 0 — a large initial load
+            # (bulk backfill through the stream) otherwise processes
+            # at the floor width and pays occupancy² until the
+            # post-batch rebucket reacts (1000x salted probe: 667k
+            # rows/batch at 8 bits OOM'd the pre-tiling kernel).
+            # Later batches stay pinned to the index's layout bits
+            # (probe reads partition by the INDEX's cell code); the
+            # post-append rebucket catches growth with ≤1-batch lag,
+            # which the tiled verify kernel bounds in memory.
+            derived = auto_sign_bits(n_rows, dim0, **occ_kw)
+            # persist the derived layout BEFORE any index data
+            # exists: a crash between this batch's append and the
+            # post-append meta update would otherwise leave cell
+            # partitions with no _meta.json, and every replay would
+            # die on the unknowable-layout ValueError above. With
+            # the meta written first, a replay re-reads these bits
+            # and converges (worst case: rows undercounts by this
+            # one batch — the documented replay bound).
+            os.makedirs(index_path, exist_ok=True)
+            _index_meta_write(index_path,
+                              {"sign_bits": derived, "rows": 0})
+            return derived
+        id_t = bdf.schema[id_col].dataType.simpleString()
+
+        def verify_cell(key, pdf):
+            import numpy as np
+            import pandas as pd
+
+            pcell = key[0]
+            out_k: list = []
+            out_a: list = []
+            out_b: list = []
+            pr = pdf[pdf["__side"] == 0]
+            if len(pr):
+                ma = np.stack(pr["__vec"].to_numpy())
+                na = np.linalg.norm(ma, axis=1)
+                av = pr["__vid"].to_numpy()
+
+                def r6_sim(rows, rows_n, cols_m, cols_n):
+                    den = np.outer(rows_n, cols_n)
+                    den[den == 0.0] = 1.0
+                    sim = (rows @ cols_m.T) / den
+                    # half-away-from-zero like F.round (np.round is
+                    # half-to-even; see similarity.round_half_away)
+                    return np.sign(sim) * np.floor(
+                        np.abs(sim) * 1e6 + 0.5) / 1e6
+
+                def tiles(n_cols):
+                    # tile the probe side so the similarity matrix (and
+                    # its den/abs temporaries) stays ≤ _VERIFY_TILE_ELEMS
+                    # doubles per tile — per-task memory bounded
+                    # REGARDLESS of cell occupancy, like
+                    # cosine_pairs_within's block loop (see the constant
+                    # for the 1000× OOM this prevents).
+                    step = max(1, tile_elems // max(1, n_cols))
+                    for s in range(0, len(ma), step):
+                        yield s, min(s + step, len(ma))
+
+                own = pr[pr["__ocell"] == pcell]
+                if len(own):  # intra-batch pairs vs this cell's members
+                    mb = np.stack(own["__vec"].to_numpy())
+                    nb = np.linalg.norm(mb, axis=1)
+                    bv = own["__vid"].to_numpy()
+                    for s, e in tiles(len(mb)):
+                        r6 = r6_sim(ma[s:e], na[s:e], mb, nb)
+                        # wholesale array emission (no per-hit Python
+                        # loop): NULL ids never pair; no self-pairs
+                        ii, jj = np.nonzero(r6 >= threshold)
+                        if not len(ii):
+                            continue
+                        xs, ys = av[s + ii], bv[jj]
+                        if xs.dtype.kind == "O" or ys.dtype.kind == "O":
+                            ok = np.fromiter(
+                                (x is not None and y is not None
+                                 and x != y for x, y in zip(xs, ys)),
+                                dtype=bool, count=len(xs))
+                        else:
+                            ok = xs != ys
+                        if not ok.all():
+                            xs, ys = xs[ok], ys[ok]
+                        if not len(xs):
+                            continue
+                        sw = ys < xs
+                        out_k.append(np.zeros(len(xs), dtype=np.int32))
+                        out_a.append(np.where(sw, ys, xs))
+                        out_b.append(np.where(sw, xs, ys))
+                ix = pdf[pdf["__side"] == 1]
+                if len(ix):  # duplicates of already-indexed vectors
+                    mb = np.stack(ix["__vec"].to_numpy())
+                    nb = np.linalg.norm(mb, axis=1)
+                    for s, e in tiles(len(mb)):
+                        r6 = r6_sim(ma[s:e], na[s:e], mb, nb)
+                        hit = np.flatnonzero((r6 >= threshold).any(axis=1))
+                        if not len(hit):
+                            continue
+                        xs = av[s + hit]
+                        if xs.dtype.kind == "O":
+                            # NULL-id rows always survive
+                            xs = xs[np.fromiter(
+                                (x is not None for x in xs),
+                                dtype=bool, count=len(xs))]
+                        if not len(xs):
+                            continue
+                        out_k.append(np.ones(len(xs), dtype=np.int32))
+                        out_a.append(xs)
+                        out_b.append(xs)
+            if out_k:
+                return pd.DataFrame({
+                    "__kind": pd.Series(np.concatenate(out_k),
+                                        dtype="int32"),
+                    "__a": np.concatenate(out_a),
+                    "__b": np.concatenate(out_b),
+                })
+            return pd.DataFrame({"__kind": pd.Series([], dtype="int32"),
+                                 "__a": [], "__b": []})
+
+        def _post_append(cur_bits, keep_rows, dim, id_v_schema) -> bool:
+            """Adaptive meta/occupancy tail shared by both batch paths;
+            returns True when it rewrote the index layout (rebucket or
+            compaction) so the caller can invalidate mirrored state."""
+            if not adaptive:
+                return False
+            # adaptive occupancy control: when the indexed row count
+            # outgrows target_occ per cell, REBUCKET the index at the
+            # derived wider code. The new layout + its _meta.json land in
+            # a side directory first, so the directory swap commits
+            # layout and metadata together (crash windows roll
+            # forward/back in _index_meta_read). A crash between the
+            # append and the meta write below only UNDERCOUNTS rows by
+            # one batch (replayed survivors drop against their indexed
+            # copies, contributing keep_rows=0) — occupancy drift bounded
+            # by one batch, never a layout inconsistency.
+            #
+            # The SAME rewrite also runs as COMPACTION at unchanged bits:
+            # a stable-occupancy stream never rebuckets yet accretes one
+            # file per touched cell per append forever, growing
+            # listing/open cost without bound. The appends-since-last-
+            # rewrite counter in _meta.json upper-bounds files-per-cell
+            # growth (each append adds at most one file per cell), so
+            # triggering at _COMPACT_APPENDS caps files-per-cell at
+            # ~(appends bound + 1) with an O(1) decision — no directory
+            # listing, which on object stores is the very cost being
+            # bounded.
+            import shutil
+
+            total = int(meta.get("rows", 0)) + keep_rows
+            appends = int(meta.get("appends", 0)) + 1
+            needed = auto_sign_bits(total, dim, **occ_kw)
+            # Rewrite width is clamped to never SHRINK the layout: auto_
+            # sign_bits derives from the CURRENT batch's observed dim, so
+            # a batch of narrower (or all-NULL) embeddings would
+            # otherwise make a compaction-only trigger rewrite the whole
+            # index at fewer bits — then the next normal batch re-widens
+            # it, a full-index rewrite thrash with no occupancy benefit.
+            # Compaction is documented as "in place at the current bits";
+            # only a genuine occupancy overflow (needed > bits) widens.
+            new_bits = max(cur_bits, needed)
+            if needed > cur_bits or appends >= _COMPACT_APPENDS:
+                with stage("index_rewrite"):
+                    tmp = index_path + ".__rebucket"
+                    old = index_path + ".__old"
+                    if os.path.isdir(tmp):
+                        shutil.rmtree(tmp)
+                    idx_schema = id_v_schema.add("__cell", "integer")
+                    n_mig = max(1, min(
+                        spark.sparkContext.defaultParallelism,
+                        (1 << min(new_bits, 30)) // 64 + total // 100_000,
+                    ))
+                    (spark.read.schema(idx_schema).parquet(index_path)
+                     .select(id_col, "__v",
+                             sign_code(F.col("__v"),
+                                       new_bits).alias("__cell"))
+                     .repartition(n_mig, F.col("__cell"))
+                     .write.mode("overwrite").partitionBy("__cell")
+                     .parquet(tmp))
+                    _index_meta_write(tmp, {"sign_bits": new_bits,
+                                            "rows": total, "appends": 0})
+                    os.rename(index_path, old)
+                    os.rename(tmp, index_path)
+                    shutil.rmtree(old)
+                return True
+            _index_meta_write(index_path,
+                              {"sign_bits": cur_bits, "rows": total,
+                               "appends": appends})
+            return False
+
+        def _try_local() -> bool:
+            """Driver-local twin of the distributed batch body below,
+            dispatched when both the batch's planning-time size estimate
+            and the partition-pruned probe read's estimate are provably
+            driver-sized (same stats-dispatch family as the local
+            quantizer trainers). One Arrow collect + NumPy replaces 5-6
+            scheduled jobs (checkpoint, sizing count, shuffled verify,
+            dynamic-partition append) over kilobytes of data. Semantics
+            are pinned bit-for-bit against the distributed path in
+            tests/test_streaming.py::test_embed_dedup_local_parity:
+            Spark's NaN ordering in sign_code (NaN >= 0 is TRUE there,
+            False in NumPy), -0.0 → 0.0 normalization in the exact-
+            collapse group key (NormalizeFloatingNumbers), NULL array
+            elements surfacing as NaN in kernel math but staying NULL in
+            storage, and the literal verify_cell kernel shared with the
+            executor path. Appended files appear via hidden-name write +
+            rename, so a mid-append crash never exposes a partial file —
+            the same reader contract as Spark's task commit."""
+            import math
+            import uuid as _uuid
+
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from pyspark.sql import types as T
+
+            has_index = os.path.isdir(index_path) and any(
+                e.startswith("__cell=") for e in os.listdir(index_path)
+            )
+            with stage("batch_prep"):
+                tbl = bdf.select(
+                    id_col,
+                    F.col(vec_col).cast("array<double>").alias("__v"),
+                ).toArrow()
+            if not tbl.num_rows:  # empty batch: nothing to do, no side
+                return True       # effects (mirrors the isEmpty early-out)
+            ids = tbl.column(0).to_pylist()
+            vraw = tbl.column(1).to_pylist()  # storage: NULL elems stay NULL
+            nvecs = _np_rows(tbl.column(1))   # math: NULL elems → NaN
+            id_at = tbl.schema.field(0).type
+            # F.size(NULL) is -1 under the (default-off-ANSI) legacy
+            # conf, NULL otherwise — mirrored so the all-NULL-batch dim
+            # fallback matches the distributed aggregates exactly
+            legacy_size = str(spark.conf.get(
+                "spark.sql.legacy.sizeOfNull", "true")).lower() == "true"
+            sizes0 = [len(v) for v in vraw if v is not None]
+            lbits = bits or _first_bits(
+                len(ids),
+                max(sizes0) if sizes0 else (-1 if legacy_size else 8))
+
+            def _code(i):
+                v = vraw[i]
+                if v is None or len(v) < lbits:
+                    return None  # element_at past the end → NULL sum
+                c = 0
+                for j in range(lbits):
+                    x = v[j]
+                    if x is None:
+                        return None  # NULL element → NULL comparison
+                    # Spark comparison: NaN sorts above every double,
+                    # so NaN >= 0 is TRUE (NumPy would say False)
+                    if x >= 0 or math.isnan(x):
+                        c |= 1 << j
+                return c
+
+            thr = float(threshold)
+
+            def _foldable(i):
+                if ids[i] is None:
+                    return False
+                v = vraw[i]
+                if v is None or any(x is None for x in v):
+                    return False  # NULL vec/element → coalesce(False)
+                a = nvecs[i]
+                if len(a) and np.isnan(a).any():
+                    return False
+                # sequential left fold like F.aggregate (cumsum is
+                # order-preserving; np.sum's pairwise reordering could
+                # flip the inf-overflow edge)
+                sq = float(np.cumsum(a * a)[-1]) if len(a) else 0.0
+                self_sim = 1.0 if (0.0 < sq < math.inf) else 0.0
+                return self_sim >= thr
+
+            codes = [_code(i) for i in range(len(ids))]
+            b_rows: list = []  # (id, store_vec, cell, math_vec)
+            groups: dict = {}
+            for i in range(len(ids)):
+                if _foldable(i):
+                    a = nvecs[i]
+                    # Spark group keys normalize -0.0 → 0.0
+                    # (NormalizeFloatingNumbers); the stored
+                    # representative IS the normalized key
+                    norm = np.where(a == 0.0, 0.0, a)
+                    k = norm.tobytes()
+                    g = groups.get(k)
+                    if g is None:
+                        groups[k] = [ids[i], norm, codes[i]]
+                    elif ids[i] < g[0]:
+                        g[0] = ids[i]
+                else:
+                    b_rows.append((ids[i], vraw[i], codes[i], nvecs[i]))
+            for g in groups.values():
+                b_rows.append((g[0], g[1].tolist(), g[2], g[1]))
+
+            cells = {r[2] for r in b_rows}
+            batch_rows = len(b_rows)
+            sizes = [len(r[1]) for r in b_rows if r[1] is not None]
+            dim = max(sizes) if sizes else (-1 if legacy_size else lbits)
+
+            probe_rows: list = []  # (side, vid, math_vec, ocell, pcell)
+            for vid, _sv, c, mv in b_rows:
+                if c is None:
+                    continue
+                probe_rows.append((0, vid, mv, c, c))
+                for j in range(lbits):
+                    probe_rows.append((0, vid, mv, c, c ^ (1 << j)))
+
+            id_v_schema = T.StructType([
+                bdf.schema[id_col],
+                T.StructField("__v", T.ArrayType(T.DoubleType()), True),
+            ])
+            if mirror["on"] is None:
+                # first local batch decides: a pre-existing index has
+                # rows the driver never saw — mirroring would need a
+                # full read, so leave probe reads on disk
+                mirror["on"] = not has_index
+            if has_index:
+                probe_cells = sorted(
+                    {c ^ (1 << j) for c in cells if c is not None
+                     for j in range(lbits)}
+                    | {c for c in cells if c is not None}
+                )
+                if mirror["on"]:
+                    mcells = mirror["cells"]
+                    for c in probe_cells:
+                        for vid, _sv, mv in mcells.get(c, ()):
+                            probe_rows.append((1, vid, mv, c, c))
+                else:
+                    idx_read = (
+                        spark.read
+                        .schema(id_v_schema.add("__cell", "integer"))
+                        .parquet(index_path)
+                        .filter(F.col("__cell").isin(probe_cells))
+                    )
+                    # the pruned read must be driver-sized too; footers
+                    # of only the selected cell dirs back this estimate
+                    if local is not True and not (
+                            0 < _plan_size_bytes(idx_read)
+                            <= _LOCAL_BATCH_MAX_BYTES):
+                        return False
+                    with stage("batch_prep"):
+                        itbl = idx_read.select(
+                            id_col, "__v", "__cell").toArrow()
+                    iids = itbl.column(0).to_pylist()
+                    imvs = _np_rows(itbl.column(1))
+                    icells = itbl.column(2).to_pylist()
+                    for t in range(len(iids)):
+                        probe_rows.append(
+                            (1, iids[t], imvs[t], icells[t], icells[t]))
+
+            pairs: set = set()
+            drop: set = set()
+            if probe_rows:
+                with stage("verify"):
+                    both_tbl = pa.table({
+                        "__side": pa.array(
+                            [r[0] for r in probe_rows], pa.int32()),
+                        "__vid": pa.array(
+                            [r[1] for r in probe_rows], type=id_at),
+                        "__vec": pa.array(
+                            [r[2] for r in probe_rows],
+                            type=pa.list_(pa.float64())),
+                        "__ocell": pa.array(
+                            [r[3] for r in probe_rows], pa.int64()),
+                        "__pcell": pa.array(
+                            [r[4] for r in probe_rows], pa.int64()),
+                    })
+                    pdfall = both_tbl.to_pandas()
+                    widths = pdfall["__vec"].map(len)
+                    for gkey, grp in pdfall.groupby(
+                            [pdfall["__pcell"], widths], sort=False):
+                        res = verify_cell(gkey, grp)
+                        if not len(res):
+                            continue
+                        # round-trip the emitted ids through the same
+                        # pandas→Arrow cast the executor's output schema
+                        # applies (__a/__b are id-typed there): numeric
+                        # ids came through the bridge as float64, and
+                        # without the cast a NULL id's NaN would enter
+                        # union-find as NaN — whose x != x makes find()
+                        # spin forever (the executor path gets None back
+                        # from the cast instead)
+                        ka = pa.Array.from_pandas(
+                            res["__a"], mask=res["__a"].isnull(),
+                            type=id_at).to_pylist()
+                        kb = pa.Array.from_pandas(
+                            res["__b"], mask=res["__b"].isnull(),
+                            type=id_at).to_pylist()
+                        for k_, a_, b_ in zip(res["__kind"], ka, kb):
+                            if k_ == 0:
+                                pairs.add((a_, b_))
+                            else:
+                                drop.add(a_)
+            if pairs:
+                comp = union_find_min(pairs)
+                drop |= {x for x, c in comp.items() if c < x}
+            keep = [r for r in b_rows
+                    if r[0] is None or r[0] not in drop]
+            with stage("append"):
+                bycell: dict = {}
+                for vid, sv, c, _mv in keep:
+                    slot = bycell.setdefault(c, ([], []))
+                    slot[0].append(vid)
+                    slot[1].append(sv)
+                os.makedirs(index_path, exist_ok=True)
+                for c, (cvids, cvecs) in bycell.items():
+                    leaf = ("__cell=__HIVE_DEFAULT_PARTITION__"
+                            if c is None else f"__cell={int(c)}")
+                    d = os.path.join(index_path, leaf)
+                    os.makedirs(d, exist_ok=True)
+                    t_out = pa.table({
+                        id_col: pa.array(cvids, type=id_at),
+                        "__v": pa.array(cvecs,
+                                        type=pa.list_(pa.float64())),
+                    })
+                    fname = f"part-{_uuid.uuid4().hex}.parquet"
+                    tmp_f = os.path.join(d, f".{fname}.inprogress")
+                    pq.write_table(t_out, tmp_f)
+                    os.rename(tmp_f, os.path.join(d, fname))
+            if mirror["on"]:
+                for vid, sv, c, mv in keep:
+                    mirror["cells"].setdefault(c, []).append(
+                        (vid, sv, mv))
+                    mirror["bytes"] += 8 * (len(sv) if sv else 0) + 64
+                if mirror["bytes"] > _LOCAL_MIRROR_MAX_BYTES:
+                    mirror.update(on=False, cells={}, bytes=0)
+            if _post_append(lbits, max(0, batch_rows - len(drop)), dim,
+                            id_v_schema):
+                # rebucket/compaction rewrote the layout on disk —
+                # the mirror's cell keys are stale
+                mirror.update(on=False, cells={}, bytes=0)
+            return True
+
+        if local is not False and (local is True or (
+                0 < _plan_size_bytes(bdf) <= _LOCAL_BATCH_MAX_BYTES)):
+            if _try_local():
+                return
+        # the distributed path appends without driver visibility — any
+        # mirrored state is no longer a complete copy
+        mirror.update(on=False, cells={}, bytes=0)
+
+        if bdf.isEmpty():
+            return
+        if adaptive and not bits:
+            row = bdf.select(
+                F.count(F.lit(1)).alias("__n"),
+                F.max(F.size(F.col(vec_col))).alias("__d"),
+            ).first()
+            bits = _first_bits(
+                int(row["__n"]),
+                int(row["__d"]) if row["__d"] is not None else 8)
         b0 = bdf.select(
             id_col, F.col(vec_col).cast("array<double>").alias("__v")
         ).withColumn("__cell", sign_code(F.col("__v"), bits))
@@ -767,100 +1247,6 @@ def embed_dedup_stream(
                     F.col("__cell").alias("__pcell"),
                 )
             )
-        id_t = bdf.schema[id_col].dataType.simpleString()
-
-        def verify_cell(key, pdf):
-            import numpy as np
-            import pandas as pd
-
-            pcell = key[0]
-            out_k: list = []
-            out_a: list = []
-            out_b: list = []
-            pr = pdf[pdf["__side"] == 0]
-            if len(pr):
-                ma = np.stack(pr["__vec"].to_numpy())
-                na = np.linalg.norm(ma, axis=1)
-                av = pr["__vid"].to_numpy()
-
-                def r6_sim(rows, rows_n, cols_m, cols_n):
-                    den = np.outer(rows_n, cols_n)
-                    den[den == 0.0] = 1.0
-                    sim = (rows @ cols_m.T) / den
-                    # half-away-from-zero like F.round (np.round is
-                    # half-to-even; see similarity.round_half_away)
-                    return np.sign(sim) * np.floor(
-                        np.abs(sim) * 1e6 + 0.5) / 1e6
-
-                def tiles(n_cols):
-                    # tile the probe side so the similarity matrix (and
-                    # its den/abs temporaries) stays ≤ _VERIFY_TILE_ELEMS
-                    # doubles per tile — per-task memory bounded
-                    # REGARDLESS of cell occupancy, like
-                    # cosine_pairs_within's block loop (see the constant
-                    # for the 1000× OOM this prevents).
-                    step = max(1, tile_elems // max(1, n_cols))
-                    for s in range(0, len(ma), step):
-                        yield s, min(s + step, len(ma))
-
-                own = pr[pr["__ocell"] == pcell]
-                if len(own):  # intra-batch pairs vs this cell's members
-                    mb = np.stack(own["__vec"].to_numpy())
-                    nb = np.linalg.norm(mb, axis=1)
-                    bv = own["__vid"].to_numpy()
-                    for s, e in tiles(len(mb)):
-                        r6 = r6_sim(ma[s:e], na[s:e], mb, nb)
-                        # wholesale array emission (no per-hit Python
-                        # loop): NULL ids never pair; no self-pairs
-                        ii, jj = np.nonzero(r6 >= threshold)
-                        if not len(ii):
-                            continue
-                        xs, ys = av[s + ii], bv[jj]
-                        if xs.dtype.kind == "O" or ys.dtype.kind == "O":
-                            ok = np.fromiter(
-                                (x is not None and y is not None
-                                 and x != y for x, y in zip(xs, ys)),
-                                dtype=bool, count=len(xs))
-                        else:
-                            ok = xs != ys
-                        if not ok.all():
-                            xs, ys = xs[ok], ys[ok]
-                        if not len(xs):
-                            continue
-                        sw = ys < xs
-                        out_k.append(np.zeros(len(xs), dtype=np.int32))
-                        out_a.append(np.where(sw, ys, xs))
-                        out_b.append(np.where(sw, xs, ys))
-                ix = pdf[pdf["__side"] == 1]
-                if len(ix):  # duplicates of already-indexed vectors
-                    mb = np.stack(ix["__vec"].to_numpy())
-                    nb = np.linalg.norm(mb, axis=1)
-                    for s, e in tiles(len(mb)):
-                        r6 = r6_sim(ma[s:e], na[s:e], mb, nb)
-                        hit = np.flatnonzero((r6 >= threshold).any(axis=1))
-                        if not len(hit):
-                            continue
-                        xs = av[s + hit]
-                        if xs.dtype.kind == "O":
-                            # NULL-id rows always survive
-                            xs = xs[np.fromiter(
-                                (x is not None for x in xs),
-                                dtype=bool, count=len(xs))]
-                        if not len(xs):
-                            continue
-                        out_k.append(np.ones(len(xs), dtype=np.int32))
-                        out_a.append(xs)
-                        out_b.append(xs)
-            if out_k:
-                return pd.DataFrame({
-                    "__kind": pd.Series(np.concatenate(out_k),
-                                        dtype="int32"),
-                    "__a": np.concatenate(out_a),
-                    "__b": np.concatenate(out_b),
-                })
-            return pd.DataFrame({"__kind": pd.Series([], dtype="int32"),
-                                 "__a": [], "__b": []})
-
         with stage("verify"):
             # width in the group key: vectors pair only at equal width,
             # so the kernel's np.stack is always uniform — ragged crawl
@@ -911,70 +1297,7 @@ def embed_dedup_stream(
             keep.select(id_col, "__v", "__cell").repartition(
                 n_tasks, F.col("__cell")
             ).write.mode("append").partitionBy("__cell").parquet(index_path)
-        if not adaptive:
-            return
-        # adaptive occupancy control: when the indexed row count outgrows
-        # target_occ per cell, REBUCKET the index at the derived wider
-        # code. The new layout + its _meta.json land in a side directory
-        # first, so the directory swap commits layout and metadata
-        # together (crash windows roll forward/back in _index_meta_read).
-        # A crash between the append above and the meta write below only
-        # UNDERCOUNTS rows by one batch (replayed survivors drop against
-        # their indexed copies, contributing keep_rows=0) — occupancy
-        # drift bounded by one batch, never a layout inconsistency.
-        #
-        # The SAME rewrite also runs as COMPACTION at unchanged bits: a
-        # stable-occupancy stream never rebuckets yet accretes one file
-        # per touched cell per append forever, growing listing/open cost
-        # without bound. The appends-since-last-rewrite counter in
-        # _meta.json upper-bounds files-per-cell growth (each append adds
-        # at most one file per cell), so triggering at _COMPACT_APPENDS
-        # caps files-per-cell at ~(appends bound + 1) with an O(1)
-        # decision — no directory listing, which on object stores is the
-        # very cost being bounded.
-        import shutil
-
-        total = int(meta.get("rows", 0)) + keep_rows
-        appends = int(meta.get("appends", 0)) + 1
-        occ_kw = ({"target_occ": target_occ}
-                  if target_occ is not None else {})
-        needed = auto_sign_bits(total, dim, **occ_kw)
-        # Rewrite width is clamped to never SHRINK the layout: auto_
-        # sign_bits derives from the CURRENT batch's observed dim, so a
-        # batch of narrower (or all-NULL) embeddings would otherwise make
-        # a compaction-only trigger rewrite the whole index at fewer bits
-        # — then the next normal batch re-widens it, a full-index rewrite
-        # thrash with no occupancy benefit. Compaction is documented as
-        # "in place at the current bits"; only a genuine occupancy
-        # overflow (needed > bits) widens.
-        new_bits = max(bits, needed)
-        if needed > bits or appends >= _COMPACT_APPENDS:
-            with stage("index_rewrite"):
-                tmp = index_path + ".__rebucket"
-                old = index_path + ".__old"
-                if os.path.isdir(tmp):
-                    shutil.rmtree(tmp)
-                idx_schema = (b.select(id_col, "__v").schema
-                              .add("__cell", "integer"))
-                n_mig = max(1, min(
-                    spark.sparkContext.defaultParallelism,
-                    (1 << min(new_bits, 30)) // 64 + total // 100_000,
-                ))
-                (spark.read.schema(idx_schema).parquet(index_path)
-                 .select(id_col, "__v",
-                         sign_code(F.col("__v"), new_bits).alias("__cell"))
-                 .repartition(n_mig, F.col("__cell"))
-                 .write.mode("overwrite").partitionBy("__cell")
-                 .parquet(tmp))
-                _index_meta_write(tmp, {"sign_bits": new_bits,
-                                        "rows": total, "appends": 0})
-                os.rename(index_path, old)
-                os.rename(tmp, index_path)
-                shutil.rmtree(old)
-        else:
-            _index_meta_write(index_path,
-                              {"sign_bits": bits, "rows": total,
-                               "appends": appends})
+        _post_append(bits, keep_rows, dim, b.select(id_col, "__v").schema)
 
     writer = stream.writeStream.foreachBatch(_batch).trigger(availableNow=True)
     if checkpoint_dir:

@@ -1344,3 +1344,104 @@ def test_embed_dedup_stream_tolerates_corrupt_embeddings(spark, tmp_path):
         .parquet(index).select("vec_id").collect())
     # 10/11 are cross-batch dups of 1/2; every corrupt row survives
     assert kept == [1, 2, 3, 4, 12, 13]
+
+
+def test_embed_dedup_stream_local_distributed_parity(spark, tmp_path):
+    """The driver-local micro-batch path (stats-dispatched in
+    embed_dedup_stream._batch) must be bit-for-bit identical to the
+    distributed path: same surviving ids, same stored vectors (including
+    -0.0 normalization of folded representatives, NULL elements kept
+    NULL in storage, NaN preserved), same cell assignments, same
+    _meta.json. The fixture deliberately hits every semantic edge the
+    local twin re-implements: verbatim dups intra- and cross-batch,
+    near-dups straddling batches, zero-norm / NaN / NULL / ragged /
+    NULL-element vectors, a NULL id, and a -0.0 vs 0.0 identical pair."""
+    import glob
+    import json
+    import math
+    import shutil
+
+    from griddb_spark.streaming import embed_dedup_stream
+
+    nan = float("nan")
+    base = [1.0, 0.5, -0.25, 0.75, -1.0, 0.3, -0.6, 0.9]
+    near = [x * 1.0000001 for x in base]  # cos ≈ 1 → near-dup
+    other = [-1.0, 2.0, 3.0, -4.0, 5.0, -6.0, 7.0, 8.0]
+    batches = [
+        [
+            (1, base), (2, base),              # intra verbatim dup
+            (3, other),
+            (4, [0.0] * 8), (5, [0.0] * 8),    # zero-norm: never folds
+            (6, [nan, 1.0] + [0.0] * 6),       # NaN: never pairs
+            (7, [1.0, 2.0]),                   # ragged (< sign bits)
+            (8, None),                         # NULL embedding
+            (None, None),                      # corrupt row: survives
+            (9, [0.0, -0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+            (10, [-0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # folds w/ 9
+            (11, [1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]),  # NULL elem
+        ],
+        [
+            (20, base),                        # cross-batch verbatim dup
+            (21, near),                        # cross-batch near-dup
+            (22, [x * 2.0 for x in other]),    # scaled: cos 1 with 3
+            (23, [8.0] * 8),
+            (24, [nan, 1.0] + [0.0] * 6),      # NaN copy survives
+        ],
+    ]
+
+    def run(local, sign_bits):
+        src = str(tmp_path / f"src_{local}_{sign_bits}")
+        os.makedirs(src, exist_ok=True)
+        for i, rows in enumerate(batches):
+            d = str(tmp_path / f"f_{local}_{sign_bits}_{i}")
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).coalesce(1).write.mode("overwrite").parquet(d)
+            shutil.move(glob.glob(f"{d}/part-*.parquet")[0],
+                        f"{src}/{i:02d}.parquet")
+        index = str(tmp_path / f"index_{local}_{sign_bits}")
+        q = embed_dedup_stream(
+            spark.readStream
+            .schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            index, "vec_id", "embedding", threshold=0.9,
+            sign_bits=sign_bits, local=local,
+            checkpoint_dir=str(tmp_path / f"ck_{local}_{sign_bits}"),
+        )
+        q.awaitTermination()
+        q.stop()
+        rows = (spark.read
+                .schema("vec_id long, __v array<double>, __cell int")
+                .parquet(index).collect())
+        # float().hex() distinguishes -0.0 from 0.0 and keeps NaN
+        # comparable — the parity claim is BIT equality of storage
+        def hx(x):
+            return "N" if x is None else float(x).hex()
+        trips = [
+            (r.vec_id,
+             None if r["__v"] is None else tuple(hx(x) for x in r["__v"]),
+             r["__cell"])
+            for r in rows
+        ]
+        got = sorted(  # None ids/vecs/cells sort first, deterministically
+            trips,
+            key=lambda t: (t[0] is not None, t[0] or 0, t[1] or (),
+                           t[2] is not None, t[2] or 0))
+        meta = None
+        mp = os.path.join(index, "_meta.json")
+        if os.path.isfile(mp):
+            meta = json.load(open(mp))
+        return got, meta
+
+    for sign_bits in (8, None):
+        got_l, meta_l = run(True, sign_bits)
+        got_d, meta_d = run(False, sign_bits)
+        assert got_l == got_d, f"sign_bits={sign_bits}"
+        assert meta_l == meta_d, f"sign_bits={sign_bits}"
+        # sanity on the shared outcome, not just parity: intra dup 2,
+        # cross verbatim 20, near-dup 21, and scaled 22 all dropped;
+        # zero/NaN/NULL/ragged/NULL-elem/NULL-id all survive
+        kept_ids = [t[0] for t in got_l]
+        assert None in kept_ids
+        ints = sorted(i for i in kept_ids if i is not None)
+        assert ints == [1, 3, 4, 5, 6, 7, 8, 9, 11, 23, 24]
