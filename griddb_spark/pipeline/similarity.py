@@ -670,6 +670,54 @@ def sign_code(vec: Column, bits: int = 8) -> Column:
     return out
 
 
+def _np_rows(col) -> list:
+    """Per-row float64 views of an Arrow ``list<double>`` column: NULL
+    rows as None, NULL elements as NaN — exactly what the Arrow→pandas
+    bridge hands applyInPandas kernels — built from the flattened child
+    buffer without per-element Python loops (the naive per-row
+    ``np.array([... for x in v])`` costs ~0.5 s per 400k elements at
+    bench scale; this is vectorized C conversion + per-row views)."""
+    import numpy as np
+
+    out: list = []
+    for chunk in (col.chunks if hasattr(col, "chunks") else [col]):
+        offs = chunk.offsets.to_numpy()
+        # zero_copy_only=False: NULL child slots surface as NaN, the
+        # same convention the pandas bridge applies
+        vals = (chunk.values.to_numpy(zero_copy_only=False)
+                if len(chunk) else np.empty(0, dtype=np.float64))
+        if chunk.null_count:
+            nulls = chunk.is_null().to_numpy(zero_copy_only=False)
+            for i in range(len(chunk)):
+                out.append(None if nulls[i]
+                           else vals[offs[i]:offs[i + 1]])
+        else:
+            for i in range(len(chunk)):
+                out.append(vals[offs[i]:offs[i + 1]])
+    return out
+
+
+def _sign_code_py(v, bits: int):
+    """Driver-side twin of :func:`sign_code` over one row as the Arrow
+    ``to_pylist`` representation (python list, NULL elements as None;
+    NULL row as None), mirroring Spark's comparison semantics exactly:
+    ``element_at`` past the end → NULL term → NULL sum; a NULL element →
+    NULL; NaN sorts above every double so ``NaN >= 0`` is TRUE (NumPy
+    would say False)."""
+    import math
+
+    if v is None or len(v) < bits:
+        return None
+    c = 0
+    for j in range(bits):
+        x = v[j]
+        if x is None:
+            return None
+        if x >= 0 or math.isnan(x):
+            c |= 1 << j
+    return c
+
+
 def cosine_pairs_ann(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -706,6 +754,15 @@ def cosine_pairs_ann(
     ``sign_bits=None`` derives it (:func:`auto_sign_bits`) from the
     corpus row count and embedding width, so occupancy stays bounded
     without manual retuning.
+
+    NOT driver-local-dispatched (unlike the quantizer trainers, r13):
+    a measured A/B of a collect-once + literal-kernel-over-pandas-groups
+    twin came back a wash at 256 cells (2.37 vs 2.27 s warm) and ~1 s
+    SLOWER at 2048 cells (target_occ=2: 3.56 vs 2.57 s) — the per-group
+    pandas-frame overhead on a serial driver loses to ONE applyInPandas
+    shuffle that parallelizes the same groups across cores. The trainers
+    win locally because their per-iteration output is a single bounded
+    collect; here the work itself is the per-cell group fan-out.
 
     Returns (id_a, id_b, cos_sim) with id_a < id_b.
     """

@@ -450,6 +450,8 @@ def run_to_memory(
 #: multi-tile paths on small data.
 from griddb_spark.pipeline.similarity import (  # noqa: E402
     _VERIFY_TILE_ELEMS,
+    _np_rows,
+    _sign_code_py,
 )
 
 #: Adaptive-index compaction trigger: a stable-occupancy stream never
@@ -515,33 +517,6 @@ def _index_meta_read(index_path: str) -> "dict | None":
         with open(mp) as fh:
             return json.load(fh)
     return None
-
-
-def _np_rows(col) -> list:
-    """Per-row float64 views of an Arrow ``list<double>`` column: NULL
-    rows as None, NULL elements as NaN — exactly what the Arrow→pandas
-    bridge hands applyInPandas kernels — built from the flattened child
-    buffer without per-element Python loops (the naive per-row
-    ``np.array([... for x in v])`` costs ~0.5 s per 400k elements at
-    bench scale; this is vectorized C conversion + per-row views)."""
-    import numpy as np
-
-    out: list = []
-    for chunk in (col.chunks if hasattr(col, "chunks") else [col]):
-        offs = chunk.offsets.to_numpy()
-        # zero_copy_only=False: NULL child slots surface as NaN, the
-        # same convention the pandas bridge applies
-        vals = (chunk.values.to_numpy(zero_copy_only=False)
-                if len(chunk) else np.empty(0, dtype=np.float64))
-        if chunk.null_count:
-            nulls = chunk.is_null().to_numpy(zero_copy_only=False)
-            for i in range(len(chunk)):
-                out.append(None if nulls[i]
-                           else vals[offs[i]:offs[i + 1]])
-        else:
-            for i in range(len(chunk)):
-                out.append(vals[offs[i]:offs[i + 1]])
-    return out
 
 
 def _index_meta_write(dirpath: str, meta: dict) -> None:
@@ -917,19 +892,8 @@ def embed_dedup_stream(
                 max(sizes0) if sizes0 else (-1 if legacy_size else 8))
 
             def _code(i):
-                v = vraw[i]
-                if v is None or len(v) < lbits:
-                    return None  # element_at past the end → NULL sum
-                c = 0
-                for j in range(lbits):
-                    x = v[j]
-                    if x is None:
-                        return None  # NULL element → NULL comparison
-                    # Spark comparison: NaN sorts above every double,
-                    # so NaN >= 0 is TRUE (NumPy would say False)
-                    if x >= 0 or math.isnan(x):
-                        c |= 1 << j
-                return c
+                # sign_code's exact NULL/NaN semantics, shared helper
+                return _sign_code_py(vraw[i], lbits)
 
             thr = float(threshold)
 

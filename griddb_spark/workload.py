@@ -2375,7 +2375,13 @@ def pipe_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics directly from the source bytes."""
     from griddb_spark.pipeline.multimodal import decode_features, png_pack
 
-    docs = cat(spark, sf_dir).load("documents")
+    # spread the single-file scan before the per-row PNG encode/decode
+    # kernels: one scan partition = ONE Arrow python worker doing every
+    # zlib deflate+inflate (the sibling resize/frames gates already do
+    # this; isolated A/B 2.39 -> 1.71 s)
+    docs = cat(spark, sf_dir).load("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     packed = png_pack(docs, "text", width=32)
     feats = decode_features(packed, "media", "doc_id", fake=False)
     return (
@@ -6458,22 +6464,40 @@ def stream_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(4)
         ])).alias("__p"),
     ).select("user_id", F.col("__p.d").alias("d"), F.col("__p.pos").alias("pos"))
-    # re-alias the sketch side: grid derives from regs, and a raw
-    # self-join of the memory-sink table trips conflicting references
-    sk = regs.select(
-        F.col("ts").alias("__sts"), F.col("d").alias("__sd"),
-        F.col("pos").alias("__spos"), "cnt",
+    # Broadcast the PROBES into the sketch, not the sketch into the
+    # grid (guide §3.1: broadcast the side that fits): the materialized
+    # sketch is ~300k register rows at sf0.1 — building a broadcast hash
+    # relation of it on the driver was the gate's dominant tail — while
+    # qp is 80 literal rows selecting ~4% of registers. est_count =
+    # min_d coalesce(cnt_d, 0) is 0 whenever ANY of the 4 probed
+    # registers is absent (cnt >= 1 for present ones), so an inner join
+    # + present-register count is value-identical to the old
+    # left-join-then-min over the full grid; (ts, user) pairs with no
+    # hit at all re-enter via the tiny distinct-ts x probes grid.
+    hits = (
+        regs.join(F.broadcast(qp), ["d", "pos"])
+        .groupBy("ts", "user_id")
+        .agg(F.count(F.lit(1)).alias("__nh"), F.min("cnt").alias("__mc"))
     )
-    grid = regs.select("ts").distinct().crossJoin(qp)
+    # re-alias: grid also derives from regs, and a raw self-join of the
+    # memory-sink table trips conflicting references
+    hits = hits.select(
+        F.col("ts").alias("__hts"), F.col("user_id").alias("__huid"),
+        "__nh", "__mc",
+    )
     return (
-        grid.join(
-            F.broadcast(sk),
-            (F.col("ts") == F.col("__sts")) & (F.col("d") == F.col("__sd"))
-            & (F.col("pos") == F.col("__spos")),
+        regs.select("ts").distinct().crossJoin(F.broadcast(probes))
+        .join(
+            F.broadcast(hits),
+            (F.col("ts") == F.col("__hts"))
+            & (F.col("user_id") == F.col("__huid")),
             "left",
         )
-        .groupBy("ts", "user_id")
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .select(
+            "ts", "user_id",
+            F.when(F.col("__nh") == 4, F.col("__mc"))
+            .otherwise(F.lit(0)).cast("long").alias("est_count"),
+        )
     )
 
 
