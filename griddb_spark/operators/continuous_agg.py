@@ -148,6 +148,11 @@ def refresh_incremental(
     if not exists:
         target.create(fresh)
         return target
+    # pin the batch partials once: both consumers below (the affected-
+    # bucket collect and the merge union) otherwise re-run the full
+    # aggregation over the batch — localCheckpoint computes it a single
+    # time and the two reads are scans of the pinned rows
+    fresh = fresh.localCheckpoint(eager=True)
     affected = [r[0] for r in fresh.select(BUCKET_COL).distinct().collect()]
     if not affected:
         return target

@@ -95,6 +95,16 @@ def get_spark(
         # without atomic rename, revisit (the usual v2 caveat).
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
                 "2")
+        # The generated-class cache defaults to 100 entries (static
+        # conf); a workload of 200+ distinct query shapes in one session
+        # evicts and recompiles WholeStageCodegen units on every query.
+        # Raising it trades bounded metaspace (generated classes are
+        # small) for skipping recompilation — relevant to any
+        # many-distinct-queries deployment, not just the bench.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
