@@ -81,6 +81,25 @@ def note(label: str, seconds: float) -> None:
         _ACTIVE[label] = _ACTIVE.get(label, 0.0) + seconds
 
 
+#: registered EXECUTOR-side metric readers: "@label" -> zero-arg callable
+#: returning a monotone cumulative float (e.g. a Spark accumulator's
+#: .value, summed task-seconds). collecting() snapshots each at entry
+#: and notes the positive delta at exit, so per-gate stage maps can
+#: attribute time spent inside task kernels the driver never brackets
+#: (the multimodal codec kernels — VERDICT r12 item 5). Labels must be
+#: "@"-prefixed: task-seconds overlap the driver's force wall, so they
+#: are informational overlays, excluded from the disjoint-walls sum.
+_METRICS: "dict[str, object]" = {}
+
+
+def register_metric(label: str, read_fn) -> None:
+    """Register (or re-point, e.g. after a new SparkContext) a cumulative
+    executor-side metric for per-gate delta attribution."""
+    if not label.startswith("@"):
+        raise ValueError(f"metric labels must start with '@': {label!r}")
+    _METRICS[label] = read_fn
+
+
 @contextmanager
 def collecting():
     """Collect stage walls for the enclosed block; yields the dict the
@@ -93,8 +112,24 @@ def collecting():
     acc: dict[str, float] = {}
     _ACTIVE = acc
     st.clear()
+    base: dict[str, float] = {}
+    for label, read in list(_METRICS.items()):
+        try:
+            base[label] = float(read())
+        except Exception:
+            pass  # a dead SparkContext's accumulator; re-registered on next use
     try:
         yield acc
     finally:
+        for label, read in list(_METRICS.items()):
+            # a label absent from the entry snapshot was registered
+            # DURING the block (a gate creating its accumulator at build
+            # time) — its cumulative value started at 0 inside the block
+            try:
+                delta = float(read()) - base.get(label, 0.0)
+            except Exception:
+                continue
+            if delta > 0.0:
+                acc[label] = acc.get(label, 0.0) + delta
         _ACTIVE = prev
         st[:] = prev_stack

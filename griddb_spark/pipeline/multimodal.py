@@ -37,6 +37,34 @@ from pyspark.sql import types as T
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+#: per-(label, application) task-kernel-seconds accumulators — see
+#: _task_timer
+_TASK_TIMERS: dict = {}
+
+
+def _task_timer(df: DataFrame, label: str):
+    """A per-application Spark accumulator of task-kernel seconds for
+    ``label`` (``@``-prefixed), registered as a perfstages metric so
+    bench stage maps attribute time spent INSIDE the codec kernels —
+    which run in executor python workers where driver-side ``stage()``
+    can't see (VERDICT r12 item 5: the multimodal transients had no
+    in-profile attribution). Task-seconds overlap the driver's force
+    wall, hence the informational ``@`` convention. One accumulator per
+    (label, SparkContext); creation + the per-batch ``add`` are
+    microseconds next to a zlib pass."""
+    sc = df.sparkSession.sparkContext
+    key = (label, sc.applicationId)
+    acc = _TASK_TIMERS.get(key)
+    if acc is None:
+        for k in [k for k in _TASK_TIMERS if k[1] != sc.applicationId]:
+            del _TASK_TIMERS[k]  # dead-context entries
+        acc = sc.accumulator(0.0)
+        _TASK_TIMERS[key] = acc
+        from griddb_spark import perfstages
+
+        perfstages.register_metric(label, lambda a=acc: a.value)
+    return acc
+
 META_SCHEMA = T.StructType(
     [
         T.StructField("format", T.StringType(), True),
@@ -330,8 +358,13 @@ def png_pack(
     pixel statistic equals the same statistic over the source bytes."""
     import pandas as pd
 
+    t_enc = _task_timer(df, "@png_encode")
+
     def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
         for pdf in batches:
+            t0 = time.perf_counter()
             media = []
             for t in pdf[src_col]:
                 b = ("" if t is None else t).encode("utf-8")
@@ -339,7 +372,9 @@ def png_pack(
                 media.append(
                     png_encode(b[: width * h], width, h) if h else None
                 )
-            yield pd.DataFrame({id_col: pdf[id_col], out_col: media})
+            out = pd.DataFrame({id_col: pdf[id_col], out_col: media})
+            t_enc.add(time.perf_counter() - t0)
+            yield out
 
     packed = (
         df.select(id_col, src_col)
@@ -407,8 +442,13 @@ def resize_media(
     blob never leaves the executor."""
     import pandas as pd
 
+    t_rz = _task_timer(df, "@resize_kernel")
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
         for pdf in batches:
+            t0 = time.perf_counter()
             out, ws, hs, means = [], [], [], []
             for buf in pdf[media_col]:
                 b = bytes(buf)
@@ -437,7 +477,7 @@ def resize_media(
                 ws.append(out_bytes)
                 hs.append(1)
                 means.append(sum(r) / len(r))
-            yield pd.DataFrame(
+            res = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "resized": out,
@@ -446,6 +486,8 @@ def resize_media(
                     "r_mean": means,
                 }
             )
+            t_rz.add(time.perf_counter() - t0)
+            yield res
 
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
         _resize, schema=RESIZED_SCHEMA
@@ -470,8 +512,13 @@ def frame_sample(
     as a raw buffer of ``frame_bytes``-sized frames."""
     import pandas as pd
 
+    t_fr = _task_timer(df, "@frame_kernel")
+
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
         for pdf in batches:
+            t0 = time.perf_counter()
             ids, idxs, frames, means = [], [], [], []
             for i, buf in zip(pdf[id_col], pdf[media_col]):
                 b = bytes(buf)
@@ -491,7 +538,7 @@ def frame_sample(
                     idxs.append(k)
                     frames.append(fr)
                     means.append(sum(fr) / len(fr))
-            yield pd.DataFrame(
+            res = pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series(idxs, dtype="int64"),
@@ -499,6 +546,8 @@ def frame_sample(
                     "f_mean": pd.Series(means, dtype="float64"),
                 }
             )
+            t_fr.add(time.perf_counter() - t0)
+            yield res
 
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
         _frames, schema=FRAME_SCHEMA
@@ -577,14 +626,19 @@ def decode_features(
     """
     import pandas as pd
 
+    t_dec = _task_timer(df, "@png_decode")
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
         for pdf in batches:
+            t0 = time.perf_counter()
             means, feats = [], []
             for buf in pdf[media_col]:
                 m, f = _decode_image(bytes(buf), fake)
                 means.append(m)
                 feats.append(f)
-            yield pd.DataFrame(
+            res = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": pdf[media_col].map(len).astype("int32"),
@@ -592,6 +646,8 @@ def decode_features(
                     "feat": feats,
                 }
             )
+            t_dec.add(time.perf_counter() - t0)
+            yield res
 
     src = df.select(F.col(id_col), F.col(media_col))
     if batch_hint:

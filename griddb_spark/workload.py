@@ -8520,10 +8520,16 @@ def meta_table_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from griddb_spark.dml import DmlTable, range_partition_expr
+    from griddb_spark.perfstages import stage
 
     ev = cat(spark, sf_dir).load("events")
     path = tempfile.mkdtemp(prefix="dml_meta_") + "/t"
-    t = DmlTable(spark, path, range_partition_expr("ts", 1, "DAY")).create(ev)
+    # staged so the profile attributes the gate's wall to the dynamic-
+    # partition fixture WRITE (the first-invocation committer/codegen
+    # cost VERDICT r12 item 4 flagged) vs the listing that IS the query
+    with stage("fixture_write"):
+        t = DmlTable(
+            spark, path, range_partition_expr("ts", 1, "DAY")).create(ev)
     return t.table_partitions()
 
 

@@ -88,3 +88,44 @@ def test_concurrent_thread_stacks_do_not_interleave():
     assert set(acc) == {"w_outer", "w_inner", "m_outer", "m_inner"}
     for k in acc:
         assert acc[k] >= 0.0
+
+
+def test_registered_metric_deltas_land_as_overlays():
+    """register_metric readers are snapshotted at collecting() entry and
+    their positive deltas land as '@' overlay entries at exit — the
+    bridge that lets executor-side task kernels (multimodal codecs)
+    attribute time the driver never brackets."""
+    import griddb_spark.perfstages as PS
+
+    counter = {"v": 10.0}
+    PS.register_metric("@probe_metric", lambda: counter["v"])
+    try:
+        with collecting() as acc:
+            counter["v"] += 2.5
+        assert abs(acc["@probe_metric"] - 2.5) < 1e-9
+        with collecting() as acc2:
+            pass  # no growth -> no entry
+        assert "@probe_metric" not in acc2
+        import pytest
+
+        with pytest.raises(ValueError):
+            PS.register_metric("no_at_prefix", lambda: 0.0)
+    finally:
+        PS._METRICS.pop("@probe_metric", None)
+
+
+def test_multimodal_codec_kernels_report_task_seconds(spark):
+    """Forcing the PNG encode+decode pipeline under collecting() yields
+    @png_encode/@png_decode overlays (VERDICT r12 item 5: the multimodal
+    gates' codec phases are now attributable in bench stage maps)."""
+    from griddb_spark.pipeline.multimodal import decode_features, png_pack
+
+    docs = spark.createDataFrame(
+        [(i, "x" * 96) for i in range(8)], "doc_id long, text string")
+    with collecting() as acc:
+        feats = decode_features(
+            png_pack(docs, "text", width=32), "media", "doc_id",
+            fake=False)
+        feats.write.mode("overwrite").format("noop").save()
+    assert acc.get("@png_encode", 0.0) > 0.0
+    assert acc.get("@png_decode", 0.0) > 0.0
