@@ -2194,10 +2194,15 @@ def ivfpq_train(
         # footer-reading inference job over every index file
         "id_type": df.schema[id_col].dataType.simpleString(),
         "cents": [(int(c), [float(x) for x in v]) for c, v in cents],
-        "cellmeans": [
+        # sorted: collect order is partition order (nondeterministic on
+        # a cluster), and downstream consumers feed cellmeans into
+        # assign_clusters, whose tie-break contract REQUIRES ascending
+        # cell indices (the local trainer already sorts — r14 forced-
+        # distributed probe caught the mismatch)
+        "cellmeans": sorted(
             (int(r["__cell"]), [float(x) for x in r["__centroid"]])
             for r in cellmeans.collect()
-        ],
+        ),
         "codebooks": [
             [(int(c), [float(x) for x in cv]) for c, cv in book]
             for book in books

@@ -102,6 +102,14 @@ def test_ivfpq_train_local_matches_distributed(spark, emb, monkeypatch):
     assert set(loc) == set(dst)
     for c in loc:
         assert loc[c] == pytest.approx(dst[c], abs=1e-9)
+    # BOTH paths must emit cellmeans in ascending cell order: consumers
+    # (ivfpq_index_append via _ivfpq_meta.json) feed them straight into
+    # assign_clusters, whose tie-break contract requires ascending
+    # indices. The distributed path used raw collect order — partition
+    # order, nondeterministic on a cluster (r14 forced-distributed probe).
+    for art in (art_local, art_dist):
+        cells = [c for c, _ in art["cellmeans"]]
+        assert cells == sorted(cells)
 
 
 def test_ivfpq_train_local_flag_semantics(spark, emb, monkeypatch):
