@@ -368,6 +368,15 @@ def run_to_memory(
     spark = result.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
+    # deployment override for every bounded streaming gate's state-
+    # partition count (state stores = partitions x stateful operators):
+    # the per-gate values below are measured for the bench fixture; a
+    # cluster sizing state to its stream rate sets this instead of
+    # editing call sites. Also the seam the r14 state-commit sweep
+    # drives.
+    ov = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if ov:
+        shuffle_partitions = int(ov)
     if shuffle_partitions is not None:
         spark.conf.set(key, str(shuffle_partitions))
     try:

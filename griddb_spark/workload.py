@@ -4366,16 +4366,18 @@ def stream_ema_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], value_col="value", ts_col="ts",
         alpha=0.2, threshold=2.0, min_history=5,
     )
-    # 32 state partitions: with the EMA recurrence vectorized (pandas ewm
-    # — bit-identical to the per-row loop) per-key compute is trivial and
-    # per-key state-machinery overhead dominates; spreading the 15k keys
-    # across all cores measured 10.8s -> 5.6s on the 10x probe
-    # (ratio 6x -> 2.9x) and sf0.1 improved 2.6s -> 1.9s. Core COUNT, not
-    # a literal 32: at a lower-core run 32 state stores on few cores is
-    # pure commit overhead (r13 — the driver benches core scaling).
+    # half-core state partitions, floor 8: the vectorized EMA (pandas
+    # ewm) saturates compute parallelism well below core count, and
+    # per-store commit time grows superlinearly with concurrent
+    # commits per host (r14 sweep: ~100 ms/store at 8 stores vs
+    # ~1080 ms/store at 32; med walls 1.93 s @16 partitions vs 2.64 @32
+    # vs 2.48 @8 — 16 balances matcher parallelism against the commit
+    # floor on a 32-core host). Scales with the core count so the
+    # driver's low-core run keeps its current shape (8 cores -> 8);
+    # SPARK_GRAFT_STATE_PARTITIONS overrides for production rates.
     out = run_to_memory(
         flagged, f"ema_{_uuid.uuid4().hex[:8]}", mode="append",
-        shuffle_partitions=spark.sparkContext.defaultParallelism,
+        shuffle_partitions=max(8, spark.sparkContext.defaultParallelism // 2),
     )
     return (
         out.filter(F.col("is_anomaly"))
@@ -5426,10 +5428,15 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_minutes=30, watermark="1 hour",
     )
     # 4 state stores per partition on a stream-stream join: size the state
-    # partition count to the (bounded) run, not the batch default
+    # partition count to the (bounded) run, not the batch default. 4
+    # partitions = 16 stores — the r14 alternating sweep put the
+    # per-host commit sweet spot near 16 concurrent stores (med walls
+    # 2.43 s @4 vs 3.04 @8 vs 4.22 @16 partitions; r13's sweep agreed,
+    # 2.66 @4 vs 2.88 @8). SPARK_GRAFT_STATE_PARTITIONS overrides for
+    # production stream rates.
     return run_to_memory(
         joined, f"sij_{_uuid.uuid4().hex[:8]}", mode="append",
-        shuffle_partitions=8,
+        shuffle_partitions=4,
     )
 
 
@@ -8579,16 +8586,17 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["user_id"],
         order_by="ts",
     )
-    # all-core state partitions: the vectorized single-variable matcher
-    # made per-key compute cheap enough that 8 partitions left cores
-    # idle — measured 13.4s -> 4.9s on the 10x probe (ratio 5.4x ->
-    # 2.5x) with the sf0.1 time IMPROVING 2.5s -> 1.9s (state-store
-    # setup no longer dominates once the matcher stopped being the
-    # bottleneck). Core COUNT, not a literal 32, so lower-core driver
-    # runs don't pay 32 state-store commits on few cores (r13).
+    # half-core state partitions, floor 8: the vectorized matcher needs
+    # real parallelism (8 partitions measured worse than 16), but
+    # per-store commit time grows superlinearly with concurrent commits
+    # per host (r14 sweep: med walls 1.84 s @16 vs 2.38 @32 vs 2.55 @8
+    # — task-summed commitTimeMs was 24.7 s at 32 stores on a 2.4 s
+    # gate). Scales with core count so the low-core driver run keeps
+    # its shape; SPARK_GRAFT_STATE_PARTITIONS overrides for production.
     return run_to_memory(out, f"mr_{_uuid.uuid4().hex[:8]}", mode="append",
-                         shuffle_partitions=(
-                             spark.sparkContext.defaultParallelism))
+                         shuffle_partitions=max(
+                             8,
+                             spark.sparkContext.defaultParallelism // 2))
 
 
 @query(
@@ -8649,9 +8657,12 @@ def stream_match_two_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["user_id"],
         order_by="ts",
     )
+    # half-core state partitions, floor 8 (see stream_match_recognize:
+    # r14 sweep med walls 1.74 s @16 vs 2.07 @32 vs 2.70 @8)
     return run_to_memory(out, f"mr2_{_uuid.uuid4().hex[:8]}", mode="append",
-                         shuffle_partitions=(
-                             spark.sparkContext.defaultParallelism))
+                         shuffle_partitions=max(
+                             8,
+                             spark.sparkContext.defaultParallelism // 2))
 
 
 @query(
