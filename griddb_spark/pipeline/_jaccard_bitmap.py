@@ -27,31 +27,28 @@ from pyspark.sql import functions as F
 
 def jaccard_allpairs_bitmap(
     base: DataFrame,
-    freq: DataFrame,
+    grams: "list[str]",
     threshold: float,
     blocks: int = 8,
-    vocab: int | None = None,
 ) -> DataFrame:
     """All (doc_a, doc_b, jaccard >= threshold) pairs over gram-set rows.
 
-    ``base`` is (__id, __grams array<string>); ``freq`` is (gram, gf) —
-    its distinct grams become the dictionary (dense ids via one window
-    over the by-assumption-small vocabulary).
+    ``base`` is (__id, __grams array<string>); ``grams`` is the corpus's
+    (by-assumption-small) distinct gram list, already collected by the
+    caller's dispatch probe — it becomes the dense dictionary directly,
+    so this kernel runs zero driver-blocking actions of its own before
+    the GEMM job.
     """
     import pandas as pd
 
     spark = base.sparkSession
-    if vocab is None:
-        vocab = freq.count()
+    vocab = len(grams)
     # vocabulary is small by dispatch precondition — ship the dictionary
     # as a broadcast Python dict and encode gram→gid inside one Arrow
     # batch map. The join-based alternative (explode + broadcast join +
     # collect_list) shuffles corpus×grams rows and costs more than the
     # GEMM itself at this vocab size.
-    gid_of = {
-        g: i
-        for i, g in enumerate(sorted(r.gram for r in freq.select("gram").collect()))
-    }
+    gid_of = {g: i for i, g in enumerate(sorted(grams))}
     bc = spark.sparkContext.broadcast(gid_of)
 
     def encode(batches):

@@ -17,7 +17,6 @@ Scale shapes (the point of each design):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
-from pyspark import StorageLevel
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -712,19 +711,25 @@ def ngram_jaccard_pairs(
         .localCheckpoint(eager=True)
     )
 
-    freq = (
-        base.select(F.explode("__grams").alias("gram"))
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("gf"))
-        # read twice: the dispatch statistic below AND the dictionary /
-        # prefix ordering — persist so the gram explode+count runs once
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_vocab = freq.count()
-    if n_vocab <= small_vocab:
+    grams_ex = base.select(F.explode("__grams").alias("gram"))
+    # ONE dispatch probe replaces the former freq aggregation + persist +
+    # count + dictionary collect (three driver-blocking actions measured
+    # at ~0.7 s of the gate's wall): collect the distinct grams capped at
+    # small_vocab + 1. In the small-vocabulary regime the probe result IS
+    # the bitmap dictionary; for real text it proves vocab > small_vocab
+    # while collecting only the cap (the partial aggregate bounds each
+    # partition's distinct output, so the collect is ≤ cap × partitions
+    # rows at any corpus size). The PPJoin branch then computes gram
+    # frequencies lazily — read once by the prefix index, so the persist
+    # is gone too.
+    probe = [
+        r.gram for r in grams_ex.distinct().limit(small_vocab + 1).collect()
+    ]
+    if len(probe) <= small_vocab:
         from griddb_spark.pipeline._jaccard_bitmap import jaccard_allpairs_bitmap
 
-        return jaccard_allpairs_bitmap(base, freq, threshold, blocks, vocab=n_vocab)
+        return jaccard_allpairs_bitmap(base, probe, threshold, blocks)
+    freq = grams_ex.groupBy("gram").agg(F.count(F.lit(1)).alias("gf"))
     # prefix length floor((1-t)*|S|)+1; rarest-first ordering via global freq
     pref = (
         base.select("__id", F.size("__grams").alias("sz"), F.explode("__grams").alias("gram"))
