@@ -479,6 +479,26 @@ from griddb_spark.pipeline.similarity import (  # noqa: E402
 #: streams.
 _COMPACT_APPENDS = 64
 
+
+def _empty_verify_res():
+    """The verify kernel's empty result — one shared frame per process.
+
+    Most (pcell, width) groups emit nothing, and constructing a fresh
+    three-column empty DataFrame cost ~0.25 ms x ~250 empty groups per
+    driver-local batch. Consumers only read it (the local path checks
+    len(); the executor path Arrow-casts it), so a singleton is safe.
+    """
+    global _EMPTY_VERIFY_RES
+    if _EMPTY_VERIFY_RES is None:
+        import pandas as pd
+
+        _EMPTY_VERIFY_RES = pd.DataFrame(
+            {"__kind": pd.Series([], dtype="int32"), "__a": [], "__b": []})
+    return _EMPTY_VERIFY_RES
+
+
+_EMPTY_VERIFY_RES = None
+
 #: Driver-local micro-batch dispatch bound for embed_dedup_stream (same
 #: dispatch family as similarity._LOCAL_TRAIN_MAX_BYTES): when BOTH the
 #: batch's planning-time size estimate and the partition-pruned probe
@@ -687,19 +707,25 @@ def embed_dedup_stream(
             return derived
         id_t = bdf.schema[id_col].dataType.simpleString()
 
-        def verify_cell(key, pdf):
+        def _verify_cols(pcell, side_np, vec_np, vid_np, ocell_np):
+            """THE verify kernel body, columnar: one (pcell, width)
+            group's rows as parallel numpy arrays in. Returns
+            (kind, a, b) int32/ids arrays, or None when nothing emits.
+            Shared verbatim by the executor path (via the verify_cell
+            pandas adapter below) and the driver-local path (which
+            groups with a stable lexsort and calls this directly —
+            per-group pandas frame construction was the local verify's
+            dominant cost at ~1.8 ms x 256 groups/batch)."""
             import numpy as np
-            import pandas as pd
 
-            pcell = key[0]
             out_k: list = []
             out_a: list = []
             out_b: list = []
-            pr = pdf[pdf["__side"] == 0]
-            if len(pr):
-                ma = np.stack(pr["__vec"].to_numpy())
+            pr_idx = np.flatnonzero(side_np == 0)
+            if len(pr_idx):
+                ma = np.stack(vec_np[pr_idx])
                 na = np.linalg.norm(ma, axis=1)
-                av = pr["__vid"].to_numpy()
+                av = vid_np[pr_idx]
 
                 def r6_sim(rows, rows_n, cols_m, cols_n):
                     den = np.outer(rows_n, cols_n)
@@ -721,11 +747,11 @@ def embed_dedup_stream(
                     for s in range(0, len(ma), step):
                         yield s, min(s + step, len(ma))
 
-                own = pr[pr["__ocell"] == pcell]
-                if len(own):  # intra-batch pairs vs this cell's members
-                    mb = np.stack(own["__vec"].to_numpy())
+                own_idx = pr_idx[ocell_np[pr_idx] == pcell]
+                if len(own_idx):  # intra-batch pairs vs this cell's members
+                    mb = np.stack(vec_np[own_idx])
                     nb = np.linalg.norm(mb, axis=1)
-                    bv = own["__vid"].to_numpy()
+                    bv = vid_np[own_idx]
                     for s, e in tiles(len(mb)):
                         r6 = r6_sim(ma[s:e], na[s:e], mb, nb)
                         # wholesale array emission (no per-hit Python
@@ -749,9 +775,9 @@ def embed_dedup_stream(
                         out_k.append(np.zeros(len(xs), dtype=np.int32))
                         out_a.append(np.where(sw, ys, xs))
                         out_b.append(np.where(sw, xs, ys))
-                ix = pdf[pdf["__side"] == 1]
-                if len(ix):  # duplicates of already-indexed vectors
-                    mb = np.stack(ix["__vec"].to_numpy())
+                ix_idx = np.flatnonzero(side_np == 1)
+                if len(ix_idx):  # duplicates of already-indexed vectors
+                    mb = np.stack(vec_np[ix_idx])
                     nb = np.linalg.norm(mb, axis=1)
                     for s, e in tiles(len(mb)):
                         r6 = r6_sim(ma[s:e], na[s:e], mb, nb)
@@ -770,14 +796,24 @@ def embed_dedup_stream(
                         out_a.append(xs)
                         out_b.append(xs)
             if out_k:
-                return pd.DataFrame({
-                    "__kind": pd.Series(np.concatenate(out_k),
-                                        dtype="int32"),
-                    "__a": np.concatenate(out_a),
-                    "__b": np.concatenate(out_b),
-                })
-            return pd.DataFrame({"__kind": pd.Series([], dtype="int32"),
-                                 "__a": [], "__b": []})
+                return (np.concatenate(out_k), np.concatenate(out_a),
+                        np.concatenate(out_b))
+            return None
+
+        def verify_cell(key, pdf):
+            """applyInPandas adapter over _verify_cols — the executor
+            path's entry point (the local path calls the body direct)."""
+            import pandas as pd
+
+            cols = _verify_cols(
+                key[0], pdf["__side"].to_numpy(), pdf["__vec"].to_numpy(),
+                pdf["__vid"].to_numpy(), pdf["__ocell"].to_numpy())
+            if cols is None:
+                return _empty_verify_res()
+            k, a, b = cols
+            return pd.DataFrame({
+                "__kind": pd.Series(k, dtype="int32"), "__a": a, "__b": b,
+            })
 
         def _post_append(cur_bits, keep_rows, dim, id_v_schema) -> bool:
             """Adaptive meta/occupancy tail shared by both batch paths;
@@ -1002,27 +1038,56 @@ def embed_dedup_stream(
             pairs: set = set()
             drop: set = set()
             if probe_rows:
+                import time as _t
+
+                import pandas as pd
+
+                from griddb_spark.perfstages import note
+
                 with stage("verify"):
-                    both_tbl = pa.table({
-                        "__side": pa.array(
-                            [r[0] for r in probe_rows], pa.int32()),
-                        "__vid": pa.array(
-                            [r[1] for r in probe_rows], type=id_at),
-                        "__vec": pa.array(
-                            [r[2] for r in probe_rows],
-                            type=pa.list_(pa.float64())),
-                        "__ocell": pa.array(
-                            [r[3] for r in probe_rows], pa.int64()),
-                        "__pcell": pa.array(
-                            [r[4] for r in probe_rows], pa.int64()),
-                    })
-                    pdfall = both_tbl.to_pandas()
-                    widths = pdfall["__vec"].map(len)
-                    for gkey, grp in pdfall.groupby(
-                            [pdfall["__pcell"], widths], sort=False):
-                        res = verify_cell(gkey, grp)
-                        if not len(res):
+                    _t0 = _t.perf_counter()
+                    n_pr = len(probe_rows)
+                    side_np = np.fromiter(
+                        (r[0] for r in probe_rows), np.int32, n_pr)
+                    # the id column keeps the EXECUTOR path's exact dtype
+                    # semantics by round-tripping through Arrow→pandas
+                    # (numeric ids in a batch with a NULL id become
+                    # float64/NaN there); the math vectors are used
+                    # as-is — _np_rows already produced the float64
+                    # arrays an Arrow list<double> round trip would
+                    pa_vids = pa.array(
+                        [r[1] for r in probe_rows], type=id_at)
+                    vid_np = pa.table({"v": pa_vids}).to_pandas()[
+                        "v"].to_numpy()
+                    vec_np = np.empty(n_pr, dtype=object)
+                    for i in range(n_pr):
+                        vec_np[i] = probe_rows[i][2]
+                    ocell_np = np.fromiter(
+                        (r[3] for r in probe_rows), np.int64, n_pr)
+                    pcell_np = np.fromiter(
+                        (r[4] for r in probe_rows), np.int64, n_pr)
+                    wid_np = np.fromiter(
+                        (len(r[2]) for r in probe_rows), np.int64, n_pr)
+                    _t1 = _t.perf_counter()
+                    note("@verify_table", _t1 - _t0)
+                    # stable lexsort = exactly the (pcell, width) group
+                    # partition pandas groupby produced, original row
+                    # order preserved within each group — minus the
+                    # per-group sub-frame construction cost
+                    order = np.lexsort((wid_np, pcell_np))
+                    ps, ws = pcell_np[order], wid_np[order]
+                    bounds = np.flatnonzero(np.r_[
+                        True, (ps[1:] != ps[:-1]) | (ws[1:] != ws[:-1])])
+                    bounds = np.append(bounds, n_pr)
+                    _ng = len(bounds) - 1
+                    for gi in range(_ng):
+                        idx = order[bounds[gi]:bounds[gi + 1]]
+                        cols = _verify_cols(
+                            ps[bounds[gi]], side_np[idx], vec_np[idx],
+                            vid_np[idx], ocell_np[idx])
+                        if cols is None:
                             continue
+                        kk, aa, bb = cols
                         # round-trip the emitted ids through the same
                         # pandas→Arrow cast the executor's output schema
                         # applies (__a/__b are id-typed there): numeric
@@ -1031,17 +1096,19 @@ def embed_dedup_stream(
                         # union-find as NaN — whose x != x makes find()
                         # spin forever (the executor path gets None back
                         # from the cast instead)
+                        sa, sb = pd.Series(aa), pd.Series(bb)
                         ka = pa.Array.from_pandas(
-                            res["__a"], mask=res["__a"].isnull(),
-                            type=id_at).to_pylist()
+                            sa, mask=sa.isnull(), type=id_at).to_pylist()
                         kb = pa.Array.from_pandas(
-                            res["__b"], mask=res["__b"].isnull(),
-                            type=id_at).to_pylist()
-                        for k_, a_, b_ in zip(res["__kind"], ka, kb):
+                            sb, mask=sb.isnull(), type=id_at).to_pylist()
+                        for k_, a_, b_ in zip(kk, ka, kb):
                             if k_ == 0:
                                 pairs.add((a_, b_))
                             else:
                                 drop.add(a_)
+                    note("@verify_groups", _t.perf_counter() - _t1)
+                    note("@verify_ngroups", float(_ng))
+                    note("@verify_nrows", float(n_pr))
             if pairs:
                 comp = union_find_min(pairs)
                 drop |= {x for x, c in comp.items() if c < x}
