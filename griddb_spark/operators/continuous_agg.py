@@ -146,16 +146,43 @@ def refresh_incremental(
         not e.startswith(("_", ".")) for e in os.listdir(target.path)
     )
     if not exists:
+        # guard creation only here: an empty first batch must not
+        # materialize an empty rollup (auto_aggregate_stream used to pay
+        # a per-batch isEmpty job for this; steady-state batches
+        # short-circuit on empty partials below instead)
+        if fresh.isEmpty():
+            return target
         target.create(fresh)
         return target
-    # pin the batch partials once: both consumers below (the affected-
-    # bucket collect and the merge union) otherwise re-run the full
-    # aggregation over the batch — localCheckpoint computes it a single
-    # time and the two reads are scans of the pinned rows
-    fresh = fresh.localCheckpoint(eager=True)
-    affected = [r[0] for r in fresh.select(BUCKET_COL).distinct().collect()]
-    if not affected:
-        return target
+    # One action covers both consumers: the batch's PARTIALS (not its
+    # raw rows) are one row per (bucket, keys) — collect them when the
+    # planning-time estimate says they are driver-sized, derive the
+    # affected buckets locally, and feed the merge union a LocalRelation
+    # of the same rows. That replaces the previous two serial actions
+    # (eager localCheckpoint + distinct-bucket collect) with one job per
+    # micro-batch. A rollup whose partials outgrow the bound (very
+    # high-cardinality keys) keeps the former pinned-DataFrame shape —
+    # driver memory stays bounded by construction.
+    from griddb_spark.pipeline.similarity import _plan_size_bytes
+
+    rows = None
+    if 0 < _plan_size_bytes(fresh) <= 32 * 1024 * 1024:
+        try:
+            rows = fresh.collect()
+        except Exception:
+            rows = None  # lying estimate: fall back to the pinned path
+    if rows is not None:
+        if not rows:
+            return target
+        affected = sorted({r[BUCKET_COL] for r in rows})
+        fresh = fresh.sparkSession.createDataFrame(rows, fresh.schema)
+    else:
+        fresh = fresh.localCheckpoint(eager=True)
+        affected = [
+            r[0] for r in fresh.select(BUCKET_COL).distinct().collect()
+        ]
+        if not affected:
+            return target
     stored = target.read().filter(F.col(BUCKET_COL).isin(affected))
     merged = (
         stored.unionByName(fresh)
@@ -194,8 +221,9 @@ def auto_aggregate_stream(
     """
 
     def _refresh(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty pre-check: refresh_incremental guards creation
+        # itself and steady-state empty batches short-circuit on their
+        # (empty) collected partials — one fewer job per micro-batch
         refresh_incremental(batch_df, target, ts_col, every, unit, specs, by)
 
     writer = stream.writeStream.foreachBatch(_refresh).trigger(
