@@ -39,6 +39,14 @@ from griddb_spark.operators.timeseries import UNIT_MS
 PARTITION_COL = "__part"
 SUBPART_COL = "__subpart"
 
+#: Marker file (underscore-prefixed, so parquet readers ignore it) recording
+#: that this table's files may carry HETEROGENEOUS schemas (alter_add_column
+#: appends a zero-row widened file instead of rewriting data). Reads need
+#: ``mergeSchema`` ONLY then: an unconditional mergeSchema read footer-merges
+#: every file on every scan — O(files) planning work that at 100 TB (millions
+#: of part-files) dwarfs the query, for a table that was never altered.
+SCHEMA_EVOLVED_MARKER = "_schema_evolved"
+
 #: GridDB DDL type names (``data_store_common.h:136-165``) → Spark SQL types.
 GRIDDB_TYPES = {
     "STRING": "string", "BOOL": "boolean", "BYTE": "tinyint",
@@ -245,6 +253,11 @@ class DmlTable:
             )
             return self
         widened = self.scan().schema.add(name, dtype)
+        # mark the table schema-evolved BEFORE the widened file lands, so
+        # no crash point yields a mixed-schema table read without
+        # mergeSchema (the benign failure order — marker without widened
+        # file — just reads a homogeneous table with mergeSchema once)
+        self._mark_schema_evolved()
         # build the zero-row frame JVM-side: createDataFrame([], schema)
         # backs the write with an (empty) Python RDD, whose single task
         # still pays full Python-worker startup (~3 s); range(0)+casts is
@@ -271,7 +284,12 @@ class DmlTable:
     def scan(self) -> DataFrame:
         """Raw scan including PARTITION_COL — use with the partitioning's
         ``range_filter``/``key_filter`` for pruned reads. ``mergeSchema``
-        makes post-ALTER files (see ``alter_add_column``) visible.
+        makes post-ALTER files (see ``alter_add_column``) visible — paid
+        ONLY when the ``_schema_evolved`` marker says files may disagree:
+        an unevolved table reads one footer, not every footer (O(1) vs
+        O(files) planning work; the marker is written crash-safely before
+        the first widened file, and full rewrites — rename/overwrite —
+        drop it with the old directory, so it never understates).
 
         With row expiration set, the visibility predicate is applied here
         so *every* read path (read/scan_range/TQL) sees only live rows:
@@ -279,7 +297,10 @@ class DmlTable:
         on range-partitioned tables, a matching ``__part`` lower bound so
         expired divisions are statically pruned, not read-and-filtered.
         """
-        df = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        reader = self.spark.read
+        if self._schema_evolved():
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self.path)
         if self.expiration is not None:
             df = df.filter(self.expiration.visible(self.ts_col))
             if isinstance(
@@ -468,6 +489,20 @@ class DmlTable:
         return self
 
     # -- internals -----------------------------------------------------------
+
+    def _schema_evolved(self) -> bool:
+        return os.path.exists(os.path.join(self.path, SCHEMA_EVOLVED_MARKER))
+
+    def _mark_schema_evolved(self) -> None:
+        """Record (durably, before any widened file exists) that reads must
+        footer-merge. fsync'd so a crash can't reorder the marker after the
+        widened file it guards."""
+        p = os.path.join(self.path, SCHEMA_EVOLVED_MARKER)
+        fd = os.open(p, os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
     def _mutate(self, cond: Column, transform) -> None:
         """Partition-scoped mutation (the 100 TB shape of UPDATE/DELETE).

@@ -412,3 +412,67 @@ def test_compact_preserves_nested_range_hash_layout(spark, catalog, tmp_path):
     day_ms = 86_400_000
     start = 1704067200000
     assert t.scan_key_range(start, start + 5 * day_ms, 1).count() >= 0
+
+
+def test_schema_evolved_marker_lifecycle(spark, tmp_path):
+    """scan() pays mergeSchema only after ALTER: the _schema_evolved
+    marker appears with the first widened file, survives appends, and a
+    full rewrite (rename — every file homogenized) retires it."""
+    import os
+
+    from griddb_spark.dml import SCHEMA_EVOLVED_MARKER, DmlTable
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, seg string")
+    path = str(tmp_path / "t")
+    t = DmlTable(spark, path).create(df)
+    marker = os.path.join(path, SCHEMA_EVOLVED_MARKER)
+    assert not os.path.exists(marker)  # unevolved: plain O(1) read
+
+    t.alter_add_column("score", "DOUBLE")
+    assert os.path.exists(marker)  # mixed footers: merge required
+    t.insert(spark.createDataFrame([(3, "c", 1.5)],
+                                   "id int, seg string, score double"))
+    assert os.path.exists(marker)
+    assert {r.id: r.score for r in t.read().collect()} == {
+        1: None, 2: None, 3: 1.5}
+
+    # rename rewrites every file with the merged schema → marker retired
+    t.alter_rename_column("seg", "segment")
+    assert not os.path.exists(marker)
+    got = {r.id: (r.segment, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 1.5)}
+
+
+def test_schema_evolved_marker_crash_orders(spark, tmp_path):
+    """Both crash orders of alter_add_column are safe: marker-without-
+    widened-file (crash after the durable mark) reads the homogeneous
+    table correctly — merge of identical footers — and the marker can
+    never lag the widened file (it is written first; injected-fault
+    proof below)."""
+    import os
+
+    import pytest
+
+    from griddb_spark.dml import SCHEMA_EVOLVED_MARKER, DmlTable
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, seg string")
+    path = str(tmp_path / "c")
+    t = DmlTable(spark, path).create(df)
+
+    # inject a crash between the marker write and the widened-file append
+    orig = t._write
+    def boom(df_, mode):
+        raise RuntimeError("crash before widened file")
+    t._write = boom
+    with pytest.raises(RuntimeError):
+        t.alter_add_column("score", "DOUBLE")
+    t._write = orig
+
+    marker = os.path.join(path, SCHEMA_EVOLVED_MARKER)
+    assert os.path.exists(marker)  # marker landed FIRST
+    # conservative state: homogeneous table read with mergeSchema — correct
+    assert {r.id for r in t.read().collect()} == {1, 2}
+    assert "score" not in t.read().columns
+    # re-running the alter completes it
+    t.alter_add_column("score", "DOUBLE")
+    assert [r.score for r in t.read().collect()] == [None, None]
