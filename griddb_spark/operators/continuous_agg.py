@@ -154,15 +154,33 @@ def refresh_incremental(
             return target
         target.create(fresh)
         return target
-    # One action covers both consumers: the batch's PARTIALS (not its
+    if target.partitioning is None:
+        # An unpartitioned rollup has no leaf to scope to: replace_where
+        # stages a FULL rewrite regardless, so deriving the affected
+        # buckets first (collect + pinned merge + complement filter — two
+        # extra driver actions and two extra plans per micro-batch) buys
+        # nothing. Merge in ONE staged write: re-aggregate stored ∪ fresh
+        # wholesale. Arithmetically identical to the scoped form — the
+        # table holds one partial row per (bucket, keys), so every merge
+        # group has ≤2 rows (stored ⊕ fresh; count/sum/min/max over a
+        # singleton is the identity, over a pair it is the same two-term
+        # combine the scoped path computed).
+        target._rewrite(
+            target.read().unionByName(fresh)
+            .groupBy(BUCKET_COL, *by)
+            .agg(*[
+                _MERGE_FN[kind](name).alias(name)
+                for name, (kind, _col) in specs.items()
+            ])
+        )
+        return target
+    # Leaf-scoped merge (the 100 TB shape): the batch's PARTIALS (not its
     # raw rows) are one row per (bucket, keys) — collect them when the
     # planning-time estimate says they are driver-sized, derive the
     # affected buckets locally, and feed the merge union a LocalRelation
-    # of the same rows. That replaces the previous two serial actions
-    # (eager localCheckpoint + distinct-bucket collect) with one job per
-    # micro-batch. A rollup whose partials outgrow the bound (very
-    # high-cardinality keys) keeps the former pinned-DataFrame shape —
-    # driver memory stays bounded by construction.
+    # of the same rows. A rollup whose partials outgrow the bound (very
+    # high-cardinality keys) keeps the pinned-DataFrame shape — driver
+    # memory stays bounded by construction.
     from griddb_spark.pipeline.similarity import _plan_size_bytes
 
     rows = None
@@ -192,7 +210,10 @@ def refresh_incremental(
             for name, (kind, _col) in specs.items()
         ])
     )
-    merged = merged.localCheckpoint(eager=True)  # read before the rewrite
+    # pin before the leaf swap: the partitioned replace_where DELETES the
+    # affected leaves before inserting, so merged must not lazily re-read
+    # post-delete state
+    merged = merged.localCheckpoint(eager=True)
     target.replace_where(F.col(BUCKET_COL).isin(affected), merged)
     return target
 
