@@ -235,11 +235,55 @@ def encode_tokens(
     )
 
 
+def _bpe_train_rows(
+    rows: "list[tuple[int, list[str]]]", n_merges: int, min_freq: int
+) -> "list[tuple]":
+    """The BPE merge loop over a collected (freq, symbols) vocab —
+    bit-identical to the distributed loop in :func:`bpe_train`:
+
+    - pair score = freq-weighted count over EVERY adjacent position
+      (a word ``aaa`` contributes (a,a) twice, as the exploded zip does);
+    - argmax order (n desc, l asc, r asc): Python str comparison is
+      code-point order == Spark's binary UTF8String order;
+    - the merge applies greedily left-to-right against the accumulator's
+      CURRENT last element (exactly the JVM ``aggregate`` fold: ``aaaa``
+      merging (a,a) → [aa, aa], and a fresh merge output can itself
+      merge with the next symbol when the rule says so).
+    """
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for freq, sym in rows:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_freq:
+            break
+        merges.append((rank, left, right, left + right, int(n)))
+        nxt: list[tuple[int, list[str]]] = []
+        for freq, sym in rows:
+            acc: list[str] = []
+            for x in sym:
+                if acc and acc[-1] == left and x == right:
+                    acc[-1] = acc[-1] + x
+                else:
+                    acc.append(x)
+            nxt.append((freq, acc))
+        rows = nxt
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
     min_freq: int = 2,
+    local: "bool | None" = None,
 ) -> DataFrame:
     """Learn BPE merge rules over the corpus — the tokenizer-TRAINING
     loop (``bpe_pair_counts`` is its single scoring step).
@@ -256,9 +300,21 @@ def bpe_train(
     fold applying the merge greedily left-to-right, checkpointed so the
     plan never grows with iteration count. At 100 TB the corpus is
     touched once; every iteration runs over the vocab only.
+
+    ``local`` — the same driver-local dispatch as the quantizer
+    trainers: when the vocab is provably driver-sized (planning-time
+    estimate ≤ the shared 32 MB bound, post-collect volume check,
+    collect-failure fallback), the whole merge loop runs on the
+    collected vocab (:func:`_bpe_train_rows`, bit-identical semantics),
+    replacing 2 driver actions PER ROUND (argmax collect + vocab
+    re-checkpoint) with one collect total. ``None`` = auto by size;
+    ``True`` forces local (caller proves boundedness); ``False`` forces
+    the distributed loop (scale/probe path). The symbol split stays
+    JVM-side in every mode — the local loop only rearranges collected
+    symbols, so engine-specific string segmentation can't diverge.
     """
     spark = df.sparkSession
-    vocab = (
+    vocab_plan = (
         df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
         .filter(F.length("__w") > 0)
         .groupBy("__w")
@@ -267,8 +323,37 @@ def bpe_train(
             F.col("__freq"),
             F.split(F.col("__w"), "").alias("__sym"),
         )
-        .localCheckpoint(eager=True)
     )
+    if local is not False:
+        from griddb_spark.pipeline import similarity as _sim
+
+        ok = local is True or (
+            0 < _sim._plan_size_bytes(vocab_plan)
+            <= _sim._LOCAL_TRAIN_MAX_BYTES
+        )
+        collected = None
+        if ok:
+            try:
+                collected = vocab_plan.collect()
+            except Exception:
+                if local is True:
+                    raise
+                collected = None  # lying estimate: distributed fallback
+        if collected is not None:
+            est = sum(
+                64 + sum(len(s) + 8 for s in r[1]) for r in collected
+            )
+            if local is True or est <= 4 * _sim._LOCAL_TRAIN_MAX_BYTES:
+                merges = _bpe_train_rows(
+                    [(int(r[0]), list(r[1])) for r in collected],
+                    n_merges, min_freq,
+                )
+                return spark.createDataFrame(
+                    merges,
+                    "merge_rank int, left string, right string, "
+                    "merged string, freq long",
+                )
+    vocab = vocab_plan.localCheckpoint(eager=True)
 
     def pair_counts(v: DataFrame) -> DataFrame:
         two_plus = v.filter(F.size("__sym") >= 2)

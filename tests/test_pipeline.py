@@ -2437,3 +2437,41 @@ def test_knn_bruteforce_gemm_parity(spark, emb, monkeypatch):
     assert jvm == gemm
     assert len(jvm) == qdf.count() * 4
     assert not any(r[1] in (9001, 9002) for r in jvm)  # corrupt excluded
+
+
+def test_bpe_train_local_distributed_parity(spark):
+    """The driver-local merge loop (auto-dispatched for driver-sized
+    vocabs) must be merge-for-merge identical to the distributed loop —
+    including chained merges (a fresh merge output merging again with
+    the next symbol), count-desc/pair-asc tie order, and the min_freq
+    early break."""
+    from griddb_spark.pipeline.packing import bpe_train
+
+    fixtures = [
+        # chained merges: 'aaaa' folds [aa, aa]; then (aa, aa) can win
+        ["aaaa aaaa baab", "aaaa caa aa", "aa aaaa"],
+        # tie-heavy: equal counts decided by (l asc, r asc)
+        ["ab cd ab cd", "ba dc ba dc", "ab dc"],
+        # min_freq break: every pair unique after round 1
+        ["xy", "yz", "zw", "xy"],
+        # single-char words only: no pairs at all -> zero merges
+        ["a b c", "a b", "c"],
+    ]
+    for texts in fixtures:
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        dist = [
+            (r.merge_rank, r.left, r.right, r.merged, r.freq)
+            for r in bpe_train(df, n_merges=6, local=False)
+            .orderBy("merge_rank").collect()
+        ]
+        loc = [
+            (r.merge_rank, r.left, r.right, r.merged, r.freq)
+            for r in bpe_train(df, n_merges=6, local=True)
+            .orderBy("merge_rank").collect()
+        ]
+        auto = [
+            (r.merge_rank, r.left, r.right, r.merged, r.freq)
+            for r in bpe_train(df, n_merges=6)
+            .orderBy("merge_rank").collect()
+        ]
+        assert dist == loc == auto, (texts, dist, loc, auto)
