@@ -156,6 +156,96 @@ def linear_probe_score(
     return df.withColumn(score_col, score)
 
 
+def _logreg_train_rows(
+    rows: "list[tuple[list | None, float | None]]",
+    n: int,
+    dim: int,
+    iters: int,
+    lr: float,
+    round_to: int,
+) -> list[tuple[int, float]]:
+    """The full-batch GD loop over a collected (vec, label) sample —
+    bit-identical to the distributed loop in :func:`logreg_train`:
+
+    - z is the element-order left fold ``(…(0.0 + v₀·w₀) + v₁·w₁)…`` + b
+      (the ``dot`` contract, sequential IEEE adds);
+    - a ragged/NULL vector or NULL label poisons z → every contribution
+      of that row is NULL (zip_with pads with NULL), i.e. skipped;
+    - each contribution is rounded HALF_UP at ``round_to`` and cast to
+      DECIMAL(18,6): NaN/±Inf/overflow become NULL (non-ANSI cast) and
+      drop out of the sum PER POSITION (a row with an Inf element still
+      contributes its bias residual);
+    - per-position sums are exact Decimal adds (order-free), and weight
+      updates reuse the identical ``_r`` quantize the distributed driver
+      loop runs.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quantum = Decimal(1).scaleb(-round_to)
+
+    def _r(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(quantum, ROUND_HALF_UP))
+
+    # F.round(double, d) == BigDecimal(Double.toString(x)) HALF_UP — the
+    # same repr-quantize as _r; the DECIMAL(18,6) cast then NULLs
+    # non-finite and out-of-range values (non-ANSI), skipping them
+    dec_max = Decimal(10) ** 12  # DECIMAL(18,6): 12 integer digits
+    def _dec(x: float) -> "Decimal | None":
+        if math.isnan(x) or math.isinf(x):
+            return None
+        q = Decimal(repr(x)).quantize(quantum, ROUND_HALF_UP)
+        if q.copy_abs() >= dec_max:
+            return None
+        return q
+
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(iters):
+        sums: dict[int, Decimal | None] = {}
+
+        def _add(pos: int, c: "float | None") -> None:
+            d = None if c is None else _dec(c)
+            if pos not in sums:
+                sums[pos] = d
+            elif d is not None:
+                sums[pos] = d if sums[pos] is None else sums[pos] + d
+
+        for v, y in rows:
+            bad = (
+                v is None or y is None or len(v) != dim
+                or any(e is None for e in v)
+            )
+            if bad:
+                resid = None
+            else:
+                acc = 0.0
+                for vi, wi in zip(v, w):
+                    acc = acc + vi * wi
+                z = acc + b
+                try:
+                    ez = math.exp(-z)
+                except OverflowError:
+                    ez = float("inf")
+                if math.isnan(ez):
+                    resid = float("nan")
+                else:
+                    resid = _r(1.0 / (1.0 + ez)) - y
+            _add(0, resid)
+            if v is not None:
+                for j, vi in enumerate(v):
+                    _add(
+                        j + 1,
+                        None if (vi is None or resid is None)
+                        else vi * resid,
+                    )
+        g = {pos: None if s is None else float(s)
+             for pos, s in sums.items()}
+        b = _r(b - lr * g[0] / n)
+        w = [_r(w[j] - lr * g[j + 1] / n) for j in range(dim)]
+    return [(-1, b)] + list(enumerate(w))
+
+
 def logreg_train(
     df: DataFrame,
     vec_col: str,
@@ -163,6 +253,7 @@ def logreg_train(
     iters: int = 2,
     lr: float = 0.1,
     round_to: int = 6,
+    local: "bool | None" = None,
 ) -> list[tuple[int, float]]:
     """Train the linear quality-filter head ON the cluster — the other
     half of :func:`linear_probe_score`'s workflow (train on a labeled
@@ -185,6 +276,9 @@ def logreg_train(
     not once per element.
 
     Returns ``[(-1, bias), (0, w_0), …, (dim-1, w_{dim-1})]``.
+
+    ``local``: driver-local dispatch for driver-sized samples (see the
+    inline comment); ``None`` = auto by size, ``True``/``False`` force.
     """
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -193,14 +287,50 @@ def logreg_train(
     def _r(x: float) -> float:
         return float(Decimal(repr(x)).quantize(quantum, ROUND_HALF_UP))
 
-    n = df.count()
-    dim = len(df.select(vec_col).first()[0])
-    w = [0.0] * dim
-    b = 0.0
     base = df.select(
         F.col(vec_col).cast("array<double>").alias("__v"),
         F.col(label_col).cast("double").alias("__y"),
     )
+    # driver-local dispatch (the quantizer-trainer pattern): a provably
+    # driver-sized sample (planning-time estimate ≤ the shared 32 MB
+    # bound, post-collect volume check, collect-failure fallback) runs
+    # the whole GD loop on the collected rows — one collect total
+    # instead of count + first + one gradient job per iteration.
+    # local=None auto-dispatches by size; True/False force.
+    if local is not False:
+        ok = local is True or (
+            0 < _plan_size_bytes(base) <= _LOCAL_TRAIN_MAX_BYTES
+        )
+        collected = None
+        if ok:
+            try:
+                collected = base.collect()
+            except Exception:
+                if local is True:
+                    raise
+                collected = None  # lying estimate: distributed fallback
+        if collected is not None:
+            est = sum(
+                64 + (0 if r[0] is None else 8 * len(r[0]))
+                for r in collected
+            )
+            if local is True or est <= 4 * _LOCAL_TRAIN_MAX_BYTES:
+                return _logreg_train_rows(
+                    [
+                        (None if r[0] is None else list(r[0]), r[1])
+                        for r in collected
+                    ],
+                    n=len(collected),
+                    dim=len(collected[0][0]),
+                    iters=iters,
+                    lr=lr,
+                    round_to=round_to,
+                )
+
+    n = df.count()
+    dim = len(df.select(vec_col).first()[0])
+    w = [0.0] * dim
+    b = 0.0
     for _ in range(iters):
         warr = F.array(*[F.lit(float(x)) for x in w])
         z = dot(F.col("__v"), warr) + F.lit(float(b))

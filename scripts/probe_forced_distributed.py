@@ -193,6 +193,48 @@ def _build_arrivals(spark, sf_dir: str, dst: str):
     return corpus.schema
 
 
+def probe_iterative_trainers(spark, record: dict) -> bool:
+    """r14's two new local-dispatch paths: BPE merge learning and the
+    logistic quality-head trainer. Same protocol as the quantizer
+    trainers — auto (local at this SF) vs forced-distributed, artifact
+    parity asserted, both walls recorded."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline.packing import bpe_train
+    from griddb_spark.pipeline.similarity import logreg_train
+    from griddb_spark.workload import cat
+
+    ok = True
+
+    docs = cat(spark, SF_DIR).load("documents")
+    loc_out, loc_s = _timed(
+        lambda: sorted(map(tuple, bpe_train(
+            docs, "text", n_merges=5, local=True).collect())))
+    dist_out, dist_s = _timed(
+        lambda: sorted(map(tuple, bpe_train(
+            docs, "text", n_merges=5, local=False).collect())))
+    match = loc_out == dist_out
+    ok = ok and match
+    record["bpe_train"] = {
+        "local_sec": loc_s, "distributed_sec": dist_s, "parity": match,
+    }
+
+    emb = cat(spark, SF_DIR).load("embeddings").select(
+        "embedding", (F.col("vec_id") % 2).alias("y"))
+    loc_out, loc_s = _timed(
+        lambda: logreg_train(emb, "embedding", "y", iters=2, lr=0.1,
+                             local=True))
+    dist_out, dist_s = _timed(
+        lambda: logreg_train(emb, "embedding", "y", iters=2, lr=0.1,
+                             local=False))
+    match = loc_out == dist_out
+    ok = ok and match
+    record["logreg_train"] = {
+        "local_sec": loc_s, "distributed_sec": dist_s, "parity": match,
+    }
+    return ok
+
+
 def probe_embed_stream(spark, record: dict) -> bool:
     src = tempfile.mkdtemp(prefix="probe_fd_src_")
     idx_root = tempfile.mkdtemp(prefix="probe_fd_idx_")
@@ -273,6 +315,7 @@ def main() -> int:
 
     record: dict = {"sf_dir": SF_DIR}
     ok = probe_trainers(spark, record)
+    ok = probe_iterative_trainers(spark, record) and ok
     ok = probe_embed_stream(spark, record) and ok
     if salted:
         ok = probe_salted(spark, salted, record) and ok

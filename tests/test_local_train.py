@@ -165,3 +165,36 @@ def test_local_dispatch_collect_error_falls_back(spark, emb, monkeypatch):
     assert sim._local_train_rows(_Boom(), "vec_id", "embedding") is None
     with pytest.raises(RuntimeError):
         sim._local_train_rows(_Boom(), "vec_id", "embedding", force=True)
+
+
+def test_logreg_local_distributed_parity(spark):
+    """The driver-local GD loop must be weight-for-weight identical to
+    the distributed loop — including the corrupt-row contract (NULL
+    vec/label and ragged/NULL-element vectors poison every contribution
+    of the row; a non-finite PRODUCT drops only its own position via the
+    DECIMAL cast, the bias residual still counts)."""
+    from pyspark.sql import functions as F
+
+    from griddb_spark.pipeline.similarity import logreg_train
+
+    fixtures = [
+        # clean separable sample
+        [([1.0, 2.0, -0.5], 1.0), ([-1.0, -2.0, 0.5], 0.0),
+         ([0.5, 1.5, -1.0], 1.0), ([-0.5, -1.5, 1.0], 0.0)],
+        # NULL vector, NULL label, ragged vector, NULL element
+        [([1.0, 2.0, -0.5], 1.0), (None, 0.0),
+         ([0.5, 1.5, -1.0], None), ([1.0, 2.0], 1.0),
+         ([1.0, None, 3.0], 0.0), ([-1.0, -2.0, 0.5], 0.0)],
+        # non-finite elements: Inf element keeps the bias residual,
+        # NaN element poisons the row like the decimal cast does
+        [([1.0, 2.0, -0.5], 1.0), ([float("inf"), 1.0, 1.0], 0.0),
+         ([float("nan"), 1.0, 1.0], 1.0), ([-1.0, -2.0, 0.5], 0.0)],
+    ]
+    for rows in fixtures:
+        df = spark.createDataFrame(
+            rows, "v array<double>, y double"
+        )
+        dist = logreg_train(df, "v", "y", iters=3, lr=0.2, local=False)
+        loc = logreg_train(df, "v", "y", iters=3, lr=0.2, local=True)
+        auto = logreg_train(df, "v", "y", iters=3, lr=0.2)
+        assert dist == loc == auto, (rows, dist, loc, auto)
